@@ -1,0 +1,98 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + typed metadata columns. The actual
+codec work (decode/resize/frame-sample) needs libs not present in this
+container, so the codec kernels are STUBS — either deterministic fakes
+(for tests) or ``NotImplementedError`` — while everything Spark-side is
+real and tested: schema, Arrow batch shape, ``mapInPandas`` plumbing,
+partition sizing.
+
+Scale notes: media rows are large, so the per-partition byte budget (not
+row count) is what matters — ``repartition_for_payload`` sizes
+partitions by estimated bytes. Feature extraction is `mapInPandas`
+(Arrow batches; amortized Python crossing), never per-row UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_COLS = ("media_type", "width", "height", "n_frames", "sample_rate")
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test helper: derive a deterministic binary payload + metadata from
+    a text column (stands in for real image/audio bytes)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return (
+        df.withColumn("media", payload)
+        .withColumn("media_type", F.lit("image/fake"))
+        .withColumn("width", (F.length(payload) % 640 + 1).cast("int"))
+        .withColumn("height", (F.length(payload) % 480 + 1).cast("int"))
+        .withColumn("n_frames", F.lit(1))
+        .withColumn("sample_rate", F.lit(None).cast("int"))
+    )
+
+
+def media_byte_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Metadata pass that never leaves the JVM: payload sizes/prefixes."""
+    return df.select(
+        "*",
+        F.length(F.col(media_col)).alias("media_bytes"),
+        F.hex(F.substring(F.col(media_col), 1, 4)).alias("magic_hex"),
+    )
+
+
+def repartition_for_payload(
+    df: DataFrame, approx_row_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Repartition so each task holds ~target bytes of media. At 100 TB
+    this is the difference between streaming batches through Arrow and
+    OOMing executors on row-count-balanced partitions."""
+    n_rows = df.count()
+    parts = max(1, (n_rows * approx_row_bytes) // target_partition_bytes)
+    return df.repartition(int(parts))
+
+
+def decode_image(data: bytes) -> "object":
+    """Codec stub: real impl needs PIL/opencv (absent here)."""
+    raise NotImplementedError("image decode requires PIL/opencv; not in container")
+
+
+def _fake_feature(data: bytes, n: int = 8) -> list[float]:
+    """Deterministic fake feature vector from payload bytes (test stand-in
+    for a real embedding/thumbnail kernel)."""
+    acc = [0] * n
+    for i, b in enumerate(data):
+        acc[i % n] = (acc[i % n] * 31 + b) % 100003
+    return [a / 100003.0 for a in acc]
+
+
+def extract_features(
+    df: DataFrame, media_col: str = "media", n_features: int = 8, fake: bool = True
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched binary in, fixed-size
+    float array out. Swap ``_fake_feature`` for a real kernel in prod."""
+    out_fields = ", ".join(f"{c} {t}" for c, t in zip(df.columns, _spark_ddl_types(df)))
+    schema = f"{out_fields}, features array<float>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError("real media kernel not available")
+            pdf = pdf.copy()
+            pdf["features"] = pdf[media_col].map(
+                lambda d: _fake_feature(bytes(d), n_features)
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def _spark_ddl_types(df: DataFrame) -> list[str]:
+    return [f.dataType.simpleString() for f in df.schema.fields]

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``brute_force_topk``: exact cosine top-k of every candidate against a
+  query vector. Map-only scan + TakeOrderedAndProject — the correctness
+  baseline, and genuinely the right plan when the query set is small.
+- ``knn_join_topk``: top-k neighbors for EVERY query row via broadcast
+  of the (small) query set against the (huge) candidate scan.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane (SimHash)
+  bucketing; only same-bucket candidates are scored. Probes multiple
+  hash tables to trade recall for cost, turning an O(|Q|x|C|) cross
+  score into an equi-join on bucket signatures.
+- ``embedding_near_dup_pairs``: near-duplicate pairs by cosine >=
+  threshold, LSH-bucketed self-join (the embedding twin of MinHash
+  dedup).
+
+All distance math is functions/vectors.py built-ins (JVM fold), no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_spark.functions.vectors import cosine, dot, norm
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k rows by cosine(candidate, query_vec). Deterministic
+    tie-break on id. Plans as scan -> project -> TakeOrderedAndProject;
+    no shuffle, survives any candidate count."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), q).alias("cosine_sim")
+    return (
+        candidates.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k candidates per query row. The query side is broadcast
+    (must be the small side); ranking is a window per query id."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id), F.col(vec_col).alias("__qv"))
+    c = candidates.select(F.col(c_id), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine_sim", cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(c_id).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(q_id, c_id, "cosine_sim", F.col("__rn").alias("rank"))
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (LCG; no numpy
+    needed at plan-build time, reproducible across runs)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    out = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(((state >> 16) % 2000001) / 1000000.0 - 1.0)
+    return out
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    table: int = 0,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v . plane_i). Same-bucket
+    vectors are likely cosine-near; n_planes controls bucket granularity."""
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(table * 1000 + i + 1, dim)])
+        bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = F.concat_ws("", *[b.cast("string") for b in bits])
+    return df.withColumn(out_col, sig)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per query: score only candidates sharing a
+    bucket in any of ``n_tables`` hash tables. The cross product becomes
+    an equi-join on (table, signature) — the 100 TB plan. Recall rises
+    with n_tables, cost with bucket size (fewer planes -> bigger buckets).
+    """
+    from pyspark.sql import Window
+
+    scored_parts = []
+    for t in range(n_tables):
+        qb = with_lsh_signature(queries, dim, n_planes, t, vec_col, "__sig").select(
+            F.col(q_id), F.col(vec_col).alias("__qv"), F.col("__sig")
+        )
+        cb = with_lsh_signature(candidates, dim, n_planes, t, vec_col, "__sig").select(
+            F.col(c_id), F.col(vec_col).alias("__cv"), F.col("__sig")
+        )
+        scored_parts.append(cb.join(F.broadcast(qb), "__sig").drop("__sig"))
+    union = scored_parts[0]
+    for p in scored_parts[1:]:
+        union = union.unionByName(p)
+    scored = (
+        union.dropDuplicates([q_id, c_id])
+        .withColumn("cosine_sim", cosine(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(q_id, c_id, "cosine_sim", F.col("__rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate (cosine >= threshold) pairs via LSH-bucketed
+    self-join; returns (id_a, id_b, cosine_sim), id_a < id_b."""
+    parts = []
+    for t in range(n_tables):
+        b = with_lsh_signature(df, dim, n_planes, t, vec_col, "__sig").select(
+            id_col, vec_col, "__sig"
+        )
+        a = b.select(F.col("__sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        c = b.select(F.col("__sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        parts.append(
+            a.join(c, "__sig").filter(F.col("id_a") < F.col("id_b")).drop("__sig")
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

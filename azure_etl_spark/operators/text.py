@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north-star): language ID,
+quality scoring, token counting, document fingerprinting — all built-in
+expressions (split/regexp/aggregate), no Python in the hot path, so each
+is a map-only scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_spark.operators.dedup import normalized_text
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# heuristic language ID. Deliberately small + deterministic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est", "se", "ne"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "es", "ein", "nicht"),
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty -> empty array)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    trimmed = F.trim(t)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def bpe_ish_tokens(text_col: str | Column) -> Column:
+    """Sub-word-ish tokenization: split on word/number/punct boundaries
+    (a cheap BPE stand-in for token-budget estimation)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(t), r"[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def stopword_ratio(text_col: str | Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        sw.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic heuristic quality in [0,1]: rewards mid-length docs
+    and prose-like token lengths, penalizes punctuation soup. Pure
+    arithmetic over built-ins -> identical in DuckDB for the oracle."""
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("double")
+    n_chr = F.length(t).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).cast("double")
+    mean_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(n_chr / n_tok)
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    tok_score = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.when(n_chr == 0, F.lit(0.0)).otherwise(
+        F.least(punct / n_chr * F.lit(4.0), F.lit(1.0))
+    )
+    return F.round(len_score * F.lit(0.5) + tok_score * F.lit(0.3) + (F.lit(1.0) - punct_pen) * F.lit(0.2), 6)
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Stopword-vote language ID. Scores each language by stopword hits
+    in the token set; returns the argmax ('und' when all zero). Ties
+    break by language-code order for determinism."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _score(ws):
+        # captured via closure — a default arg would change the lambda's
+        # arity and break PySpark's higher-order-function binding
+        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
+
+    scores = {lang: _score(ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Content fingerprint: md5 of the normalized text. Stable across
+    runs/engines (oracle uses DuckDB's md5 on the same normalization)."""
+    return F.md5(normalized_text(text_col) if isinstance(text_col, str) else text_col)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis columns in one map-only pass."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_subtokens"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,719 @@
+"""Named engine queries + their DuckDB oracle SQL.
+
+This registry is the single source of truth for the driver contract
+(``__spark_entry__.py``): every operator from SURVEY.md §2 that we claim
+is implemented has an entry here — a PySpark builder ``(spark, sf_dir) ->
+DataFrame`` and, when SQL-expressible, an equivalent ANSI SQL string the
+DuckDB oracle runs on the same parquet fixtures.
+
+Parity rules (the driver hash-compares values with columns sorted by
+name):
+- every computed column is aliased identically on both sides;
+- aggregates over floating columns go through per-row DECIMAL casts so
+  sums are exact and order-independent in both engines;
+- date-part stamping uses a fixed ``AS_OF`` date (the reference stamps
+  ``current_date()`` — silverToGold.scala:17-19 — which is not
+  reproducible; as-of is an explicit parameter in this engine);
+- DuckDB's bigint-returning functions (year, count, row_number) are cast
+  to match Spark's types where they differ.
+
+The crypto-shaped view (FIXTURES.md §1) derives the reference's table
+``dbo.crypto(symbol, price)`` (etl-vini-azure.py:87-90) from lineitem.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_etl_spark.functions.json_fns import json_get
+from azure_etl_spark.operators import text as T
+from azure_etl_spark.operators.aggregate import grouped_min_max, union_all
+from azure_etl_spark.operators.dedup import (
+    distinct_rows,
+    exact_text_dedup,
+    first_per_key,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    normalized_text,
+)
+from azure_etl_spark.operators.derive import add_id, cast_all, stamp_date_parts, with_expr
+from azure_etl_spark.operators.filters import filter_isin, top_k
+from azure_etl_spark.operators.joins import anti_join, asof_join, broadcast_join, semi_join
+from azure_etl_spark.operators.multimodal import attach_fake_media, media_byte_stats
+from azure_etl_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from azure_etl_spark.operators.windows import lag_lead_delta, over_partition, ranked_top_n
+from azure_etl_spark.session import configure_for_oracle
+from azure_etl_spark.sources.files import load_table
+
+AS_OF = _dt.date(2024, 1, 15)  # fixed processing date for reproducible date stamping
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+    bench: bool = False  # included in bench.py headline set
+    tags: tuple = field(default=())
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, description: str = "", bench: bool = False):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description, bench=bench)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def crypto_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXTURES.md §1: the reference's crypto table shape from lineitem."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("symbol"),
+        F.col("l_extendedprice").cast("decimal(10,2)").alias("price"),
+    )
+
+
+CRYPTO_SQL = (
+    "WITH crypto AS (SELECT l_returnflag AS symbol, "
+    "CAST(l_extendedprice AS DECIMAL(10,2)) AS price FROM lineitem)"
+)
+
+
+# ---------------------------------------------------------------- flagship
+
+@query(
+    "flagship_gold_minmax",
+    oracle=f"""
+    {CRYPTO_SQL}
+    SELECT symbol,
+           MIN(price) AS min_value_by_crypto,
+           MAX(price) AS max_value_by_crypto,
+           MAX(price) - MIN(price) AS difference_between_min_max,
+           CAST({AS_OF.year} AS INT) AS year,
+           CAST({AS_OF.month} AS INT) AS month,
+           CAST({AS_OF.day} AS INT) AS day
+    FROM crypto GROUP BY symbol ORDER BY symbol
+    """,
+    description="Reference gold aggregation (silverToGold.scala:11-21): "
+    "grouped min/max + decimal difference + as-of date parts + sort.",
+    bench=True,
+)
+def flagship_gold_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = grouped_min_max(
+        crypto_view(spark, sf_dir),
+        keys=["symbol"],
+        value="price",
+        min_alias="min_value_by_crypto",
+        max_alias="max_value_by_crypto",
+    )
+    gold = with_expr(
+        gold,
+        "difference_between_min_max",
+        "max_value_by_crypto - min_value_by_crypto",
+    )
+    return stamp_date_parts(gold, as_of=AS_OF).orderBy("symbol")
+
+
+# ---------------------------------------------------------------- dedup (exact)
+
+@query(
+    "dedup_distinct",
+    oracle=f"{CRYPTO_SQL} SELECT DISTINCT symbol, price FROM crypto",
+    description="A2 bronzeToSilver distinct() (bronzeToSilver.scala:8).",
+    bench=True,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_rows(crypto_view(spark, sf_dir)).orderBy("symbol", "price")
+
+
+@query(
+    "dedup_first_per_key",
+    oracle=f"""
+    {CRYPTO_SQL}
+    SELECT symbol, price FROM (
+      SELECT symbol, price,
+             ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY price) AS rn
+      FROM crypto) WHERE rn = 1
+    """,
+    description="Deterministic dropDuplicates: first row per key by order.",
+)
+def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_per_key(crypto_view(spark, sf_dir), keys=["symbol"], order_by=["price"])
+
+
+# ---------------------------------------------------------------- filter / sort / limit
+
+@query(
+    "filter_isin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem WHERE l_returnflag IN ('A', 'N')
+    """,
+    description="P1 IN-list filter (etl-vini-azure.py:78); pushed to parquet scan.",
+)
+def q_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_isin(li, "l_returnflag", ["A", "N"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    description="O2 ordered top-k (SELECT TOP (100), query_synapse.png); "
+    "plans as TakeOrderedAndProject — no global sort.",
+    bench=True,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return top_k(o, 100, F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+
+
+@query(
+    "union_snapshots",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n FROM (
+      SELECT * FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY o_orderstatus
+    """,
+    description="A4 micro-batch union (etl-vini-azure.py:75,77) + count per key.",
+)
+def q_union_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    halves = [o.filter(F.col("o_orderkey") % 2 == 0), o.filter(F.col("o_orderkey") % 2 == 1)]
+    return union_all(halves).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------- derive / serve
+
+@query(
+    "date_parts_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS order_day
+    FROM orders
+    """,
+    description="P5/F1 date parts (silverToGold.scala:17-19) on fixture dates.",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+    )
+
+
+@query(
+    "serving_cast_all_id",
+    oracle=f"""
+    {CRYPTO_SQL}, gold AS (
+      SELECT symbol,
+             MIN(price) AS min_value_by_crypto,
+             MAX(price) AS max_value_by_crypto,
+             MAX(price) - MIN(price) AS difference_between_min_max,
+             CAST({AS_OF.year} AS INT) AS year,
+             CAST({AS_OF.month} AS INT) AS month,
+             CAST({AS_OF.day} AS INT) AS day
+      FROM crypto GROUP BY symbol)
+    SELECT CAST(symbol AS VARCHAR) AS symbol,
+           CAST(min_value_by_crypto AS VARCHAR) AS min_value_by_crypto,
+           CAST(max_value_by_crypto AS VARCHAR) AS max_value_by_crypto,
+           CAST(difference_between_min_max AS VARCHAR) AS difference_between_min_max,
+           CAST(year AS VARCHAR) AS year,
+           CAST(month AS VARCHAR) AS month,
+           CAST(day AS VARCHAR) AS day,
+           CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS VARCHAR) AS id
+    FROM gold
+    """,
+    description="P6+P7 serving prep (goldToCosmosdb.scala:26-33): cast-all-string "
+    "+ synthetic id (deterministic row_number variant for the oracle).",
+)
+def q_serving_cast_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = flagship_gold_minmax(spark, sf_dir)
+    return cast_all(add_id(gold, deterministic_order=["symbol"]))
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "join_revenue_per_nation",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="Star-schema join (engine extension, SURVEY §2.4): fact x two "
+    "broadcast dims + grouped agg; fact side never shuffles pre-agg.",
+    bench=True,
+)
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = broadcast_join(o, c, o.o_custkey == c.c_custkey)
+    j = broadcast_join(j, n, c.c_nationkey == n.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "join_semi_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="Left-semi join: customers with >=1 order; right payload never shuffles.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="Left-anti join: customers with no orders.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------- windows
+
+@query(
+    "window_minmax_partition",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS min_price_by_flag,
+           MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS max_price_by_flag
+    FROM lineitem
+    """,
+    description="§2.6 window twin of the gold aggregation: per-row min/max over "
+    "partition (one shuffle on the key).",
+    bench=True,
+)
+def q_window_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return over_partition(
+        li,
+        partition_by=["l_returnflag"],
+        aggs={
+            "min_price_by_flag": F.min("l_extendedprice"),
+            "max_price_by_flag": F.max("l_extendedprice"),
+        },
+    )
+
+
+@query(
+    "window_top3_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    description="Ranked top-n per group (deterministic tiebreak).",
+)
+def q_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return ranked_top_n(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n=3,
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    description="Lag/lead time-series delta per user.",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return lag_lead_delta(
+        e, partition_by=["user_id"], order_by=["ts", "event_id"], value="value",
+        delta_col="delta",
+    ).select("event_id", "user_id", "delta")
+
+
+# ---------------------------------------------------------------- scalar functions
+
+@query(
+    "string_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^(\\w+)', 1) AS first_word,
+           regexp_extract(trim(text), '(\\S+)$', 1) AS last_word,
+           upper(source) AS source_upper,
+           CAST(length(trim(text)) AS INT) AS n_chars_trim,
+           substr(text, 1, 10) AS prefix10
+    FROM documents
+    """,
+    description="F3-F5 string functions (regexp_extract/trim/upper/substr) "
+    "— the log-scrape chain (etl-vini-azure.py:134,175-180) vectorized.",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract(F.trim(F.col("text")), r"(\S+)$", 1).alias("last_word"),
+        F.upper("source").alias("source_upper"),
+        F.length(F.trim(F.col("text"))).alias("n_chars_trim"),
+        F.substring("text", 1, 10).alias("prefix10"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+    description="S2/F7 JSON decode (pd.read_json -> get_json_object), distributed.",
+)
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", json_get("props", "k").cast("int").alias("k"))
+
+
+# ---------------------------------------------------------------- time aggregation
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="§2.10 batch twin of the tumbling-window stream agg "
+    "(same result the streaming path produces with availableNow).",
+    bench=True,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "tpch_q1ish",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-shaped pricing summary (decimal-exact sums).",
+    bench=True,
+)
+def q_tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- as-of join
+
+@query(
+    "asof_purchase_last_error",
+    oracle="""
+    SELECT p.event_id, p.user_id, e.value AS last_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    description="As-of join (engine extension): latest error state per user at "
+    "each purchase; union+window implementation — one shuffle, no theta join.",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("value").alias("last_error_value")
+    )
+
+
+# ---------------------------------------------------------------- text analysis
+
+_SW = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_LTOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> len(x) > 0)) AS INT) AS n_subtokens,
+           CASE WHEN len({_LTOKS_SQL}) = 0 THEN 0.0
+                ELSE CAST(len(list_filter({_LTOKS_SQL}, x -> x IN ({_SW}))) AS DOUBLE)
+                     / CAST(len({_LTOKS_SQL}) AS DOUBLE) END AS stopword_ratio,
+           md5({_NORM_SQL}) AS fp
+    FROM documents
+    """,
+    description="Token counting (whitespace + BPE-ish regex), stopword ratio, "
+    "md5 content fingerprint — map-only text statistics.",
+    bench=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(T.bpe_ish_tokens("text")).alias("n_subtokens"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {" ,".join(
+                 f"len(list_filter({_LTOKS_SQL}, x -> x IN ({', '.join(chr(39) + w + chr(39) for w in ws)}))) AS s_{lang}"
+                 for lang, ws in T.STOPWORDS.items()
+             )}
+      FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+    description="Stopword-vote language ID heuristic (deterministic tie-break).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, source, md5({_NORM_SQL}) AS hh FROM documents),
+         k AS (SELECT hh, MIN(doc_id) AS doc_id FROM h GROUP BY hh)
+    SELECT h.doc_id, h.lang, h.source FROM h JOIN k USING (doc_id, hh)
+    """,
+    description="Exact content-hash dedup over documents (min doc_id survives); "
+    "shuffle carries 16-byte digests, not bodies.",
+)
+def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_text_dedup(d).select("doc_id", "lang", "source")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 1),
+                    i -> w[i + 1] || ' ' || w[i + 2]))) AS g
+      FROM docs WHERE len(w) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+    """,
+    description="Exact word-bigram Jaccard near-dup pairs via inverted-index "
+    "join (bounded subset; LSH is the scale path for candidate generation).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, shingle_n=2, threshold=0.2)
+
+
+@query(
+    "minhash_near_dup",
+    oracle=None,  # hash-function-specific; rows-only check (verified in tests
+    # against exact ngram_jaccard on the same subset)
+    description="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
+    "estimated Jaccard — band-bucket equi-join, never all-pairs.",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_near_dup_pairs(d, num_hashes=64, bands=16, threshold=0.2)
+
+
+# ---------------------------------------------------------------- similarity search
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS sim
+      FROM embeddings e, q)
+    SELECT vec_id, ROUND(sim, 6) AS cosine_sim
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    description="Brute-force exact cosine top-k against one query vector: "
+    "map-only scan + TakeOrderedAndProject, the ANN correctness baseline.",
+    bench=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = brute_force_topk(e, [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query(
+    "lsh_topk",
+    oracle=None,  # approximate by construction; recall vs brute force is
+    # asserted in tests
+    description="LSH-bucketed approximate top-k (random hyperplanes, multi-table "
+    "probe): equi-join on bucket signature replaces the cross score.",
+)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return lsh_bucketed_topk(queries, e, dim=64, k=5, n_planes=10, n_tables=6)
+
+
+# ---------------------------------------------------------------- multimodal
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS media_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width
+    FROM documents
+    """,
+    description="Multimodal plumbing: opaque binary payload + typed metadata; "
+    "JVM-only byte stats (decode kernels are stubbed; see operators/multimodal.py).",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_fake_media(_t(spark, sf_dir, "documents"))
+    s = media_byte_stats(d)
+    return s.select(
+        "doc_id",
+        F.col("media_bytes").cast("int").alias("media_bytes"),
+        F.lower("magic_hex").alias("magic_hex"),
+        "width",
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items() if spec.bench}

@@ -1,0 +1,118 @@
+"""Columnar file IO: parquet (and Delta when available).
+
+Reference parity:
+- S4/S5 parquet glob scan      -> ``read_parquet``      (bronzeToSilver.scala:3,7)
+- S6 Delta scan                -> ``read_table_format`` (goldToCosmosdb.scala:24-25)
+- K2 snappy parquet sink       -> ``write_parquet``     (bronzeToSilver.scala:16)
+- K3 partitioned Delta sink    -> ``write_partitioned`` (silverToGold.scala:27)
+
+Scale notes:
+- The reference forces ``coalesce(1)`` for single-file output; at 100 TB
+  that serializes the whole write through one task. Here single-file is
+  the opt-in ``single_file=True`` flag, default is parallel many-file.
+- Partitioned writes use Hive-style dirs (year/month/day in the
+  reference) so date-filtered reads prune directories for free.
+- Delta is used when the ``delta-spark`` package is importable; else we
+  fall back to partitioned parquet with identical call signatures (the
+  transactional log is a deployment concern, not a query-semantics one).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver fixture tables (TESTDATA.md); the engine's tests and the
+# correctness oracle all read these.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+try:  # pragma: no cover - availability depends on environment
+    import delta  # noqa: F401
+
+    HAVE_DELTA = True
+except Exception:  # pragma: no cover
+    HAVE_DELTA = False
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan. Globs allowed; filter/column pushdown comes free."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    # as bigint nanos — rescale to a microsecond timestamp (same
+    # truncation DuckDB applies when reading ns into its us timestamps).
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer DIV — float division would lose precision on 1.7e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> None:
+    """Expose fixture tables to ``spark.sql`` under their bare names."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    compression: str = "snappy",
+) -> None:
+    """K2: parquet sink. ``single_file`` reproduces the reference's
+    ``coalesce(1)`` small-output behavior — never the default."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    fmt: str | None = None,
+) -> None:
+    """K3: partitioned table sink (Delta when available, else parquet).
+
+    Hive-style partition dirs -> partition pruning on read, mirroring
+    ``.write.partitionBy("year","month","day").format("delta")``
+    (silverToGold.scala:27).
+    """
+    if fmt is None:
+        fmt = "delta" if HAVE_DELTA else "parquet"
+    df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
+
+
+def read_table_format(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """S6: read back a (possibly Delta) table written by write_partitioned."""
+    if fmt is None:
+        fmt = "delta" if HAVE_DELTA else "parquet"
+    return spark.read.format(fmt).load(path)
