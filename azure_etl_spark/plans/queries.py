@@ -679,7 +679,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return lsh_bucketed_topk(queries, e, dim=64, k=5, n_planes=10, n_tables=6)
+    return lsh_bucketed_topk(queries, e, dim=64, k=5, n_planes=4, n_tables=8)
 
 
 # ---------------------------------------------------------------- multimodal

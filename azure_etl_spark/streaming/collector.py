@@ -1,0 +1,79 @@
+"""Streaming variant of the HTTP collector (S1 as a real stream).
+
+``rate``-source-paced polling: the rate source emits ticks, a
+``foreachBatch`` callback fetches one snapshot per tick through the same
+injectable transport as sources/http.py and appends rows to a target.
+This keeps the reference's bounded-poll semantics (stop after the
+window) while exercising the genuine streaming machinery.
+
+Also provides ``stateful_running_minmax`` — a custom stateful operator
+via ``applyInPandasWithState``: running min/max per key across
+micro-batches, the streaming twin of the gold aggregation with
+explicit state (demonstrates the pattern Spark's built-ins can't
+express when the update logic is arbitrary Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from azure_etl_spark.sources.http import Transport, snapshots_to_df
+
+
+def rate_paced_collector(
+    spark: SparkSession,
+    transport: Transport,
+    target_table: str,
+    rows_per_second: int = 1,
+    schema: str = "symbol string, price string",
+):
+    """Start a rate-paced poller appending each snapshot to an in-memory
+    table. Returns the StreamingQuery (caller stops it after the window,
+    mirroring the reference's 180 s deadline)."""
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+    def poll(batch_df: DataFrame, batch_id: int) -> None:
+        n_ticks = batch_df.count()
+        if n_ticks == 0:
+            return
+        snap = snapshots_to_df(spark, [__import__("json").loads(
+            t.decode() if isinstance(t := transport(), bytes) else t
+        )], schema)
+        snap.write.mode("append").saveAsTable(target_table)
+
+    return ticks.writeStream.foreachBatch(poll).start()
+
+
+def stateful_running_minmax(
+    events: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """applyInPandasWithState: running min/max per key, updated per
+    micro-batch. State is two floats per key — constant memory however
+    long the stream runs."""
+    out_schema = f"{key_col} string, run_min double, run_max double"
+    state_schema = "min double, max double"
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        lo, hi = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if len(pdf):
+                mn, mx = float(pdf[value_col].min()), float(pdf[value_col].max())
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        state.update((lo, hi))
+        yield pd.DataFrame({key_col: [key[0]], "run_min": [lo], "run_max": [hi]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs the ``bench=True`` subset of the query registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is materialized with a noop-format write (full execution,
+no driver collect / no sink IO in the measurement), matching how the
+reference's notebook telemetry measured compute+write per stage
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from azure_etl_spark.plans.queries import QUERIES  # noqa: E402
+from azure_etl_spark.session import session_builder  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = (
+        session_builder(app_name="azure-etl-spark-bench", master=f"local[{cpus}]")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths outside the measurement
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
