@@ -50,6 +50,38 @@ def ranked_top_n(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event in the partition exceeds ``gap_seconds``.
+
+    Classic two-window composition: lag -> boundary flag -> running sum.
+    One shuffle on the partition key serves both windows (same
+    partitioning+ordering, Catalyst reuses the sort). Scale: state is
+    per-row arithmetic, any number of users.
+    """
+    order_cols = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("long") - prev_ts.cast("long")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy(*partition_by).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("__new", new_sess).withColumn(
+        session_col, F.sum("__new").over(running)
+    ).drop("__new")
+
+
 def lag_lead_delta(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -707,6 +707,421 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- set ops
+
+@query(
+    "set_intersect_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    description="§2.8 INTERSECT (set semantics): customers with both "
+    "finished and open orders.",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "set_except_parts",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+    description="§2.8 EXCEPT: parts never ordered.",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.subtract(li)  # EXCEPT (set semantics)
+
+
+# ---------------------------------------------------------------- grouping sets
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    description="§2.5 ROLLUP subtotal hierarchy (status -> priority -> grand).",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import rollup_agg
+
+    o = _t(spark, sf_dir, "orders")
+    return rollup_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total"),
+    )
+
+
+@query(
+    "cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="§2.5 CUBE over flag x status.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import cube_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cube_agg(li, ["l_returnflag", "l_linestatus"], F.count("*").alias("n"))
+
+
+@query(
+    "distinct_agg_parts",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="§2.5 multi distinct-aggregate (expand + two-phase agg in Spark).",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "pivot_user_events",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+           SUM(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+           SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+           SUM(CASE WHEN event_type = 'error' THEN 1 END) AS "error"
+    FROM events GROUP BY user_id
+    """,
+    description="Pivot to wide counts (explicit value list — no discovery scan).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import pivot_counts
+
+    e = _t(spark, sf_dir, "events")
+    return pivot_counts(
+        e, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+
+
+@query(
+    "argmax_price_order",
+    oracle="""
+    SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber FROM (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) rn
+      FROM lineitem) WHERE rn = 1
+    """,
+    description="arg-max per group via max(struct(...)) — single hash agg, "
+    "no window sort (the scale-friendly form).",
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import arg_max
+
+    li = _t(spark, sf_dir, "lineitem")
+    return arg_max(
+        li,
+        keys=["l_returnflag"],
+        order_cols=["l_extendedprice", "l_orderkey", "l_linenumber"],
+        payload=[],
+    )
+
+
+# ---------------------------------------------------------------- more scalar/json
+
+@query(
+    "from_json_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           event_type
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+    description="S2 schema-full JSON decode: from_json to struct, field "
+    "access, predicate on the decoded value.",
+)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .select("event_id", F.col("p.k").alias("k"), "event_type")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chr,
+             CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS punct
+      FROM documents)
+    SELECT doc_id,
+           ROUND(
+             least(n_tok / 64.0, 1.0) * 0.5
+             + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chr / n_tok END)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - (CASE WHEN n_chr = 0 THEN 0.0
+                       ELSE least(punct / n_chr * 4.0, 1.0) END)) * 0.2,
+             6) AS quality
+    FROM m
+    """,
+    description="Deterministic heuristic quality score in [0,1] "
+    "(length/token-shape/punctuation) — pure arithmetic, oracle-exact.",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@query(
+    "word_freq_top20",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents)
+    SELECT word, COUNT(*) AS n FROM w
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    description="F7-style explode: tokenize -> explode -> count -> "
+    "ordered top-k (TakeOrderedAndProject after partial agg).",
+)
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- sessionization
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flags AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flags
+    """,
+    description="Gap-based sessionization (30 min): lag -> boundary flag -> "
+    "running sum; one shuffle serves both windows.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(
+        e, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    ).select("event_id", "user_id", "session_id")
+
+
+# ---------------------------------------------------------------- TPC-H shapes
+
+@query(
+    "tpch_q3ish",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    description="TPC-H Q3 shape: selective dim filter -> broadcast join -> "
+    "grouped revenue -> ordered top-k.",
+    bench=True,
+)
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    # customer (selective dim) broadcasts into orders; lineitem x (o x c)
+    # is left to AQE — at 100 TB orders is fact-sized and must not be
+    # broadcast, locally AQE converts it to broadcast anyway
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = li.join(oc, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5ish",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC
+    """,
+    description="TPC-H Q5 shape: 6-table star join, local-supplier "
+    "condition, revenue per nation (dims broadcast, fact never shuffles "
+    "until the final small agg).",
+)
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # true dims broadcast; lineitem x orders and x customer stay
+    # shuffle-joinable (fact-sized at scale; AQE upgrades them locally)
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------- JDBC roundtrip
+
+@query(
+    "jdbc_roundtrip_gold",
+    oracle=f"""
+    {CRYPTO_SQL}
+    SELECT symbol,
+           MIN(price) AS min_value_by_crypto,
+           MAX(price) AS max_value_by_crypto
+    FROM crypto GROUP BY symbol
+    """,
+    description="S3/K1 JDBC scan+sink round trip through embedded Derby "
+    "(the jars Spark ships): write gold, read it back. Replaces the "
+    "reference's row-loop INSERTs (etl-vini-azure.py:94-104) with the "
+    "batched writer.",
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    gold = grouped_min_max(
+        crypto_view(spark, sf_dir),
+        keys=["symbol"],
+        value="price",
+        min_alias="min_value_by_crypto",
+        max_alias="max_value_by_crypto",
+    )
+    db = tempfile.mkdtemp(prefix="derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    write_jdbc(gold, url, "gold_crypto", mode="overwrite", driver=drv)
+    back = read_jdbc(spark, url, "gold_crypto", driver=drv)
+    # Derby surfaces DECIMAL(10,2) unchanged; select in declared order
+    return back.select("symbol", "min_value_by_crypto", "max_value_by_crypto")
+
+
+# ---------------------------------------------------------------- streaming
+
+@query(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="§2.10 Structured Streaming tumbling window (availableNow "
+    "drain through the real streaming engine + memory sink); result equals "
+    "the batch twin, so it carries a full value-hash oracle.",
+)
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from azure_etl_spark.streaming.windows import run_available_now, tumbling_window_agg
+
+    batch = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_src_")
+    batch.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(spark.read.parquet(stage).schema).parquet(stage)
+    windowed = tumbling_window_agg(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {
+            "n": F.count("*"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        watermark_delay="1 minute",
+    )
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    run_available_now(windowed, name, tempfile.mkdtemp(prefix="ckpt_"))
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
