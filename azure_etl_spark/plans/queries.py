@@ -1122,6 +1122,179 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------- window frames
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_total,
+           FIRST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    """,
+    description="§2.6 explicit frame: running decimal sum + first_value "
+    "per customer (one shuffle+sort serves both windows).",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(18,2)")
+        .alias("running_total"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+# ---------------------------------------------------------------- SQL surface
+
+@query(
+    "sql_correlated_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    description="spark.sql entry point + correlated scalar subquery "
+    "(Catalyst decorrelates to an aggregate+join).",
+)
+def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_v c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------- scalar misc
+
+@query(
+    "scalar_misc_docs",
+    oracle="""
+    SELECT doc_id,
+           concat_ws('-', source, lang) AS src_lang,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           reverse(source) AS rev_source,
+           coalesce(nullif(lang, 'en'), 'EN') AS lang_or_EN,
+           CASE WHEN n_chars > 250 THEN 'long' ELSE 'short' END AS len_class
+    FROM documents
+    """,
+    description="F4/F5-family scalar functions: concat_ws/lpad/reverse/"
+    "nullif/coalesce/case — all codegen built-ins.",
+)
+def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", "source", "lang").alias("src_lang"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("source").alias("rev_source"),
+        F.coalesce(F.nullif("lang", F.lit("en")), F.lit("EN")).alias("lang_or_EN"),
+        F.when(F.col("n_chars") > 250, "long").otherwise("short").alias("len_class"),
+    )
+
+
+@query(
+    "interval_week_events",
+    oracle="""
+    SELECT event_id, CAST(hour(ts) AS INT) AS hr, CAST(minute(ts) AS INT) AS mi
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-08' + INTERVAL 7 DAY
+    """,
+    description="F6 datetime arithmetic: interval window filter + time parts.",
+)
+def q_interval_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    start = F.lit("2024-01-08").cast("timestamp")
+    return (
+        e.filter((F.col("ts") >= start) & (F.col("ts") < start + F.expr("INTERVAL 7 DAYS")))
+        .select(
+            "event_id",
+            F.hour("ts").alias("hr"),
+            F.minute("ts").alias("mi"),
+        )
+    )
+
+
+@query(
+    "conditional_agg_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(18,2)) AS urgent_total,
+           COUNT(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS n_urgent,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="Conditional aggregation (filtered sums/counts in one pass).",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").like("1%")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(urgent, F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("decimal(18,2)")
+        .alias("urgent_total"),
+        F.count(F.when(urgent, F.lit(1))).alias("n_urgent"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- kNN join
+
+@query(
+    "knn_join_top3",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    s AS (
+      SELECT q.q_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS sim
+      FROM embeddings e, q),
+    r AS (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+    SELECT q_id, vec_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    description="Exact kNN join: top-3 candidates per query row; query set "
+    "broadcast, candidates scanned once, ranked per query id.",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import knn_join_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = knn_join_topk(qs, e, k=3)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=None,  # LSH-approximate; recall asserted in tests against clones
+    description="Embedding near-duplicate pairs (cosine >= 0.8) via "
+    "random-hyperplane LSH self-join — the embedding twin of MinHash dedup.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, dim=64, threshold=0.8, n_planes=8, n_tables=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

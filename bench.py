@@ -50,6 +50,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # full medallion pipeline end-to-end (real layer writes to local tmp),
+    # the BASELINE.md "pipeline <= 30 s" row
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from azure_etl_spark.plans.pipeline import MedallionPipeline
+    from azure_etl_spark.plans.queries import crypto_view
+
+    root = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        raw = crypto_view(spark, sf_dir)
+        t0 = time.perf_counter()
+        MedallionPipeline(root=root, as_of=dt.date(2024, 1, 15)).run(spark, raw)
+        timings["pipeline_medallion"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
