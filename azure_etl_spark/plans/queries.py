@@ -1082,6 +1082,31 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("symbol", "min_value_by_crypto", "max_value_by_crypto")
 
 
+# ---------------------------------------------------------------- file formats
+
+@query(
+    "json_roundtrip_events",
+    oracle="""
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    description="K-/S2 file-format roundtrip: filtered events staged as "
+    "line-delimited JSON, read back with an explicit schema (no inference "
+    "scan), projected. Values survive the text encoding bit-exactly "
+    "(Spark uses shortest-roundtrip double formatting).",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.files import read_json, write_json
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    stage = tempfile.mkdtemp(prefix="json_stage_")
+    write_json(e.select("event_id", "event_type", "value"), stage)
+    back = read_json(spark, stage, schema="event_id long, event_type string, value double")
+    return back.select("event_id", "event_type", "value")
+
+
 # ---------------------------------------------------------------- streaming
 
 @query(

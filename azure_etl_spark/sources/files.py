@@ -116,3 +116,46 @@ def read_table_format(spark: SparkSession, path: str, fmt: str | None = None) ->
     if fmt is None:
         fmt = "delta" if HAVE_DELTA else "parquet"
     return spark.read.format(fmt).load(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON sink (S2's decode inverted; also the local
+    document-store shape)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S2: distributed JSON decode. Always pass a schema in production —
+    inference costs an extra full scan and can drift between runs."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 8,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so joins/
+    aggs on the bucket key skip their exchange forever after — the
+    co-located-join strategy for repeatedly-joined 100 TB tables."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)

@@ -35,15 +35,18 @@ def rate_paced_collector(
     """Start a rate-paced poller appending each snapshot to an in-memory
     table. Returns the StreamingQuery (caller stops it after the window,
     mirroring the reference's 180 s deadline)."""
+    import json
+
     ticks = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
 
     def poll(batch_df: DataFrame, batch_id: int) -> None:
-        n_ticks = batch_df.count()
-        if n_ticks == 0:
+        if batch_df.isEmpty():
             return
-        snap = snapshots_to_df(spark, [__import__("json").loads(
-            t.decode() if isinstance(t := transport(), bytes) else t
-        )], schema)
+        payload = transport()
+        if isinstance(payload, bytes):
+            payload = payload.decode("utf-8")
+        rows = json.loads(payload)
+        snap = snapshots_to_df(spark, [rows if isinstance(rows, list) else [rows]], schema)
         snap.write.mode("append").saveAsTable(target_table)
 
     return ticks.writeStream.foreachBatch(poll).start()

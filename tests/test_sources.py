@@ -1,0 +1,144 @@
+"""Source/sink coverage: file-format roundtrips, catalog tables,
+bucketed co-located joins, caching, approx aggregates, staged warehouse,
+rate-paced streaming collector."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_spark.sources.files import (
+    load_table,
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+)
+
+
+def test_json_roundtrip_exact(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    p = os.path.join(str(tmp_path), "j")
+    write_json(e, p)
+    back = read_json(spark, p, schema="event_id long, value double")
+    a = {r["event_id"]: r["value"] for r in e.collect()}
+    b = {r["event_id"]: r["value"] for r in back.collect()}
+    assert a == b  # bit-exact double roundtrip through JSON text
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    p = os.path.join(str(tmp_path), "c")
+    write_csv(o, p)
+    back = read_csv(spark, p, schema="o_orderkey long, o_orderstatus string")
+    assert back.count() == o.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in o.collect()}
+
+
+def test_catalog_table_registration(spark, sf_dir):
+    """S7: catalog surface — saveAsTable / spark.table / listing."""
+    load_table(spark, sf_dir, "region").write.mode("overwrite").saveAsTable("t_region")
+    assert spark.table("t_region").count() == 5
+    assert any(t.name == "t_region" for t in spark.catalog.listTables())
+    spark.sql("DROP TABLE t_region")
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key -> SortMergeJoin with NO
+    Exchange above either scan (the co-located join contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(o, "b_orders", "o_custkey", 4, sort_by="o_custkey")
+    write_bucketed_table(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 4,
+        sort_by="o_custkey",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_customer")
+
+
+def test_cache_reuse(spark, sf_dir):
+    """C1 (bronzeToSilver.scala:12): cache before multi-action reuse."""
+    df = load_table(spark, sf_dir, "lineitem").distinct().cache()
+    try:
+        n1 = df.count()  # materializes the cache
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan
+        assert df.count() == n1
+    finally:
+        df.unpersist()
+
+
+def test_approx_aggregates_near_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+    # approx percentile returns a genuinely observed value near the median
+    lo, hi = li.approxQuantile("l_extendedprice", [0.4, 0.6], 0.0)
+    assert lo <= row["p50"] <= hi
+
+
+def test_rate_paced_collector(spark, tmp_path):
+    """Streaming S1: rate ticks -> transport fetch -> append to table."""
+    from azure_etl_spark.streaming.collector import rate_paced_collector
+
+    calls = {"n": 0}
+
+    def transport() -> str:
+        calls["n"] += 1
+        return json.dumps(
+            [{"symbol": "BTCUSDT", "price": f"{100 + calls['n']}.00"}]
+        )
+
+    spark.sql("DROP TABLE IF EXISTS ticker_stream")
+    q = rate_paced_collector(spark, transport, "ticker_stream", rows_per_second=5)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if (
+                spark.catalog.tableExists("ticker_stream")
+                and spark.table("ticker_stream").count() >= 2
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table("ticker_stream")
+    assert got.count() >= 2
+    assert got.columns == ["symbol", "price"]
+    spark.sql("DROP TABLE ticker_stream")
+
+
+def test_staged_warehouse_writer(spark, sf_dir, tmp_path):
+    from azure_etl_spark.sources.warehouse import write_warehouse
+
+    gold = load_table(spark, sf_dir, "region")
+    res = write_warehouse(gold, "regions", temp_dir=str(tmp_path))
+    assert "COPY INTO regions" in res.copy_sql and "PARQUET" in res.copy_sql
+    assert spark.read.parquet(res.staged_path).count() == 5
+
+
+def test_write_warehouse_direct_requires_url(spark, sf_dir):
+    from azure_etl_spark.sources.warehouse import write_warehouse
+
+    with pytest.raises(ValueError, match="JDBC url"):
+        write_warehouse(load_table(spark, sf_dir, "region"), "t", mode="direct")
