@@ -1320,6 +1320,329 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, dim=64, threshold=0.8, n_planes=8, n_tables=4)
 
 
+# ------------------------------------------------------- fingerprint / simhash
+
+@query(
+    "doc_fingerprint_winnow",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+    s AS (SELECT doc_id,
+            list_transform(generate_series(0, greatest(len(w)-3, 0)),
+                           i -> md5(array_to_string(w[i+1:i+3], ' '))) AS hs
+          FROM d),
+    fp AS (SELECT doc_id,
+            list_distinct(list_transform(generate_series(0, greatest(len(hs)-4, 0)),
+                          j -> list_min(hs[j+1:j+4]))) AS fps
+           FROM s)
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints, list_min(fps) AS min_fp
+    FROM fp ORDER BY doc_id
+    """,
+    description="Document fingerprinting by winnowing: md5 over 3-word "
+    "shingles, min-hash per sliding window of 4, distinct. Shared "
+    "passages guarantee shared fingerprints; the inverted-index join on "
+    "fingerprints finds partial-overlap near-dups whole-doc hashing "
+    "misses. All higher-order array funcs under codegen, zero shuffle.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, shingle_n=3, window=4)
+    return fp.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "simhash_near_dup",
+    oracle=None,  # xxhash64 has no DuckDB equivalent; recall tested vs clones
+    description="SimHash near-dup pairs: 64-bit signature, 4x16-bit "
+    "chunk-bucketed candidate equi-join (pigeonhole-complete for "
+    "hamming<=3), bit_count(xor) verify. Shuffle is 4 rows/doc.",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------- more TPC-H shapes
+
+@query(
+    "tpch_q6ish",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: pure filter+aggregate — every predicate "
+    "must reach the parquet scan (PushedFilters) and the agg is a single "
+    "partial->final with no grouping key.",
+    bench=True,
+)
+def q_tpch_q6ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q4ish",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS decorrelates to a left-semi join "
+    "(orders never duplicated by matching lineitems), then a tiny "
+    "grouped count.",
+)
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sat = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        sat.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q10ish",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-item revenue per customer; "
+    "nation broadcast, grouped revenue, ordered top-20 "
+    "(TakeOrderedAndProject — no global sort).",
+)
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18ish",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    description="TPC-H Q18 shape: HAVING-filtered aggregate subquery "
+    "drives the join — aggregate first (shrinks the fact), join the "
+    "survivors, ordered top-k.",
+)
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- grouping sets / percentiles
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="Explicit GROUPING SETS (finer than rollup/cube): status x "
+    "priority, status subtotal, grand total in ONE pass (Expand + single "
+    "aggregate, not three scans).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+@query(
+    "percentile_prices",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="Exact interpolated percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont, linear interpolation). The "
+    "scale path swaps in percentile_approx (t-digest-style mergeable "
+    "sketch) — asserted near-exact in tests.",
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------------------ range join
+
+@query(
+    "range_join_value_tiers",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (VALUES
+        ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9))
+    SELECT tier, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+    FROM events JOIN tiers ON value >= lo AND value < hi
+    WHERE event_type = 'purchase'
+    GROUP BY tier ORDER BY tier
+    """,
+    description="Range (theta) join: events banded into value tiers via "
+    "lo<=v<hi conditions. Tiny range table broadcasts "
+    "(BroadcastNestedLoop over 3 rows — constant per-row work); at scale "
+    "the alternative is a binning expression, same result, zero join.",
+)
+def q_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    j = e.join(
+        F.broadcast(tiers), (e.value >= tiers.lo) & (e.value < tiers.hi)
+    )
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+# -------------------------------------------------- array / higher-order funcs
+
+@query(
+    "array_hof_embeddings",
+    oracle="""
+    SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) / len(embedding), 4) AS mean_val
+    FROM embeddings ORDER BY vec_id LIMIT 200
+    """,
+    description="Higher-order array functions over array<float>: size, "
+    "L2 norm (transform+aggregate fold), mean — the JVM-side vector "
+    "kernels similarity search builds on; no UDF, no explode, no shuffle.",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(sq), 4).alias("l2_norm"),
+            F.round(sm / F.size("embedding"), 4).alias("mean_val"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -102,3 +102,63 @@ def test_minhash_signature_shape(spark, sf_dir):
     sig = with_minhash(docs, num_hashes=16).select("minhash").head()["minhash"]
     assert len(sig) == 16
     assert all(isinstance(x, int) for x in sig)
+
+
+def test_simhash_near_dup_pairs_finds_clones(spark, sf_dir):
+    """Exact clones have hamming 0; the chunk-bucketed join must recover
+    every clone pair (pigeonhole guarantee for hamming <= 3)."""
+    from azure_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(doubled, max_hamming=3).collect()
+    }
+    for i in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        assert pairs.get((i, i + 100000)) == 0
+
+
+def test_winnow_shared_passage_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a long passage share at
+    least one fingerprint; disjoint documents share none."""
+    from azure_etl_spark.operators.dedup import winnow_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} and some trailing content"),
+            (2, f"{passage} followed by totally different material after it"),
+            (3, "unrelated text about databases query planning and shuffles galore"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(df, shingle_n=3, window=4).collect()
+    }
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnow_fingerprint_inverted_index_join(spark, sf_dir):
+    """The scale path: explode fingerprints -> equi-join == candidate
+    pairs; clones collide on every fingerprint."""
+    from azure_etl_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    fp = winnow_fingerprints(doubled).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    cand = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    found = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    expect = {(i, i + 100000) for i in [r["doc_id"] for r in docs.select("doc_id").collect()]}
+    assert expect <= found

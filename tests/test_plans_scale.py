@@ -64,3 +64,55 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     plan = _plan(df)
     # executedPlan renders whole-stage-codegen stages as "*(n) Op"
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown litmus: ship-date range, discount range, and
+    quantity bound must all reach the parquet scan."""
+    df = QUERIES["tpch_q6ish"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert (
+            f"GreaterThan({col}" in plan
+            or f"LessThan({col}" in plan
+            or f"GreaterThanOrEqual({col}" in plan
+        ), (col, plan)
+
+
+def test_range_join_broadcasts_tiny_side(spark, sf_dir):
+    """Theta join against a 3-row table must be a broadcast nested loop,
+    never a cartesian shuffle."""
+    plan = _plan(QUERIES["range_join_value_tiers"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprints_no_shuffle(spark, sf_dir):
+    """Fingerprinting is per-row array work — the plan up to the
+    fingerprint column must contain no Exchange."""
+    from azure_etl_spark.operators.dedup import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(winnow_fingerprints(d).select("doc_id", "fps"))
+    assert "Exchange" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING subquery must aggregate lineitem BEFORE joining orders
+    (shrink-then-join): the plan's first join input is an aggregate."""
+    plan = _plan(QUERIES["tpch_q18ish"].fn(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    assert "Filter" in plan  # having filter survives
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must plan one Expand + one aggregate pipeline, not
+    a union of three scans."""
+    df = QUERIES["grouping_sets_orders"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
