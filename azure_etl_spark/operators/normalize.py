@@ -1,0 +1,50 @@
+"""Grouped-map normalization via ``applyInPandas``.
+
+Demonstrates the Arrow grouped-map path for per-group logic that is
+awkward as window expressions (sklearn-style scalers, per-group model
+scoring). Each group arrives as ONE pandas DataFrame, so groups must fit
+in executor memory — fine for bounded groups (per event-type, per
+language), wrong for unbounded ones; the window-function twin
+(``zscore_window``) is the scale-safe default and the correctness oracle
+for the pandas path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore_apply_in_pandas(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """Per-group z-score ((x - mean) / population std) through the Arrow
+    grouped-map path."""
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_col} double"
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=0)
+        mean = pdf[value_col].mean()
+        pdf = pdf.copy()
+        pdf[out_col] = 0.0 if std == 0 else (pdf[value_col] - mean) / std
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(norm, schema=schema)
+
+
+def zscore_window(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """The built-in twin: same z-score as window expressions — no Python,
+    no group-fits-in-memory constraint; preferred at scale."""
+    w = Window.partitionBy(*keys)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_pop(value_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(std == 0, F.lit(0.0)).otherwise((F.col(value_col) - mean) / std),
+    )

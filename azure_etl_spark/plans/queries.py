@@ -1643,6 +1643,182 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- deterministic sampling
+
+@query(
+    "hash_sample_orders",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="Deterministic ~10% sample by md5(key) bucket — "
+    "reproducible across runs/partitionings/engines, unlike df.sample "
+    "(per-partition seeded). Map-only, codegen, oracle-exact.",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sampling import hash_sample
+
+    o = hash_sample(_t(spark, sf_dir, "orders"), "o_orderkey", 0.1)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "train_test_split_events",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '33'
+                THEN 'test' ELSE 'train' END AS split,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY split, event_type ORDER BY split, event_type
+    """,
+    description="Leakage-safe train/test split: fate decided by "
+    "md5(user_id), so ALL of a user's events land on one side — the "
+    "guarantee row-level random splits cannot give.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sampling import train_test_tag
+
+    e = train_test_tag(_t(spark, sf_dir, "events"), "user_id", test_fraction=0.2)
+    return (
+        e.groupBy("split", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "event_type")
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')
+       OR (lang = 'zh' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '100')
+    GROUP BY lang ORDER BY lang
+    """,
+    description="Stratified deterministic sampling: downsample dominant "
+    "'en' to 25%, keep all 'zh', drop the rest — the corpus-rebalancing "
+    "primitive for training-data curation.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sampling import stratified_hash_sample
+
+    d = stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", {"en": 0.25, "zh": 1.0}
+    )
+    return d.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+# ------------------------------------------------- grouped-map normalization
+
+@query(
+    "zscore_purchase_values",
+    oracle="""
+    WITH p AS (SELECT event_id, event_type, value FROM events
+               WHERE event_type IN ('purchase', 'click')),
+    s AS (SELECT event_id, event_type,
+                 (value - AVG(value) OVER (PARTITION BY event_type))
+                 / stddev_pop(value) OVER (PARTITION BY event_type) AS z
+          FROM p)
+    SELECT event_id, event_type, ROUND(z, 3) AS z
+    FROM s ORDER BY event_id
+    """,
+    description="Per-group z-score through applyInPandas (Arrow grouped "
+    "map) — the per-group-model extension point; oracle is the window-"
+    "function twin, proving the pandas path computes exactly the "
+    "shuffle-once built-in result.",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.normalize import zscore_apply_in_pandas
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "event_type", "value")
+    )
+    z = zscore_apply_in_pandas(e, ["event_type"], "value")
+    return z.select("event_id", "event_type", F.round("z", 3).alias("z")).orderBy(
+        "event_id"
+    )
+
+
+# ------------------------------------------------------------- ntile binning
+
+@query(
+    "ntile_deciles_orders",
+    oracle="""
+    WITH b AS (SELECT o_totalprice,
+                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+               FROM orders)
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS lo,
+           CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS hi
+    FROM b GROUP BY decile ORDER BY decile
+    """,
+    description="Decile binning via ntile — quantile feature bucketing. "
+    "The global order means ONE partition holds the sort at scale; for "
+    "100 TB use percentile_approx cutpoints + a binning join instead "
+    "(same output, no global sort) — this query is the exact-semantics "
+    "variant.",
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    b = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return (
+        b.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("decimal(18,2)").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ------------------------------------------------------------------ UDTF
+
+@query(
+    "udtf_bigrams_docs",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+            list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                        w -> len(w) > 0) AS w
+           FROM documents WHERE doc_id < 5)
+    SELECT doc_id,
+           CAST(u.b.pos AS INT) AS pos, u.b.ngram AS ngram
+    FROM d, LATERAL unnest(list_transform(generate_series(1, len(w) - 1),
+              i -> {'pos': i - 1, 'ngram': w[i] || ' ' || w[i+1]})) u(b)
+    ORDER BY doc_id, pos
+    """,
+    description="Python UDTF (Spark 4 table function): row -> bigram "
+    "rows via LATERAL join. The slow-path extension point — the engine's "
+    "hot paths use explode over array expressions instead (JVM-side); "
+    "this proves the UDTF plumbing with an exact oracle.",
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5).createOrReplaceTempView(
+        "v_docs_udtf"
+    )
+    return spark.sql("""
+        SELECT doc_id, b.pos AS pos, b.ngram AS ngram
+        FROM v_docs_udtf, LATERAL word_bigrams(text) b
+        ORDER BY doc_id, pos
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -142,3 +142,48 @@ def test_write_warehouse_direct_requires_url(spark, sf_dir):
 
     with pytest.raises(ValueError, match="JDBC url"):
         write_warehouse(load_table(spark, sf_dir, "region"), "t", mode="direct")
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    """The property df.sample lacks: identical membership whatever the
+    partitioning."""
+    from azure_etl_spark.operators.sampling import hash_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    a = {r["o_orderkey"] for r in hash_sample(o, "o_orderkey", 0.1).collect()}
+    b = {
+        r["o_orderkey"]
+        for r in hash_sample(o.repartition(17), "o_orderkey", 0.1).collect()
+    }
+    assert a == b and len(a) > 0
+    # rate lands near the target
+    n = o.count()
+    assert 0.05 < len(a) / n < 0.16
+
+
+def test_train_test_tag_no_key_leakage(spark, sf_dir):
+    from azure_etl_spark.operators.sampling import train_test_tag
+
+    e = train_test_tag(load_table(spark, sf_dir, "events"), "user_id")
+    sides = e.groupBy("user_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert sides.filter(F.col("k") > 1).count() == 0
+
+
+def test_zscore_pandas_equals_window(spark, sf_dir):
+    from azure_etl_spark.operators.normalize import (
+        zscore_apply_in_pandas,
+        zscore_window,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    a = {
+        r["event_id"]: round(r["z"], 9)
+        for r in zscore_apply_in_pandas(e, ["event_type"], "value").collect()
+    }
+    b = {
+        r["event_id"]: round(r["z"], 9)
+        for r in zscore_window(e, ["event_type"], "value").collect()
+    }
+    assert a == b

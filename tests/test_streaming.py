@@ -74,3 +74,53 @@ def test_stateful_running_minmax(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_drop_duplicates(spark, sf_dir, tmp_path):
+    """Dedup across micro-batches: duplicated source files must yield
+    each event_id exactly once (state keyed on id, watermark-bounded)."""
+    src = load_table(spark, sf_dir, "events").limit(500)
+    path = os.path.join(str(tmp_path), "dup_stream")
+    src.write.mode("overwrite").parquet(path)
+    src.write.mode("append").parquet(path)  # duplicate every row
+
+    batch_df = spark.read.parquet(path)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(path)
+    deduped = stream_df.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Stream-static enrichment: streaming facts join a static dim with
+    no state store (the dim is just broadcast per micro-batch)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")  # static side
+    path = os.path.join(str(tmp_path), "orders_stream")
+    o.write.mode("overwrite").parquet(path)
+
+    stream_o = spark.readStream.schema(o.schema).parquet(path)
+    joined = stream_o.join(c, stream_o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert spark.table("enriched_stream").count() == want
