@@ -1819,6 +1819,53 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ------------------------------------------------- near-dup cluster resolution
+
+@query(
+    "near_dup_components",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 1),
+                    i -> w[i + 1] || ' ' || w[i + 2]))) AS g
+      FROM docs WHERE len(w) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    description="Near-dup CLUSTER resolution: exact-Jaccard pairs -> "
+    "connected components (A~B, B~C collapse to one cluster) via "
+    "Pregel-style min-label propagation — one shuffle per round, "
+    "converges in O(cluster diameter), lineage checkpointed per round. "
+    "Oracle: recursive-CTE reachability in DuckDB.",
+)
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

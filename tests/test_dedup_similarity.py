@@ -162,3 +162,33 @@ def test_winnow_fingerprint_inverted_index_join(spark, sf_dir):
     found = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     expect = {(i, i + 100000) for i in [r["doc_id"] for r in docs.select("doc_id").collect()]}
     assert expect <= found
+
+
+def test_connected_components_chain_and_island(spark):
+    from azure_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_resolve_duplicate_clusters_keeps_canonical(spark, sf_dir):
+    from azure_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    clones = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = ngram_jaccard_pairs(clones, threshold=0.9)
+    kept = resolve_duplicate_clusters(clones, pairs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every clone (doc_id+100000) collapses onto its lower-id original...
+    assert not {i for i in ids if i >= 100000}
+    # ...and the survivors are exactly what deduping the originals alone gives
+    # (some originals may themselves be near-dups of each other)
+    orig_pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    want = {
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(docs, orig_pairs).select("doc_id").collect()
+    }
+    assert ids == want
