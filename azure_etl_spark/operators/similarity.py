@@ -18,7 +18,7 @@ All distance math is functions/vectors.py built-ins (JVM fold), no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from azure_etl_spark.functions.vectors import cosine, dot, norm
@@ -132,6 +132,113 @@ def lsh_bucketed_topk(
     scored = (
         union.dropDuplicates([q_id, c_id])
         .withColumn("cosine_sim", cosine(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(q_id, c_id, "cosine_sim", F.col("__rn").alias("rank"))
+    )
+
+
+def _sq_dist(a, b):
+    d = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """DataFrame-native Lloyd's k-means — the IVF coarse quantizer.
+
+    Deterministic init (k lowest-id vectors). Each iteration:
+    assignment = broadcast-join of k centroids against the scan +
+    ``min_by`` grouped argmin (no sort, no UDF); update = posexplode ->
+    per-(cluster, dim) mean -> re-assembled centroid arrays (k x dim
+    shuffle rows — negligible). Fixed ``max_iter`` keeps runs
+    reproducible; ``localCheckpoint`` per round keeps lineage flat.
+
+    Returns (assignments (id, cid), centroids (cid, centroid)).
+    """
+    centroids = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assign = None
+    for _ in range(max_iter):
+        scored = vecs.join(F.broadcast(centroids)).withColumn(
+            "__d", _sq_dist(F.col("v"), F.col("centroid"))
+        )
+        assign = scored.groupBy("id").agg(
+            F.min_by("cid", F.struct("__d", "cid")).alias("cid"),
+            F.first("v").alias("v"),
+        )
+        dims = assign.select(
+            "cid", F.posexplode("v").alias("pos", "val")
+        )
+        new_c = (
+            dims.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("centroid")
+            )
+        )
+        centroids = new_c.localCheckpoint(eager=True)
+    return (
+        assign.select("id", "cid").withColumnRenamed("id", id_col),
+        centroids,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids per query, probe the ``nprobe``
+    nearest clusters only, exact cosine inside them.
+
+    Scored rows ~= |Q| x (nprobe/k) x |C| — the knob between cost and
+    recall. A query's own cluster is always its nearest centroid, so
+    self-retrieval is exact even at nprobe=1.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id), F.col(vec_col).alias("__qv"))
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "__d", _sq_dist(F.col("__qv"), F.col("centroid"))
+    )
+    wprobe = Window.partitionBy(q_id).orderBy(F.col("__d").asc(), F.col("cid").asc())
+    probed = (
+        qc.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .select(q_id, "cid", "__qv")
+    )
+    cand = candidates.select(F.col(c_id), F.col(vec_col).alias("__cv")).join(
+        assignments.withColumnRenamed(c_id, "__aid"),
+        F.col(c_id) == F.col("__aid"),
+    )
+    scored = cand.join(F.broadcast(probed), "cid").withColumn(
+        "cosine_sim", cosine(F.col("__cv"), F.col("__qv"))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id).asc())
     return (

@@ -1866,6 +1866,140 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
+# ----------------------------------------------------- time-series gap fill
+
+@query(
+    "gapfill_locf_daily",
+    oracle="""
+    WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+               FROM events WHERE event_type = 'purchase' AND user_id < 20),
+    daily AS (SELECT user_id, day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+              FROM p GROUP BY user_id, day),
+    b AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id),
+    spine AS (SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+    f AS (SELECT s.user_id, s.day, d.v
+          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day) AS v_filled,
+           v IS NULL AS was_gap
+    FROM f ORDER BY user_id, day
+    """,
+    description="Time-series gap fill: per-user day spine (sequence + "
+    "explode), left join onto observed daily sums, last-observation-"
+    "carried-forward via last(ignorenulls) — the resample/ffill "
+    "primitive. Spine generation is per-key (no global calendar "
+    "broadcast); the fill window shuffles once on user_id.",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 20)
+    )
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    f = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return f.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("user_id", "day")
+
+
+# ------------------------------------------------------- window rank breadth
+
+@query(
+    "window_rank_stats",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM orders WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, rnk
+    """,
+    description="Ranking-family breadth: rank / dense_rank / "
+    "percent_rank / cume_dist over one (partition, order) — all four "
+    "share a single sort+shuffle (one Window node).",
+)
+def q_window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- unpivot
+
+@query(
+    "unpivot_order_stats",
+    oracle="""
+    WITH s AS (SELECT o_orderpriority,
+                      CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+                      CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'min_price' AS metric, min_price AS val FROM s
+    UNION ALL
+    SELECT o_orderpriority, 'max_price' AS metric, max_price AS val FROM s
+    ORDER BY o_orderpriority, metric
+    """,
+    description="unpivot/melt (wide -> long): per-priority min/max "
+    "columns melted to (metric, val) rows — the inverse of pivot, "
+    "planned as Expand (no self-union, one scan).",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").cast("decimal(18,2)").alias("min_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").alias("max_price"),
+    )
+    return s.unpivot(
+        ["o_orderpriority"], ["min_price", "max_price"], "metric", "val"
+    ).orderBy("o_orderpriority", "metric")
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+@query(
+    "ivf_topk",
+    oracle=None,  # iterative k-means quantizer; recall asserted in tests
+    description="IVF approximate nearest neighbors: DataFrame-native "
+    "Lloyd's k-means coarse quantizer (broadcast-join assignment + "
+    "min_by argmin, per-dim mean update), then probe only the nprobe "
+    "nearest clusters per query — scored rows scale by nprobe/k instead "
+    "of |C|. Self-retrieval exact at nprobe=1.",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(e, k=8, max_iter=3)
+    qs = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_topk(qs, e, assign, cents, k=5, nprobe=3)
+    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

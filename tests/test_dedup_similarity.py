@@ -192,3 +192,42 @@ def test_resolve_duplicate_clusters_keeps_canonical(spark, sf_dir):
         for r in resolve_duplicate_clusters(docs, orig_pairs).select("doc_id").collect()
     }
     assert ids == want
+
+
+def test_kmeans_deterministic_and_partitions_all(spark, sf_dir):
+    from azure_etl_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, c1 = kmeans_fit(emb, k=4, max_iter=2)
+    a2, c2 = kmeans_fit(emb, k=4, max_iter=2)
+    assert a1.count() == emb.count()
+    assert {tuple(r) for r in a1.collect()} == {tuple(r) for r in a2.collect()}
+    assert c1.count() == 4
+
+
+def test_ivf_self_retrieval_and_recall(spark, sf_dir):
+    from azure_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(emb, k=8, max_iter=3)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # a query drawn from the index always finds itself, even at nprobe=1
+    top1 = {
+        r["q_id"]: r["vec_id"]
+        for r in ivf_topk(qs, emb, assign, cents, k=1, nprobe=1).collect()
+    }
+    assert top1 == {i: i for i in range(5)}
+    # probing half the clusters recovers a usable share of the exact top-10
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    q0 = qs.filter(F.col("q_id") == 0)
+    approx = {
+        r["vec_id"] for r in ivf_topk(q0, emb, assign, cents, k=10, nprobe=4).collect()
+    }
+    assert len(set(exact) & approx) >= 4
