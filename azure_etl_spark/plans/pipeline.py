@@ -24,7 +24,8 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from azure_etl_spark.operators.aggregate import grouped_min_max
 from azure_etl_spark.operators.dedup import distinct_rows
@@ -45,7 +46,7 @@ class MedallionPipeline:
     value: str = "price"
     as_of: _dt.date | None = None
     cache_silver: bool = True  # reference caches before multi-action reuse
-    results: dict[str, str] = field(default_factory=dict)
+    results: dict[str, object] = field(default_factory=dict)
 
     def path(self, layer: str) -> str:
         return os.path.join(self.root, layer)
@@ -59,11 +60,24 @@ class MedallionPipeline:
         return raw
 
     def bronze_to_silver(self, spark: SparkSession) -> DataFrame:
-        """bronzeToSilver.scala: read bronze glob -> distinct -> sort."""
+        """bronzeToSilver.scala: read bronze glob -> distinct -> sort.
+
+        The silver write carries an ``Observation``: row count + null-key
+        count ride along with the job (accumulator-style), so data-quality
+        counters cost zero extra actions — at 100 TB a separate
+        ``df.count()`` for metrics would double the scan.
+        """
+        obs = Observation("silver_quality")
         df = distinct_rows(read_parquet(spark, self.path("bronze"))).orderBy(self.key)
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(self.key).isNull().cast("long")).alias("null_keys"),
+        )
         if self.cache_silver:
             df = df.cache()
         write_parquet(df, self.path("silver"))
+        self.results["silver_metrics"] = dict(obs.get)
         return df
 
     def silver_to_gold(self, spark: SparkSession) -> DataFrame:

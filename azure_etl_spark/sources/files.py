@@ -118,6 +118,43 @@ def read_table_format(spark: SparkSession, path: str, fmt: str | None = None) ->
     return spark.read.format(fmt).load(path)
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory into ~target-size files.
+
+    Long-running ingest (micro-batch appends, per-task outputs) litters a
+    table with files far below the HDFS/S3 sweet spot; every downstream
+    scan then pays per-file open/seek overhead and the driver pays
+    listing time. This reads the current layout, computes the file count
+    from actual on-disk bytes, and rewrites with ``repartition(n)`` (a
+    round-robin shuffle — the rewrite cost is one pass, and at 100 TB you
+    run it per-partition-directory, not whole-table). Returns the new
+    file count.
+    """
+    import glob as _glob
+    import os as _os
+
+    data_files = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(_os.path.getsize(f) for f in data_files)
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(int(n)).write.mode("overwrite").format(fmt).save(tmp)
+    import shutil as _shutil
+
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return int(n)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Line-delimited JSON sink (S2's decode inverted; also the local
     document-store shape)."""

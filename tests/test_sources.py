@@ -187,3 +187,35 @@ def test_zscore_pandas_equals_window(spark, sf_dir):
         for r in zscore_window(e, ["event_type"], "value").collect()
     }
     assert a == b
+
+
+def test_compact_files(spark, sf_dir, tmp_path):
+    from azure_etl_spark.sources.files import compact_files
+
+    p = os.path.join(str(tmp_path), "shattered")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(40).write.parquet(p)  # simulate micro-batch litter
+    before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    n = compact_files(spark, p, target_file_bytes=8 << 20)
+    after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert before == 40 and after == n and after < before
+    assert spark.read.parquet(p).count() == li.count()
+
+
+def test_pipeline_observation_metrics(spark, sf_dir, tmp_path):
+    """Quality counters ride the silver write via df.observe — no extra
+    scan — and must equal the materialized counts."""
+    import datetime as dt
+
+    from azure_etl_spark.plans.pipeline import MedallionPipeline
+
+    raw = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("l_returnflag AS symbol", "CAST(l_extendedprice AS DECIMAL(10,2)) AS price")
+        .limit(5000)
+    )
+    pipe = MedallionPipeline(root=os.path.join(str(tmp_path), "m"), as_of=dt.date(2024, 1, 15))
+    pipe.run(spark, raw)
+    m = pipe.results["silver_metrics"]
+    assert m["rows"] == spark.read.parquet(pipe.path("silver")).count()
+    assert m["null_keys"] == 0

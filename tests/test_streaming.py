@@ -124,3 +124,35 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     q.awaitTermination()
     want = o.join(c, o.o_custkey == c.c_custkey).count()
     assert spark.table("enriched_stream").count() == want
+
+
+def test_session_window_builtin_matches_gap_logic(spark, sf_dir):
+    """F.session_window (built-in gap sessions) must produce the same
+    session count per user as the lag/cumsum formulation the sessionize
+    operator uses."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    gap = "30 minutes"
+    builtin = (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("sessions"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    manual = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+            ).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("sessions"))
+    )
+    a = {r["user_id"]: r["sessions"] for r in builtin.collect()}
+    b = {r["user_id"]: r["sessions"] for r in manual.collect()}
+    assert a == b
