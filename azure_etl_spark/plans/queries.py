@@ -2000,6 +2000,80 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
+# --------------------------------------------------- nulls / string distance
+
+@query(
+    "null_handling_customers",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+                      CAST(NULLIF(ROUND(c_acctbal, 2), 0.00) AS DECIMAL(12,2)) AS bal_or_null
+               FROM customer)
+    SELECT COALESCE(seg_or_null, 'SUPPRESSED') AS segment,
+           COUNT(*) AS n,
+           COUNT(seg_or_null) AS n_not_null,
+           SUM(CASE WHEN bal_or_null IS NULL THEN 1 ELSE 0 END) AS n_zero_bal,
+           CAST(COALESCE(SUM(bal_or_null), 0) AS DECIMAL(18,2)) AS total_bal
+    FROM c GROUP BY segment ORDER BY segment
+    """,
+    description="Null semantics breadth: NULLIF / COALESCE / CASE, "
+    "null-skipping COUNT(col) vs COUNT(*), null-safe SUM with a COALESCE "
+    "floor — ANSI three-valued logic matching the oracle exactly.",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.nullif(F.round("c_acctbal", 2), F.lit(0.00))
+        .cast("decimal(12,2)")
+        .alias("bal_or_null"),
+    )
+    return (
+        c.groupBy(F.coalesce("seg_or_null", F.lit("SUPPRESSED")).alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("seg_or_null").alias("n_not_null"),
+            F.sum(F.when(F.col("bal_or_null").isNull(), 1).otherwise(0)).alias(
+                "n_zero_bal"
+            ),
+            F.coalesce(F.sum("bal_or_null"), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "string_distance_suppliers",
+    oracle="""
+    SELECT s_suppkey,
+           levenshtein(s_name, 'Supplier#000000001') AS lev,
+           lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded,
+           translate(s_name, '#0', '_x') AS translated,
+           reverse(s_name) AS rev
+    FROM supplier ORDER BY lev, s_suppkey LIMIT 25
+    """,
+    description="String-function breadth: levenshtein edit distance "
+    "(fuzzy-match primitive), lpad zero-padding, translate, reverse — "
+    "all JVM built-ins under codegen; ordered top-k by distance.",
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            "s_suppkey",
+            F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001")).alias("lev"),
+            F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded"),
+            F.translate(F.col("s_name"), "#0", "_x").alias("translated"),
+            F.reverse(F.col("s_name")).alias("rev"),
+        )
+        .orderBy(F.col("lev").asc(), F.col("s_suppkey").asc())
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis): operator semantics on randomized
+inputs, checked against independent reference implementations (pandas /
+plain Python). Each example builds small DataFrames — max_examples kept
+low because a Spark job runs per example."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 1000),  # left ts
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    quotes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, events, quotes):
+    from azure_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t) for k, t in events], "k long, lts long"
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in quotes], "k long, rts long, v long"
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+
+    got = {
+        (r["k"], r["lts"]): r["v"]
+        for r in asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(events, columns=["k", "lts"]).sort_values(["lts", "k"])
+    rp = pd.DataFrame(quotes, columns=["k", "rts", "v"]).sort_values(["rts", "k"])
+    want_df = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    import datetime as dt
+
+    def ts(x):
+        return dt.datetime.fromtimestamp(int(x), dt.timezone.utc).replace(tzinfo=None)
+
+    want = {}
+    for row in want_df.itertuples():
+        key = (row.k, ts(row.lts))
+        v = None if pd.isna(row.v) else int(row.v)
+        # duplicate (k, lts) pairs collapse to the same as-of answer
+        want[key] = v
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True),
+    frac=st.sampled_from([0.1, 0.25, 0.5]),
+)
+@SET
+def test_hash_sample_is_a_pure_key_predicate(spark, keys, frac):
+    """Membership must be a function of the key alone: the same keys
+    sampled through Spark equal a pure-Python md5 reimplementation."""
+    import hashlib
+
+    from azure_etl_spark.operators.sampling import (
+        hash_bucket_threshold,
+        hash_sample,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"] for r in hash_sample(df, "k", frac).collect()}
+    thr = hash_bucket_threshold(frac)
+    want = {
+        k for k in keys if hashlib.md5(str(k).encode()).hexdigest()[:2] < thr
+    }
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_token_count_matches_python_split(spark, words):
+    from azure_etl_spark.operators.text import token_count
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(token_count("text").alias("n")).head()["n"]
+    assert got == len(text.split())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_first_per_key_is_min_under_order(spark, rows):
+    from azure_etl_spark.operators.dedup import first_per_key
+
+    df = spark.createDataFrame([(k, v, i) for i, (k, v) in enumerate(rows)],
+                               "k long, v long, rid long")
+    got = {
+        r["k"]: (r["v"], r["rid"])
+        for r in first_per_key(df, ["k"], ["v", "rid"]).collect()
+    }
+    want = {}
+    for i, (k, v) in enumerate(rows):
+        if k not in want or (v, i) < want[k]:
+            want[k] = (v, i)
+    assert got == want
