@@ -96,3 +96,82 @@ def extract_features(
 
 def _spark_ddl_types(df: DataFrame) -> list[str]:
     return [f.dataType.simpleString() for f in df.schema.fields]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize through mapInPandas: binary in, binary out, metadata
+    updated. The codec kernel is a STUB (real impl needs PIL/opencv);
+    the fake kernel is deterministic — it re-hashes the payload with the
+    target dims so output bytes depend on (input, width, height) — and
+    everything around it (Arrow batching, schema preservation, metadata
+    rewrite) is the production plumbing."""
+    schema = ", ".join(
+        f"{c} {t}" for c, t in zip(df.columns, _spark_ddl_types(df))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv; not in container"
+                )
+            pdf = pdf.copy()
+            pdf[media_col] = pdf[media_col].map(
+                lambda d: hashlib.sha256(
+                    bytes(d) + f"|{width}x{height}".encode()
+                ).digest()
+            )
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    media_col: str = "media",
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling through mapInPandas: ONE media row expands to
+    ceil(n_frames / every_n) frame rows — the 1->N shape (decode +
+    per-frame emit) that explode can't express over opaque binary. Codec
+    kernel is a STUB; the fake emits deterministic per-frame payloads.
+    Output partitioning note: frame rows inherit the input partition, so
+    follow with ``repartition_for_payload`` before heavy per-frame work.
+    """
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in zip(df.columns, _spark_ddl_types(df)))
+        + ", frame_idx int, frame binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "frame extraction requires av/ffmpeg; not in container"
+                )
+            rows = []
+            for rec in pdf.to_dict("records"):
+                n = int(rec.get("n_frames") or 1)
+                for i in range(0, n, every_n):
+                    out = dict(rec)
+                    out["frame_idx"] = i
+                    out["frame"] = hashlib.sha256(
+                        bytes(rec[media_col]) + f"|frame{i}".encode()
+                    ).digest()
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_idx", "frame"])
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -106,3 +106,52 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-N characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn-style smoothing).
+
+    Plan shape: explode -> (doc, term) count -> term document-frequency
+    aggregate joined back on term -> per-doc window top-N. The df table
+    is one row per distinct term (vocabulary-sized, broadcastable); the
+    corpus size N rides in as a broadcast 1-row cross join so the whole
+    thing stays lazy — no driver-side count action.
+    """
+    from pyspark.sql import Window
+
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", F.col("__rn").alias("rank"))
+    )

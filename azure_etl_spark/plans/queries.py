@@ -2074,6 +2074,41 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ TF-IDF
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH docs AS (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents WHERE doc_id < 40),
+    toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM docs),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (ln(CAST(n.nd + 1 AS DOUBLE) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, CAST(rank AS INT) AS rank, tfidf
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    description="Top-3 characteristic terms per doc by smoothed TF-IDF: "
+    "explode -> (doc,term) counts -> vocabulary-sized document-frequency "
+    "join (broadcast) -> per-doc window top-N. Corpus size joins in as a "
+    "broadcast scalar, so the plan has no driver-side count.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = T.tf_idf_top_terms(d, top_n=3)
+    return out.select("doc_id", "term", "tf", "rank", "tfidf").orderBy("doc_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -47,3 +47,36 @@ def test_repartition_for_payload(spark, sf_dir):
     d = attach_fake_media(load_table(spark, sf_dir, "documents"))
     out = repartition_for_payload(d, approx_row_bytes=64 << 20, target_partition_bytes=128 << 20)
     assert out.rdd.getNumPartitions() >= 100  # ~2 rows per partition at 64MB rows
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from azure_etl_spark.operators.multimodal import attach_fake_media, resize_images
+
+    d = attach_fake_media(load_table(spark, sf_dir, "documents").limit(20))
+    out = resize_images(d, 224, 224)
+    # schema preserved through the Arrow roundtrip (nullability aside)
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in d.schema
+    ]
+    rows = out.select("width", "height", "media").collect()
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    assert all(len(r["media"]) == 32 for r in rows)  # fake kernel output
+    # deterministic: same input -> same bytes
+    again = {bytes(r["media"]) for r in resize_images(d, 224, 224).select("media").collect()}
+    assert {bytes(r["media"]) for r in rows} == again
+
+
+def test_sample_frames_expands_rows(spark, sf_dir):
+    from azure_etl_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    d = attach_fake_media(load_table(spark, sf_dir, "documents").limit(10)).withColumn(
+        "n_frames", F.lit(10)
+    )
+    out = sample_frames(d, every_n=3)
+    # ceil(10/3) = 4 frames per video row
+    assert out.count() == 10 * 4
+    idx = sorted(
+        r["frame_idx"] for r in out.filter(F.col("doc_id") == 0).collect()
+    )
+    assert idx == [0, 3, 6, 9]
+    assert "frame" in out.columns and out.schema["frame"].dataType.simpleString() == "binary"
