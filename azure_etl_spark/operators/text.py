@@ -155,3 +155,28 @@ def tf_idf_top_terms(
         .filter(F.col("__rn") <= top_n)
         .select(id_col, "term", "tf", "tfidf", F.col("__rn").alias("rank"))
     )
+
+
+# PII scrubbing: regex redaction of common identifier shapes. At corpus
+# scale this is a map-only regexp pass under codegen; patterns are
+# deliberately simple/deterministic (real deployments layer NER on top
+# via mapInPandas, same plumbing as operators/multimodal.py).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+LONG_DIGITS_RE = r"\d{6,}"
+
+
+def scrub_pii(text_col: str | Column) -> Column:
+    """Redact email-shaped and long-digit-run substrings."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_DIGITS_RE, "<NUM>"
+    )
+
+
+def pii_counts(text_col: str | Column) -> tuple[Column, Column]:
+    """(email_matches, long_digit_matches) per row — audit counters."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))),
+        F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE))),
+    )

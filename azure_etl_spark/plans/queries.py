@@ -2109,6 +2109,134 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "term", "tf", "rank", "tfidf").orderBy("doc_id", "rank")
 
 
+# --------------------------------------------- skew / rolling / PII / outer
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Explicit two-phase salted aggregation for skewed keys: "
+    "phase 1 groups by (key, salt) so a dominant key spreads over N "
+    "reducers, phase 2 merges partials. Result is exactly the plain "
+    "groupBy (the oracle) — the salt only reshapes the shuffle.",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import two_phase_salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,4)")
+    )
+    out = two_phase_salted_agg(e, ["event_type"], salt_buckets=16).count_sum(
+        "v", sum_alias="total", n_alias="n"
+    )
+    return out.select(
+        "event_type", "n", F.col("total").cast("decimal(18,4)").alias("total")
+    ).orderBy("event_type")
+
+
+@query(
+    "rolling_7d_revenue",
+    oracle="""
+    SELECT user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                PARTITION BY user_id ORDER BY epoch(ts)
+                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,4)) AS rev_7d
+    FROM events
+    WHERE event_type = 'purchase' AND user_id < 10
+    ORDER BY user_id, ts
+    """,
+    description="Rolling 7-day revenue per user: RANGE window frame over "
+    "epoch seconds (time-based, not row-based — peers at the same "
+    "timestamp aggregate together). One shuffle on user_id; the frame "
+    "scan is linear per partition.",
+)
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 10)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-604800, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("decimal(18,4)")
+            .alias("rev_7d"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+@query(
+    "pii_scrub_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\d{6,}')) AS INT) AS n_nums,
+           md5(regexp_replace(regexp_replace(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                '\\d{6,}', '<NUM>', 'g')) AS scrub_md5
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+    description="PII scrubbing for training corpora: redact email-shaped "
+    "and long-digit substrings (map-only regexp pass under codegen) with "
+    "audit counts; md5 of the scrubbed text proves byte-identical "
+    "redaction against the oracle.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.text import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_em, n_num = pii_counts("text")
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_num.alias("n_nums"),
+        F.md5(scrub_pii("text")).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_cust_only,
+           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orders_only
+    FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
+    """,
+    description="Full-outer reconciliation: customers vs order-holders, "
+    "counting matched / left-only / right-only in one pass — the "
+    "data-audit join shape (aggregate the fact side FIRST so the outer "
+    "join is key-to-key, never key-to-many).",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = c.join(oc, c.c_custkey == oc.o_custkey, "full_outer")
+    return j.agg(
+        F.sum(
+            (F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull()).cast("long")
+        ).alias("n_both"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_cust_only"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_orders_only"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -219,3 +219,27 @@ def test_pipeline_observation_metrics(spark, sf_dir, tmp_path):
     m = pipe.results["silver_metrics"]
     assert m["rows"] == spark.read.parquet(pipe.path("silver")).count()
     assert m["null_keys"] == 0
+
+
+def test_salted_minmax_equals_plain(spark, sf_dir):
+    from azure_etl_spark.operators.aggregate import two_phase_salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = two_phase_salted_agg(li, ["l_returnflag"], salt_buckets=8).min_max(
+        "l_extendedprice"
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_scrub_pii_redacts(spark):
+    from azure_etl_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.org or call 5551234567 now")],
+        "id long, text string",
+    )
+    out = df.select(scrub_pii("text").alias("t")).head()["t"]
+    assert out == "mail me at <EMAIL> or call <NUM> now"
