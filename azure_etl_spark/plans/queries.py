@@ -2237,6 +2237,137 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- TPC-H decorrelation shapes
+
+@query(
+    "tpch_q13ish",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape: order-count distribution including "
+    "zero-order customers — left outer join then a double aggregation "
+    "(per-customer count, then histogram). COUNT(col) null-skipping "
+    "makes the unmatched side count as 0.",
+)
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q17ish",
+    oracle="""
+    WITH pa AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS thr
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS small_lot_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < thr
+    """,
+    description="TPC-H Q17 shape: correlated per-part average decorrelated "
+    "into an aggregate-then-join — the per-part threshold table is "
+    "vocabulary-sized and joins back into the fact scan.",
+)
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, li.l_partkey == thr.pk)
+        .filter(F.col("l_quantity") < F.col("thr"))
+    )
+    return j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("small_lot_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q22ish",
+    oracle="""
+    WITH avg_bal AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+    SELECT substr(c_name, 10, 2) AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+    description="TPC-H Q22 shape: scalar-subquery threshold (global avg "
+    "balance joins in as a broadcast scalar) + NOT EXISTS decorrelated "
+    "to a left-anti join, grouped by a substring-derived code.",
+)
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@query(
+    "tpch_q11ish",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+      FROM lineitem GROUP BY l_partkey),
+    thr AS (SELECT SUM(total) * 0.0005 AS cut FROM per_part)
+    SELECT l_partkey, total FROM per_part, thr
+    WHERE total > cut ORDER BY total DESC, l_partkey LIMIT 50
+    """,
+    description="TPC-H Q11 shape: HAVING against a global-scalar fraction "
+    "— per-key totals computed once, the grand-total threshold joins "
+    "back as a broadcast scalar (the aggregate is NOT recomputed).",
+)
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("total")
+    )
+    thr = per_part.agg((F.sum("total") * F.lit(0.0005)).alias("cut"))
+    return (
+        per_part.crossJoin(F.broadcast(thr))
+        .filter(F.col("total") > F.col("cut"))
+        .select("l_partkey", "total")
+        .orderBy(F.col("total").desc(), F.col("l_partkey").asc())
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
