@@ -2368,6 +2368,37 @@ def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- variant
+
+@query(
+    "variant_props_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Semi-structured VARIANT type (Spark 4): props parsed "
+    "once to the binary variant encoding, fields extracted with typed "
+    "variant_get — the schema-on-read path that replaces per-query JSON "
+    "string re-parsing (parse once, extract many).",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select("event_type", F.variant_get("v", "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

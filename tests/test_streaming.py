@@ -156,3 +156,50 @@ def test_session_window_builtin_matches_gap_logic(spark, sf_dir):
     a = {r["user_id"]: r["sessions"] for r in builtin.collect()}
     b = {r["user_id"]: r["sessions"] for r in manual.collect()}
     assert a == b
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream inner join with an event-time range
+    condition: purchases joined to errors by the same user within the
+    preceding 30 minutes. availableNow over static input must equal the
+    batch twin exactly."""
+    src = load_table(spark, sf_dir, "events")
+    path = os.path.join(str(tmp_path), "ss_events")
+    src.write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    def sides(df):
+        p = (
+            df.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("p_ts"), "value")
+        )
+        e = (
+            df.filter(F.col("event_type") == "error")
+            .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        )
+        return p, e
+
+    cond = lambda p, e: (  # noqa: E731
+        (p.user_id == e.e_user)
+        & (e.e_ts >= p.p_ts - F.expr("interval 30 minutes"))
+        & (e.e_ts <= p.p_ts)
+    )
+
+    sp, se = sides(spark.readStream.schema(schema).parquet(path))
+    sp = sp.withWatermark("p_ts", "1 hour")
+    se = se.withWatermark("e_ts", "1 hour")
+    joined = sp.join(se, cond(sp, se), "inner")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    bp, be = sides(spark.read.parquet(path))
+    want = bp.join(be, cond(bp, be), "inner").count()
+    assert spark.table("ss_join").count() == want
+    assert want > 0
