@@ -290,3 +290,28 @@ def test_python_datasource_stream(spark, tmp_path):
     # each micro-batch carried complete snapshots
     per_snap = got.groupBy("snapshot_id").count().collect()
     assert all(r["count"] == len(SYMBOLS) for r in per_snap)
+
+
+def test_corrupt_json_permissive_and_failfast(spark, tmp_path):
+    """Malformed rows: PERMISSIVE captures them in _corrupt_record
+    (quarantine-able), FAILFAST raises — both exposed through read_json."""
+    import pytest
+
+    p = os.path.join(str(tmp_path), "dirty.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "v": 10}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"id": 2, "v": 20}\n')
+
+    schema = "id long, v long, _corrupt_record string"
+    df = spark.read.schema(schema).json(p).cache()
+    try:
+        assert df.count() == 3
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1
+        assert df.filter(F.col("id").isNotNull()).count() == 2
+    finally:
+        df.unpersist()
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.option("mode", "FAILFAST").schema("id long, v long").json(p).collect()
