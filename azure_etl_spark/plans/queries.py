@@ -2399,6 +2399,64 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ collect_set / histogram
+
+@query(
+    "collect_set_statuses",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="Set-valued aggregation: collect_set gathers distinct "
+    "statuses per group (bounded-cardinality state per key); emitted "
+    "sorted+joined so the result is deterministic and oracle-comparable.",
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    WITH b AS (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                           WHEN o_totalprice >= 600000.0 THEN 13
+                           ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1
+                      END AS bucket
+               FROM orders)
+    SELECT bucket, COUNT(*) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    description="Equal-width histogram via width_bucket: fixed bucket "
+    "edges make this a map-only binning expression + tiny grouped count "
+    "— the scale-safe histogram (contrast ntile, which needs a global "
+    "sort).",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
