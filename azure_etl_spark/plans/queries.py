@@ -48,7 +48,7 @@ from azure_etl_spark.operators.multimodal import attach_fake_media, media_byte_s
 from azure_etl_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
 from azure_etl_spark.operators.windows import lag_lead_delta, over_partition, ranked_top_n
 from azure_etl_spark.session import configure_for_oracle
-from azure_etl_spark.sources.files import load_table
+from azure_etl_spark.sources.files import ensure_min_partitions, load_table
 
 AS_OF = _dt.date(2024, 1, 15)  # fixed processing date for reproducible date stamping
 
@@ -76,6 +76,14 @@ def query(name: str, oracle: str | None = None, description: str = "", bench: bo
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_for_oracle(spark)
     return load_table(spark, sf_dir, name)
+
+
+def _td(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan fanned out for CPU-heavy text stages: the fixture
+    parquet has a single row group (one scan task), so regex/shingling
+    work would serialize on one core; ensure_min_partitions is a no-op
+    on well-split inputs (see sources/files.py)."""
+    return ensure_min_partitions(_t(spark, sf_dir, "documents"))
 
 
 def crypto_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,7 +553,7 @@ _LTOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
     bench=True,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -576,7 +584,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Stopword-vote language ID heuristic (deterministic tie-break).",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
@@ -595,7 +603,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle carries 16-byte digests, not bodies.",
 )
 def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return exact_text_dedup(d).select("doc_id", "lang", "source")
 
 
@@ -888,7 +896,7 @@ def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(length/token-shape/punctuation) — pure arithmetic, oracle-exact.",
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select("doc_id", T.quality_score("text").alias("quality"))
 
 
@@ -905,7 +913,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ordered top-k (TakeOrderedAndProject after partial agg).",
 )
 def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     words = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
     return (
         words.groupBy("word")
@@ -1348,7 +1356,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.dedup import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     fp = winnow_fingerprints(d, shingle_n=3, window=4)
     return fp.select(
         "doc_id",
@@ -1367,7 +1375,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.dedup import simhash_near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 

@@ -66,6 +66,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that produced too few input splits.
+
+    Parquet files are only splittable at row-group boundaries, so a
+    single-row-group file scans as ONE task no matter how many cores the
+    cluster has — and any CPU-heavy map stage (regex tokenization,
+    minhash shingling, vector math) serializes on one core. This helper
+    fans the rows out *only when needed*: at real scale a 100 TB scan
+    already yields thousands of row-group splits and this is a no-op (no
+    shuffle is added); it only fires for the pathological
+    few-big-row-groups layout, where the tiny round-robin exchange is
+    repaid many times over by parallelizing the downstream map work.
+    (Same pattern as repartitioning after reading a few large gzip
+    files — an unsplittable-input fix, not a tuning knob.)
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
 ) -> dict[str, DataFrame]:
