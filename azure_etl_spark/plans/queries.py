@@ -3014,6 +3014,118 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- sketch / approx aggregates
+# Approximate aggregates are engine-specific (Spark HLL++/KLL vs DuckDB
+# HLL/t-digest), so raw estimates can never hash-match an oracle. Each
+# query therefore emits the EXACT value plus a boolean asserting its own
+# engine's estimate lands within the documented error bound — both sides
+# compute their approximation independently and both must certify it.
+
+
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                <= 0.05 * COUNT(DISTINCT user_id) AS BOOLEAN) AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="approx_count_distinct (HLL++, rsd=2%) beside the exact "
+    "distinct count, certified within 5%. At scale the approx variant "
+    "needs no expand/two-phase distinct shuffle — fixed 1.5 KB of state "
+    "per group vs a hash set of every user_id.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (F.abs(F.col("est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+                "approx_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "approx_quantiles_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(abs(approx_quantile(o_totalprice, 0.5)
+                    - quantile_cont(o_totalprice, 0.5))
+                <= 0.03 * quantile_cont(o_totalprice, 0.5) AS BOOLEAN) AS p50_ok,
+           CAST(abs(approx_quantile(o_totalprice, 0.99)
+                    - quantile_cont(o_totalprice, 0.99))
+                <= 0.03 * quantile_cont(o_totalprice, 0.99) AS BOOLEAN) AS p99_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="percentile_approx (KLL-style quantile summary, accuracy "
+    "10000) certified within 3% of the exact interpolated quantile per "
+    "group. The approx sketch is mergeable across partitions — the only "
+    "quantile that works in one pass over unsorted 100 TB data.",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("x50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("x99"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(o_totalprice, 0.99, 10000)").alias("a99"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n",
+        (F.abs(F.col("a50") - F.col("x50")) <= 0.03 * F.col("x50")).alias("p50_ok"),
+        (F.abs(F.col("a99") - F.col("x99")) <= 0.03 * F.col("x99")).alias("p99_ok"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "hll_sketch_rollup_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Mergeable-sketch rollup (the 100 TB distinct-count "
+    "pattern): per-(type, day) partial HLL sketches via hll_sketch_agg, "
+    "merged up with hll_union_agg, estimate certified within 5% of "
+    "exact. Partials can be persisted per partition/day and re-merged "
+    "for any rollup grain without rescanning raw data — DuckDB's HLL is "
+    "not binary-compatible, so the oracle certifies its own exact side.",
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.abs(F.col("est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+                "sketch_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
