@@ -44,6 +44,12 @@ def session_builder(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter semi-join pruning: a selective dim filter
+        # builds a bloom filter that prunes the fact scan BEFORE its
+        # shuffle — off by default in Spark, a large win for shuffle
+        # joins at 100 TB (the planner only injects it where thresholds
+        # make it profitable, so enabling globally is safe)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no ns
@@ -66,6 +72,7 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

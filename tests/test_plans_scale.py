@@ -116,3 +116,34 @@ def test_grouping_sets_single_expand_pass(spark, sf_dir):
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("FileScan") == 1
+
+
+def test_runtime_bloom_filter_injected_for_shuffle_join(spark, sf_dir):
+    """With broadcast disabled (the 100 TB fact-fact case), a selective
+    dim filter must inject a runtime bloom filter that prunes the fact
+    scan before its shuffle. Locally the application-side threshold
+    (10 GB) never triggers, so it is lowered for the assertion only."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+        j = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in opt.lower(), opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

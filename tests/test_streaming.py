@@ -305,3 +305,32 @@ def test_checkpoint_incremental_recovery(spark, sf_dir, tmp_path):
     # second drain appended ONLY the new files: no duplicates
     assert got.count() == src.count()
     assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup state is evicted by event
+    time rather than kept forever — the only dedup that survives an
+    unbounded stream. Re-delivered rows inside the watermark window
+    collapse to one; each event_id appears exactly once."""
+    src = load_table(spark, sf_dir, "events").limit(500)
+    path = os.path.join(str(tmp_path), "wm_dup_stream")
+    src.write.mode("overwrite").parquet(path)
+    src.write.mode("append").parquet(path)  # re-deliver every row
+
+    batch_df = spark.read.parquet(path)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(path)
+    deduped = stream_df.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_wmdd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("wm_dedup_stream")
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
