@@ -180,3 +180,60 @@ def pii_counts(text_col: str | Column) -> tuple[Column, Column]:
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))),
         F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE))),
     )
+
+
+# ------------------------------------------------ repetition (Gopher-style)
+# Quality signals standard in LLM training-data curation (duplicate
+# n-gram fraction, most-frequent-word dominance). Computed on the first
+# MAX_SIGNAL_TOKENS tokens: quality signals on a bounded prefix keep the
+# per-row cost O(prefix) regardless of document length, so one
+# pathological 1 GB document cannot stall its scan task. All map-only
+# higher-order functions — no shuffle, no Python.
+
+MAX_SIGNAL_TOKENS = 512
+
+
+def _prefix_tokens(text_col: str | Column) -> Column:
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.slice(tokens(F.lower(t)), 1, MAX_SIGNAL_TOKENS)
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams (guarded: sequence(1,0) would DESCEND)."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def dup_bigram_ratio(text_col: str | Column) -> Column:
+    """Fraction of repeated adjacent bigrams in the token prefix —
+    boilerplate/spam detector (1 - distinct/total, 0 for short docs)."""
+    bg = word_bigrams(_prefix_tokens(text_col))
+    nb = F.size(bg)
+    return F.when(nb == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / nb.cast("double")
+    )
+
+
+def top_word_ratio(text_col: str | Column) -> Column:
+    """Dominance of the single most frequent token in the prefix. The
+    per-row HOF is O(V * prefix) on the bounded prefix; the unbounded
+    exact variant is explode -> (doc, word) count -> window max, which
+    costs a shuffle and is only worth it past the prefix bound."""
+    toks = _prefix_tokens(text_col)
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        top.cast("double") / n.cast("double")
+    )

@@ -3126,6 +3126,106 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- repetition / corpus filtering
+
+_PTOKS_SQL = (
+    "list_slice(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END, 1, 512)"
+)
+_BIGRAMS_SQL = (
+    "CASE WHEN len(pt) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(generate_series(1, len(pt)-1), "
+    "i -> pt[i] || ' ' || pt[i+1]) END"
+)
+_DUP_RATIO_SQL = (
+    "CASE WHEN len(bg) = 0 THEN 0.0 ELSE 1.0 - "
+    "CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) END"
+)
+_TOP_RATIO_SQL = (
+    "CASE WHEN len(pt) = 0 THEN 0.0 ELSE "
+    "CAST(list_max(list_transform(list_distinct(pt), "
+    "w -> len(list_filter(pt, x -> x = w)))) AS DOUBLE) "
+    "/ CAST(len(pt) AS DOUBLE) END"
+)
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_PTOKS_SQL} AS pt FROM documents),
+    b AS (SELECT doc_id, pt, {_BIGRAMS_SQL} AS bg FROM t)
+    SELECT doc_id,
+           CAST(len(bg) AS INT) AS n_bigrams,
+           {_DUP_RATIO_SQL} AS dup_bigram_ratio,
+           {_TOP_RATIO_SQL} AS top_word_ratio
+    FROM b ORDER BY doc_id
+    """,
+    description="Gopher-style repetition signals: duplicate-bigram "
+    "fraction and most-frequent-word dominance, computed on a bounded "
+    "512-token prefix so one pathological document cannot stall its "
+    "scan task. Map-only higher-order functions, zero shuffle.",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _td(spark, sf_dir)
+    pt = T._prefix_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(T.word_bigrams(pt)).alias("n_bigrams"),
+        T.dup_bigram_ratio("text").alias("dup_bigram_ratio"),
+        T.top_word_ratio("text").alias("top_word_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "training_corpus_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, {_PTOKS_SQL} AS pt,
+             CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chr,
+             CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS punct
+      FROM documents),
+    b AS (SELECT *, {_BIGRAMS_SQL} AS bg FROM t),
+    m AS (
+      SELECT lang, source, n_tok,
+             ROUND(least(n_tok / 64.0, 1.0) * 0.5
+               + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chr / n_tok END)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+               + (1.0 - (CASE WHEN n_chr = 0 THEN 0.0
+                         ELSE least(punct / n_chr * 4.0, 1.0) END)) * 0.2,
+               6) AS quality,
+             {_DUP_RATIO_SQL} AS dup_ratio,
+             {_TOP_RATIO_SQL} AS top_ratio
+      FROM b)
+    SELECT lang, source, COUNT(*) AS n_kept
+    FROM m
+    WHERE quality >= 0.5 AND dup_ratio <= 0.06 AND top_ratio <= 0.13
+      AND n_tok >= 5
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    description="Combined corpus curation gate (the C4/Gopher filter "
+    "chain): length + quality score + repetition thresholds in ONE "
+    "map-only pass over the corpus, then a tiny grouped count of "
+    "survivors per (lang, source). At 100 TB this is the shape that "
+    "matters: every signal rides the same scan, nothing is "
+    "re-tokenized, and the only shuffle carries (lang, source) pairs.",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _td(spark, sf_dir)
+    keep = (
+        (T.quality_score("text") >= 0.5)
+        & (T.dup_bigram_ratio("text") <= 0.06)
+        & (T.top_word_ratio("text") <= 0.13)
+        & (T.token_count("text") >= 5)
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang", "source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
