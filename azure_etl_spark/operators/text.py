@@ -211,29 +211,70 @@ def word_bigrams(toks: Column) -> Column:
     )
 
 
-def dup_bigram_ratio(text_col: str | Column) -> Column:
-    """Fraction of repeated adjacent bigrams in the token prefix —
-    boilerplate/spam detector (1 - distinct/total, 0 for short docs)."""
-    bg = word_bigrams(_prefix_tokens(text_col))
-    nb = F.size(bg)
-    return F.when(nb == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / nb.cast("double")
-    )
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    dup_col: str = "dup_bigram_ratio",
+    top_col: str = "top_word_ratio",
+    n_bigrams_col: str | None = None,
+) -> DataFrame:
+    """Attach duplicate-bigram fraction and top-word dominance columns.
 
+    Staged through intermediate columns ON PURPOSE: a HOF lambda
+    re-evaluates captured outer expressions per ELEMENT, so nesting the
+    tokenizer/sort inside filter/transform lambdas is accidentally
+    quadratic (and balloons the plan tree). A column boundary — which
+    CollapseProject preserves for non-cheap expressions referenced more
+    than once — makes every array materialize once per row, keeping the
+    whole thing a linear map-only pass.
 
-def top_word_ratio(text_col: str | Column) -> Column:
-    """Dominance of the single most frequent token in the prefix. The
-    per-row HOF is O(V * prefix) on the bounded prefix; the unbounded
-    exact variant is explode -> (doc, word) count -> window max, which
-    costs a shuffle and is only worth it past the prefix bound."""
-    toks = _prefix_tokens(text_col)
-    n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda x: x == w)),
-        )
+    - dup ratio: 1 - distinct/total adjacent bigrams (0 for short docs)
+    - top ratio: longest equal run in the sorted prefix / prefix length
+      (sort + run-length deltas, O(n log n); the unbounded exact variant
+      is explode -> count -> window max, only worth its shuffle past the
+      prefix bound)
+    """
+    pt, bg, sl, st = "_rs_pt", "_rs_bg", "_rs_sl", "_rs_starts"
+    out = (
+        df.withColumn(pt, _prefix_tokens(text_col))
+        .withColumn(bg, word_bigrams(F.col(pt)))
+        .withColumn(sl, F.array_sort(F.col(pt)))
     )
-    return F.when(n == 0, F.lit(0.0)).otherwise(
-        top.cast("double") / n.cast("double")
+    # run starts = positions where the sorted prefix changes value.
+    # greatest(i-1, 1) keeps element_at off index 0, which Spark rejects
+    # even when the OR short-circuits; greatest(n, 1) keeps sequence()
+    # ascending for empty docs (sequence(1, 0) DESCENDS).
+    out = out.withColumn(
+        st,
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(F.col(sl)), F.lit(1))),
+            lambda i: (i == 1)
+            | (
+                F.element_at(F.col(sl), F.greatest(i - 1, F.lit(1)))
+                != F.element_at(F.col(sl), i)
+            ),
+        ),
     )
+    n = F.size(F.col(pt))
+    nb = F.size(F.col(bg))
+    k = F.size(F.col(st))
+    # run lengths = deltas of consecutive starts, sentinel n+1 at the end
+    tail = F.concat(
+        F.slice(F.col(st), 2, F.greatest(k - 1, F.lit(0))), F.array(n + 1)
+    )
+    run_lengths = F.zip_with(tail, F.col(st), lambda b, a: b - a)
+    out = out.withColumn(
+        dup_col,
+        F.when(nb == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col(bg))).cast("double") / nb.cast("double")
+        ),
+    ).withColumn(
+        top_col,
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            F.array_max(run_lengths).cast("double") / n.cast("double")
+        ),
+    )
+    if n_bigrams_col is not None:
+        out = out.withColumn(n_bigrams_col, nb)
+    return out.drop(pt, bg, sl, st)

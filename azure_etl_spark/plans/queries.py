@@ -644,6 +644,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against exact ngram_jaccard on the same subset)
     description="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
     "estimated Jaccard — band-bucket equi-join, never all-pairs.",
+    bench=True,
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -2667,6 +2668,7 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%widget%'
     GROUP BY 1, 2 ORDER BY nation, o_year DESC
     """,
+    bench=True,
     description="TPC-H Q9 shape (partsupp-free): profit = revenue minus a "
     "retail-price-proportional cost, by supplier nation x ship year, with "
     "a LIKE filter on part name. The LIKE prunes part BEFORE the join "
@@ -3097,6 +3099,7 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS sketch_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
+    bench=True,
     description="Mergeable-sketch rollup (the 100 TB distinct-count "
     "pattern): per-(type, day) partial HLL sketches via hll_sketch_agg, "
     "merged up with hll_union_agg, estimate certified within 5% of "
@@ -3141,10 +3144,19 @@ _DUP_RATIO_SQL = (
     "CASE WHEN len(bg) = 0 THEN 0.0 ELSE 1.0 - "
     "CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) END"
 )
+# sort + longest-equal-run, mirroring operators/text.top_word_ratio:
+# `sl`/`starts` are threaded through the CTE chain (run starts = indices
+# where the sorted list changes value; run lengths = start deltas)
+_SORTED_SQL = "list_sort(pt)"
+_STARTS_SQL = (
+    "list_filter(generate_series(1, len(sl)), "
+    "i -> i = 1 OR sl[greatest(i-1, 1)] != sl[i])"
+)
 _TOP_RATIO_SQL = (
     "CASE WHEN len(pt) = 0 THEN 0.0 ELSE "
-    "CAST(list_max(list_transform(list_distinct(pt), "
-    "w -> len(list_filter(pt, x -> x = w)))) AS DOUBLE) "
+    "CAST(list_max(list_transform(generate_series(1, len(starts)), "
+    "j -> (CASE WHEN j < len(starts) THEN starts[j+1] "
+    "ELSE len(sl)+1 END) - starts[j])) AS DOUBLE) "
     "/ CAST(len(pt) AS DOUBLE) END"
 )
 
@@ -3153,12 +3165,13 @@ _TOP_RATIO_SQL = (
     "doc_repetition_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_PTOKS_SQL} AS pt FROM documents),
-    b AS (SELECT doc_id, pt, {_BIGRAMS_SQL} AS bg FROM t)
+    b AS (SELECT doc_id, pt, {_BIGRAMS_SQL} AS bg, {_SORTED_SQL} AS sl FROM t),
+    r AS (SELECT *, {_STARTS_SQL} AS starts FROM b)
     SELECT doc_id,
            CAST(len(bg) AS INT) AS n_bigrams,
            {_DUP_RATIO_SQL} AS dup_bigram_ratio,
            {_TOP_RATIO_SQL} AS top_word_ratio
-    FROM b ORDER BY doc_id
+    FROM r ORDER BY doc_id
     """,
     description="Gopher-style repetition signals: duplicate-bigram "
     "fraction and most-frequent-word dominance, computed on a bounded "
@@ -3166,13 +3179,9 @@ _TOP_RATIO_SQL = (
     "scan task. Map-only higher-order functions, zero shuffle.",
 )
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _td(spark, sf_dir)
-    pt = T._prefix_tokens("text")
+    d = T.repetition_signals(_td(spark, sf_dir), n_bigrams_col="n_bigrams")
     return d.select(
-        "doc_id",
-        F.size(T.word_bigrams(pt)).alias("n_bigrams"),
-        T.dup_bigram_ratio("text").alias("dup_bigram_ratio"),
-        T.top_word_ratio("text").alias("top_word_ratio"),
+        "doc_id", "n_bigrams", "dup_bigram_ratio", "top_word_ratio"
     ).orderBy("doc_id")
 
 
@@ -3185,7 +3194,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(text) AS DOUBLE) AS n_chr,
              CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS punct
       FROM documents),
-    b AS (SELECT *, {_BIGRAMS_SQL} AS bg FROM t),
+    b AS (SELECT *, {_BIGRAMS_SQL} AS bg, {_SORTED_SQL} AS sl FROM t),
+    r AS (SELECT *, {_STARTS_SQL} AS starts FROM b),
     m AS (
       SELECT lang, source, n_tok,
              ROUND(least(n_tok / 64.0, 1.0) * 0.5
@@ -3196,13 +3206,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                6) AS quality,
              {_DUP_RATIO_SQL} AS dup_ratio,
              {_TOP_RATIO_SQL} AS top_ratio
-      FROM b)
+      FROM r)
     SELECT lang, source, COUNT(*) AS n_kept
     FROM m
     WHERE quality >= 0.5 AND dup_ratio <= 0.06 AND top_ratio <= 0.13
       AND n_tok >= 5
     GROUP BY lang, source ORDER BY lang, source
     """,
+    bench=True,
     description="Combined corpus curation gate (the C4/Gopher filter "
     "chain): length + quality score + repetition thresholds in ONE "
     "map-only pass over the corpus, then a tiny grouped count of "
@@ -3211,17 +3222,24 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-tokenized, and the only shuffle carries (lang, source) pairs.",
 )
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _td(spark, sf_dir)
+    d = T.repetition_signals(_td(spark, sf_dir))
     keep = (
         (T.quality_score("text") >= 0.5)
-        & (T.dup_bigram_ratio("text") <= 0.06)
-        & (T.top_word_ratio("text") <= 0.13)
+        & (F.col("dup_bigram_ratio") <= 0.06)
+        & (F.col("top_word_ratio") <= 0.13)
         & (T.token_count("text") >= 5)
     )
+    # The gate rides as a COLUMN into a conditional aggregate instead of
+    # a .filter(): predicate pushdown would substitute the staged signal
+    # columns back into one scan-level predicate, undoing
+    # repetition_signals' once-per-row materialization (measured 80x
+    # slower). HAVING n_kept > 0 restores exact filter-then-count
+    # semantics.
     return (
-        d.filter(keep)
+        d.withColumn("_keep", keep)
         .groupBy("lang", "source")
-        .agg(F.count("*").alias("n_kept"))
+        .agg(F.sum(F.col("_keep").cast("long")).alias("n_kept"))
+        .filter(F.col("n_kept") > 0)
         .orderBy("lang", "source")
     )
 

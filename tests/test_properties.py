@@ -132,3 +132,38 @@ def test_first_per_key_is_min_under_order(spark, rows):
         if k not in want or (v, i) < want[k]:
             want[k] = (v, i)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),  # small alphabet -> real repeats
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_repetition_signals_match_python(spark, docs):
+    """dup_bigram_ratio / top_word_ratio vs a plain-Python reference on
+    the same 512-token-prefix definition; both must stay in [0, 1]."""
+    from azure_etl_spark.operators.text import MAX_SIGNAL_TOKENS, repetition_signals
+
+    def ref(text):
+        toks = text.strip().lower().split()[:MAX_SIGNAL_TOKENS] if text.strip() else []
+        bg = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dup = 0.0 if not bg else 1.0 - len(set(bg)) / len(bg)
+        top = 0.0 if not toks else max(toks.count(w) for w in set(toks)) / len(toks)
+        return dup, top
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    got = {
+        r["i"]: (r["dup_bigram_ratio"], r["top_word_ratio"])
+        for r in repetition_signals(df).collect()
+    }
+    for i, d in enumerate(docs):
+        exp = ref(d)
+        assert got[i][0] == exp[0] and got[i][1] == exp[1], (d, got[i], exp)
+        assert 0.0 <= got[i][0] <= 1.0 and 0.0 <= got[i][1] <= 1.0
