@@ -48,3 +48,40 @@ def zscore_window(
         out_col,
         F.when(std == 0, F.lit(0.0)).otherwise((F.col(value_col) - mean) / std),
     )
+
+
+def cogrouped_order_reconcile(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Co-grouped Arrow path (``cogroup().applyInPandas``): both sides
+    of a key arrive as pandas frames in ONE call — the shape for
+    per-entity reconciliation/merge logic that would otherwise need a
+    join plus a grouped-map. Sums are integer cents (int64) so the
+    result is exact and independent of row order within the group.
+    Plan-wise this is one co-partitioned shuffle of both inputs on the
+    key — same cost as a shuffle join — and each KEY group must fit in
+    memory (fine for per-order lines; wrong for unbounded groups).
+    """
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        (orderkey,) = key
+        cents = np.floor(ldf["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": [orderkey],
+                "n_lines": [len(ldf)],
+                "line_cents": [int(cents.sum())],
+                "has_order_row": [len(odf) > 0],
+            }
+        )
+
+    return (
+        orders.groupby("o_orderkey")
+        .cogroup(lineitem.groupby(F.col("l_orderkey").alias("o_orderkey")))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey long, n_lines long, line_cents long, has_order_row boolean",
+        )
+    )

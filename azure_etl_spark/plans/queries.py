@@ -3244,6 +3244,92 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- embedding quantization
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS q_scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, embedding, q_scale,
+             CASE WHEN q_scale = 0.0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5) AS INT))
+             END AS codes
+      FROM s),
+    e AS (
+      SELECT vec_id, q_scale,
+             md5(array_to_string(codes, ',')) AS codes_md5,
+             list_max(list_transform(generate_series(1, len(codes)),
+               i -> abs(CAST(codes[i] AS DOUBLE) * q_scale
+                        - CAST(embedding[i] AS DOUBLE)))) AS max_err
+      FROM q)
+    SELECT vec_id, codes_md5,
+           CAST(max_err <= q_scale / 2.0 + 1e-12 AS BOOLEAN) AS err_ok
+    FROM e ORDER BY vec_id
+    """,
+    description="Symmetric int8 embedding quantization (4x memory for "
+    "ANN candidate scans): scale = max|v|/127, floor-based rounder "
+    "(bit-reproducible across engines, unlike round()'s tie handling). "
+    "The md5 over the code array proves byte-identical quantization vs "
+    "the oracle; err_ok certifies the scale/2 reconstruction bound. "
+    "Map-only, zero shuffle.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.functions.vectors import with_quantized_embedding
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = with_quantized_embedding(e)
+    err = F.array_max(
+        F.zip_with(
+            F.col("q_codes"),
+            F.col("embedding"),
+            lambda c, v: F.abs(c.cast("double") * F.col("q_scale") - v.cast("double")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.md5(F.concat_ws(",", F.transform(F.col("q_codes"), lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        (err <= F.col("q_scale") / 2.0 + 1e-12).alias("err_ok"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "cogroup_order_reconcile",
+    oracle="""
+    WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000),
+    l AS (SELECT l_orderkey,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem WHERE l_orderkey < 2000),
+    la AS (SELECT l_orderkey, COUNT(*) AS n_lines, SUM(cents) AS line_cents
+           FROM l GROUP BY l_orderkey)
+    SELECT COALESCE(o.o_orderkey, la.l_orderkey) AS o_orderkey,
+           COALESCE(n_lines, 0) AS n_lines,
+           COALESCE(line_cents, 0) AS line_cents,
+           o.o_orderkey IS NOT NULL AS has_order_row
+    FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey
+    ORDER BY o_orderkey
+    """,
+    description="cogroup().applyInPandas: both sides of each order key "
+    "arrive as pandas frames in one call (per-entity reconciliation "
+    "without join-then-regroup). Sums are integer cents so the pandas "
+    "path is exact and row-order-independent; the oracle is the "
+    "equivalent aggregate + full-outer join.",
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.normalize import cogrouped_order_reconcile
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return cogrouped_order_reconcile(o, li).orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
