@@ -45,7 +45,12 @@ class MedallionPipeline:
     key: str = "symbol"
     value: str = "price"
     as_of: _dt.date | None = None
-    cache_silver: bool = True  # reference caches before multi-action reuse
+    # The reference caches silver because it runs TWO actions on it
+    # (display + write, bronzeToSilver.scala:12). Here the quality
+    # metrics ride the write via Observation, so there is only one
+    # action and a cache would be pure memory-store overhead — off by
+    # default, opt-in for callers that add their own second action.
+    cache_silver: bool = False
     results: dict[str, object] = field(default_factory=dict)
 
     def path(self, layer: str) -> str:

@@ -73,6 +73,17 @@ def main() -> None:
     from azure_etl_spark.plans.pipeline import MedallionPipeline
     from azure_etl_spark.plans.queries import crypto_view
 
+    if warm:  # same per-query warmup policy for the pipeline path
+        wroot = tempfile.mkdtemp(prefix="bench_pipe_warm_")
+        try:
+            MedallionPipeline(root=wroot, as_of=dt.date(2024, 1, 15)).run(
+                spark, crypto_view(spark, warm_dir)
+            )
+        except Exception:
+            pass
+        finally:
+            shutil.rmtree(wroot, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         raw = crypto_view(spark, sf_dir)
