@@ -315,3 +315,42 @@ def test_corrupt_json_permissive_and_failfast(spark, tmp_path):
 
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         spark.read.option("mode", "FAILFAST").schema("id long, v long").json(p).collect()
+
+
+def test_azure_config_builders_match_reference_shapes():
+    """sources/azure.py: pure config builders reproduce the exact
+    option keys / URI shapes the reference hand-assembles
+    (goldToCosmosdb.scala:6-16, goldToSynapse.scala:8-17)."""
+    from azure_etl_spark.sources import azure as az
+
+    assert (
+        az.abfss_path("bronze", "acct", "/data/crypto.parquet")
+        == "abfss://bronze@acct.dfs.core.windows.net/data/crypto.parquet"
+    )
+    assert (
+        az.wasbs_path("lake", "acct", "data")
+        == "wasbs://lake@acct.blob.core.windows.net/data"
+    )
+    sk = az.storage_account_key_conf("acct", "K")
+    assert sk["fs.azure.account.key.acct.blob.core.windows.net"] == "K"
+    assert sk["fs.azure.account.key.acct.dfs.core.windows.net"] == "K"
+
+    co = az.cosmos_options("https://x:443/", "K", "db", "cont")
+    assert set(co) == {
+        "spark.cosmos.accountEndpoint",
+        "spark.cosmos.accountKey",
+        "spark.cosmos.database",
+        "spark.cosmos.container",
+        "spark.cosmos.read.inferSchema.enabled",
+    }
+    assert co["spark.cosmos.read.inferSchema.enabled"] == "true"
+
+    cat = az.cosmos_catalog_conf("https://x:443/", "K")
+    assert cat["spark.sql.catalog.cosmosCatalog"] == "com.azure.cosmos.spark.CosmosCatalog"
+
+    url = az.sqlserver_jdbc_url("srv.sql.azuresynapse.net", "dw", "u", "p")
+    assert url.startswith("jdbc:sqlserver://srv.sql.azuresynapse.net:1433;database=dw;")
+    assert "encrypt=true" in url
+
+    dw = az.synapse_sqldw_options(url, "cryptotable", az.wasbs_path("lake", "acct", "data"))
+    assert set(dw) == {"url", "forwardSparkAzureStorageCredentials", "dbTable", "tempDir"}
