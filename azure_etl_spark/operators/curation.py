@@ -1,0 +1,97 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Capability extensions beyond the reference surface (which processes a
+single 2-column crypto table end-to-end — SURVEY.md §2): benchmark
+decontamination and token-budget sequence packing, the two curation
+steps that sit between dedup/quality-filtering and tokenizer sharding
+in a training-data pipeline. Both are pure built-in-expression plans —
+no Python in the hot path — so they scale as ordinary shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azure_etl_spark.operators.dedup import word_shingles
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_threshold: int = 1,
+) -> DataFrame:
+    """Per-train-document eval-set contamination via exact word n-gram
+    overlap (the standard "13-gram decontamination" recipe, here with a
+    configurable n).
+
+    Returns one row per train document: ``overlap_ngrams`` = number of
+    distinct n-grams shared with ANY eval document, ``contaminated`` =
+    overlap >= flag_threshold.
+
+    Scale shape: the eval set is small by construction (benchmarks are
+    KBs–MBs against a 100 TB corpus), so its distinct n-gram set is
+    broadcast and the train side stays a map-only scan + broadcast-hash
+    semi-aggregation — no shuffle of the corpus. If the eval side ever
+    outgrows broadcast, the same plan degrades gracefully to a
+    shuffled-hash join on the fixed-width n-gram key.
+    """
+    eval_grams = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("ngram")).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ngram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("overlap_ngrams", F.coalesce(F.col("overlap_ngrams"), F.lit(0)))
+        .withColumn("contaminated", F.col("overlap_ngrams") >= flag_threshold)
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    order_cols: Sequence[str] = ("doc_id",),
+    n_tokens: Column | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    contiguous fill: within each shard, documents (in deterministic
+    order) are laid end-to-end and ``seq_id = floor(exclusive-prefix-sum
+    of tokens / budget)``.
+
+    Packing is per-``shard_col`` on purpose: the window shuffles by the
+    shard key instead of collapsing the corpus into one partition, which
+    is how packing is done at scale anyway (each output shard is packed
+    independently; cross-shard packing buys nothing). A greedy best-fit
+    packer would need per-bin state; contiguous fill is the
+    deterministic, embarrassingly-parallel variant with bounded waste
+    (< one document per boundary).
+
+    Adds ``n_tokens`` (whitespace token count unless an expression is
+    supplied) and ``seq_id`` columns.
+    """
+    if n_tokens is None:
+        from azure_etl_spark.operators.dedup import normalized_text
+
+        n_tokens = F.size(F.split(normalized_text(), " "))
+    out = df.withColumn("n_tokens", n_tokens)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.withColumn("seq_id", F.floor(cum_excl / F.lit(budget)).cast("int"))

@@ -85,3 +85,42 @@ def cogrouped_order_reconcile(
             schema="o_orderkey long, n_lines long, line_cents long, has_order_row boolean",
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier statistics via median absolute deviation:
+    ``outlier := |x - median| > k * MAD``. Returns one row per group with
+    the group size, median, MAD, and outlier count.
+
+    Three aggregate passes over the input, each reduced per group, with
+    the tiny per-group stats broadcast back — the input is never
+    shuffled, only scanned. At 100 TB the exact ``percentile`` becomes
+    the bottleneck (it buffers per-group values); swap in
+    ``percentile_approx`` (mergeable t-digest-style sketch) for the
+    scale path — same plan shape, bounded memory.
+    """
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), list(keys))
+    mad = with_med.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+        F.count("*").alias("n"),
+    )
+    with_mad = df.join(F.broadcast(mad), list(keys))
+    return with_mad.groupBy(*keys).agg(
+        F.first("n").alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col(value_col) - F.col("med")) > F.lit(k) * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+    )

@@ -93,3 +93,37 @@ def lag_lead_delta(
     time-series building block)."""
     w = Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(delta_col, F.col(value) - F.lag(value, 1).over(w))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_col: str,
+    order_cols: Sequence[str],
+    valid_from_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log: keep
+    only rows where ``attr_col`` changed (per key, in ``order_cols``
+    order), stamp each surviving row with ``valid_from`` (its own order
+    column), ``valid_to`` (the next change's, NULL while current) and
+    ``is_current``.
+
+    Two windows over the SAME partitioning+ordering (lag to detect
+    change, lead to close the interval), so one shuffle on the key
+    serves both. The change filter runs between them, shrinking the
+    second window's input to change points only. Scale: per-key state is
+    one row of lookback — any number of keys, any history length.
+    """
+    vf = valid_from_col or order_cols[0]
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = df.withColumn("__prev", F.lag(attr_col).over(w)).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(vf))
+        .withColumn("valid_to", F.lead(vf).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__prev")
+    )

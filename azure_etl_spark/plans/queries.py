@@ -3330,6 +3330,177 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cogrouped_order_reconcile(o, li).orderBy("o_orderkey")
 
 
+# ------------------------------------------------- corpus curation (extensions)
+
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(w) - 8, 0)),
+               i -> array_to_string(w[i + 1 : i + 8], ' ')))) AS ngram
+      FROM docs),
+    ev AS (SELECT DISTINCT ngram FROM grams WHERE source = 'src0'),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS overlap_ngrams
+      FROM grams g JOIN ev USING (ngram)
+      WHERE g.source <> 'src0'
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(h.overlap_ngrams, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    description="Benchmark decontamination: per-train-doc count of distinct "
+    "word 8-grams shared with the eval shard (source=src0); eval n-gram "
+    "set broadcast, corpus never shuffled.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import contamination_overlap
+
+    docs = _td(spark, sf_dir)
+    return contamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents),
+    packed AS (
+      SELECT source,
+             CAST(floor(
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512.0) AS INT) AS seq_id,
+             n_tokens
+      FROM t)
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS seq_tokens
+    FROM packed GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+    description="Token-budget sequence packing by contiguous fill, per "
+    "source shard (seq_id = floor(exclusive prefix tokens / 512)); window "
+    "shuffles by shard key, never one partition.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import pack_token_budget
+
+    docs = _td(spark, sf_dir)
+    packed = pack_token_budget(docs, budget=512, shard_col="source", order_cols=("doc_id",))
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
+    "mad_outliers_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - med), 0.5) AS mad,
+             ANY_VALUE(med) AS med,
+             COUNT(*) AS n
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type)
+    SELECT e.event_type,
+           ANY_VALUE(n) AS n,
+           COUNT(*) FILTER (WHERE abs(e.value - med) > 3.0 * mad) AS n_outliers,
+           ROUND(ANY_VALUE(med), 4) AS med,
+           ROUND(ANY_VALUE(mad), 4) AS mad
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    description="Robust per-group outlier stats via median absolute "
+    "deviation (|x - med| > 3*MAD); stats broadcast back, input only "
+    "scanned. Scale path swaps exact percentile for percentile_approx.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.normalize import mad_outlier_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outlier_stats(ev, keys=["event_type"], value_col="value", k=3.0).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "scd2_order_status",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    ch AS (SELECT o_custkey, status, o_orderdate, o_orderkey
+           FROM h WHERE prev IS NULL OR prev <> status)
+    SELECT o_custkey, status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM ch
+    """,
+    description="SCD type-2 history build from an event log: change-point "
+    "filter between lag and lead windows sharing one shuffle; intervals "
+    "stamped valid_from/valid_to/is_current.",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.windows import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderstatus").alias("status"), "o_orderdate", "o_orderkey"
+    )
+    return scd2_intervals(
+        o,
+        key_cols=["o_custkey"],
+        attr_col="status",
+        order_cols=["o_orderdate", "o_orderkey"],
+    ).select("o_custkey", "status", "valid_from", "valid_to", "is_current")
+
+
+@query(
+    "dup_cluster_size_hist",
+    oracle=f"""
+    WITH g AS (SELECT md5({_NORM_SQL}) AS h, COUNT(*) AS c
+               FROM documents GROUP BY 1)
+    SELECT c AS cluster_size, COUNT(*) AS n_clusters
+    FROM g GROUP BY c ORDER BY c
+    """,
+    description="Duplicate-cluster size histogram over exact content "
+    "hashes — the dedup-audit summary (how much of the corpus is "
+    "duplicated, at what multiplicity); shuffles 16-byte digests only.",
+)
+def q_dup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5(normalized_text("text")).alias("h")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
