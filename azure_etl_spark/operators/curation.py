@@ -95,3 +95,72 @@ def pack_token_budget(
     )
     cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return out.withColumn("seq_id", F.floor(cum_excl / F.lit(budget)).cast("int"))
+
+
+def domain_rebalance_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    max_weight: float = 5.0,
+) -> DataFrame:
+    """Per-domain sampling weights that rebalance the corpus token mix
+    toward a uniform target: ``weight = clamp(target_share / actual
+    token share, <= max_weight)``. Over-represented domains get weight
+    < 1 (downsample), under-represented ones > 1 (upsample / repeat),
+    capped so no domain is repeated unboundedly.
+
+    One aggregation to per-domain token counts, then window totals over
+    the tiny aggregate (rows = #domains, not #documents) — the corpus
+    itself is scanned once and never shuffled beyond the groupBy.
+    """
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    n_tokens = F.size(F.split(normalized_text(text_col), " "))
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"), F.sum(n_tokens).alias("tokens")
+    )
+    wtot = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(wtot).cast("double")
+    target = F.lit(1.0) / F.count("*").over(wtot).cast("double")
+    return per.select(
+        domain_col,
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.least(target / share, F.lit(max_weight)), 4).alias("weight"),
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets priority ``u^(1/w)`` with
+    ``u`` a uniform derived from md5(id) — reproducible across runs,
+    partitionings, and engines — and the global top-k priorities win.
+    Longer/heavier rows are proportionally likelier to be kept.
+
+    Single pass + ``TakeOrderedAndProject`` (per-partition top-k, then
+    k-way merge on the driver) — no global sort materialization however
+    large the input.
+    """
+    if weight is None:
+        from azure_etl_spark.operators.dedup import normalized_text
+
+        weight = F.size(F.split(normalized_text(text_col), " ")).cast("double")
+    c = F.col(id_col)
+    u = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    pri = F.pow(u, F.lit(1.0) / weight)
+    return (
+        df.withColumn("priority", F.round(pri, 10))
+        .orderBy(F.col("priority").desc(), c)
+        .limit(k)
+        .select(id_col, "priority")
+    )

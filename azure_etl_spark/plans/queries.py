@@ -3501,6 +3501,123 @@ def q_dup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COL_SQL = """
+    SELECT '{name}' AS "column",
+           COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {mn} AS min_value,
+           {mx} AS max_value
+    FROM customer
+"""
+
+
+def _profile_sql(cols: dict[str, bool]) -> str:
+    parts = []
+    for c, numeric in cols.items():
+        if numeric:
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(_PROFILE_COL_SQL.format(name=c, c=c, mn=mn, mx=mx))
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "profile_customer",
+    oracle=_profile_sql(
+        {
+            "c_custkey": True,
+            "c_name": False,
+            "c_nationkey": True,
+            "c_acctbal": True,
+            "c_mktsegment": False,
+        }
+    ),
+    description="One-pass per-column profiling (null count, cardinality, "
+    "min/max as uniform decimal-formatted strings): all metrics for all "
+    "columns in ONE agg + stack unpivot — one scan regardless of column "
+    "count; the oracle is the per-column UNION ALL equivalent.",
+)
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "customer"))
+
+
+@query(
+    "domain_rebalance_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, tokens,
+           ROUND(CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE), 6)
+             AS token_share,
+           ROUND(LEAST(
+             (1.0 / CAST(COUNT(*) OVER () AS DOUBLE))
+               / (CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE)),
+             5.0), 4) AS weight
+    FROM per
+    """,
+    description="Per-domain sampling weights toward a uniform token mix "
+    "(clamped upsample factor); corpus scanned once, window totals only "
+    "over the #domains-row aggregate.",
+)
+def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import domain_rebalance_weights
+
+    return domain_rebalance_weights(_td(spark, sf_dir))
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_WORDS_SQL}) AS DOUBLE) AS w,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, ROUND(pow(u, 1.0 / w), 10) AS priority
+    FROM t ORDER BY priority DESC, doc_id LIMIT 25
+    """,
+    description="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES, md5-derived uniforms): token-weighted "
+    "top-k via TakeOrderedAndProject — per-partition top-k + driver "
+    "merge, no global sort.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import weighted_sample_topk
+
+    return weighted_sample_topk(_t(spark, sf_dir, "documents"), k=25)
+
+
+@query(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH seen AS (SELECT DISTINCT md5({_NORM_SQL}) AS h
+                  FROM documents WHERE doc_id < 250),
+    b AS (SELECT doc_id, source, md5({_NORM_SQL}) AS h
+          FROM documents WHERE doc_id >= 250),
+    fresh AS (SELECT b.* FROM b ANTI JOIN seen USING (h)),
+    k AS (SELECT h, MIN(doc_id) AS doc_id FROM fresh GROUP BY h)
+    SELECT f.doc_id, f.source FROM fresh f JOIN k USING (doc_id, h)
+    """,
+    description="Incremental ingest dedup: new batch anti-joined against "
+    "the already-ingested digest index (16-byte hashes), then first-within-batch; "
+    "steady-state cost = scan batch + hash-index join, corpus never re-read.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    ).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -79,3 +79,60 @@ def test_scd2_intervals_change_points_only(spark):
         (1, "O", 5, None, True),
         (2, "P", 1, None, True),
     ]
+
+
+def test_profile_columns_one_row_per_column(spark):
+    from azure_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 10.0), (3, "b", None)], "id long, s string, v double"
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+    # numeric min/max surface as uniform decimal strings
+    assert (got["v"].min_value, got["v"].max_value) == ("2.50", "10.00")
+    assert got["id"].min_value == "1.00"
+
+
+def test_incremental_dedup_seen_and_within_batch(spark):
+    from azure_etl_spark.operators.dedup import incremental_dedup
+
+    seen = _docs(spark, [(1, "s", "old doc body")])
+    batch = _docs(
+        spark,
+        [
+            (10, "s", "old doc body"),      # dup of ingested corpus -> dropped
+            (11, "s", "fresh content a"),   # survives
+            (12, "s", "fresh content a"),   # within-batch dup -> dropped
+            (13, "s", "fresh content b"),   # survives
+        ],
+    )
+    ids = sorted(r.doc_id for r in incremental_dedup(batch, seen).collect())
+    assert ids == [11, 13]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from azure_etl_spark.operators.curation import weighted_sample_topk
+
+    # 200 docs: even ids are 50x heavier than odd ids
+    rows = [(i, "s", ("w " * (100 if i % 2 == 0 else 2)).strip()) for i in range(200)]
+    picked = [r.doc_id for r in weighted_sample_topk(_docs(spark, rows), k=40).collect()]
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    assert len(picked) == 40 and heavy >= 30  # heavily weighted side dominates
+    # determinism: same input -> identical sample
+    again = [r.doc_id for r in weighted_sample_topk(_docs(spark, rows), k=40).collect()]
+    assert picked == again
+
+
+def test_domain_rebalance_weights_direction(spark):
+    from azure_etl_spark.operators.curation import domain_rebalance_weights
+
+    rows = [(i, "big", "w " * 50) for i in range(90)] + [
+        (100 + i, "small", "w w") for i in range(10)
+    ]
+    got = {r.source: r for r in domain_rebalance_weights(_docs(spark, rows)).collect()}
+    assert got["big"].weight < 1.0       # over-represented -> downsample
+    assert got["small"].weight == 5.0    # under-represented -> clamped upsample
+    assert abs(got["big"].token_share + got["small"].token_share - 1.0) < 1e-9
