@@ -147,3 +147,48 @@ def test_runtime_bloom_filter_injected_for_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contamination_broadcasts_eval_side_only(spark, sf_dir):
+    """The corpus side of decontamination must never hit a wide shuffle:
+    both joins (gram match, hit-count re-attach) build on the broadcast
+    eval side."""
+    from azure_etl_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["contamination_ngram_overlap"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    from azure_etl_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["weighted_sample_docs"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_sequences_window_keyed_by_shard(spark, sf_dir):
+    """Packing must window per shard key, not collapse to one partition
+    (no empty-frame Window over a single global partition)."""
+    from azure_etl_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["pack_sequences_budget"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(source" in plan, plan
