@@ -3618,6 +3618,87 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@query(
+    "orc_roundtrip_gold",
+    oracle=f"""
+    {CRYPTO_SQL}
+    SELECT symbol,
+           MIN(price) AS min_value_by_crypto,
+           MAX(price) AS max_value_by_crypto
+    FROM crypto GROUP BY symbol
+    """,
+    description="Gold aggregate written to ORC and read back (columnar "
+    "alternative to parquet, built into Spark; decimal schema survives "
+    "the roundtrip).",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    gold = grouped_min_max(
+        crypto_view(spark, sf_dir),
+        keys=["symbol"],
+        value="price",
+        min_alias="min_value_by_crypto",
+        max_alias="max_value_by_crypto",
+    )
+    path = tempfile.mkdtemp(prefix="orc_gold_") + "/gold"
+    gold.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "symbol", "min_value_by_crypto", "max_value_by_crypto"
+    )
+
+
+@query(
+    "partitioned_events_pruned_day",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    description="K3/S6 medallion partitioned-layout roundtrip: events "
+    "written Hive-partitioned by year/month/day (one file per partition "
+    "via write-side repartition on the keys), read back with a "
+    "single-day filter that prunes to one directory — the layout the "
+    "reference's gold layer uses (silverToGold.scala:27); pruning is "
+    "asserted in tests/test_plans_scale.py.",
+)
+def q_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.files import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").withColumns(
+        {
+            "year": F.year("ts"),
+            "month": F.month("ts"),
+            "day": F.dayofmonth("ts"),
+        }
+    )
+    path = tempfile.mkdtemp(prefix="part_events_") + "/events"
+    write_partitioned(
+        ev.repartition("year", "month", "day"),
+        path,
+        partition_by=["year", "month", "day"],
+        fmt="parquet",
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -192,3 +192,26 @@ def test_pack_sequences_window_keyed_by_shard(spark, sf_dir):
         .toString()
     )
     assert "windowspecdefinition(source" in plan, plan
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
+    """A day-filter over a year/month/day-partitioned layout must reach
+    the scan as PartitionFilters and read one directory, not the table."""
+    from azure_etl_spark.sources.files import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumns(
+        {"year": F.year("ts"), "month": F.month("ts"), "day": F.dayofmonth("ts")}
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned(
+        ev.repartition("year", "month", "day"), path,
+        partition_by=["year", "month", "day"], fmt="parquet",
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200], plan
+    # and the filtered count matches a raw-table day filter
+    raw = load_table(spark, sf_dir, "events").filter(F.to_date("ts") == "2024-01-15")
+    assert back.count() == raw.count()
