@@ -70,3 +70,67 @@ def test_gold_partition_pruning(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_reference_golden_values_reproduced(spark, tmp_path):
+    """Reference-results parity: the exact 25-row silver snapshot embedded
+    in the executed bronzeToSilver.dbc (result block, symbols x prices)
+    must produce the exact gold table embedded in silverToGold.dbc —
+    values, decimal(10,2)->decimal(11,2) widening, and the run date the
+    reference stamped via current_date() (2022-02-10), reproduced here
+    with the explicit as_of parameter."""
+    import decimal as dec
+
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    silver_rows = [  # bronzeToSilver.dbc displayed silver snapshot (25 rows)
+        ("ADAUSDT", "1.20"),
+        ("BNBUSDT", "427.90"), ("BNBUSDT", "428.00"), ("BNBUSDT", "427.80"),
+        ("BTCUSDT", "44607.02"), ("BTCUSDT", "44608.21"), ("BTCUSDT", "44612.83"),
+        ("BTCUSDT", "44607.03"), ("BTCUSDT", "44613.38"), ("BTCUSDT", "44610.18"),
+        ("BTCUSDT", "44613.51"), ("BTCUSDT", "44613.39"), ("BTCUSDT", "44613.01"),
+        ("BTCUSDT", "44610.17"), ("BTCUSDT", "44615.43"), ("BTCUSDT", "44613.02"),
+        ("BTCUSDT", "44612.84"),
+        ("ETHUSDT", "3254.30"), ("ETHUSDT", "3254.03"), ("ETHUSDT", "3253.65"),
+        ("ETHUSDT", "3254.15"), ("ETHUSDT", "3253.66"), ("ETHUSDT", "3254.00"),
+        ("ETHUSDT", "3254.04"),
+        ("LTCUSDT", "140.30"),
+    ]
+    golden_gold = {  # silverToGold.dbc displayed gold result
+        "ADAUSDT": ("1.20", "1.20", "0.00"),
+        "BNBUSDT": ("427.80", "428.00", "0.20"),
+        "BTCUSDT": ("44607.02", "44615.43", "8.41"),
+        "ETHUSDT": ("3253.65", "3254.30", "0.65"),
+        "LTCUSDT": ("140.30", "140.30", "0.00"),
+    }
+    schema = StructType(
+        [StructField("symbol", StringType()), StructField("price", DecimalType(10, 2))]
+    )
+    # raw = snapshot with duplicates (the poll loop re-reads tickers);
+    # bronze->silver distinct must collapse back to the 25 golden rows
+    raw_rows = [(s, dec.Decimal(p)) for s, p in silver_rows] * 3
+    raw = spark.createDataFrame(raw_rows, schema)
+
+    pipe = MedallionPipeline(root=str(tmp_path), as_of=dt.date(2022, 2, 10))
+    gold = pipe.run(spark, raw)
+
+    assert pipe.results["silver_metrics"]["rows"] == 25  # distinct collapsed 75 -> 25
+
+    types = dict((f.name, f.dataType) for f in gold.schema.fields)
+    assert str(types["min_value_by_symbol"]) == "DecimalType(10,2)"
+    assert str(types["difference_between_min_max"]) == "DecimalType(11,2)"  # widened
+
+    got = {r["symbol"]: r for r in gold.collect()}
+    assert set(got) == set(golden_gold)
+    for sym, (mn, mx, diff) in golden_gold.items():
+        r = got[sym]
+        assert r["min_value_by_symbol"] == dec.Decimal(mn)
+        assert r["max_value_by_symbol"] == dec.Decimal(mx)
+        assert r["difference_between_min_max"] == dec.Decimal(diff)
+        assert (r["year"], r["month"], r["day"]) == (2022, 2, 10)
