@@ -127,3 +127,37 @@ def scd2_intervals(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__prev")
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    alpha: float = 0.5,
+    depth: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over a bounded lookback:
+    ``ewma_i = sum_k w_k * x_{i-k} / sum_k w_k`` with ``w_k =
+    alpha*(1-alpha)^k`` over the last ``depth`` rows (missing/null lags
+    drop out of both numerator and denominator).
+
+    The unbounded recursive EWMA needs ``(1-alpha)^(-rownum)`` scaling
+    that overflows doubles on long partitions; the bounded form is the
+    numerically-safe streaming-friendly variant (weights below
+    ``alpha*(1-alpha)^depth`` are negligible anyway) and is pure lag
+    arithmetic — one shuffle on the partition key, identical
+    expression order on any engine, so it is oracle-checkable.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_by])
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(depth):
+        wk = alpha * (1.0 - alpha) ** k
+        lagged = F.lag(F.col(value), k).over(w)
+        num = num + F.coalesce(lagged * F.lit(wk), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col, F.when(den == 0.0, F.lit(None)).otherwise(num / den)
+    )

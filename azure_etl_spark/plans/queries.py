@@ -3699,6 +3699,73 @@ def q_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_sql(alpha: float = 0.5, depth: int = 8) -> tuple[str, str]:
+    """DuckDB numerator/denominator with the same term order as
+    operators/windows.ewma_bounded (identical IEEE evaluation order)."""
+    num, den = "0.0", "0.0"
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    for k in range(depth):
+        wk = alpha * (1.0 - alpha) ** k
+        lagged = f"lag(value, {k}) {over}"
+        num = f"({num} + COALESCE({lagged} * {wk!r}, 0.0))"
+        den = f"({den} + CASE WHEN {lagged} IS NOT NULL THEN {wk!r} ELSE 0.0 END)"
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql()
+
+
+@query(
+    "ewma_user_values",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN {_EWMA_DEN} = 0.0 THEN NULL
+                      ELSE {_EWMA_NUM} / {_EWMA_DEN} END, 6) AS ewma
+    FROM events
+    """,
+    description="Bounded-depth exponentially-weighted moving average per "
+    "user (alpha=0.5, 8 lags): pure lag arithmetic sharing one window "
+    "shuffle — the numerically-safe form of EWMA (the recursive scaling "
+    "variant overflows doubles on long partitions).",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.windows import ewma_bounded
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_bounded(
+        ev, partition_by=["user_id"], order_by=["ts", "event_id"], value="value"
+    )
+    return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "mode_priority_by_status",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY n DESC, o_orderpriority DESC) AS rn
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode, n
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+    description="Deterministic mode (most frequent priority per status, "
+    "ties broken by highest value): two hash aggregations + max-of-"
+    "struct, no window over the fact table — unlike built-in mode(), "
+    "reproducible and oracle-checkable.",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import deterministic_mode
+
+    o = _t(spark, sf_dir, "orders")
+    return deterministic_mode(
+        o, keys=["o_orderstatus"], value="o_orderpriority"
+    ).orderBy("o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
