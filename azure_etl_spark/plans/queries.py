@@ -3360,6 +3360,7 @@ _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
     description="Benchmark decontamination: per-train-doc count of distinct "
     "word 8-grams shared with the eval shard (source=src0); eval n-gram "
     "set broadcast, corpus never shuffled.",
+    bench=True,
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.curation import contamination_overlap
@@ -3394,6 +3395,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Token-budget sequence packing by contiguous fill, per "
     "source shard (seq_id = floor(exclusive prefix tokens / 512)); window "
     "shuffles by shard key, never one partition.",
+    bench=True,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.curation import pack_token_budget
@@ -3764,6 +3766,87 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_mode(
         o, keys=["o_orderstatus"], value="o_orderpriority"
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "word_entropy_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS INT) AS n_distinct
+          FROM c GROUP BY 1)
+    SELECT c.doc_id, ANY_VALUE(t.total) AS n_tokens,
+           ANY_VALUE(t.n_distinct) AS n_distinct_words,
+           ROUND(-SUM((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)), 6)
+             AS entropy
+    FROM c JOIN t USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+    description="Per-document word Shannon entropy (plus token/vocab "
+    "counts) — the information-theoretic quality signal (low entropy = "
+    "repetitive/template text): explode -> two hash aggregations, "
+    "shuffle keyed by doc so per-doc probabilities never cross nodes.",
+    bench=True,
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    docs = _td(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.count("*").cast("int").alias("n_distinct_words")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("total").alias("n_tokens"),
+            F.first("n_distinct_words").alias("n_distinct_words"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "regr_value_trend_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n,
+           ROUND(regr_slope(value,
+             (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 6)
+             AS slope_per_hour,
+           ROUND(regr_intercept(value,
+             (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 4)
+             AS intercept
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Per-group least-squares trend (regr_slope/intercept of "
+    "value vs hours since 2024-01-01): single-pass covariance "
+    "aggregates, partial+final like any hash agg — no per-group "
+    "collection. The regressor is centered near the data's origin on "
+    "purpose: against raw epoch values the intercept extrapolates "
+    "~473 k hours out and catastrophic cancellation amplifies "
+    "engine-internal rounding differences past any tolerance.",
+)
+def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    origin = F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+    x = (F.unix_timestamp("ts") - origin).cast("double") / F.lit(3600.0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_hour"),
+            F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
