@@ -134,3 +134,28 @@ def test_reference_golden_values_reproduced(spark, tmp_path):
         assert r["max_value_by_symbol"] == dec.Decimal(mx)
         assert r["difference_between_min_max"] == dec.Decimal(diff)
         assert (r["year"], r["month"], r["day"]) == (2022, 2, 10)
+
+
+def test_incremental_gold_merge_equals_full_recompute(spark, sf_dir):
+    """Mergeable-aggregate identity: folding a new batch into existing
+    gold equals recomputing gold over history+batch — the incremental
+    refresh path that avoids rescanning the corpus."""
+    from azure_etl_spark.operators.aggregate import (
+        grouped_min_max,
+        incremental_minmax_merge,
+    )
+
+    raw = crypto_view(spark, sf_dir)
+    history = raw.filter(F.col("price") < 30000)
+    batch = raw.filter(F.col("price") >= 30000)
+
+    gold_hist = grouped_min_max(
+        history, keys=["symbol"], value="price", min_alias="mn", max_alias="mx"
+    )
+    merged = incremental_minmax_merge(
+        gold_hist, batch, keys=["symbol"], value="price", min_alias="mn", max_alias="mx"
+    )
+    full = grouped_min_max(
+        raw, keys=["symbol"], value="price", min_alias="mn", max_alias="mx"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
