@@ -145,3 +145,33 @@ def asof_join(
         keep = [F.col(f"__f_{c}").alias(c) for c in right_cols]
     left_cols = [c for c in left.columns]
     return out.select(*[F.col(c) for c in left_cols], *keep)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, possibly skewed) left side
+    gets a deterministic per-row salt, the (smaller) right side is
+    replicated ``salt`` times, and the join key becomes
+    ``(on..., salt)`` — a hot key's rows now spread over ``salt``
+    reducers instead of melting one.
+
+    Result set is identical to the unsalted join (proven in tests); cost
+    is ``salt``x replication of the right side, so use it when AQE's
+    skew-join split (enabled by the session factory) isn't available —
+    e.g. bucketed/co-partitioned pipelines where AQE won't re-plan, or
+    aggregation-free pipelines feeding a sink directly.
+    """
+    on = list(on)
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    l2 = left.withColumn("__salt", salt_col)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l2.join(r2, [*on, "__salt"], how).drop("__salt")

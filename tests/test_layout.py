@@ -1,0 +1,118 @@
+"""Physical layout: salted-join equivalence, and sort/Z-order clustering
+verified against actual parquet footer statistics (what production
+readers use to skip row groups)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from azure_etl_spark.operators.joins import salted_join
+from azure_etl_spark.operators.layout import morton_key, sort_for_skipping
+from azure_etl_spark.sources.files import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refused")], "flag string, label string"
+    )
+    plain = li.join(dim, li.l_returnflag == dim.flag).drop("flag")
+    salted = salted_join(
+        li.withColumnRenamed("l_returnflag", "flag"), dim, on=["flag"], salt=8
+    ).withColumnRenamed("flag", "l_returnflag")
+    a = sorted(map(tuple, plain.select("l_orderkey", "label").collect()))
+    b = sorted(map(tuple, salted.select("l_orderkey", "label").collect()))
+    assert a == b and len(a) > 0
+
+
+def _rowgroup_ranges(path: str, col: str) -> list[tuple]:
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            out.append((st.min, st.max))
+    return out
+
+
+def _write_small_groups(df, path):
+    # tiny parquet row groups so a fixture-sized table yields several
+    df.write.mode("overwrite").option("parquet.block.size", 32 * 1024).parquet(path)
+
+
+def test_sorted_write_gives_selective_rowgroup_stats(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    unsorted_p = str(tmp_path / "unsorted")
+    sorted_p = str(tmp_path / "sorted")
+    _write_small_groups(li.repartition(4), unsorted_p)
+    _write_small_groups(sort_for_skipping(li, ["l_orderkey"], partitions=4), sorted_p)
+
+    def overlap_fraction(ranges):
+        # fraction of row-group pairs whose [min,max] key ranges overlap
+        n, hits = 0, 0
+        for i, (a, b) in enumerate(ranges):
+            for c, d in ranges[i + 1 :]:
+                n += 1
+                hits += (a <= d) and (c <= b)
+        return hits / max(n, 1)
+
+    ru = _rowgroup_ranges(unsorted_p, "l_orderkey")
+    rs = _rowgroup_ranges(sorted_p, "l_orderkey")
+    assert len(rs) >= 4, "expected multiple row groups"
+    # unsorted: every group spans ~the whole key range -> overlaps everywhere;
+    # sorted: ranges are (near-)disjoint -> a point/range filter skips groups
+    assert overlap_fraction(ru) > 0.9
+    assert overlap_fraction(rs) < 0.2
+
+
+def test_morton_key_interleaves_bits_exactly(spark):
+    def py_morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1023, 65535)]
+    df = spark.createDataFrame(rows, "x int, y int").withColumn(
+        "m", morton_key(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.m == py_morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Sorting by the Morton key must keep the SECOND dimension's
+    row-group ranges narrow too (plain (a,b) sort leaves b spanning its
+    full range inside every a-run)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # bucketize both keys into the 16-bit Morton domain by scaling to max
+    mxp, mxs = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+    bx = (F.col("l_partkey") * 65535 / F.lit(int(mxp))).cast("int")
+    by = (F.col("l_suppkey") * 65535 / F.lit(int(mxs))).cast("int")
+    z = li.withColumn("zkey", morton_key(bx, by))
+
+    zsorted_p = str(tmp_path / "zsorted")
+    lexsorted_p = str(tmp_path / "lexsorted")
+    _write_small_groups(sort_for_skipping(z, ["zkey"], partitions=2), zsorted_p)
+    _write_small_groups(
+        sort_for_skipping(li, ["l_partkey", "l_suppkey"], partitions=2), lexsorted_p
+    )
+
+    def mean_width(path, col, global_range):
+        rg = _rowgroup_ranges(path, col)
+        return sum(mx_ - mn_ for mn_, mx_ in rg) / len(rg) / global_range
+
+    g_supp = int(mxs)
+    w_z = mean_width(zsorted_p, "l_suppkey", g_supp)
+    w_lex = mean_width(lexsorted_p, "l_suppkey", g_supp)
+    # lex sort on (partkey, suppkey) leaves suppkey unclustered (~full
+    # range per group); z-order keeps it materially narrower
+    assert w_z < w_lex * 0.8, (w_z, w_lex)
