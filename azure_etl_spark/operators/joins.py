@@ -49,24 +49,6 @@ def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> 
     return left.join(right, on, "left_anti")
 
 
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    salt: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-resistant equi-join: left gets a random salt in [0, salt),
-    right is replicated once per salt value; join on (key, salt).
-    Payload: |right| x salt extra rows — keep the replicated side small.
-    """
-    salted_left = left.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
-    salted_right = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    )
-    return salted_left.join(salted_right, [key, "__salt"], how).drop("__salt")
-
-
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -150,7 +132,7 @@ def asof_join(
 def salted_join(
     left: DataFrame,
     right: DataFrame,
-    on: Sequence[str],
+    on: str | Sequence[str],
     salt: int = 8,
     how: str = "inner",
 ) -> DataFrame:
@@ -166,7 +148,7 @@ def salted_join(
     e.g. bucketed/co-partitioned pipelines where AQE won't re-plan, or
     aggregation-free pipelines feeding a sink directly.
     """
-    on = list(on)
+    on = [on] if isinstance(on, str) else list(on)
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
     ).cast("int")
