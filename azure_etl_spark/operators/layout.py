@@ -56,3 +56,43 @@ def morton_key(x_bucket: Column, y_bucket: Column) -> Column:
     be in [0, 65535] — compute them with ``width_bucket``/``ntile``/
     scaling against known min/max. Pure bit arithmetic under codegen."""
     return _spread16(x_bucket).bitwiseOR(F.shiftleft(_spread16(y_bucket), 1))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (hash-clustered) catalog table.
+
+    Two tables written with the SAME bucket count and key join with
+    ZERO shuffle: Spark's scan reports HashPartitioning(key, n), so the
+    SortMergeJoin's Exchange requirement is already satisfied and each
+    task merges bucket i of both tables (with ``sort_cols`` the
+    per-bucket sort is also free). At 100 TB this turns the dominant
+    cost of a recurring fact/dim join into a one-time layout cost
+    amortized over every downstream query — the same trade
+    ``sort_for_skipping`` makes for filters, applied to joins. The
+    reference has no recurring join (SURVEY.md §2.4 — single-table
+    pipeline); this is the engine's scale path for repeated equi-joins.
+    Bucketed output requires ``saveAsTable`` (bucket metadata lives in
+    the catalog, not the files). ``table`` must be an unqualified name
+    in the current database. On overwrite the previous location is
+    removed explicitly: with the default in-memory catalog a NEW session
+    does not know about a prior run's table, so ``saveAsTable`` alone
+    would fail with LOCATION_ALREADY_EXISTS on the leftover directory."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if mode == "overwrite":
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(loc, True)
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -51,6 +51,21 @@ def train_test_tag(
     )
 
 
+def deterministic_shard(key_col: str | Column, n_shards: int) -> Column:
+    """Shard id in [0, n_shards) from md5(key) — the reproducible
+    'global shuffle' a training exporter needs. Unlike
+    ``df.repartition(n)`` (round-robin/hash over Spark's internal
+    partitioning, different every run), the assignment depends only on
+    the key, so the same corpus produces byte-identical shards across
+    runs, cluster sizes, and engines. Pure expression (md5 + conv +
+    pmod) under codegen; pair with ``partitionBy(shard)`` on write."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    word = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(word, F.lit(n_shards))
+
+
 def stratified_hash_sample(
     df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float]
 ) -> DataFrame:

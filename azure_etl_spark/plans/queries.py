@@ -3849,6 +3849,172 @@ def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ statistical aggregate surface
+
+@query(
+    "corr_stats_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n,
+           ROUND(corr(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+             AS corr_value_hour,
+           ROUND(covar_samp(value, CAST(date_part('hour', ts) AS DOUBLE)), 4)
+             AS covar_value_hour,
+           ROUND(stddev_samp(value), 4) AS stddev_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Pearson correlation / sample covariance / stddev of "
+    "value vs hour-of-day per event type: all single-pass co-moment "
+    "aggregates (partial+final), so the shuffle carries one small "
+    "moment tuple per (partition, group) — no per-group collection at "
+    "any scale.",
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.corr(F.col("value"), hour), 6).alias("corr_value_hour"),
+            F.round(F.covar_samp(F.col("value"), hour), 4).alias("covar_value_hour"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "median_iqr_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(median(o_totalprice), 2) AS median_total,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS q1_total,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS q3_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="EXACT median + interquartile bounds per priority "
+    "(linear-interpolated percentile, same semantics as DuckDB "
+    "quantile_cont). Exact percentile buffers each group's values — "
+    "fine for bounded group counts; the sketch-based "
+    "percentile_approx query (approx_quantiles_orders) is the "
+    "mergeable 100 TB path.",
+)
+def q_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.median("o_totalprice"), 2).alias("median_total"),
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("q1_total"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("q3_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "parse_url_docs",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents ORDER BY doc_id
+    """,
+    description="URL structural parsing (host/path/query-param) via "
+    "parse_url — the JVM-side building block for crawl-corpus curation "
+    "(domain rollups, per-site quotas, URL dedup) without a Python UDF. "
+    "The oracle reconstructs each component independently from the "
+    "fields the URL was built from, so it verifies parse_url's "
+    "extraction rather than mirroring it.",
+)
+def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "shard_docs_deterministic",
+    oracle="""
+    SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 8 AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY shard ORDER BY shard
+    """,
+    description="Deterministic training-shard assignment: shard = "
+    "md5(doc_id) mod N, so the same corpus always lands in the same "
+    "shards regardless of partitioning, cluster size, or engine — the "
+    "reproducible 'global shuffle' a training exporter needs (vs "
+    "df.repartition's run-dependent round-robin). Balance check "
+    "aggregates per-shard doc and char counts.",
+)
+def q_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sampling import deterministic_shard
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(deterministic_shard("doc_id", 8).alias("shard"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("shard")
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    description="Shuffle-free fact/dim join from bucketed layout: both "
+    "tables persisted with bucketBy(8, custkey) + sortBy, so the join "
+    "plan has NO Exchange on either side — each task merges bucket i "
+    "of both tables. The one-time layout cost amortizes across every "
+    "recurring join at 100 TB (see operators/layout.py:write_bucketed; "
+    "plan asserted Exchange-free in tests/test_layout.py).",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.layout import write_bucketed
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(orders, "bkt_orders", ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"])
+    write_bucketed(cust, "bkt_customer", ["c_custkey"], n_buckets=8, sort_cols=["c_custkey"])
+    o = spark.table("bkt_orders")
+    c = spark.table("bkt_customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
