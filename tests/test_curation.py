@@ -136,3 +136,33 @@ def test_domain_rebalance_weights_direction(spark):
     assert got["big"].weight < 1.0       # over-represented -> downsample
     assert got["small"].weight == 5.0    # under-represented -> clamped upsample
     assert abs(got["big"].token_share + got["small"].token_share - 1.0) < 1e-9
+
+
+def test_sorted_run_entropy_edge_cases(spark):
+    """Fold-based entropy (operators/text.py:sorted_run_entropy) on the
+    inputs that break naive formulations: empty text (normalizes to the
+    single token ''), a uniform doc (entropy 0), and a known mix."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.text import sorted_run_entropy
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x x x x"), (3, "a a b b"), (4, "one")], "id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", F.inline(F.array(sorted_run_entropy(F.split(normalized_text("text"), " "))))
+        ).collect()
+    }
+    # '' tokenizes to [''] — one token, one distinct word, entropy 0
+    assert out[1]["n_tokens"] == 1 and out[1]["n_distinct_words"] == 1
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["n_tokens"] == 4 and out[2]["n_distinct_words"] == 1
+    assert out[2]["entropy"] == 0.0
+    assert out[3]["n_distinct_words"] == 2
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
+    assert out[4]["n_tokens"] == 1 and out[4]["entropy"] == 0.0
