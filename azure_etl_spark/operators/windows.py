@@ -161,3 +161,52 @@ def ewma_bounded(
     return df.withColumn(
         out_col, F.when(den == 0.0, F.lit(None)).otherwise(num / den)
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str = "value_filled",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key time series.
+
+    For each null, finds the nearest non-null neighbors on both sides
+    (``last(..., ignorenulls)`` backward + ``first(..., ignorenulls)``
+    forward over the same key partition) and fills
+    ``prev + (next-prev) * (t-t_prev)/(t_next-t_prev)``; leading/
+    trailing gaps take the single available neighbor. Two window passes
+    over ONE partitioning+sort — Spark plans a single Exchange+Sort
+    shared by both frames. Complements LOCF gap-fill (step function)
+    where a continuous signal should ramp instead.
+    """
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col)
+    order = [ts_col, *tiebreak]  # tiebreak for duplicate timestamps:
+    # without it, which neighbor 'last'/'first' sees is partition-order
+    # dependent and the fill is nondeterministic
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    ramp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(ramp)
+    )
+    return df.withColumn(out_col, filled)

@@ -4158,6 +4158,174 @@ def q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "date_spine_daily_events",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b)
+    SELECT spine.d AS d, coalesce(daily.n, 0) AS n,
+           coalesce(daily.total_value, CAST(0 AS DECIMAL(18,2))) AS total_value
+    FROM spine LEFT JOIN daily USING (d) ORDER BY d
+    """,
+    description="Dense daily spine with zero-fill: bounds from the data "
+    "(min/max date agg -> 1 row), sequence+explode generates the "
+    "calendar, left join re-attaches per-day aggregates. The spine side "
+    "is O(days) rows from a single-row aggregate, so the join "
+    "broadcasts it — no shuffle of the fact side beyond the daily "
+    "rollup. Complements gapfill_locf_daily (which carries values "
+    "forward; this zero-fills counts).",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_value"),
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+            F.coalesce("total_value", F.lit(0).cast("decimal(18,2)")).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "array_set_ops_langs",
+    oracle="""
+    SELECT source,
+           list_sort(list(DISTINCT lang)) AS langs_all,
+           list_sort(list_intersect(list(DISTINCT lang), ['en', 'es']))
+             AS langs_target,
+           list_sort(list_filter(list(DISTINCT lang),
+                                 x -> NOT list_contains(['en', 'es'], x)))
+             AS langs_other
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    description="Array set-operation surface (array_intersect / "
+    "array_except / array_sort over collect_set): per-source language "
+    "coverage split against a target list. Set state stays bounded by "
+    "lang cardinality, so the agg is mergeable and the shuffle tiny.",
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    target = F.array(F.lit("en"), F.lit("es"))
+    langs = F.collect_set("lang")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.array_sort(langs).alias("langs_all"),
+            F.array_sort(F.array_intersect(langs, target)).alias("langs_target"),
+            F.array_sort(F.array_except(langs, target)).alias("langs_other"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "hash_surface_docs",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha_256,
+           md5(text) AS text_md5,
+           base64(encode(substr(text, 1, 24))) AS head_b64
+    FROM documents ORDER BY doc_id
+    """,
+    description="Cryptographic-hash and binary-encoding surface (sha2/"
+    "md5/base64 over utf-8 bytes) — the content-addressing primitives "
+    "under exact dedup, cache keys, and shard assignment. Map-only "
+    "codegen; no shuffle.",
+)
+def q_hash_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_256"),
+        F.md5("text").alias("text_md5"),
+        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("head_b64"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "interpolate_missing_values",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'
+                  THEN NULL ELSE value END AS v
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, t_us, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM base)
+    SELECT event_id, user_id, (v IS NULL) AS was_null,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (CAST(t_us AS DOUBLE) - pt) / (nt - pt)
+                 END, 4) AS value_filled
+    FROM w ORDER BY user_id, event_id
+    """,
+    description="Linear interpolation of missing time-series values "
+    "(~25% of points deterministically nulled by md5(event_id) so both "
+    "engines drop the same ones): nearest non-null neighbors via "
+    "last/first IGNORE NULLS over one per-user sort, ramp fill between "
+    "them, LOCF/NOCB at the edges. Both window frames share a single "
+    "Exchange+Sort (operators/windows.py:interpolate_linear); "
+    "complements gapfill_locf_daily's step-function fill.",
+)
+def q_interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.windows import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    nulled = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "4",
+            F.lit(None),
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = interpolate_linear(
+        nulled, ["user_id"], "t_us", "v", out_col="value_filled", tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_null"),
+        F.round("value_filled", 4).alias("value_filled"),
+    ).orderBy("user_id", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

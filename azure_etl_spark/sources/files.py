@@ -219,3 +219,26 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(sort_by)
     w.format("parquet").saveAsTable(table)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Scan a directory of opaque media files (images/audio/video) as
+    ``(path, modificationTime, length, content binary)`` via Spark's
+    ``binaryFile`` source — the ingest half of the multimodal pipeline
+    (operators/multimodal.py consumes the ``content`` column with
+    Arrow-batched decoders). Each file is one row read in full; pair
+    with ``repartition_for_payload`` so a few giant files don't pin
+    single tasks, and push ``pathGlobFilter`` down instead of filtering
+    rows after the read.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)

@@ -80,3 +80,57 @@ def test_sample_frames_expands_rows(spark, sf_dir):
     )
     assert idx == [0, 3, 6, 9]
     assert "frame" in out.columns and out.schema["frame"].dataType.simpleString() == "binary"
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingest (sources/files.py:read_binary_files): content
+    bytes round-trip exactly, glob pushdown filters non-matching files,
+    and the content column feeds the media plumbing ops."""
+    import os
+
+    from azure_etl_spark.sources.files import read_binary_files
+
+    payloads = {f"img_{i}.fakejpg": bytes([i] * (10 + i)) for i in range(5)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "notes.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.fakejpg")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 5  # .txt filtered by pushed glob, not post-hoc
+    for r in rows:
+        name = os.path.basename(r["path"])
+        assert bytes(r["content"]) == payloads[name]
+        assert r["length"] == len(payloads[name])
+
+    stats = df.select(
+        F.length("content").alias("n_bytes"),
+        F.crc32("content").alias("checksum"),
+    ).collect()
+    assert all(s["n_bytes"] > 0 and s["checksum"] is not None for s in stats)
+
+
+def test_interpolate_linear_known_values(spark):
+    """Hand-checked ramp: gap between (t=1,v=10) and (t=4,v=40) fills
+    20/30 at t=2/3; leading/trailing gaps take the nearest neighbor."""
+    from azure_etl_spark.operators.windows import interpolate_linear
+
+    df = spark.createDataFrame(
+        [
+            ("u", 0.5, None),
+            ("u", 1.0, 10.0),
+            ("u", 2.0, None),
+            ("u", 3.0, None),
+            ("u", 4.0, 40.0),
+            ("u", 5.0, None),
+        ],
+        "k string, t double, v double",
+    )
+    out = {
+        r["t"]: r["value_filled"]
+        for r in interpolate_linear(df, ["k"], "t", "v").collect()
+    }
+    assert out[0.5] == 10.0  # NOCB at the leading edge
+    assert out[2.0] == 20.0 and out[3.0] == 30.0  # linear ramp
+    assert out[5.0] == 40.0  # LOCF at the trailing edge
+    assert out[1.0] == 10.0 and out[4.0] == 40.0  # observed pass through
