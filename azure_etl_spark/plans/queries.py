@@ -4326,6 +4326,93 @@ def q_interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+@query(
+    "null_safe_join_nations",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2'
+                  THEN NULL ELSE c_nationkey END AS nk
+      FROM customer),
+    n AS (
+      SELECT n_nationkey AS nk, n_name FROM nation
+      UNION ALL SELECT NULL, 'UNKNOWN')
+    SELECT n.n_name AS n_name, COUNT(*) AS n_customers
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY n.n_name ORDER BY n_name
+    """,
+    description="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): "
+    "~12% of customer nation keys deterministically nulled, dim side "
+    "augmented with a NULL 'UNKNOWN' row, so null keys MATCH instead "
+    "of dropping. The scale point: Spark hashes null-safe equality "
+    "like any equi-key — the plan stays a broadcast/shuffle hash "
+    "join, it does not degrade to a theta-join cartesian.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "2",
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nk"), "n_name"
+    )
+    n = n.unionByName(
+        n.sparkSession.createDataFrame(
+            [(None, "UNKNOWN")], "nk bigint, n_name string"
+        )
+    )
+    return (
+        c.join(F.broadcast(n), c.nk.eqNullSafe(n.nk))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "map_hof_event_shares",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    tot AS (SELECT user_id, SUM(n) AS total FROM per GROUP BY user_id)
+    SELECT per.user_id AS user_id, per.event_type AS event_type,
+           ROUND(CAST(per.n AS DOUBLE) / tot.total, 6) AS share
+    FROM per JOIN tot USING (user_id)
+    WHERE per.n >= 2
+    ORDER BY user_id, event_type
+    """,
+    description="Map higher-order functions: per-user counts packed "
+    "into a map, map_filter drops rare entries (n < 2), "
+    "transform_values converts counts to shares, explode unpacks — "
+    "the oracle computes shares relationally, so equality proves the "
+    "whole map pipeline. Map state per user is bounded by event-type "
+    "cardinality; one shuffle total.",
+)
+def q_map_hof_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    shares = packed.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 2),
+            lambda k, v: F.round(v.cast("double") / F.col("total"), 6),
+        ).alias("m"),
+    )
+    return shares.select(
+        "user_id", F.explode("m").alias("event_type", "share")
+    ).orderBy("user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
