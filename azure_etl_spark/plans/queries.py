@@ -4413,6 +4413,136 @@ def q_map_hof_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+# ------------------------------------------------- Spark-4 surface extras
+
+@query(
+    "xml_roundtrip_docs",
+    oracle="""
+    SELECT doc_id, lang AS lang_xml, source AS source_xml
+    FROM documents ORDER BY doc_id
+    """,
+    description="XML structural surface (Spark 4 built-in to_xml/"
+    "from_xml): each row serialized to an XML fragment and parsed back "
+    "with an explicit schema; the oracle is the identity projection, so "
+    "equality proves the roundtrip is lossless. JVM-side row-local "
+    "work, map-only plan.",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    xml = F.to_xml(F.struct("lang", "source"), {"rowTag": "doc"})
+    parsed = F.from_xml(xml, "lang STRING, source STRING", {"rowTag": "doc"})
+    return d.select("doc_id", parsed.alias("p")).select(
+        "doc_id",
+        F.col("p.lang").alias("lang_xml"),
+        F.col("p.source").alias("source_xml"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "str_to_map_docs",
+    oracle="""
+    SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+    UNION ALL
+    SELECT doc_id, 'source' AS k, source AS v FROM documents
+    ORDER BY doc_id, k
+    """,
+    description="str_to_map parsing of key:value,k:v strings (the "
+    "log/qs-param decode primitive) exploded back to rows; oracle "
+    "rebuilds the pairs relationally. Map entries preserve insertion "
+    "order in Spark — output is re-sorted so neither engine's entry "
+    "order matters.",
+)
+def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = F.concat(F.lit("lang:"), "lang", F.lit(",source:"), "source")
+    m = F.str_to_map(s, F.lit(","), F.lit(":"))
+    return (
+        d.select("doc_id", F.explode(m).alias("k", "v"))
+        .orderBy("doc_id", "k")
+    )
+
+
+@query(
+    "collated_lang_counts",
+    oracle="""
+    SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+             AS lang_norm,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang_norm ORDER BY lang_norm
+    """,
+    description="Collation-aware grouping (Spark 4 UTF8_LCASE): langs "
+    "mixed-case deterministically by doc_id parity, grouped under a "
+    "case-insensitive collation instead of a lower() rewrite — "
+    "collation rides the type, so every comparison/join/agg downstream "
+    "inherits it. Output normalized with lower() because the grouped "
+    "representative is an arbitrary member of the equivalence class.",
+)
+def q_collated_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(F.col("lang"))
+    return (
+        d.select(F.collate(mixed, "UTF8_LCASE").alias("lang_c"))
+        .groupBy("lang_c")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower("lang_c").alias("lang_norm"), "n")
+        .orderBy("lang_norm")
+    )
+
+
+@query(
+    "try_arithmetic_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 7 = 0 THEN NULL
+                ELSE ROUND(o_totalprice / (o_custkey % 7), 4) END AS price_ratio,
+           o_orderkey > 0 AS overflow_is_null
+    FROM orders ORDER BY o_orderkey
+    """,
+    description="ANSI-safe try_* arithmetic (Spark 4 runs ANSI mode by "
+    "default, where /0 and bigint overflow are runtime ERRORS that "
+    "kill the job): try_divide yields NULL on the deterministic zero "
+    "denominators, try_add(key, BIGINT_MAX) NULLs instead of "
+    "overflowing. The fault-tolerance contract batch curation needs — "
+    "one poisoned row must not fail a 100 TB pass.",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    denom = F.col("o_custkey") % 7
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), denom), 4).alias("price_ratio"),
+        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775807))
+        .isNull()
+        .alias("overflow_is_null"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "bitmap_distinct_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey % 10000) AS BIGINT) AS n_distinct_buckets
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="Bitmap aggregate surface (bitmap_construct_agg + "
+    "bitmap_count): EXACT distinct counting of bounded-domain ints as "
+    "a fixed-size bitmap — mergeable like HLL but exact, the right "
+    "structure for bounded ids (enum codes, bucketed keys) where HLL's "
+    "error and COUNT(DISTINCT)'s expand-shuffle are both unnecessary. "
+    "Oracle: plain COUNT(DISTINCT). Domain shifted +1 because "
+    "bitmap_bit_position maps both 0 and 1 to bit 0 ((x-1) clamped), "
+    "which would silently merge those two values.",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pos = F.bitmap_bit_position(F.col("o_custkey") % 10000 + 1)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.bitmap_count(F.bitmap_construct_agg(pos)).alias("n_distinct_buckets"))
+        .orderBy("o_orderstatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
