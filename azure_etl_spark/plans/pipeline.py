@@ -73,7 +73,9 @@ class MedallionPipeline:
         ``df.count()`` for metrics would double the scan.
         """
         obs = Observation("silver_quality")
-        df = distinct_rows(read_parquet(spark, self.path("bronze"))).orderBy(self.key)
+        from azure_etl_spark.operators.dedup import distinct_sorted
+
+        df = distinct_sorted(read_parquet(spark, self.path("bronze")), [self.key])
         df = df.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),

@@ -140,11 +140,16 @@ def flagship_gold_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_distinct",
     oracle=f"{CRYPTO_SQL} SELECT DISTINCT symbol, price FROM crypto",
-    description="A2 bronzeToSilver distinct() (bronzeToSilver.scala:8).",
+    description="A2 bronzeToSilver distinct() + sort "
+    "(bronzeToSilver.scala:8-9), planned as ONE shuffle: range-"
+    "partition first, dedup in place, re-sort within partitions "
+    "(operators/dedup.py:distinct_sorted).",
     bench=True,
 )
 def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return distinct_rows(crypto_view(spark, sf_dir)).orderBy("symbol", "price")
+    from azure_etl_spark.operators.dedup import distinct_sorted
+
+    return distinct_sorted(crypto_view(spark, sf_dir), ["symbol", "price"])
 
 
 @query(

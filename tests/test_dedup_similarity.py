@@ -231,3 +231,21 @@ def test_ivf_self_retrieval_and_recall(spark, sf_dir):
         r["vec_id"] for r in ivf_topk(q0, emb, assign, cents, k=10, nprobe=4).collect()
     }
     assert len(set(exact) & approx) >= 4
+
+
+def test_distinct_sorted_one_shuffle_same_rows(spark, sf_dir):
+    """distinct_sorted == distinct().orderBy() row-for-row, with ONE
+    Exchange in the plan instead of two (range partitioning already
+    satisfies the dedup's clustering requirement)."""
+    from azure_etl_spark.operators.dedup import distinct_sorted
+    from azure_etl_spark.plans.queries import crypto_view
+
+    cv = crypto_view(spark, sf_dir)
+    fast = distinct_sorted(cv, ["symbol", "price"])
+    slow = cv.distinct().orderBy("symbol", "price")
+    assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
+    # AQE's string repr appends the pre-execution "Initial Plan" section,
+    # which repeats every node — count Exchanges in the final plan only
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
