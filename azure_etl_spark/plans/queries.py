@@ -4548,6 +4548,77 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lateral_top2_per_nation",
+    oracle="""
+    SELECT n.n_name AS n_name, c.c_name AS c_name,
+           ROUND(c.c_acctbal, 2) AS bal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    ORDER BY n_name, bal DESC, c_name
+    """,
+    description="LATERAL correlated top-k (Spark 4 DataFrame "
+    "lateralJoin + .outer() column refs): top-2 customers per nation "
+    "without a window-over-everything — Catalyst decorrelates the "
+    "per-row subquery into a ranked join, so the fact side is scanned "
+    "once, not once per outer row.",
+)
+def q_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    top2 = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_name")
+        .limit(2)
+        .select("c_name", "c_acctbal")
+    )
+    return (
+        n.lateralJoin(top2)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("bal"))
+        .orderBy("n_name", F.col("bal").desc(), "c_name")
+    )
+
+
+@query(
+    "recursive_cte_custkey_forest",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, chain.root, chain.depth + 1
+      FROM customer c JOIN chain ON c.c_custkey // 10 = chain.node
+      WHERE c.c_custkey >= 10)
+    SELECT root, depth, COUNT(*) AS n
+    FROM chain GROUP BY root, depth ORDER BY root, depth
+    """,
+    description="Recursive CTE (Spark 4.1 WITH RECURSIVE): a synthetic "
+    "decimal-digit forest over custkeys (parent = key DIV 10) walked "
+    "from the single-digit roots, counting nodes per (root, depth). "
+    "Iterative joins run as successive Spark jobs with the frontier as "
+    "the build side — the relational pattern behind hierarchy/"
+    "reachability queries (and the dedup components op, which "
+    "hand-rolls the same loop with localCheckpoint lineage cuts).",
+)
+def q_recursive_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+          FROM customer_rcte_v WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, chain.root, chain.depth + 1
+          FROM customer_rcte_v c JOIN chain ON c.c_custkey DIV 10 = chain.node
+          WHERE c.c_custkey >= 10)
+        SELECT root, depth, COUNT(*) AS n
+        FROM chain GROUP BY root, depth ORDER BY root, depth
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
