@@ -164,3 +164,71 @@ def weighted_sample_topk(
         .limit(k)
         .select(id_col, "priority")
     )
+
+
+def segment_docs(
+    df: DataFrame,
+    words_col: Column,
+    id_col: str = "doc_id",
+    seg_len: int = 3,
+) -> DataFrame:
+    """Split each doc's word array into consecutive ``seg_len``-word
+    segments -> (id, seg_idx, segment string). The unit of corpus-level
+    duplicate-segment removal (C4's line dedup, over synthetic
+    fixed-width segments when documents carry no newlines). Segment
+    construction is array HOF work (sequence/slice/array_join) under
+    codegen; the posexplode is the only row expansion."""
+    nseg = F.ceil(F.size(words_col) / F.lit(seg_len)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words_col, i * seg_len + 1, seg_len), " "),
+    )
+    return df.select(id_col, F.posexplode(segs).alias("seg_idx", "segment"))
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    words_col: Column,
+    id_col: str = "doc_id",
+    seg_len: int = 3,
+    max_occurrences: int = 4,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal: drop every segment whose exact
+    text occurs in > ``max_occurrences`` documents, reassemble the
+    survivors in document order -> (id, cleaned_text, n_seg_kept,
+    n_seg_dropped).
+
+    Plan shape at scale: one aggregation keyed by segment (the corpus-
+    wide frequency table — this is the shuffle that MUST exist, dedup
+    is a meeting of values), one join back (AQE picks broadcast when
+    the hot-segment table is small), one per-doc reassembly keyed by
+    id. Reassembly sorts (seg_idx, segment) structs inside the row via
+    array_sort — no window, no secondary shuffle.
+    """
+    segs = segment_docs(df, words_col, id_col, seg_len)
+    freq = segs.groupBy("segment").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs_with")
+    )
+    tagged = segs.join(freq, "segment")
+    kept = F.when(F.col("n_docs_with") <= max_occurrences, 1).otherwise(0)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("n_docs_with") <= max_occurrences,
+                                F.struct("seg_idx", "segment"),
+                            )
+                        )
+                    ),
+                    lambda s: s["segment"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.sum(kept).alias("n_seg_kept"),
+            F.sum(1 - kept).alias("n_seg_dropped"),
+        )
+    )

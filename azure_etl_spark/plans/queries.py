@@ -4619,6 +4619,130 @@ def q_recursive_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- corpus curation, round 2
+
+@query(
+    "remove_dup_segments_docs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(t.i AS INT) AS seg_idx,
+             array_to_string(ws[(t.i*3+1):(t.i*3+3)], ' ') AS segment
+      FROM docs, unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS t(i)),
+    freq AS (SELECT segment, COUNT(DISTINCT doc_id) AS n_docs_with
+             FROM segs GROUP BY 1),
+    tagged AS (SELECT s.doc_id, s.seg_idx, s.segment, f.n_docs_with
+               FROM segs s JOIN freq f USING (segment))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN n_docs_with <= 4 THEN segment END,
+                               ' ' ORDER BY seg_idx), '') AS cleaned_text,
+           SUM(CASE WHEN n_docs_with <= 4 THEN 1 ELSE 0 END) AS n_seg_kept,
+           SUM(CASE WHEN n_docs_with <= 4 THEN 0 ELSE 1 END) AS n_seg_dropped
+    FROM tagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="C4-style corpus-wide duplicate-segment removal (line "
+    "dedup over fixed 3-word segments, since fixture docs are single-"
+    "line): segments occurring in >4 documents are boilerplate and "
+    "dropped, survivors reassembled in order. One segment-keyed "
+    "aggregation (the unavoidable corpus-wide shuffle), one join back, "
+    "one per-doc reassembly whose ordering is an in-row array_sort of "
+    "(idx, segment) structs — no window pass "
+    "(operators/curation.py:remove_duplicate_segments).",
+)
+def q_remove_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import remove_duplicate_segments
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    docs = _td(spark, sf_dir)
+    out = remove_duplicate_segments(
+        docs, F.split(normalized_text("text"), " "), seg_len=3, max_occurrences=4
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "unigram_logprob_docs",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(CAST(c AS DOUBLE) / t)), 6) AS avg_neg_logp
+    FROM words JOIN vocab USING (w), tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="Unigram language-model score (CCNet-style perplexity "
+    "proxy): corpus vocabulary counts -> per-token -ln p(w) -> per-doc "
+    "mean. The vocab table is vocabulary-sized, so AQE broadcasts it "
+    "back against the exploded tokens; the corpus total joins as a "
+    "single-row broadcast scalar — the fact side shuffles only for the "
+    "final per-doc mean. High score = improbable/garbled text, the "
+    "filter signal quality pipelines threshold on.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    docs = _td(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    return (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "trimmed_mean_orders",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice BETWEEN lo AND hi) AS n_kept,
+           ROUND(AVG(o_totalprice) FILTER (WHERE o_totalprice BETWEEN lo AND hi), 4)
+             AS trimmed_mean
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    description="5-95% trimmed mean per group: per-group percentile "
+    "bounds (group-count-sized table) broadcast-joined back, then a "
+    "conditional aggregate — the two-pass robust-statistic pattern "
+    "(same shape as the MAD outlier op) that never sorts the fact "
+    "table globally.",
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    within = F.col("o_totalprice").between(F.col("lo"), F.col("hi"))
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(within, 1)).alias("n_kept"),
+            F.round(F.avg(F.when(within, F.col("o_totalprice"))), 4).alias(
+                "trimmed_mean"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
