@@ -167,3 +167,79 @@ def test_repetition_signals_match_python(spark, docs):
         exp = ref(d)
         assert got[i][0] == exp[0] and got[i][1] == exp[1], (d, got[i], exp)
         assert 0.0 <= got[i][0] <= 1.0 and 0.0 <= got[i][1] <= 1.0
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=3),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_sorted_run_entropy_matches_counter(spark, words):
+    """Fold-based entropy == the Counter-based definition for arbitrary
+    token multisets (including empty-string tokens)."""
+    import math
+    from collections import Counter
+
+    from azure_etl_spark.operators.text import sorted_run_entropy
+
+    df = spark.createDataFrame([(words,)], "ws array<string>")
+    row = df.select(F.inline(F.array(sorted_run_entropy(F.col("ws"))))).head()
+    c = Counter(words)
+    n = sum(c.values())
+    expected = -sum((k / n) * math.log(k / n) for k in c.values())
+    assert row["n_tokens"] == n
+    assert row["n_distinct_words"] == len(c)
+    assert abs(row["entropy"] - round(expected, 6)) < 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_distinct_sorted_equals_distinct_orderby(spark, rows):
+    from azure_etl_spark.operators.dedup import distinct_sorted
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    a = [tuple(r) for r in distinct_sorted(df, ["k", "v"]).collect()]
+    b = [tuple(r) for r in df.distinct().orderBy("k", "v").collect()]
+    assert a == b
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_interpolate_linear_matches_pandas(spark, vals):
+    """interpolate_linear == pandas Series.interpolate(method='linear',
+    limit_direction='both') on a single evenly-spaced key series."""
+    import pandas as pd
+
+    from azure_etl_spark.operators.windows import interpolate_linear
+
+    data = [("k", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "k string, t double, v double")
+    got = {
+        r["t"]: r["value_filled"]
+        for r in interpolate_linear(df, ["k"], "t", "v").collect()
+    }
+    exp = pd.Series(vals, dtype="float64").interpolate(
+        method="linear", limit_direction="both"
+    )
+    for i in range(len(vals)):
+        e = exp.iloc[i]
+        g = got[float(i)]
+        if pd.isna(e):
+            assert g is None  # all-null series stays null
+        else:
+            assert g is not None and abs(g - e) < 1e-9
