@@ -371,3 +371,34 @@ def test_foreach_batch_idempotent_sink_exactly_once(spark, sf_dir, tmp_path):
     writer(batch_df, first)
     one = spark.read.parquet(os.path.join(target, f"batch_id={first}"))
     assert one.count() == n_src  # one copy of the redelivered content, not two
+
+
+def test_streaming_sliding_window_equals_batch(spark, sf_dir, tmp_path):
+    """Hopping windows (1h window / 15m slide): streaming availableNow
+    result == identical batch call; every event appears in 4 windows."""
+    from azure_etl_spark.streaming.windows import sliding_window_agg
+
+    path = _events_to_stream_dir(spark, sf_dir, tmp_path)
+    batch_df = spark.read.parquet(path)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(path)
+
+    aggs = {"n": F.count("*"), "total": F.sum("value")}
+    windowed = sliding_window_agg(
+        stream_df, "ts", "1 hour", "15 minutes", ["event_type"], aggs,
+        watermark_delay="1 minute",
+    )
+    run_available_now(windowed, "sliding_stream", os.path.join(str(tmp_path), "ckpt_s"))
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in spark.table("sliding_stream").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in sliding_window_agg(
+            batch_df, "ts", "1 hour", "15 minutes", ["event_type"], aggs
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    # overlap factor: total (window, key) rows ~= 4x the tumbling count
+    tumbling = tumbling_window_agg(batch_df, "ts", "1 hour", ["event_type"], aggs)
+    assert len(batch) > 2 * tumbling.count()
