@@ -4743,6 +4743,63 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "upsert_orders_batch",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT 900000000 + o_orderkey, 'N', 100.0
+      FROM orders WHERE o_orderkey % 1000 = 0),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = o.o_orderkey))
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="Batch MERGE/upsert (operators/aggregate.py:"
+    "upsert_by_key): a synthetic update batch (repriced existing keys "
+    "+ brand-new keys) merged into orders as updates UNION ALL "
+    "(target ANTI JOIN updates) — MERGE INTO semantics without a "
+    "transactional format; one anti-join shuffle, AQE-broadcast for "
+    "small update batches. Verified via post-merge per-status rollup.",
+)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.aggregate import upsert_by_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    repriced = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    merged = upsert_by_key(o, repriced.unionByName(inserts), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
