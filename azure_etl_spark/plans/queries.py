@@ -4800,6 +4800,99 @@ def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id)
+    SELECT COUNT(t1.user_id) AS n_viewed,
+           COUNT(t2.user_id) AS n_clicked_after,
+           COUNT(t3.user_id) AS n_purchased_after
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+    description="Ordered funnel (view -> click after -> purchase "
+    "after): each stage is a min-timestamp aggregate constrained by "
+    "the previous stage's time, chained with joins — every stage "
+    "shrinks, so later joins ride AQE broadcasts; no per-user event "
+    "collection anywhere. Single-row stage-count output.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_viewed"),
+            F.count("t2").alias("n_clicked_after"),
+            F.count("t3").alias("n_purchased_after"),
+        )
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH ua AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events GROUP BY user_id, w),
+    c AS (SELECT user_id, MIN(w) AS cw FROM ua GROUP BY user_id)
+    SELECT c.cw AS cohort_week,
+           CAST((ua.w - c.cw) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT ua.user_id) AS BIGINT) AS n_users
+    FROM ua JOIN c USING (user_id)
+    GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    description="Weekly cohort retention: cohort = first active ISO "
+    "week per user, cells count distinct users per (cohort, offset). "
+    "The user-week activity table is pre-deduped BEFORE the cohort "
+    "join (shrinks the fact to |users|x|weeks|), and the cohort map "
+    "is user-count-sized — broadcast back. Both engines truncate "
+    "weeks to ISO Monday.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ua = (
+        ev.select("user_id", F.date_trunc("week", "ts").cast("date").alias("w"))
+        .distinct()
+    )
+    c = ua.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        ua.join(c, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff("w", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
