@@ -3928,7 +3928,7 @@ def q_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extraction rather than mirroring it.",
 )
 def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
@@ -4152,7 +4152,7 @@ def q_calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no Python UDF) over the text column; map-only plan, no shuffle.",
 )
 def q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     low = F.lower("text")
     return d.select(
         "doc_id",
@@ -4256,7 +4256,7 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen; no shuffle.",
 )
 def q_hash_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         F.sha2("text", 256).alias("sha_256"),
@@ -4433,7 +4433,7 @@ def q_map_hof_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     "work, map-only plan.",
 )
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     xml = F.to_xml(F.struct("lang", "source"), {"rowTag": "doc"})
     parsed = F.from_xml(xml, "lang STRING, source STRING", {"rowTag": "doc"})
     return d.select("doc_id", parsed.alias("p")).select(
@@ -4458,7 +4458,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order matters.",
 )
 def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     s = F.concat(F.lit("lang:"), "lang", F.lit(",source:"), "source")
     m = F.str_to_map(s, F.lit(","), F.lit(":"))
     return (
