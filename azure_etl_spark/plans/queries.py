@@ -4648,6 +4648,7 @@ def q_recursive_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one per-doc reassembly whose ordering is an in-row array_sort of "
     "(idx, segment) structs — no window pass "
     "(operators/curation.py:remove_duplicate_segments).",
+    bench=True,
 )
 def q_remove_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.curation import remove_duplicate_segments
@@ -4678,6 +4679,7 @@ def q_remove_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-row broadcast scalar — the fact side shuffles only for the "
     "final per-doc mean. High score = improbable/garbled text, the "
     "filter signal quality pipelines threshold on.",
+    bench=True,
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.dedup import normalized_text
@@ -4874,6 +4876,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join (shrinks the fact to |users|x|weeks|), and the cohort map "
     "is user-count-sized — broadcast back. Both engines truncate "
     "weeks to ISO Monday.",
+    bench=True,
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
