@@ -76,6 +76,20 @@ COMMENTARY = {
         "ships every token through two shuffles for doc-local math "
         "(measured 12x slower at sf0.1)."
     ),
+    "remove_dup_segments_docs": (
+        "Corpus-wide duplicate-segment removal. The segment-keyed "
+        "aggregation is the one unavoidable wide Exchange (dedup is a "
+        "meeting of values); the join back rides AQE, and per-doc "
+        "reassembly sorts (idx, segment) structs INSIDE the row via "
+        "array_sort — ordering without a window or secondary sort "
+        "exchange."
+    ),
+    "unigram_logprob_docs": (
+        "Unigram LM scoring. The vocab aggregate is vocabulary-sized and "
+        "AQE broadcasts it back against the exploded tokens; the corpus "
+        "total is a single-row broadcast scalar. The only fact-side "
+        "shuffle is the final per-doc mean."
+    ),
     "bucketed_join_revenue": (
         "Join over write_bucketed tables: both scans report the join key's "
         "HashPartitioning, so there is no Exchange on either side — bucket "
