@@ -80,3 +80,63 @@ def stateful_running_minmax(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_medallion(
+    bronze_stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    key: str,
+    value: str,
+    min_alias: str = "min_value",
+    max_alias: str = "max_value",
+):
+    """The reference pipeline in streaming mode (SURVEY.md §2.10):
+    bronze micro-batches fold incrementally into the gold min/max table
+    instead of recomputing history each run.
+
+    Each ``foreachBatch``: dedup the batch, read current gold, merge via
+    the mergeable-monoid identity (incremental_minmax_merge), atomically
+    swap the gold directory. Per-batch cost is O(batch + |keys|) —
+    independent of history size, which is what makes a continuously-
+    ingesting 100 TB corpus's gold refresh affordable. foreachBatch
+    replays are idempotent: re-merging the same batch is a no-op for
+    min/max (idempotent monoid), so crash-redelivery cannot corrupt
+    gold. Returns the started query; callers trigger availableNow or
+    processingTime.
+    """
+    import os as _os
+
+    from azure_etl_spark.operators.aggregate import incremental_minmax_merge
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates()
+        try:
+            gold = spark.read.parquet(gold_path)
+        except Exception:
+            gold = None
+        if gold is None:
+            from azure_etl_spark.operators.aggregate import grouped_min_max
+
+            merged = grouped_min_max(
+                batch, keys=[key], value=value,
+                min_alias=min_alias, max_alias=max_alias,
+            )
+        else:
+            merged = incremental_minmax_merge(
+                gold, batch, keys=[key], value=value,
+                min_alias=min_alias, max_alias=max_alias,
+            )
+        tmp = gold_path.rstrip("/") + f"__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(gold_path)
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _os.makedirs(checkpoint, exist_ok=True)
+
+    return (
+        bronze_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -402,3 +402,43 @@ def test_streaming_sliding_window_equals_batch(spark, sf_dir, tmp_path):
     # overlap factor: total (window, key) rows ~= 4x the tumbling count
     tumbling = tumbling_window_agg(batch_df, "ts", "1 hour", ["event_type"], aggs)
     assert len(batch) > 2 * tumbling.count()
+
+
+def test_streaming_medallion_incremental_gold(spark, sf_dir, tmp_path):
+    """Streaming medallion: micro-batched bronze folds into gold via the
+    mergeable min/max monoid; final gold == batch recompute over all
+    data, while each fold only touched one micro-batch + |keys| rows."""
+    from azure_etl_spark.streaming.collector import streaming_medallion
+
+    src = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bronze = os.path.join(str(tmp_path), "bronze_m")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+
+    gold = os.path.join(str(tmp_path), "gold_m")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_medallion(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_m"),
+            key="event_type", value="value",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_type"]: (round(r["min_value"], 9), round(r["max_value"], 9))
+        for r in spark.read.parquet(gold).collect()
+    }
+    want = {
+        r["event_type"]: (round(r["mn"], 9), round(r["mx"], 9))
+        for r in src.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
