@@ -242,3 +242,27 @@ def read_binary_files(
     if recursive:
         r = r.option("recursiveFileLookup", "true")
     return r.load(path)
+
+
+def list_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """S8: directory listing as a DataFrame (path, length,
+    modification_time) via the JVM Hadoop FileSystem — the engine's
+    version of the reference's (dead-imported, never instantiated)
+    ADLSListOperator (etl-vini-azure.py:28). Driver-side listing is
+    correct here: listings are metadata-sized, and the same Hadoop FS
+    API resolves abfss/s3/hdfs schemes on a real cluster. For
+    million-file tables prefer reading the table format's own manifest
+    instead of listing storage.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + glob)
+    rows = [
+        (st.getPath().toString(), int(st.getLen()), int(st.getModificationTime()))
+        for st in fs.globStatus(pattern) or []
+    ]
+    return spark.createDataFrame(
+        rows, "path string, length long, modification_time long"
+    )

@@ -354,3 +354,19 @@ def test_azure_config_builders_match_reference_shapes():
 
     dw = az.synapse_sqldw_options(url, "cryptotable", az.wasbs_path("lake", "acct", "data"))
     assert set(dw) == {"url", "forwardSparkAzureStorageCredentials", "dbTable", "tempDir"}
+
+
+def test_list_files_glob(spark, tmp_path):
+    """S8 directory listing: globStatus-backed DataFrame of (path,
+    length, mtime) filtered by pattern."""
+    from azure_etl_spark.sources.files import list_files
+
+    d = tmp_path / "lst"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 10)
+    (d / "b.parquet").write_bytes(b"y" * 20)
+    (d / "c.txt").write_text("no")
+    out = list_files(spark, str(d), "*.parquet").collect()
+    assert len(out) == 2
+    assert {r["length"] for r in out} == {10, 20}
+    assert all(r["modification_time"] > 0 for r in out)
