@@ -370,3 +370,22 @@ def test_list_files_glob(spark, tmp_path):
     assert len(out) == 2
     assert {r["length"] for r in out} == {10, 20}
     assert all(r["modification_time"] > 0 for r in out)
+
+
+def test_parameterized_sql_no_string_building(spark, sf_dir):
+    """F8: the reference f-string-interpolates VALUES into SQL
+    (etl-vini-azure.py:95-104, injection-prone); the engine's SQL entry
+    point binds named parameters instead — values never touch the query
+    text."""
+    from azure_etl_spark.sources.files import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_param_v")
+    hostile = "x' OR '1'='1"  # would change an interpolated WHERE clause
+    out = spark.sql(
+        "SELECT COUNT(*) AS n FROM docs_param_v WHERE lang = :lang OR text = :t",
+        args={"lang": "en", "t": hostile},
+    ).head()
+    only_en = spark.sql(
+        "SELECT COUNT(*) AS n FROM docs_param_v WHERE lang = 'en'"
+    ).head()
+    assert out["n"] == only_en["n"]  # hostile literal matched nothing

@@ -442,3 +442,51 @@ def test_streaming_medallion_incremental_gold(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked session windows (30 min gap) in availableNow mode ==
+    the same session_window aggregation over the batch scan."""
+    src = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    path = os.path.join(str(tmp_path), "sess_stream")
+    src.write.mode("overwrite").parquet(path)
+    batch_df = spark.read.parquet(path)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(path)
+
+    def sessions(df, streaming):
+        d = df.withWatermark("ts", "1 minute") if streaming else df
+        return d.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+            F.count("*").alias("n")
+        )
+
+    q = (
+        sessions(stream_df, True)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_window"]["start"]): r["n"]
+        for r in spark.table("sess_out").collect()
+    }
+    # append mode only emits sessions CLOSED by the watermark: sessions
+    # still open at end-of-input (those reaching past max_ts - delay)
+    # correctly stay unemitted — filter them from the batch expectation
+    max_ts = batch_df.agg(F.max("ts")).head()[0]
+    cutoff = max_ts - __import__("datetime").timedelta(minutes=1)
+    want = {
+        (r["user_id"], r["session_window"]["start"]): r["n"]
+        for r in sessions(batch_df, False).collect()
+        if r["session_window"]["end"] <= cutoff
+    }
+    open_sessions = {
+        (r["user_id"], r["session_window"]["start"]): r["n"]
+        for r in sessions(batch_df, False).collect()
+        if r["session_window"]["end"] > cutoff
+    }
+    assert got == want and len(got) > 0
+    assert len(open_sessions) >= 1  # the max-ts session is always open
