@@ -175,3 +175,32 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_idx", "frame"])
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def media_stats_arrow(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """mapInArrow variant of per-media stats: operates on raw Arrow
+    RecordBatches (no pandas materialization) -> (n_bytes, head_byte)
+    per row. For binary-heavy columns this skips the Arrow->pandas
+    object-boxing step that makes mapInPandas allocate a Python object
+    per cell, which is the dominant cost when rows carry megabyte
+    payloads; prefer it when the kernel can consume Arrow buffers
+    directly (decoders, hashing, tensor libs with Arrow interop).
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            col = rb.column(rb.schema.get_field_index(media_col))
+            n_bytes = pa.array(
+                [len(v.as_py() or b"") for v in col], type=pa.int64()
+            )
+            head = pa.array(
+                [
+                    (v.as_py()[0] if v.as_py() else None)
+                    for v in col
+                ],
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays([n_bytes, head], ["n_bytes", "head_byte"])
+
+    return df.mapInArrow(batches, schema="n_bytes long, head_byte int")

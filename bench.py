@@ -60,9 +60,14 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
         df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two timed runs: one-off GC pauses / page-cache misses
+        # otherwise smear multi-second noise over individual queries
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # full medallion pipeline end-to-end (real layer writes to local tmp),
     # the BASELINE.md "pipeline <= 30 s" row

@@ -134,3 +134,23 @@ def test_interpolate_linear_known_values(spark):
     assert out[2.0] == 20.0 and out[3.0] == 30.0  # linear ramp
     assert out[5.0] == 40.0  # LOCF at the trailing edge
     assert out[1.0] == 10.0 and out[4.0] == 40.0  # observed pass through
+
+
+def test_media_stats_arrow_matches_builtin(spark, sf_dir):
+    """mapInArrow path: per-row byte stats equal the JVM-side
+    F.length/F.expr computation over the same binary column."""
+    from azure_etl_spark.operators.multimodal import attach_fake_media, media_stats_arrow
+
+    df = attach_fake_media(load_table(spark, sf_dir, "documents").limit(200))
+    got = sorted(
+        (r["n_bytes"], r["head_byte"])
+        for r in media_stats_arrow(df, "media").collect()
+    )
+    want = sorted(
+        (r["n"], r["h"])
+        for r in df.select(
+            F.length("media").cast("long").alias("n"),
+            F.conv(F.hex(F.substring("media", 1, 1)), 16, 10).cast("int").alias("h"),
+        ).collect()
+    )
+    assert got == want and len(got) == 200
