@@ -252,3 +252,31 @@ def test_zstd_parquet_roundtrip(spark, sf_dir, tmp_path):
 
     assert any(".zstd." in f for f in _glob.glob(p + "/*.parquet"))
     assert spark.read.parquet(p).count() == li.count()
+
+
+def _exchange_count(df) -> int:
+    # pre-execution plan (isFinalPlan=false): one section, no Initial
+    # Plan duplication — structural shuffle count
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    return plan.count("Exchange rangepartitioning") + plan.count(
+        "Exchange hashpartitioning"
+    ) + plan.count("Exchange RoundRobinPartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )
+
+
+def test_shuffle_budgets_headline_queries(spark, sf_dir):
+    """Structural shuffle ceilings for the queries whose SCALE.md story
+    is 'few/no shuffles' — a regression here means a plan silently grew
+    a new Exchange."""
+    budgets = {
+        "word_entropy_docs": 1,       # fan-out repartition only
+        "dedup_distinct": 1,          # range-partition serves distinct + sort
+        "flagship_gold_minmax": 2,    # agg + ordered output
+        "cosine_topk": 0,             # map-only + TakeOrdered
+        "hash_sample_orders": 2,      # agg + ordered group-sized output
+        "text_token_stats": 1,        # fan-out only, stats in-row
+    }
+    for name, budget in budgets.items():
+        n = _exchange_count(QUERIES[name].fn(spark, sf_dir))
+        assert n <= budget, f"{name}: {budget} shuffle(s) budgeted, plan has {n}"
