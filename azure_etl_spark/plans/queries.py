@@ -4907,6 +4907,47 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "time_weighted_avg_users",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * (epoch_us(nts) - epoch_us(ts)))
+                   / SUM(epoch_us(nts) - epoch_us(ts)), 6) AS twa
+    FROM t WHERE nts IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    description="Time-weighted average per user over an IRREGULAR "
+    "series: each observation weighted by its holding duration "
+    "(lead(ts) - ts), the statistic a plain AVG gets wrong whenever "
+    "sampling is bursty. One window pass (lead) sharing one shuffle "
+    "with the per-user aggregate; users with a single event drop out "
+    "(no holding interval).",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+        F.unix_micros(F.lead("ts").over(w)).alias("nt_us"),
+    ).filter(F.col("nt_us").isNotNull())
+    dur = (F.col("nt_us") - F.col("t_us")).cast("double")
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
