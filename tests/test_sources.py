@@ -389,3 +389,54 @@ def test_parameterized_sql_no_string_building(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM docs_param_v WHERE lang = 'en'"
     ).head()
     assert out["n"] == only_en["n"]  # hostile literal matched nothing
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: a column added by later writers is
+    visible with mergeSchema=true and NULL for old files — the additive
+    evolution contract a long-lived bronze layer needs."""
+    p = str(tmp_path / "evolve")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v1").write.parquet(p)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS v1", "id * 3 AS v2_added"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v1", "v2_added"}
+    old = df.filter("id < 5").select("v2_added").collect()
+    assert all(r["v2_added"] is None for r in old)
+    new = df.filter("id >= 5").select("v2_added").collect()
+    assert all(r["v2_added"] is not None for r in new)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: joining a day-partitioned fact to a dim filtered to 2 days
+    must prune the fact's partitions AT RUNTIME (dynamicpruning
+    expression in the scan), not scan all days — the join-driven
+    complement of static partition pruning."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    fact_path = str(tmp_path / "fact_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # a dim with a REAL filter predicate — DPP only fires when the
+    # planner sees a selective filter on the build side to derive the
+    # pruning subquery from
+    dim = spark.createDataFrame(
+        [(d, "keep" if d in (3, 4) else "drop") for d in range(1, 31)],
+        "day int, tag string",
+    ).filter(F.col("tag") == "keep")
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(dim, "day").groupBy("tag").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        # correctness: only the two days' rows aggregated
+        want = ev.filter(F.col("day").isin(3, 4)).count()
+        got = joined.agg(F.sum("count")).head()[0]
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
