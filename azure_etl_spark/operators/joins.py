@@ -157,3 +157,48 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l2.join(r2, [*on, "__salt"], how).drop("__salt")
+
+
+def chunked_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    chunk_width: int,
+) -> DataFrame:
+    """Interval-overlap join ([l_start,l_end] x [r_start,r_end] overlap,
+    equal ``keys``) as an EQUI-join on time chunks.
+
+    A naive overlap join is a non-equi theta join — Spark plans
+    BroadcastNestedLoopJoin (fine only when one side broadcasts) or a
+    cartesian per key. The chunk trick restores hash-join scalability:
+    every interval explodes into the fixed-width chunks it covers, the
+    join runs on (keys..., chunk) — shuffle cost O(rows x avg chunks
+    per interval) — and the exact overlap predicate filters chunk-level
+    false positives. A pair sharing k chunks appears k times, so the
+    result is distinct()-ed; callers must include per-row id columns in
+    the projection for that to be correct (it is for any two id-carrying
+    tables). Pick ``chunk_width`` near the typical interval length: too
+    small multiplies the explode, too large degrades to per-key
+    cartesian behavior.
+    """
+    w = F.lit(chunk_width)
+    lc = left.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(F.floor(F.col(l_start) / w), F.floor(F.col(l_end) / w))
+        ),
+    )
+    rc = right.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(F.floor(F.col(r_start) / w), F.floor(F.col(r_end) / w))
+        ),
+    )
+    joined = lc.join(rc, [*keys, "__chunk"]).filter(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    )
+    return joined.drop("__chunk").distinct()

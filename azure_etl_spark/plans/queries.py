@@ -4948,6 +4948,56 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_overlap_join_events",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, epoch_us(ts) AS ps,
+             epoch_us(ts) + 1800000000 AS pe
+      FROM events WHERE event_type = 'purchase'),
+    e AS (
+      SELECT user_id, event_id AS e_id, epoch_us(ts) AS es,
+             epoch_us(ts) + 600000000 AS ee
+      FROM events WHERE event_type = 'error')
+    SELECT p.user_id AS user_id, COUNT(*) AS n_overlaps
+    FROM p JOIN e ON p.user_id = e.user_id AND p.ps <= e.ee AND e.es <= p.pe
+    GROUP BY p.user_id ORDER BY user_id
+    """,
+    description="Interval-overlap join (purchase windows [t, t+30m] x "
+    "error windows [t, t+10m] per user) via the chunk trick "
+    "(operators/joins.py:chunked_interval_join): intervals explode "
+    "onto fixed 10-minute chunks and the join is a plain hash "
+    "equi-join on (user, chunk) + exact-overlap filter — the shape "
+    "that scales where the naive theta join plans a nested loop. The "
+    "oracle is the naive overlap join, so equality proves the "
+    "chunking is lossless.",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.joins import chunked_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("ps"),
+        (F.unix_micros("ts") + 1800000000).alias("pe"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("e_id"),
+        F.unix_micros("ts").alias("es"),
+        (F.unix_micros("ts") + 600000000).alias("ee"),
+    )
+    pairs = chunked_interval_join(
+        p, e, ["user_id"], "ps", "pe", "es", "ee", chunk_width=600000000
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

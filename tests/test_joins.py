@@ -75,3 +75,42 @@ def test_broadcast_join_plan(spark, sf_dir):
     j = broadcast_join(o, n, o.o_custkey % 25 == n.n_nationkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_chunked_interval_join_equals_naive(spark, sf_dir):
+    """Chunk-decomposed interval join must equal the naive non-equi
+    overlap join pair-for-pair, for a chunk width smaller AND larger
+    than typical intervals (correctness must not depend on tuning)."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.joins import chunked_interval_join
+    from azure_etl_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.unix_micros("ts").alias("as_"),
+        (F.unix_micros("ts") + 900000000).alias("ae"),
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"), F.col("event_id").alias("b_id"),
+        F.unix_micros("ts").alias("bs"),
+        (F.unix_micros("ts") + 300000000).alias("be"),
+    )
+    naive = (
+        a.join(b, "user_id")
+        .filter((F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
+        .select("a_id", "b_id")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert len(want) > 0
+    for width in (60_000_000, 3_600_000_000):  # 1 min and 1 hour chunks
+        got = sorted(
+            map(
+                tuple,
+                chunked_interval_join(
+                    a, b, ["user_id"], "as_", "ae", "bs", "be", width
+                ).select("a_id", "b_id").collect(),
+            )
+        )
+        assert got == want, f"width={width}"
