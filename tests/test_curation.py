@@ -166,3 +166,19 @@ def test_sorted_run_entropy_edge_cases(spark):
     assert out[3]["n_distinct_words"] == 2
     assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
     assert out[4]["n_tokens"] == 1 and out[4]["entropy"] == 0.0
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.aggregate import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")],
+        "k long, v string, op string",
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(target, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 updated, 4 inserted
