@@ -1,0 +1,55 @@
+"""Data-quality expectations: declarative row rules -> clean/quarantine
+split + per-rule violation counts, in ONE pass.
+
+The DLT-expectations / Great-Expectations pattern as plain DataFrame
+ops: each rule is a boolean Column; rows failing any rule route to a
+quarantine frame carrying the names of the rules they violated. Both
+outputs derive from one flagged projection, so Spark scans the input
+once per action (cache the flagged frame when materializing both), and
+violation counts ride the clean write as Observation metrics rather
+than extra count() scans — the same zero-extra-action accounting the
+medallion silver stage uses.
+
+At 100 TB the wrong implementation is N rule-filters = N scans; this is
+one scan with N codegen'd predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def flag_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Append ``__violations`` (array of failed rule names; empty =
+    clean). NULL rule results count as violations — an expectation that
+    cannot be evaluated is not met."""
+    flags = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)) for name, cond in rules.items()
+    ]
+    return df.withColumn(
+        "__violations", F.array_compact(F.array(*flags))
+    )
+
+
+def split_expectations(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_flag_col, quarantined_rows_with_violations).
+    Cache the flagged intermediate if materializing both sides."""
+    flagged = flag_expectations(df, rules)
+    clean = flagged.filter(F.size("__violations") == 0).drop("__violations")
+    quarantine = flagged.filter(F.size("__violations") > 0)
+    return clean, quarantine
+
+
+def expectation_observation(rules: dict[str, Column]) -> tuple[Observation, list[Column]]:
+    """Observation + metric columns (rows, per-rule violation counts) to
+    attach to the clean-side write:
+    ``df.observe(obs, *metrics)`` — counters ride the job for free."""
+    obs = Observation("expectations")
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(f"viol_{name}")
+        for name, cond in rules.items()
+    ]
+    return obs, metrics

@@ -140,3 +140,51 @@ def streaming_medallion(
         bronze_stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_distinct_sketch(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    key: str,
+    id_col: str,
+):
+    """Streaming distinct-count gold table via mergeable HLL sketches:
+    per micro-batch, sketch the batch's ids per key and hll_union the
+    binary sketch into the persisted gold row — the sketch analogue of
+    streaming_medallion's min/max fold.
+
+    COUNT(DISTINCT) is not incrementally maintainable from counts alone
+    (you cannot merge two distinct-counts), but HLL sketches form a
+    monoid: union is associative/commutative/idempotent, so per-batch
+    cost is O(batch + |keys|) forever, replay-safe under foreachBatch's
+    at-least-once redelivery, and the same sketch column can roll up
+    across keys later (hll_union_agg) without rescanning history.
+    """
+    from pyspark.sql import functions as F
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(key).agg(
+            F.hll_sketch_agg(id_col).alias("sketch")
+        )
+        try:
+            gold = spark.read.parquet(gold_path)
+        except Exception:
+            gold = None
+        if gold is not None:
+            both = gold.select(key, "sketch").unionByName(batch_sk)
+            merged = both.groupBy(key).agg(F.hll_union_agg("sketch").alias("sketch"))
+        else:
+            merged = batch_sk
+        tmp = gold_path.rstrip("/") + f"__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(gold_path)
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -490,3 +490,44 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and len(got) > 0
     assert len(open_sessions) >= 1  # the max-ts session is always open
+
+
+def test_streaming_distinct_sketch_matches_exact(spark, sf_dir, tmp_path):
+    """HLL sketches folded across micro-batches: final per-key estimate
+    within HLL tolerance of the exact global COUNT(DISTINCT), despite
+    no batch ever seeing the full id set."""
+    from azure_etl_spark.streaming.collector import streaming_distinct_sketch
+
+    src = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bronze = os.path.join(str(tmp_path), "bronze_sk")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_sk")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_distinct_sketch(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_sk"),
+            key="event_type", id_col="user_id",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(gold)
+        .select("event_type", F.hll_sketch_estimate("sketch").alias("n"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in src.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, est[k], exact[k])
