@@ -4998,6 +4998,88 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_gate_customers",
+    oracle="""
+    SELECT 'clean' AS bucket,
+           CAST(SUM(CASE WHEN c_custkey IS NOT NULL
+                          AND c_acctbal BETWEEN -1000 AND 10000
+                          AND c_mktsegment IN ('AUTOMOBILE','BUILDING',
+                              'FURNITURE','HOUSEHOLD','MACHINERY')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'viol_acctbal_in_range',
+           CAST(SUM(CASE WHEN NOT coalesce(c_acctbal BETWEEN -1000 AND 10000,
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'viol_custkey_not_null',
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'viol_mktsegment_known',
+           CAST(SUM(CASE WHEN NOT coalesce(c_mktsegment IN ('AUTOMOBILE',
+                              'BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'),
+                              FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    ORDER BY bucket
+    """,
+    description="Declarative data-quality gate (operators/quality.py): "
+    "clean-row count + per-rule violation counts from ONE flagged "
+    "projection — N rules as N codegen'd predicates in a single scan, "
+    "never N filter-scans. Output unpivoted to (bucket, n) rows.",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.quality import flag_expectations
+
+    c = _t(spark, sf_dir, "customer")
+    rules = {
+        "custkey_not_null": F.col("c_custkey").isNotNull(),
+        "acctbal_in_range": F.col("c_acctbal").between(-1000, 10000),
+        "mktsegment_known": F.col("c_mktsegment").isin(
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+        ),
+    }
+    flagged = flag_expectations(c, rules)
+    agg = flagged.agg(
+        F.sum((F.size("__violations") == 0).cast("long")).alias("clean"),
+        *[
+            F.sum(F.array_contains("__violations", name).cast("long")).alias(
+                f"viol_{name}"
+            )
+            for name in rules
+        ],
+    )
+    return (
+        agg.unpivot([], [c_ for c_ in agg.columns], "bucket", "n")
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "set_except_all_parts",
+    oracle="""
+    SELECT p_type FROM part WHERE p_size <= 30
+    EXCEPT ALL
+    SELECT p_type FROM part WHERE p_size <= 15
+    ORDER BY p_type
+    """,
+    description="Multiset EXCEPT ALL (duplicate-preserving difference): "
+    "each p_type keeps (count in <=30) - (count in <=15) copies — the "
+    "bag semantics the distinct-based EXCEPT query (set_except_parts) "
+    "cannot express. Spark plans a count-diff aggregation + generate, "
+    "no row-by-row anti semantics.",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") <= 30).select("p_type")
+    b = p.filter(F.col("p_size") <= 15).select("p_type")
+    return a.exceptAll(b).orderBy("p_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
