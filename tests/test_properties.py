@@ -243,3 +243,74 @@ def test_interpolate_linear_matches_pandas(spark, vals):
             assert g is None  # all-null series stays null
         else:
             assert g is not None and abs(g - e) < 1e-9
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 20)),  # (start, len)
+        min_size=1,
+        max_size=12,
+    ),
+    jvals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 20)),
+        min_size=1,
+        max_size=12,
+    ),
+    width=st.sampled_from([1, 7, 64]),
+)
+@SET
+def test_chunked_interval_join_matches_python(spark, ivals, jvals, width):
+    """Chunk decomposition == brute-force overlap for arbitrary interval
+    sets (zero-length intervals included) at several chunk widths."""
+    from azure_etl_spark.operators.joins import chunked_interval_join
+
+    a = spark.createDataFrame(
+        [(1, i, s, s + ln) for i, (s, ln) in enumerate(ivals)],
+        "k long, a_id long, as_ long, ae long",
+    )
+    b = spark.createDataFrame(
+        [(1, j, s, s + ln) for j, (s, ln) in enumerate(jvals)],
+        "k long, b_id long, bs long, be long",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in chunked_interval_join(
+            a, b, ["k"], "as_", "ae", "bs", "be", width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(ivals)
+        for j, (s2, l2) in enumerate(jvals)
+        if s1 <= s2 + l2 and s2 <= s1 + l1
+    )
+    assert got == want
+
+
+@given(
+    target=st.dictionaries(st.integers(0, 8), st.integers(0, 99), max_size=8),
+    changes=st.dictionaries(
+        st.integers(0, 8),
+        st.tuples(st.sampled_from("IUD"), st.integers(0, 99)),
+        max_size=8,
+    ),
+)
+@SET
+def test_apply_cdc_matches_dict_semantics(spark, target, changes):
+    from azure_etl_spark.operators.aggregate import apply_cdc
+
+    t = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    c = spark.createDataFrame(
+        [(k, v, op) for k, (op, v) in changes.items()] or [(None, None, None)],
+        "k long, v long, op string",
+    ).filter("k IS NOT NULL")
+    got = {r["k"]: r["v"] for r in apply_cdc(t, c, ["k"]).collect()}
+    want = dict(target)
+    for k, (op, v) in changes.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
