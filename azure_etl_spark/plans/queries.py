@@ -5080,6 +5080,40 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).orderBy("p_type")
 
 
+@query(
+    "date_format_orders",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+           CAST(strftime(o_orderdate, '%j') AS INT) AS day_of_year,
+           make_date(CAST(strftime(o_orderdate, '%Y') AS INT), 1, 1)
+             AS year_start
+    FROM orders GROUP BY o_orderdate ORDER BY d
+    """,
+    description="Datetime formatting parity (Spark Java patterns vs "
+    "DuckDB strftime — the formats are reconstructed independently on "
+    "each side, so equality verifies the pattern semantics): yyyy-MM, "
+    "dd/MM/yyyy, day-of-year, and make_date construction. All "
+    "constant-foldable JVM-side formatting over the distinct dates.",
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy(d.alias("d"))
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "d",
+            F.date_format("d", "yyyy-MM").alias("ym"),
+            F.date_format("d", "dd/MM/yyyy").alias("dmy"),
+            F.dayofyear("d").alias("day_of_year"),
+            F.make_date(F.year("d"), F.lit(1), F.lit(1)).alias("year_start"),
+        )
+        .orderBy("d")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
