@@ -5114,6 +5114,33 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "aes_roundtrip_docs",
+    oracle="""
+    SELECT doc_id, substr(text, 1, 40) AS head, TRUE AS ciphertext_differs
+    FROM documents ORDER BY doc_id
+    """,
+    description="Column-level encryption surface: aes_encrypt (GCM, "
+    "random IV — ciphertext is salted per row) then aes_decrypt "
+    "recovers the plaintext exactly; the oracle is the identity "
+    "projection plus the ciphertext!=plaintext witness. The at-rest "
+    "pattern for PII columns that must stay joinable only after "
+    "authorized decryption; complements the irreversible masking in "
+    "pii_scrub_docs. Map-only, JVM-side crypto.",
+)
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _td(spark, sf_dir)
+    key = F.lit("0123456789abcdef")  # 16-byte demo key; inject via conf in prod
+    head = F.substring("text", 1, 40)
+    enc = F.aes_encrypt(head.cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary")).cast("string")
+    return d.select(
+        "doc_id",
+        dec.alias("head"),
+        (enc.cast("string") != head).alias("ciphertext_differs"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
