@@ -328,3 +328,47 @@ def sorted_run_entropy(words: Column) -> Column:
         F.lit(0).alias("nd"),
     )
     return F.aggregate(ws, zero, _step, _finish)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str | Column,
+    k: int = 20,
+    candidates_per_partition: int = 200,
+) -> DataFrame:
+    """Approximate top-k frequent values via per-partition candidate
+    pruning: each partition counts locally and forwards only its top
+    ``candidates_per_partition`` (value, partial_count) pairs; the
+    final exact aggregation runs over this pruned candidate set.
+
+    The full explode->groupBy top-k shuffles EVERY distinct value; at
+    corpus scale the shuffle is vocabulary-sized. Pruning caps the
+    shuffle at partitions x candidates rows. The classic caveat: a true
+    heavy hitter is only guaranteed into the candidate set when it is
+    locally frequent somewhere (SpaceSaving-style guarantee) — with
+    candidates_per_partition >> k this holds for realistic skewed
+    distributions (Zipfian text, id hotspots); for exact guarantees run
+    the exact aggregation (word_freq_top20) or count-min with error
+    bounds. Counts for surviving candidates are UNDER-estimates only if
+    a value was pruned in some partition — the test quantifies both.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.alias("v"))
+
+    def local_top(it):
+        from collections import Counter
+
+        for pdf in it:
+            cnt = Counter(pdf["v"].dropna())
+            top = cnt.most_common(candidates_per_partition)
+            import pandas as pd
+
+            yield pd.DataFrame(top, columns=["v", "n"])
+
+    partial = src.mapInPandas(local_top, schema="v string, n long")
+    return (
+        partial.groupBy("v")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), "v")
+        .limit(k)
+    )

@@ -182,3 +182,33 @@ def test_apply_cdc_insert_update_delete(spark):
     )
     out = {r["k"]: r["v"] for r in apply_cdc(target, changes, ["k"]).collect()}
     assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 updated, 4 inserted
+
+
+def test_heavy_hitters_matches_exact_topk(spark, sf_dir):
+    """Two-phase candidate-pruned top-k == exact top-k (values AND
+    counts) on the fixture word distribution, with a candidate budget
+    far below the vocabulary size — the pruned shuffle really was
+    smaller, and nothing a partition pruned mattered."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.text import heavy_hitters
+    from azure_etl_spark.sources.files import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("w")
+    )
+    vocab_size = words.distinct().count()
+    budget = 60
+    assert budget < vocab_size or vocab_size < 60  # prune is real on big vocab
+    got = [(r["v"], r["n"]) for r in heavy_hitters(words, "w", k=10, candidates_per_partition=budget).collect()]
+    exact = [
+        (r["w"], r["n"])
+        for r in words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact

@@ -531,3 +531,60 @@ def test_streaming_distinct_sketch_matches_exact(spark, sf_dir, tmp_path):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, est[k], exact[k])
+
+
+def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    inner join, and unmatched left rows whose join window the watermark
+    has CLOSED emit with nulls — the outer-emission contract (open
+    windows at end-of-input stay unemitted, like open sessions)."""
+    src = load_table(spark, sf_dir, "events")
+    path = os.path.join(str(tmp_path), "ssoj")
+    src.write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    def sides(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+        )
+        e = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        return p, e
+
+    sp, se = sides(spark.readStream.schema(schema).parquet(path))
+    sp = sp.withWatermark("p_ts", "10 minutes")
+    se = se.withWatermark("e_ts", "10 minutes")
+    cond = (
+        (sp.user_id == se.e_user)
+        & (se.e_ts >= sp.p_ts - F.expr("interval 30 minutes"))
+        & (se.e_ts <= sp.p_ts)
+    )
+    q = (
+        sp.join(se, cond, "leftOuter")
+        .writeStream.format("memory")
+        .queryName("ss_loj")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_loj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("ss_loj")
+
+    bp, be = sides(spark.read.parquet(path))
+    bcond = (
+        (bp.user_id == be.e_user)
+        & (be.e_ts >= bp.p_ts - F.expr("interval 30 minutes"))
+        & (be.e_ts <= bp.p_ts)
+    )
+    # matched rows == batch inner join exactly
+    want_matched = bp.join(be, bcond, "inner").count()
+    assert out.filter(F.col("e_id").isNotNull()).count() == want_matched
+    # null-extended rows exist and are genuinely unmatched purchases
+    nulls = out.filter(F.col("e_id").isNull())
+    assert nulls.count() > 0
+    matched_ids = {r["p_id"] for r in bp.join(be, bcond, "inner").select("p_id").collect()}
+    null_ids = {r["p_id"] for r in nulls.select("p_id").collect()}
+    assert null_ids.isdisjoint(matched_ids)
