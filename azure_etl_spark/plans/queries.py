@@ -5141,6 +5141,117 @@ def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "not_in_vs_not_exists_nulls",
+    oracle="""
+    WITH dim AS (
+      SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END AS nk
+      FROM nation)
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT nk FROM dim)) AS n_not_in,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.nk = c.c_nationkey))
+        AS n_not_exists
+    """,
+    description="The NOT IN null trap, pinned by both engines: one NULL "
+    "in the subquery list makes NOT IN three-valued-logic-false for "
+    "EVERY row (n_not_in = 0), while NOT EXISTS keeps its natural "
+    "semantics — the single most common silent-wrong-answer rewrite in "
+    "warehouse SQL. Spark plans NOT IN as null-aware anti join "
+    "(broadcast required), NOT EXISTS as a plain left-anti.",
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_nin_v")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nat_nin_v")
+    return spark.sql(
+        """
+        WITH dim AS (
+          SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END AS nk
+          FROM nat_nin_v)
+        SELECT
+          (SELECT COUNT(*) FROM cust_nin_v
+           WHERE c_nationkey NOT IN (SELECT nk FROM dim)) AS n_not_in,
+          (SELECT COUNT(*) FROM cust_nin_v c
+           WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.nk = c.c_nationkey))
+            AS n_not_exists
+        """
+    )
+
+
+@query(
+    "grouping_id_rollup_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    description="grouping()/grouping_id disambiguation in rollups: the "
+    "bitmask separates 'NULL because subtotal row' from 'NULL data' — "
+    "without it, rollup outputs are unparseable whenever grouping "
+    "columns are nullable. One Expand + one aggregation pass.",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("bigint") * 2
+        + F.grouping("o_orderpriority").cast("bigint")
+    )
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), gid.alias("gid"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@query(
+    "try_to_number_docs",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(CAST(doc_id AS VARCHAR) ||
+                    CASE WHEN doc_id % 3 = 0 THEN 'x'
+                         WHEN doc_id % 3 = 1 THEN '.5'
+                         ELSE '' END AS DOUBLE) AS parsed,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS n_chars_rt
+    FROM documents ORDER BY doc_id
+    """,
+    description="Fault-tolerant parsing (try_cast): a third of the "
+    "synthesized strings are poisoned with a trailing 'x' and parse to "
+    "NULL — never a job-killing ANSI error — while decimal and integer "
+    "forms parse on both engines. (Inputs are synthesized rather than "
+    "raw md5 hex because the engines' string->number grammars diverge "
+    "at the edges: DuckDB reads '2e07' as sci-notation where Spark "
+    "rejects it for INT, and Java accepts a trailing 'f'/'d' float "
+    "suffix where DuckDB rejects it — parity holds on the common "
+    "numeric grammar, which is what real dirty data exercises.) The "
+    "ingestion posture: parse what parses, quarantine NULLs.",
+)
+def q_try_to_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _td(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("x"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".5"))
+            .otherwise(F.lit("")),
+        )
+        .try_cast("double")
+        .alias("parsed"),
+        F.col("n_chars").cast("string").try_cast("int").alias("n_chars_rt"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
