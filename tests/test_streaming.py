@@ -588,3 +588,34 @@ def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir, tmp_path):
     matched_ids = {r["p_id"] for r in bp.join(be, bcond, "inner").select("p_id").collect()}
     null_ids = {r["p_id"] for r in nulls.select("p_id").collect()}
     assert null_ids.isdisjoint(matched_ids)
+
+
+def test_streaming_progress_metrics_account_for_all_rows(spark, sf_dir, tmp_path):
+    """Operational observability: StreamingQuery.recentProgress must
+    account for every input row across micro-batches (numInputRows sums
+    to the source count) — the monitoring contract dashboards and lag
+    alerts are built on."""
+    src = load_table(spark, sf_dir, "events").select("event_type", "value")
+    path = os.path.join(str(tmp_path), "prog_stream")
+    src.repartition(4).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("prog_out")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_prog"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progressed = sum(p["numInputRows"] for p in q.recentProgress)
+    assert progressed == src.count()
+    assert len(q.recentProgress) >= 4  # maxFilesPerTrigger really micro-batched
+    batch_durations = [p["batchDuration"] for p in q.recentProgress]
+    assert all(d >= 0 for d in batch_durations)

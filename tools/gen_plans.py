@@ -66,6 +66,20 @@ COMMENTARY = {
         "grouped min. The per-round localCheckpoint truncates lineage, so "
         "round N's plan is this same shape, not N nested copies."
     ),
+    "dedup_distinct": (
+        "Distinct + totally-ordered output as ONE Exchange: range-"
+        "partition first (satisfies the aggregate's clustering "
+        "requirement — equal rows share sort keys), dedup in place, "
+        "re-sort within partitions. distinct().orderBy() would pay a "
+        "hash Exchange AND a range Exchange."
+    ),
+    "interval_overlap_join_events": (
+        "Interval-overlap join via chunk decomposition: both sides "
+        "explode onto fixed 10-minute chunks and join as a plain hash "
+        "equi-join on (user, chunk) + exact-overlap filter — no "
+        "BroadcastNestedLoopJoin, no per-key cartesian; shuffle is "
+        "O(rows x chunks/interval)."
+    ),
     "word_entropy_docs": (
         "Per-doc Shannon entropy as ONE map-only project: sort the token "
         "array and fold run lengths in a single aggregate HOF (ln n - "
