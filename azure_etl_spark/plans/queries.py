@@ -3853,9 +3853,9 @@ def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS n,
-           ROUND(corr(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+           ROUND(corr(value, CAST(date_part('hour', ts) AS DOUBLE)), 6) + 0.0
              AS corr_value_hour,
-           ROUND(covar_samp(value, CAST(date_part('hour', ts) AS DOUBLE)), 4)
+           ROUND(covar_samp(value, CAST(date_part('hour', ts) AS DOUBLE)), 4) + 0.0
              AS covar_value_hour,
            ROUND(stddev_samp(value), 4) AS stddev_value
     FROM events GROUP BY event_type ORDER BY event_type
@@ -3873,8 +3873,12 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("value").alias("n"),
-            F.round(F.corr(F.col("value"), hour), 6).alias("corr_value_hour"),
-            F.round(F.covar_samp(F.col("value"), hour), 4).alias("covar_value_hour"),
+            (F.round(F.corr(F.col("value"), hour), 6) + F.lit(0.0)).alias(
+                "corr_value_hour"
+            ),
+            (F.round(F.covar_samp(F.col("value"), hour), 4) + F.lit(0.0)).alias(
+                "covar_value_hour"
+            ),
             F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
         )
         .orderBy("event_type")
@@ -4027,9 +4031,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dim_profile",
     oracle="""
     SELECT dim, COUNT(*) AS n,
-           ROUND(AVG(v), 4) AS mean_v,
-           ROUND(MIN(v), 4) AS min_v,
-           ROUND(MAX(v), 4) AS max_v
+           ROUND(AVG(v), 4) + 0.0 AS mean_v,
+           ROUND(MIN(v), 4) + 0.0 AS min_v,
+           ROUND(MAX(v), 4) + 0.0 AS max_v
     FROM (
       SELECT CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS v
@@ -4051,9 +4055,9 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(v), 4).alias("mean_v"),
-            F.round(F.min(v), 4).alias("min_v"),
-            F.round(F.max(v), 4).alias("max_v"),
+            (F.round(F.avg(v), 4) + F.lit(0.0)).alias("mean_v"),
+            (F.round(F.min(v), 4) + F.lit(0.0)).alias("min_v"),
+            (F.round(F.max(v), 4) + F.lit(0.0)).alias("max_v"),
         )
         .orderBy("dim")
     )
