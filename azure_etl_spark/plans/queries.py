@@ -5256,6 +5256,39 @@ def q_try_to_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "date_arith_orders",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS plus_month,
+           CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+           CAST(DATE '2024-01-15' - CAST(o_orderdate AS DATE) AS INT)
+             AS days_to_asof
+    FROM orders GROUP BY o_orderdate ORDER BY d
+    """,
+    description="Date arithmetic parity: add_months (month-end "
+    "clamping matches DuckDB's +INTERVAL), date_add, and datediff "
+    "against the fixed as-of date. Constant-foldable JVM arithmetic "
+    "over the distinct dates.",
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy(d.alias("d"))
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "d",
+            F.add_months("d", 1).cast("timestamp").alias("plus_month"),
+            F.date_add("d", 45).alias("plus_45d"),
+            F.datediff(F.lit("2024-01-15").cast("date"), F.col("d")).alias(
+                "days_to_asof"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
