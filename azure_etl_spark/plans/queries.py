@@ -1743,7 +1743,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (value - AVG(value) OVER (PARTITION BY event_type))
                  / stddev_pop(value) OVER (PARTITION BY event_type) AS z
           FROM p)
-    SELECT event_id, event_type, ROUND(z, 3) AS z
+    SELECT event_id, event_type, ROUND(z, 3) + 0.0 AS z
     FROM s ORDER BY event_id
     """,
     description="Per-group z-score through applyInPandas (Arrow grouped "
@@ -1760,9 +1760,9 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
     )
     z = zscore_apply_in_pandas(e, ["event_type"], "value")
-    return z.select("event_id", "event_type", F.round("z", 3).alias("z")).orderBy(
-        "event_id"
-    )
+    return z.select(
+        "event_id", "event_type", (F.round("z", 3) + F.lit(0.0)).alias("z")
+    ).orderBy("event_id")
 
 
 # ------------------------------------------------------------- ntile binning
