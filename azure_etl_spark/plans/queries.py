@@ -5289,6 +5289,30 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_exact_k_docs",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+    """,
+    description="Deterministic EXACT-k uniform sample: take the k "
+    "lowest md5(key) rows — a uniform permutation order both engines "
+    "reproduce, unlike df.sample (partition-seeded, approximate "
+    "fraction, no exact k). Plans as TakeOrderedAndProject: per-task "
+    "k-heaps + driver merge, no global sort — the reservoir-sampling "
+    "result with shuffle-free mechanics.",
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select("doc_id", "lang", h.alias("__h"))
+        .orderBy("__h", "doc_id")
+        .limit(50)
+        .drop("__h")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
