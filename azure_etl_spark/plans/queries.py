@@ -5313,6 +5313,66 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bool_agg_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           bool_and(o_orderdate IS NOT NULL) AS dates_complete
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="Boolean aggregate surface (count_if / bool_and / "
+    "bool_or): the assertion-style rollups data-quality dashboards are "
+    "made of — single-pass, one-bit state per group, mergeable.",
+)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.bool_and(F.col("o_orderdate").isNotNull()).alias("dates_complete"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "array_predicates_docs",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter({_WORDS_SQL}, x -> len(x) >= 10)) > 0
+             AS has_long_word,
+           len(list_filter({_WORDS_SQL}, x -> len(x) > 15)) = 0
+             AS all_words_short,
+           len(list_filter({_WORDS_SQL},
+                           x -> list_contains(['the','a','of'], x))) > 0
+             AS has_stopword
+    FROM documents ORDER BY doc_id
+    """,
+    description="Array-predicate HOFs (exists / forall): per-doc "
+    "boolean gates over the token array without exploding — short-"
+    "circuiting JVM lambdas, map-only plan; the cheap pre-filter stage "
+    "before expensive text ops.",
+)
+def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    d = _td(spark, sf_dir)
+    ws = F.split(normalized_text("text"), " ")
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+    return d.select(
+        "doc_id",
+        F.exists(ws, lambda x: F.length(x) >= 10).alias("has_long_word"),
+        F.forall(ws, lambda x: F.length(x) <= 15).alias("all_words_short"),
+        F.exists(ws, lambda x: F.array_contains(stop, x)).alias("has_stopword"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
