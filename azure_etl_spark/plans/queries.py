@@ -5373,6 +5373,84 @@ def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "nested_array_flatten_docs",
+    oracle=f"""
+    WITH heads AS (
+      SELECT source, {_WORDS_SQL}[1:5] AS head_words FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(head_words)) AS INT) AS total_sampled,
+           CAST(len(list_distinct(flatten(list(head_words)))) AS INT)
+             AS distinct_sampled
+    FROM heads GROUP BY source ORDER BY source
+    """,
+    description="Nested arrays (array<array<string>>): per-source "
+    "collect_list of per-doc head-word arrays, flatten, distinct — the "
+    "two-level nesting pattern of grouped sequence features. Counts "
+    "only in the output, so the result is order-insensitive even "
+    "though collect_list is partition-order dependent.",
+)
+def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    d = _td(spark, sf_dir)
+    heads = d.select(
+        "source", F.slice(F.split(normalized_text("text"), " "), 1, 5).alias("hw")
+    )
+    return (
+        heads.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("hw")).cast("int").alias("total_sampled"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("hw")))).alias(
+                "distinct_sampled"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "map_zip_event_halves",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, event_type,
+             COUNT(*) FILTER (WHERE dayofmonth(ts) <= 15) AS n1,
+             COUNT(*) FILTER (WHERE dayofmonth(ts) > 15) AS n2
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type, CAST(n2 - n1 AS BIGINT) AS delta
+    FROM h ORDER BY user_id, event_type
+    """,
+    description="map_zip_with surface: per-user early-month and "
+    "late-month count maps merged key-wise into deltas, exploded back "
+    "to rows; the oracle computes deltas relationally, so equality "
+    "proves the map merge (including keys present in only one half) "
+    "is lossless. Maps stay bounded by event-type cardinality.",
+)
+def q_map_zip_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count_if(F.dayofmonth("ts") <= 15).alias("n1"),
+        F.count_if(F.dayofmonth("ts") > 15).alias("n2"),
+    )
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n1"))).alias("m1"),
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n2"))).alias("m2"),
+    )
+    merged = packed.select(
+        "user_id",
+        F.map_zip_with(
+            "m1",
+            "m2",
+            lambda k, a, b: F.coalesce(b, F.lit(0)) - F.coalesce(a, F.lit(0)),
+        ).alias("deltas"),
+    )
+    return merged.select(
+        "user_id", F.explode("deltas").alias("event_type", "delta")
+    ).orderBy("user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
