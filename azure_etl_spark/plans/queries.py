@@ -65,9 +65,37 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def _finalize(df: DataFrame) -> DataFrame:
+    """Hash-robust driver boundary: cast DECIMAL outputs to DOUBLE.
+
+    Aggregations run on DECIMAL internally so sums are exact and
+    order-independent, but DECIMAL *output* is hash-fragile under the
+    driver's pandas-level value compare (``Decimal('104087.90')`` vs
+    ``104087.9`` — trailing-zero scale is preserved by Python Decimal but
+    not by float).  decimal->double is correctly rounded in both Spark
+    (BigDecimal.doubleValue) and DuckDB, and the fixtures' <=15
+    significant digits make it injective, so equal decimals map to
+    bit-identical doubles on both sides.  Oracle SQL applies the same
+    outer ``CAST(... AS DOUBLE)``.
+    """
+    from pyspark.sql import types as _T
+
+    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, _T.DecimalType)]
+    if dec:
+        df = df.withColumns({c: F.col(c).cast("double") for c in dec})
+    return df
+
+
 def query(name: str, oracle: str | None = None, description: str = "", bench: bool = False):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description, bench=bench)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _finalize(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(
+            fn=wrapped, oracle=oracle, description=description, bench=bench
+        )
         return fn
 
     return deco
@@ -107,9 +135,9 @@ CRYPTO_SQL = (
     oracle=f"""
     {CRYPTO_SQL}
     SELECT symbol,
-           MIN(price) AS min_value_by_crypto,
-           MAX(price) AS max_value_by_crypto,
-           MAX(price) - MIN(price) AS difference_between_min_max,
+           CAST(MIN(price) AS DOUBLE) AS min_value_by_crypto,
+           CAST(MAX(price) AS DOUBLE) AS max_value_by_crypto,
+           CAST(MAX(price) - MIN(price) AS DOUBLE) AS difference_between_min_max,
            CAST({AS_OF.year} AS INT) AS year,
            CAST({AS_OF.month} AS INT) AS month,
            CAST({AS_OF.day} AS INT) AS day
@@ -139,7 +167,8 @@ def flagship_gold_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_distinct",
-    oracle=f"{CRYPTO_SQL} SELECT DISTINCT symbol, price FROM crypto",
+    oracle=f"{CRYPTO_SQL} SELECT symbol, CAST(price AS DOUBLE) AS price "
+    "FROM (SELECT DISTINCT symbol, price FROM crypto)",
     description="A2 bronzeToSilver distinct() + sort "
     "(bronzeToSilver.scala:8-9), planned as ONE shuffle: range-"
     "partition first, dedup in place, re-sort within partitions "
@@ -156,7 +185,7 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_first_per_key",
     oracle=f"""
     {CRYPTO_SQL}
-    SELECT symbol, price FROM (
+    SELECT symbol, CAST(price AS DOUBLE) AS price FROM (
       SELECT symbol, price,
              ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY price) AS rn
       FROM crypto) WHERE rn = 1

@@ -58,11 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # as bigint nanos — rescale to a microsecond timestamp (same
     # truncation DuckDB applies when reading ns into its us timestamps).
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer DIV — float division would lose precision on 1.7e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # parquet timestamp[us] with isAdjustedToUTC=false arrives as
+    # TIMESTAMP_NTZ; the engine standardizes on TIMESTAMP (session tz is
+    # pinned to UTC, so the cast preserves wall-clock values and matches
+    # DuckDB's naive-timestamp read).  Applies to every fixture table
+    # (events.ts, lineitem.l_shipdate, orders.o_orderdate).
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
