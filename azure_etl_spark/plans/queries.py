@@ -674,15 +674,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_near_dup",
-    oracle=None,  # hash-function-specific; rows-only check (verified in tests
-    # against exact ngram_jaccard on the same subset)
-    description="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
-    "estimated Jaccard — band-bucket equi-join, never all-pairs.",
+    # The pipeline emits EXACT Jaccard for LSH-candidate pairs; with r=1
+    # banding (bands == num_hashes) candidate recall at j>=0.2 is
+    # 1-(1-j)^64 > 1-1e-6, so the output equals the brute-force answer
+    # and an exact SQL oracle applies. The estimated-Jaccard candidate
+    # stage alone stays covered by tests/test_dedup_similarity.py.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 1),
+                    i -> w[i + 1] || ' ' || w[i + 2]))) AS g
+      FROM docs WHERE len(w) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+    """,
+    description="MinHash(64)+LSH near-dup pipeline: band-bucket candidate "
+    "equi-join (never all-pairs) + exact-Jaccard verify stage; oracle is "
+    "the exact brute-force answer (recall-1 banding at fixture scale).",
     bench=True,
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import minhash_verified_near_dup
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return minhash_near_dup_pairs(d, num_hashes=64, bands=16, threshold=0.2)
+    return minhash_verified_near_dup(
+        d, num_hashes=64, bands=64, shingle_n=2, threshold=0.2
+    )
 
 
 # ---------------------------------------------------------------- similarity search
@@ -710,10 +739,58 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+def _lsh_sig_sql(table: int, n_planes: int, dim: int, vec: str) -> str:
+    """DuckDB expression reproducing with_lsh_signature's bit string for
+    one hash table: the hyperplanes are deterministic (LCG-seeded), so
+    the oracle can recompute the exact same buckets in SQL."""
+    from azure_etl_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for i in range(n_planes):
+        plane = _hyperplane(table * 1000 + i + 1, dim)
+        lit = "CAST([" + ",".join(repr(x) for x in plane) + "] AS DOUBLE[])"
+        bits.append(
+            f"(CASE WHEN list_inner_product({vec}, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _lsh_topk_oracle(n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
+    cand_parts = []
+    q_parts = []
+    for t in range(n_tables):
+        sig = _lsh_sig_sql(t, n_planes, 64, "v")
+        cand_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM c")
+        qsig = _lsh_sig_sql(t, n_planes, 64, "qv")
+        q_parts.append(f"SELECT {t} AS t, q_id, qv, {qsig} AS sig FROM q")
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4),
+    cs AS ({' UNION ALL '.join(cand_parts)}),
+    qs AS ({' UNION ALL '.join(q_parts)}),
+    probed AS (
+      SELECT qs.q_id, cs.vec_id,
+             any_value(qs.qv) AS qv, any_value(cs.v) AS v
+      FROM cs JOIN qs ON cs.t = qs.t AND cs.sig = qs.sig
+      GROUP BY qs.q_id, cs.vec_id),
+    scored AS (
+      SELECT q_id, vec_id, list_cosine_similarity(v, qv) AS sim FROM probed)
+    SELECT q_id, vec_id, ROUND(sim, 6) AS cosine_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY sim DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= {k}
+    """
+
+
 @query(
     "lsh_topk",
-    oracle=None,  # approximate by construction; recall vs brute force is
-    # asserted in tests
+    # The hyperplane family is deterministic, so the oracle recomputes
+    # the SAME buckets in SQL and scores them exactly — this checks the
+    # op end-to-end (signatures, multi-table probe union, dedup, exact
+    # re-rank), not just "some rows came back". Recall vs brute force is
+    # additionally asserted in tests on planted near-neighbors.
+    oracle=_lsh_topk_oracle(),
     description="LSH-bucketed approximate top-k (random hyperplanes, multi-table "
     "probe): equi-join on bucket signature replaces the cross score.",
 )
@@ -722,7 +799,13 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return lsh_bucketed_topk(queries, e, dim=64, k=5, n_planes=4, n_tables=8)
+    out = lsh_bucketed_topk(queries, e, dim=64, k=5, n_planes=4, n_tables=8)
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------- multimodal
@@ -843,13 +926,16 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_user_events",
+    # COUNT(*) FILTER keeps the oracle BIGINT and non-null; SUM(CASE..)
+    # returns HUGEINT in DuckDB (pandas float64) and NULL for absent
+    # combos — both hash-fragile even when values agree.
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
-           SUM(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
-           SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
-           SUM(CASE WHEN event_type = 'error' THEN 1 END) AS "error"
+           COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+           COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+           COUNT(*) FILTER (WHERE event_type = 'error') AS "error"
     FROM events GROUP BY user_id
     """,
     description="Pivot to wide counts (explicit value list — no discovery scan).",
@@ -859,7 +945,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return pivot_counts(
-        e, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+        e, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"],
+        fill_missing=0,
     )
 
 
@@ -972,8 +1059,9 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT event_id, user_id,
-           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_id
     FROM flags
     """,
     description="Gap-based sessionization (30 min): lag -> boundary flag -> "
@@ -1352,15 +1440,52 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_dup",
-    oracle=None,  # LSH-approximate; recall asserted in tests against clones
-    description="Embedding near-duplicate pairs (cosine >= 0.8) via "
-    "random-hyperplane LSH self-join — the embedding twin of MinHash dedup.",
+    # The fixture's embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 — brute-forced), so mining the raw table at any near-dup
+    # threshold is vacuously empty. Both engines therefore build the
+    # same corpus-with-duplicates deterministically: every vector gets a
+    # slightly perturbed twin (id + 1000000, first component +0.25 in
+    # double precision), and the pipeline must recover exactly the
+    # planted pairs. The oracle is exact brute force over that corpus.
+    oracle="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pert AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_concat([v[1] + 0.25], v[2:]) AS v
+             FROM base),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cs
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
+    FROM pairs WHERE cs >= 0.9
+    """,
+    description="Embedding near-duplicate pairs (cosine >= 0.9) via "
+    "random-hyperplane LSH self-join — the embedding twin of MinHash "
+    "dedup, verified against exact brute force on a corpus with "
+    "planted perturbed duplicates.",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, dim=64, threshold=0.8, n_planes=8, n_tables=4)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.25)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    out = embedding_near_dup_pairs(
+        corpus, dim=64, threshold=0.9, n_planes=8, n_tables=4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
 
 
 # ------------------------------------------------------- fingerprint / simhash
@@ -1924,7 +2049,7 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM b),
     f AS (SELECT s.user_id, s.day, d.v
           FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
-    SELECT user_id, day,
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day) AS v_filled,
            v IS NULL AS was_gap
     FROM f ORDER BY user_id, day
@@ -1953,7 +2078,10 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("day")
     return f.select(
         "user_id",
-        "day",
+        # DATE columns reach pandas as datetime.date objects on the Spark
+        # side but datetime64 on the DuckDB side — emit TIMESTAMP (the
+        # hash-proven representation) from both engines.
+        F.col("day").cast("timestamp").alias("day"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     ).orderBy("user_id", "day")
@@ -2055,7 +2183,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(seg_or_null, 'SUPPRESSED') AS segment,
            COUNT(*) AS n,
            COUNT(seg_or_null) AS n_not_null,
-           SUM(CASE WHEN bal_or_null IS NULL THEN 1 ELSE 0 END) AS n_zero_bal,
+           CAST(SUM(CASE WHEN bal_or_null IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_bal,
            CAST(COALESCE(SUM(bal_or_null), 0) AS DECIMAL(18,2)) AS total_bal
     FROM c GROUP BY segment ORDER BY segment
     """,
@@ -2092,7 +2221,7 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_distance_suppliers",
     oracle="""
     SELECT s_suppkey,
-           levenshtein(s_name, 'Supplier#000000001') AS lev,
+           CAST(levenshtein(s_name, 'Supplier#000000001') AS BIGINT) AS lev,
            lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded,
            translate(s_name, '#0', '_x') AS translated,
            reverse(s_name) AS rev
@@ -2107,7 +2236,9 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.select(
             "s_suppkey",
-            F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001")).alias("lev"),
+            F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001"))
+            .cast("long")
+            .alias("lev"),
             F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded"),
             F.translate(F.col("s_name"), "#0", "_x").alias("translated"),
             F.reverse(F.col("s_name")).alias("rev"),
@@ -2253,9 +2384,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full_outer_reconciliation",
     oracle="""
     WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
-    SELECT SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_cust_only,
-           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orders_only
+    SELECT CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_only,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only
     FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
     """,
     description="Full-outer reconciliation: customers vs order-holders, "
@@ -2418,7 +2549,7 @@ def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -2743,10 +2874,10 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12ish",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -3341,7 +3472,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     l AS (SELECT l_orderkey,
                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
           FROM lineitem WHERE l_orderkey < 2000),
-    la AS (SELECT l_orderkey, COUNT(*) AS n_lines, SUM(cents) AS line_cents
+    la AS (SELECT l_orderkey, COUNT(*) AS n_lines,
+                  CAST(SUM(cents) AS BIGINT) AS line_cents
            FROM l GROUP BY l_orderkey)
     SELECT COALESCE(o.o_orderkey, la.l_orderkey) AS o_orderkey,
            COALESCE(n_lines, 0) AS n_lines,
@@ -3423,7 +3555,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t)
     SELECT source, seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS seq_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM packed GROUP BY source, seq_id ORDER BY source, seq_id
     """,
     description="Token-budget sequence packing by contiguous fill, per "
@@ -3985,7 +4117,7 @@ def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              % 8 AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY shard ORDER BY shard
     """,
     description="Deterministic training-shard assignment: shard = "
@@ -4149,10 +4281,10 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "calendar_parts_orders",
     oracle="""
-    SELECT CAST(o_orderdate AS DATE) AS d,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
            COUNT(*) AS n,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
            CAST(weekofyear(o_orderdate) AS INT) AS week_iso,
            CAST(quarter(o_orderdate) AS INT) AS qtr
@@ -4171,10 +4303,12 @@ def q_calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(d.alias("d"))
         .agg(F.count("*").alias("n"))
         .select(
-            "d",
+            # DATE -> TIMESTAMP at the edge: hash-stable pandas form on
+            # both engines (date objects vs datetime64 differ otherwise).
+            F.col("d").cast("timestamp").alias("d"),
             "n",
-            F.trunc("d", "month").alias("month_start"),
-            F.last_day("d").alias("month_end"),
+            F.trunc("d", "month").cast("timestamp").alias("month_start"),
+            F.last_day("d").cast("timestamp").alias("month_end"),
             F.dayofweek("d").alias("dow"),
             F.weekofyear("d").alias("week_iso"),
             F.quarter("d").alias("qtr"),
@@ -4218,7 +4352,7 @@ def q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine AS (
       SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
       FROM b)
-    SELECT spine.d AS d, coalesce(daily.n, 0) AS n,
+    SELECT CAST(spine.d AS TIMESTAMP) AS d, coalesce(daily.n, 0) AS n,
            coalesce(daily.total_value, CAST(0 AS DECIMAL(18,2))) AS total_value
     FROM spine LEFT JOIN daily USING (d) ORDER BY d
     """,
@@ -4243,7 +4377,7 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(daily, "d", "left")
         .select(
-            "d",
+            F.col("d").cast("timestamp").alias("d"),
             F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
             F.coalesce("total_value", F.lit(0).cast("decimal(18,2)")).alias(
                 "total_value"
@@ -4680,8 +4814,8 @@ def q_recursive_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            coalesce(string_agg(CASE WHEN n_docs_with <= 4 THEN segment END,
                                ' ' ORDER BY seg_idx), '') AS cleaned_text,
-           SUM(CASE WHEN n_docs_with <= 4 THEN 1 ELSE 0 END) AS n_seg_kept,
-           SUM(CASE WHEN n_docs_with <= 4 THEN 0 ELSE 1 END) AS n_seg_dropped
+           CAST(SUM(CASE WHEN n_docs_with <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_kept,
+           CAST(SUM(CASE WHEN n_docs_with <= 4 THEN 0 ELSE 1 END) AS BIGINT) AS n_seg_dropped
     FROM tagged GROUP BY doc_id ORDER BY doc_id
     """,
     description="C4-style corpus-wide duplicate-segment removal (line "
@@ -4908,7 +5042,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
       FROM events GROUP BY user_id, w),
     c AS (SELECT user_id, MIN(w) AS cw FROM ua GROUP BY user_id)
-    SELECT c.cw AS cohort_week,
+    SELECT CAST(c.cw AS TIMESTAMP) AS cohort_week,
            CAST((ua.w - c.cw) / 7 AS INT) AS week_offset,
            CAST(COUNT(DISTINCT ua.user_id) AS BIGINT) AS n_users
     FROM ua JOIN c USING (user_id)
@@ -4932,7 +5066,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ua.join(c, "user_id")
         .groupBy(
-            F.col("cw").alias("cohort_week"),
+            F.col("cw").cast("timestamp").alias("cohort_week"),
             (F.datediff("w", "cw") / 7).cast("int").alias("week_offset"),
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
@@ -5116,12 +5250,12 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "date_format_orders",
     oracle="""
-    SELECT CAST(o_orderdate AS DATE) AS d,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
            strftime(o_orderdate, '%Y-%m') AS ym,
            strftime(o_orderdate, '%d/%m/%Y') AS dmy,
            CAST(strftime(o_orderdate, '%j') AS INT) AS day_of_year,
-           make_date(CAST(strftime(o_orderdate, '%Y') AS INT), 1, 1)
-             AS year_start
+           CAST(make_date(CAST(strftime(o_orderdate, '%Y') AS INT), 1, 1)
+                AS TIMESTAMP) AS year_start
     FROM orders GROUP BY o_orderdate ORDER BY d
     """,
     description="Datetime formatting parity (Spark Java patterns vs "
@@ -5137,11 +5271,13 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(d.alias("d"))
         .agg(F.count("*").alias("__n"))
         .select(
-            "d",
+            F.col("d").cast("timestamp").alias("d"),
             F.date_format("d", "yyyy-MM").alias("ym"),
             F.date_format("d", "dd/MM/yyyy").alias("dmy"),
             F.dayofyear("d").alias("day_of_year"),
-            F.make_date(F.year("d"), F.lit(1), F.lit(1)).alias("year_start"),
+            F.make_date(F.year("d"), F.lit(1), F.lit(1))
+            .cast("timestamp")
+            .alias("year_start"),
         )
         .orderBy("d")
     )
@@ -5288,9 +5424,10 @@ def q_try_to_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "date_arith_orders",
     oracle="""
-    SELECT CAST(o_orderdate AS DATE) AS d,
-           CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS plus_month,
-           CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP)
+             AS plus_month,
+           CAST(CAST(o_orderdate AS DATE) + 45 AS TIMESTAMP) AS plus_45d,
            CAST(DATE '2024-01-15' - CAST(o_orderdate AS DATE) AS INT)
              AS days_to_asof
     FROM orders GROUP BY o_orderdate ORDER BY d
@@ -5307,9 +5444,9 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(d.alias("d"))
         .agg(F.count("*").alias("__n"))
         .select(
-            "d",
+            F.col("d").cast("timestamp").alias("d"),
             F.add_months("d", 1).cast("timestamp").alias("plus_month"),
-            F.date_add("d", 45).alias("plus_45d"),
+            F.date_add("d", 45).cast("timestamp").alias("plus_45d"),
             F.datediff(F.lit("2024-01-15").cast("date"), F.col("d")).alias(
                 "days_to_asof"
             ),

@@ -1,0 +1,114 @@
+"""Driver-style correctness check: Spark vs DuckDB through pandas.
+
+The driver hashes both result sets at the pandas level (columns sorted
+by name, rows sorted), so representation differences that fetchall()
+hides — DuckDB HUGEINT -> float64, NULL bigint cells -> NaN, Decimal
+objects vs floats — break the hash even when values are identical.
+This tool replicates that comparison for every oracle-backed query:
+
+  * converts BOTH results to pandas (Spark ``toPandas`` with Arrow,
+    DuckDB ``.df()``)
+  * flags pandas dtype differences per column (the round-2 failure mode)
+  * compares values cell-by-cell after sorting columns by name and rows
+    lexicographically (stringified, so 3 vs 3.0 and Decimal('1.10') vs
+    1.1 are *visible* as differences, like a hash would see them)
+
+Usage: python tools/driver_check.py [sf_dir] [query ...]
+Exit code 1 if any query mismatches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from azure_etl_spark.plans.queries import QUERIES
+from azure_etl_spark.session import get_session
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _cell(v) -> str:
+    if isinstance(v, (list, tuple)):
+        return "arr:[" + ",".join(_cell(x) for x in v) + "]"
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array cell
+        return "arr:[" + ",".join(_cell(x) for x in v.tolist()) + "]"
+    if pd.isna(v):
+        return "<null>"
+    return f"{type(v).__name__}:{v}"
+
+
+def _canon(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df[sorted(df.columns)]
+    rows = [
+        tuple(_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session(app_name="driver_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures: list[str] = []
+    checked = 0
+    for name, spec in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        if not spec.oracle:
+            continue
+        checked += 1
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+            ddf = con.sql(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001 - keep auditing the rest
+            failures.append(f"{name}: ERROR {type(e).__name__}: {e}"[:300])
+            print(f"FAIL {name} (error)")
+            continue
+        problems = []
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(
+                f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+            )
+        else:
+            for c in sorted(sdf.columns):
+                st, dt = str(sdf[c].dtype), str(ddf[c].dtype)
+                if st != dt:
+                    problems.append(f"dtype[{c}]: spark={st} duck={dt}")
+        if len(sdf) != len(ddf):
+            problems.append(f"rows spark={len(sdf)} duck={len(ddf)}")
+        if not problems:
+            s_rows, d_rows = _canon(sdf), _canon(ddf)
+            if s_rows != d_rows:
+                diffs = [
+                    (a, b) for a, b in zip(s_rows, d_rows) if a != b
+                ][:3]
+                problems.append(f"values differ, first: {diffs}")
+        if problems:
+            failures.append(f"{name}: " + "; ".join(p[:400] for p in problems))
+            print(f"FAIL {name}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{checked} oracle-backed queries checked, {len(failures)} failed")
+    for f in failures:
+        print("  " + f)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
