@@ -56,10 +56,20 @@ AS_OF = _dt.date(2024, 1, 15)  # fixed processing date for reproducible date sta
 @dataclass
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # Either the oracle SQL string, or a zero-arg callable producing it.
+    # Heavy oracles (LSH signature SQL literals: ~40 KB of hyperplane
+    # doubles) pass a callable so module import stays cheap; the string
+    # is built once at first `.oracle` access and memoized.
+    oracle_src: str | Callable[[], str] | None
     description: str = ""
     bench: bool = False  # included in bench.py headline set
     tags: tuple = field(default=())
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self.oracle_src):
+            self.oracle_src = self.oracle_src()
+        return self.oracle_src
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -86,7 +96,73 @@ def _finalize(df: DataFrame) -> DataFrame:
     return df
 
 
-def query(name: str, oracle: str | None = None, description: str = "", bench: bool = False):
+# Oracle-side mirror of _finalize: these oracle SQLs aggregate on DECIMAL
+# (for exact, order-independent sums) and must re-emit the listed columns
+# as DOUBLE to match what _finalize produces on the Spark side.  Applied
+# once at registration via DuckDB's `SELECT * REPLACE`, which preserves
+# column names and positions.  tests/test_oracle_types.py DESCRIBEs every
+# registered oracle and fails if any DECIMAL output survives, so a new
+# query whose oracle emits DECIMAL cannot ship without an entry here (or
+# an inline CAST).
+_ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
+    "bucketed_join_revenue": ("revenue",),
+    "conditional_agg_orders": ("urgent_total",),
+    "date_spine_daily_events": ("total_value",),
+    "gapfill_locf_daily": ("v_filled",),
+    "grouping_sets_orders": ("total",),
+    "hash_sample_orders": ("total",),
+    "jdbc_roundtrip_gold": ("min_value_by_crypto", "max_value_by_crypto"),
+    "join_revenue_per_nation": ("revenue",),
+    "ntile_deciles_orders": ("lo", "hi"),
+    "null_handling_customers": ("total_bal",),
+    "orc_roundtrip_gold": ("min_value_by_crypto", "max_value_by_crypto"),
+    "range_join_value_tiers": ("total_value",),
+    "rolling_7d_revenue": ("rev_7d",),
+    "rollup_orders": ("total",),
+    "skew_salted_agg": ("total",),
+    "tpch_q10ish": ("revenue",),
+    "tpch_q11ish": ("total",),
+    "tpch_q14ish": ("promo_revenue", "total_revenue"),
+    "tpch_q15ish": ("total_revenue",),
+    "tpch_q17ish": ("small_lot_revenue",),
+    "tpch_q19ish": ("revenue",),
+    "tpch_q1ish": ("sum_qty", "sum_base_price", "sum_disc_price"),
+    "tpch_q22ish": ("totacctbal",),
+    "tpch_q2ish": ("supply_cost",),
+    "tpch_q3ish": ("revenue",),
+    "tpch_q5ish": ("revenue",),
+    "tpch_q6ish": ("revenue",),
+    "tpch_q7ish": ("revenue",),
+    "tpch_q8ish": ("mkt_num", "mkt_den"),
+    "tpch_q9ish": ("profit",),
+    "unpivot_order_stats": ("val",),
+    "upsert_orders_batch": ("total",),
+    "window_running_revenue": ("running_total",),
+}
+
+
+def _oracle_double(sql: str, cols: tuple[str, ...]) -> str:
+    reps = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({reps}) FROM (\n{sql}\n) _dblq"
+
+
+def query(
+    name: str,
+    oracle: str | Callable[[], str] | None = None,
+    description: str = "",
+    bench: bool = False,
+):
+    if oracle is not None and name in _ORACLE_DOUBLE_COLS:
+        cols = _ORACLE_DOUBLE_COLS[name]
+        if callable(oracle):
+            _base = oracle
+
+            def oracle():
+                return _oracle_double(_base(), cols)
+
+        else:
+            oracle = _oracle_double(oracle, cols)
+
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _finalize(fn(spark, sf_dir))
@@ -94,7 +170,7 @@ def query(name: str, oracle: str | None = None, description: str = "", bench: bo
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         QUERIES[name] = QuerySpec(
-            fn=wrapped, oracle=oracle, description=description, bench=bench
+            fn=wrapped, oracle_src=oracle, description=description, bench=bench
         )
         return fn
 
@@ -790,7 +866,7 @@ def _lsh_topk_oracle(n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
     # op end-to-end (signatures, multi-table probe union, dedup, exact
     # re-rank), not just "some rows came back". Recall vs brute force is
     # additionally asserted in tests on planted near-neighbors.
-    oracle=_lsh_topk_oracle(),
+    oracle=_lsh_topk_oracle,
     description="LSH-bucketed approximate top-k (random hyperplanes, multi-table "
     "probe): equi-join on bucket signature replaces the cross score.",
 )
@@ -1438,6 +1514,40 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_near_dup_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
+    """Oracle = the SAME approximate pipeline in SQL (the lsh_topk
+    technique): the hyperplane family is deterministic, so DuckDB
+    recomputes the identical per-table bucket signatures over the
+    identical planted corpus, joins same-bucket pairs, dedups across
+    tables, and applies the exact cosine filter. This checks signatures,
+    the multi-table candidate union, dedup, and the verify stage
+    end-to-end — an exact contract for an approximate op. Recall vs
+    exact brute force is separately asserted in
+    tests/test_dedup_similarity.py on the planted twins."""
+    sig_parts = []
+    for t in range(n_tables):
+        sig = _lsh_sig_sql(t, n_planes, 64, "v")
+        sig_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM corpus")
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pert AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_concat([v[1] + 0.25], v[2:]) AS v
+             FROM base),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    sigs AS ({' UNION ALL '.join(sig_parts)}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             any_value(a.v) AS va, any_value(b.v) AS vb
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+                             AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    scored AS (
+      SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cs FROM pairs)
+    SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
+    FROM scored WHERE cs >= 0.9
+    """
+
+
 @query(
     "embedding_near_dup",
     # The fixture's embeddings are near-orthogonal (max pairwise cosine
@@ -1445,25 +1555,15 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold is vacuously empty. Both engines therefore build the
     # same corpus-with-duplicates deterministically: every vector gets a
     # slightly perturbed twin (id + 1000000, first component +0.25 in
-    # double precision), and the pipeline must recover exactly the
-    # planted pairs. The oracle is exact brute force over that corpus.
-    oracle="""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    pert AS (SELECT vec_id + 1000000 AS vec_id,
-                    list_concat([v[1] + 0.25], v[2:]) AS v
-             FROM base),
-    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_cosine_similarity(a.v, b.v) AS cs
-      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
-    FROM pairs WHERE cs >= 0.9
-    """,
+    # double precision). The oracle recomputes the SAME deterministic
+    # LSH buckets in SQL (see _embedding_near_dup_oracle), so the whole
+    # approximate pipeline is value-checked; planted-pair recall vs
+    # exact brute force is asserted in tests/test_dedup_similarity.py.
+    oracle=_embedding_near_dup_oracle,
     description="Embedding near-duplicate pairs (cosine >= 0.9) via "
     "random-hyperplane LSH self-join — the embedding twin of MinHash "
-    "dedup, verified against exact brute force on a corpus with "
-    "planted perturbed duplicates.",
+    "dedup; oracle replays the identical deterministic bucket pipeline "
+    "in SQL, with planted-pair recall asserted separately in tests.",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.similarity import embedding_near_dup_pairs
