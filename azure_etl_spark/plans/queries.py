@@ -724,10 +724,15 @@ def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents WHERE doc_id < 200),
     grams AS (
+      -- mirrors _shingles (operators/dedup.py) exactly, including
+      -- short docs: window start runs 0..max(len-2, 0) and the slice
+      -- truncates at the end, so a 1-word/empty doc yields one
+      -- single-word (or empty-string) shingle, never zero rows
       SELECT doc_id,
-             unnest(list_distinct(list_transform(range(len(w) - 1),
-                    i -> w[i + 1] || ' ' || w[i + 2]))) AS g
-      FROM docs WHERE len(w) >= 2),
+             unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(w) - 2, 0)),
+                    i -> array_to_string(w[i + 1:i + 2], ' ')))) AS g
+      FROM docs),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -760,10 +765,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents WHERE doc_id < 200),
     grams AS (
+      -- mirrors _shingles (operators/dedup.py) exactly, including
+      -- short docs: window start runs 0..max(len-2, 0) and the slice
+      -- truncates at the end, so a 1-word/empty doc yields one
+      -- single-word (or empty-string) shingle, never zero rows
       SELECT doc_id,
-             unnest(list_distinct(list_transform(range(len(w) - 1),
-                    i -> w[i + 1] || ' ' || w[i + 2]))) AS g
-      FROM docs WHERE len(w) >= 2),
+             unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(w) - 2, 0)),
+                    i -> array_to_string(w[i + 1:i + 2], ' ')))) AS g
+      FROM docs),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -1625,18 +1635,59 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """Exact brute-force oracle for the md5-derived SimHash: DuckDB
+    recomputes the identical 64 signature bits (first 16 hex digits of
+    md5(word), 4 bits each, sign-of-sum per bit) as 4 16-bit chunks,
+    then compares ALL pairs. The Spark op's chunk bucketing is
+    pigeonhole-complete for hamming <= 3, so bucketed == brute force
+    exactly — this is a full-strength oracle for the approximate op."""
+    s_sums = ", ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, {i // 4 + 1}, 1)) - 1)"
+        f" >> {3 - i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    chunk_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s{16 * c + b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+        )
+        + f") AS ch{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.ch{c}, b.ch{c}))" for c in range(4))
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS wd
+      FROM documents),
+    h AS (SELECT doc_id, md5(wd) AS m FROM w),
+    bits AS (SELECT doc_id, {s_sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {chunk_exprs} FROM bits),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({ham} AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
 @query(
     "simhash_near_dup",
-    oracle=None,  # xxhash64 has no DuckDB equivalent; recall tested vs clones
-    description="SimHash near-dup pairs: 64-bit signature, 4x16-bit "
-    "chunk-bucketed candidate equi-join (pigeonhole-complete for "
-    "hamming<=3), bit_count(xor) verify. Shuffle is 4 rows/doc.",
+    # md5-derived signature so DuckDB recomputes the exact bits; the
+    # oracle is brute force over all pairs, which the chunk-bucketed op
+    # must equal exactly (pigeonhole recall guarantee at hamming<=3).
+    oracle=_simhash_md5_oracle,
+    description="SimHash near-dup pairs: 64-bit md5-derived signature, "
+    "4x16-bit chunk-bucketed candidate equi-join (pigeonhole-complete "
+    "for hamming<=3), bit_count(xor) verify. Shuffle is 4 rows/doc; "
+    "oracle is exact brute force over the same deterministic signature.",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from azure_etl_spark.operators.dedup import simhash_near_dup_pairs
+    from azure_etl_spark.operators.dedup import simhash_md5_near_dup_pairs
 
     d = _td(spark, sf_dir)
-    return simhash_near_dup_pairs(d, max_hamming=3)
+    return simhash_md5_near_dup_pairs(d, max_hamming=3)
 
 
 # ---------------------------------------------------------- more TPC-H shapes
@@ -2096,10 +2147,15 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents WHERE doc_id < 200),
     grams AS (
+      -- mirrors _shingles (operators/dedup.py) exactly, including
+      -- short docs: window start runs 0..max(len-2, 0) and the slice
+      -- truncates at the end, so a 1-word/empty doc yields one
+      -- single-word (or empty-string) shingle, never zero rows
       SELECT doc_id,
-             unnest(list_distinct(list_transform(range(len(w) - 1),
-                    i -> w[i + 1] || ' ' || w[i + 2]))) AS g
-      FROM docs WHERE len(w) >= 2),
+             unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(w) - 2, 0)),
+                    i -> array_to_string(w[i + 1:i + 2], ' ')))) AS g
+      FROM docs),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -2252,14 +2308,77 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- IVF ANN
 
+def _ivf_topk_oracle(
+    k_clusters: int = 8, max_iter: int = 3, k: int = 5, nprobe: int = 3, dim: int = 64
+) -> str:
+    """Oracle = the SAME IVF pipeline in SQL. kmeans_fit is fully
+    deterministic (k-lowest-id init, fixed iteration count, lexicographic
+    (distance, cid) argmin tie-break), so the fixed ``max_iter`` Lloyd
+    rounds unroll into chained CTEs: a{n} = assignment under c{n-1},
+    c{n} = per-(cluster, dim) means of a{n}. The final SELECT replays
+    ivf_topk's probe (rank centroids per query, keep nprobe, exact
+    cosine inside probed clusters, top-k window). Checks the quantizer,
+    the assignment argmin, the probe, and the re-rank end-to-end."""
+
+    def dist(va: str, vb: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> ({va}[i] - {vb}[i]) ** 2))"
+        )
+
+    ctes = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k_clusters}))""",
+    ]
+    for n in range(1, max_iter + 1):
+        ctes.append(f"""a{n} AS (
+      SELECT id, cid, v FROM (
+        SELECT e.vec_id AS id, c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid')} ASC, c.cid ASC) AS rn
+        FROM vecs e CROSS JOIN c{n - 1} c) x WHERE rn = 1)""")
+        ctes.append(f"""c{n} AS (
+      SELECT cid, list(m ORDER BY pos) AS centroid
+      FROM (SELECT cid, pos, AVG(val) AS m
+            FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS val FROM a{n}) u
+            GROUP BY cid, pos) g
+      GROUP BY cid)""")
+    ctes.append("q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 3)")
+    ctes.append(f"""probed AS (
+      SELECT q_id, cid, qv FROM (
+        SELECT q.q_id, c.cid, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY {dist('q.qv', 'c.centroid')} ASC, c.cid ASC) AS pr
+        FROM q CROSS JOIN c{max_iter} c) x WHERE pr <= {nprobe})""")
+    ctes.append(f"""scored AS (
+      SELECT probed.q_id, e.vec_id, list_cosine_similarity(e.v, probed.qv) AS sim
+      FROM vecs e JOIN a{max_iter} a ON e.vec_id = a.id
+      JOIN probed ON a.cid = probed.cid)""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT q_id, vec_id, ROUND(sim, 6) AS cosine_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY sim DESC, vec_id) AS rn FROM scored) r
+    WHERE rn <= {k}
+    """
+
+
 @query(
     "ivf_topk",
-    oracle=None,  # iterative k-means quantizer; recall asserted in tests
+    # kmeans_fit is deterministic end-to-end, so the oracle unrolls the
+    # same 3 Lloyd rounds in SQL and replays the probe — an exact value
+    # check of the full approximate pipeline (see _ivf_topk_oracle).
+    oracle=_ivf_topk_oracle,
     description="IVF approximate nearest neighbors: DataFrame-native "
     "Lloyd's k-means coarse quantizer (broadcast-join assignment + "
     "min_by argmin, per-dim mean update), then probe only the nprobe "
     "nearest clusters per query — scored rows scale by nprobe/k instead "
-    "of |C|. Self-retrieval exact at nprobe=1.",
+    "of |C|. Self-retrieval exact at nprobe=1; oracle unrolls the same "
+    "deterministic k-means + probe in SQL.",
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.similarity import ivf_topk, kmeans_fit
@@ -2268,7 +2387,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, cents = kmeans_fit(e, k=8, max_iter=3)
     qs = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
     out = ivf_topk(qs, e, assign, cents, k=5, nprobe=3)
-    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # --------------------------------------------------- nulls / string distance
