@@ -186,6 +186,49 @@ def segment_docs(
     return df.select(id_col, F.posexplode(segs).alias("seg_idx", "segment"))
 
 
+def chunk_sliding_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-width word windows per document — the context-
+    window chunking step of a pretraining/RAG pipeline (stride < window
+    gives ``window - stride`` words of overlap so no boundary context is
+    lost). Starts are 0, stride, 2*stride, …; the final window truncates
+    at the document end.
+
+    All per-row HOF work (sequence/slice/array_join) under codegen; the
+    posexplode is the only row expansion, so the op is map-only — no
+    shuffle at any corpus size, and chunk ids are deterministic
+    (doc_id, chunk_idx) regardless of partitioning.
+
+    Returns (id, chunk_idx, n_words, chunk_text).
+    """
+    if not 0 < stride <= window:
+        raise ValueError("require 0 < stride <= window")
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    words = F.split(normalized_text(text_col), " ")
+    n = F.size(words)
+    nw = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - window, F.lit(0)).cast("double") / F.lit(float(stride)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda i: F.array_join(F.slice(words, i * stride + 1, window), " "),
+    )
+    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_words"),
+        "chunk_text",
+    )
+
+
 def remove_duplicate_segments(
     df: DataFrame,
     words_col: Column,

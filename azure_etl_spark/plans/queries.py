@@ -5064,6 +5064,33 @@ def q_remove_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_docs_sliding",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    n AS (SELECT doc_id, w,
+                 1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT) AS nw
+          FROM docs),
+    c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+                 array_to_string(w[(t.i*48+1):(t.i*48+64)], ' ') AS chunk_text
+          FROM n, unnest(range(CAST(nw AS BIGINT))) AS t(i))
+    SELECT doc_id, chunk_idx,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_words,
+           chunk_text
+    FROM c
+    """,
+    description="Overlapping context-window chunking (64-word windows, "
+    "stride 48 => 16 words of overlap) — the pretraining/RAG chunk step. "
+    "Map-only per-row HOF work (sequence/slice/array_join) + one "
+    "posexplode; deterministic (doc_id, chunk_idx) keys independent of "
+    "partitioning (operators/curation.py:chunk_sliding_windows).",
+)
+def q_chunk_docs_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import chunk_sliding_windows
+
+    return chunk_sliding_windows(_td(spark, sf_dir), window=64, stride=48)
+
+
+@query(
     "unigram_logprob_docs",
     oracle=f"""
     WITH words AS (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),

@@ -212,3 +212,26 @@ def test_heavy_hitters_matches_exact_topk(spark, sf_dir):
         .collect()
     ]
     assert got == exact
+
+
+def test_chunk_sliding_windows_overlap_and_truncation(spark):
+    from azure_etl_spark.operators.curation import chunk_sliding_windows
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 words
+    df = spark.createDataFrame(
+        [(1, words), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_text"])
+        for r in chunk_sliding_windows(df, window=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6 (ceil((10-4)/3)=2 -> 3 windows), last truncates at 10
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert rows[(1, 2)] == (4, "w6 w7 w8 w9")
+    # overlap: stride 3 < window 4 -> one shared word between windows
+    assert rows[(1, 1)][1].split()[0] == rows[(1, 0)][1].split()[-1]
+    # short and empty docs yield exactly one window each
+    assert rows[(2, 0)] == (1, "solo")
+    assert rows[(3, 0)] == (1, "")
+    assert len(rows) == 5
