@@ -46,6 +46,11 @@ class CurationPipeline:
     contamination_ngram: int = 8
     n_shards: int = 8
     token_budget: int = 512
+    # optional context-window chunking before shard+pack (the unit that
+    # is packed becomes the chunk, not the document); stride defaults to
+    # chunk_words (no overlap) when unset
+    chunk_words: int | None = None
+    chunk_stride: int | None = None
     stage_counts: dict = field(default_factory=dict)
 
     def run(self, docs: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
@@ -72,12 +77,33 @@ class CurationPipeline:
             kept = kept.join(contaminated, "doc_id", "left_anti")
             self.stage_counts["decontaminated"] = kept.count()
 
-        sharded = kept.withColumn(
-            "shard", deterministic_shard("doc_id", self.n_shards)
-        ).withColumn("n_tokens", token_count("text"))
+        if self.chunk_words:
+            from azure_etl_spark.operators.curation import chunk_sliding_windows
+
+            chunks = chunk_sliding_windows(
+                kept,
+                window=self.chunk_words,
+                stride=self.chunk_stride or self.chunk_words,
+            )
+            self.stage_counts["chunked"] = chunks.count()
+            # shard by (doc, chunk) so chunk placement is deterministic
+            # yet chunks of one doc spread across shards (mixing)
+            sharded = chunks.withColumn(
+                "shard",
+                deterministic_shard(
+                    F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")),
+                    self.n_shards,
+                ),
+            ).withColumn("n_tokens", F.col("n_words"))
+            order_cols: tuple = ("doc_id", "chunk_idx")
+        else:
+            sharded = kept.withColumn(
+                "shard", deterministic_shard("doc_id", self.n_shards)
+            ).withColumn("n_tokens", token_count("text"))
+            order_cols = ("doc_id",)
         packed = pack_token_budget(
             sharded, budget=self.token_budget, shard_col="shard",
-            order_cols=("doc_id",), n_tokens=F.col("n_tokens"),
+            order_cols=order_cols, n_tokens=F.col("n_tokens"),
         )
         self.stage_counts["packed"] = packed.count()
         return packed

@@ -59,3 +59,24 @@ def test_funnel_is_deterministic(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_funnel_chunked_variant_packs_chunks(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    p = CurationPipeline(chunk_words=16, chunk_stride=12, token_budget=64)
+    out = p.run(corpus)
+    c = p.stage_counts
+    # chunking expands rows: more packable units than surviving docs
+    assert c["chunked"] >= c["near_dedup"]
+    assert c["packed"] == c["chunked"]
+    # every chunk respects the window bound and packing the budget
+    assert out.filter(F.col("n_tokens") > 16).count() == 0
+    seq_tokens = out.groupBy("shard", "seq_id").agg(F.sum("n_tokens").alias("t"))
+    assert seq_tokens.filter(F.col("t") > 64 * 2).count() == 0
+    # determinism under repartitioning (chunk ids are content-derived)
+    q = CurationPipeline(chunk_words=16, chunk_stride=12, token_budget=64)
+    b = q.run(corpus.repartition(7))
+    cols = ["doc_id", "chunk_idx", "shard", "seq_id"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
