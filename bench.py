@@ -60,10 +60,11 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
         df = spec.fn(spark, sf_dir)
-        # min of two timed runs: one-off GC pauses / page-cache misses
-        # otherwise smear multi-second noise over individual queries
+        # min of three timed runs: per-run noise on this sandbox is
+        # +/-30% per query (measured round 4), so one-off GC pauses /
+        # page-cache misses otherwise smear seconds over the total
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
