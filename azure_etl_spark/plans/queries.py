@@ -2187,7 +2187,87 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
     comp = connected_components(pairs)
-    return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component")
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = f"""
+             ROUND(
+               least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 64.0, 1.0) * 0.5
+               + (CASE WHEN (CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                             ELSE CAST(length(text) AS DOUBLE) / len({_TOKS_SQL}) END)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+               + (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE least(CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                                    / CAST(length(text) AS DOUBLE) * 4.0, 1.0) END)) * 0.2,
+               6)"""
+
+
+@query(
+    "dedup_keep_best_quality",
+    # same exact-Jaccard pair mining + recursive-CTE components as
+    # near_dup_components; the representative is the argmax of
+    # (quality, lowest id) instead of the min id
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(w) - 2, 0)),
+                    i -> array_to_string(w[i + 1:i + 2], ' ')))) AS g
+      FROM docs),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    quality AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM docs),
+    members AS (SELECT q.doc_id, q.quality, c.component
+                FROM quality q JOIN comp c ON q.doc_id = c.id),
+    winners AS (
+      SELECT component, doc_id AS winner FROM (
+        SELECT component, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY component
+                   ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM members) x WHERE rn = 1),
+    losers AS (SELECT m.doc_id FROM members m JOIN winners w
+               ON m.component = w.component AND m.doc_id <> w.winner)
+    SELECT q.doc_id, q.quality FROM quality q
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY q.doc_id
+    """,
+    description="Near-dup cluster resolution keeping the BEST-quality "
+    "member per cluster (argmax quality, ties to lowest id) instead of "
+    "the first id — the curation-grade representative choice "
+    "(operators/dedup.py:resolve_duplicate_clusters keep_by=). Cluster "
+    "membership via exact-Jaccard pairs + Pregel min-label components; "
+    "oracle replays it with recursive-CTE reachability + a window argmax.",
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    kept = resolve_duplicate_clusters(docs, pairs, keep_by=T.quality_score("text"))
+    return kept.select(
+        "doc_id", T.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
 
 
 # ----------------------------------------------------- time-series gap fill

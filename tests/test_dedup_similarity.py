@@ -293,3 +293,33 @@ def test_distinct_sorted_one_shuffle_same_rows(spark, sf_dir):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1, plan
+
+
+def test_resolve_clusters_keep_by_prefers_best_quality(spark):
+    from azure_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    df = spark.createDataFrame(
+        [
+            (1, "short clone", 0.2),
+            (2, "short clone longer better copy", 0.9),
+            (3, "unrelated solitary document", 0.5),
+        ],
+        "doc_id long, text string, score double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    # default: min id wins
+    kept_min = {r["doc_id"] for r in resolve_duplicate_clusters(df, pairs).collect()}
+    assert kept_min == {1, 3}
+    # keep_by: higher score wins even with higher id
+    kept_best = {
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(df, pairs, keep_by=F.col("score")).collect()
+    }
+    assert kept_best == {2, 3}
+    # tie on score -> lowest id deterministically
+    tie = df.withColumn("score", F.lit(1.0))
+    kept_tie = {
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(tie, pairs, keep_by=F.col("score")).collect()
+    }
+    assert kept_tie == {1, 3}
