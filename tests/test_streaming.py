@@ -619,3 +619,66 @@ def test_streaming_progress_metrics_account_for_all_rows(spark, sf_dir, tmp_path
     assert len(q.recentProgress) >= 4  # maxFilesPerTrigger really micro-batched
     batch_durations = [p["batchDuration"] for p in q.recentProgress]
     assert all(d >= 0 for d in batch_durations)
+
+
+def test_streaming_incremental_dedup_cross_batch(spark, sf_dir, tmp_path):
+    """Streaming corpus ingest with cross-batch exact dedup: clones
+    planted in later micro-batches must be dropped against the digest
+    index, the surviving corpus must equal batch-side exact dedup of
+    the full input, and replaying a delivered batch must not change the
+    corpus (exactly-once + stable dedup)."""
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.streaming.sinks import incremental_dedup_writer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    # file 1: originals; file 2: exact clones under new ids + 5 fresh docs
+    src = os.path.join(str(tmp_path), "src")
+    docs.limit(40).coalesce(1).write.parquet(os.path.join(src, "f=1"))
+    clones = docs.limit(40).withColumn("doc_id", F.col("doc_id") + 100000)
+    fresh5 = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").between(60, 64))
+    )
+    clones.unionByName(fresh5).coalesce(1).write.parquet(os.path.join(src, "f=2"))
+
+    target = os.path.join(str(tmp_path), "corpus")
+    index = os.path.join(str(tmp_path), "digests")
+    writer = incremental_dedup_writer(target, index)
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(target)
+    # corpus-level: one surviving row per distinct normalized content
+    all_in = spark.read.parquet(os.path.join(src, "f=*"))
+    n_distinct = all_in.select(F.md5(normalized_text("text")).alias("h")).distinct().count()
+    assert out.count() == n_distinct
+    assert (
+        out.select(F.md5(normalized_text("text")).alias("h")).distinct().count()
+        == n_distinct
+    )
+    # no planted clone id survives (their content was already indexed)
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+    # at-least-once replay of the LAST batch: same survivors, no growth
+    import glob as _glob
+
+    last = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in _glob.glob(os.path.join(target, "batch_id=*"))
+    )[-1]
+    last_batch_src = clones.unionByName(fresh5)
+    writer(last_batch_src, last)
+    out2 = spark.read.parquet(target)
+    assert out2.count() == n_distinct
