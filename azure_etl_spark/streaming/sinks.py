@@ -18,7 +18,31 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — works
+    on any Hadoop-supported filesystem (local, HDFS, cloud object
+    stores), unlike ``os.path`` which only sees the driver's disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_batch_ids(spark: SparkSession, root: str) -> list[int]:
+    """Committed ``batch_id=N`` partition directories under ``root``
+    (empty list if the root does not exist yet)."""
+    fs, jpath = _hadoop_fs(spark, root)
+    if not fs.exists(jpath):
+        return []
+    ids = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
 
 
 def idempotent_batch_writer(
@@ -65,6 +89,14 @@ def incremental_dedup_writer(
     delivery (including its own first-attempt digests would wrongly
     empty the replay). Steady-state cost per batch: one batch scan +
     one anti-join against digests — the corpus is never re-read.
+
+    The missing-index (first-batch) case is detected EXPLICITLY via the
+    Hadoop FS API rather than by swallowing read errors: a transiently
+    unreadable or corrupt index fails the batch (the streaming query
+    retries it) instead of silently admitting duplicates. ``fresh`` is
+    materialized once before the two sink writes so the corpus and the
+    digest index always agree even if the upstream plan were not
+    bit-deterministic across re-evaluations.
     """
     from pyspark.sql import functions as F
 
@@ -73,18 +105,21 @@ def incremental_dedup_writer(
     def write(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
         hashed = df.withColumn("__h", F.md5(normalized_text(text_col)))
-        try:
+        prior = [b for b in _list_batch_ids(spark, index_root) if b != batch_id]
+        if prior:  # errors reading an index that EXISTS must propagate
             seen = (
-                spark.read.parquet(index_root)
-                .filter(F.col("batch_id") != batch_id)
+                spark.read.option("basePath", index_root)
+                .parquet(
+                    *[os.path.join(index_root, f"batch_id={b}") for b in prior]
+                )
                 .select("__h")
                 .distinct()
             )
             hashed = hashed.join(seen, "__h", "left_anti")
-        except Exception:  # first batch: no index yet
-            pass
         first = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
         fresh = hashed.join(first, [id_col, "__h"], "left_semi")
+        # one evaluation feeds both sinks (corpus and index stay in step)
+        fresh = fresh.localCheckpoint(eager=True)
         fresh.drop("__h").write.mode("overwrite").format("parquet").save(
             os.path.join(target_root, f"batch_id={batch_id}")
         )
@@ -93,3 +128,51 @@ def incremental_dedup_writer(
         )
 
     return write
+
+
+def compact_digest_index(spark: SparkSession, index_root: str) -> int:
+    """Consolidate the digest index written by
+    :func:`incremental_dedup_writer` so a long-running stream does not
+    accumulate one tiny ``batch_id=N`` directory per micro-batch forever
+    (unbounded file count over bounded data).
+
+    All batch partitions EXCEPT the latest are rewritten into the
+    highest compacted partition; the latest is left untouched because it
+    is the only batch Structured Streaming can still replay (earlier
+    batches are committed in the checkpoint), and a replay of batch N
+    must keep excluding exactly ``batch_id=N``. Crash-safe/idempotent:
+    the consolidated digests are written (overwrite) into the kept
+    directory FIRST, then the absorbed directories are deleted — a crash
+    in between leaves duplicate digests, which the reader's
+    ``distinct()`` already tolerates, and a re-run converges.
+
+    Returns the number of batch directories absorbed (0 if there was
+    nothing to compact).
+    """
+    ids = _list_batch_ids(spark, index_root)
+    if len(ids) < 3:  # latest + at most one committed dir: nothing to merge
+        return 0
+    absorb, keep = ids[:-2], ids[-2]
+    paths = [
+        os.path.join(index_root, f"batch_id={b}") for b in absorb + [keep]
+    ]
+    merged = (
+        spark.read.option("basePath", index_root)
+        .parquet(*paths)
+        .select("__h")
+        .distinct()
+        .localCheckpoint(eager=True)  # fully read before overwriting a source dir
+    )
+    merged.write.mode("overwrite").format("parquet").save(
+        os.path.join(index_root, f"batch_id={keep}")
+    )
+    fs, _ = _hadoop_fs(spark, index_root)
+    jvm = spark._jvm
+    for b in absorb:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(index_root, f"batch_id={b}")
+            ),
+            True,
+        )
+    return len(absorb)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_etl_spark.sources.files import load_table
@@ -682,3 +683,80 @@ def test_streaming_incremental_dedup_cross_batch(spark, sf_dir, tmp_path):
     writer(last_batch_src, last)
     out2 = spark.read.parquet(target)
     assert out2.count() == n_distinct
+
+
+def test_incremental_dedup_corrupt_index_fails_batch(spark, sf_dir, tmp_path):
+    """An index that EXISTS but cannot be read must fail the batch (so
+    the streaming query retries it) — not be silently treated as 'no
+    index yet', which would re-admit duplicates into the corpus."""
+    from azure_etl_spark.streaming.sinks import incremental_dedup_writer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    target = os.path.join(str(tmp_path), "corpus")
+    index = os.path.join(str(tmp_path), "digests")
+    writer = incremental_dedup_writer(target, index)
+    writer(docs, 0)  # batch 0 establishes the index
+
+    # corrupt the committed batch-0 index partition
+    part_dir = os.path.join(index, "batch_id=0")
+    for name in os.listdir(part_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(part_dir, name), "wb") as f:
+                f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        writer(docs, 1)
+    # and the failed batch wrote nothing (no silent duplicate admission)
+    assert not os.path.exists(os.path.join(target, "batch_id=1"))
+
+
+def test_incremental_dedup_index_compaction(spark, sf_dir, tmp_path):
+    """compact_digest_index absorbs all committed batch partitions
+    except the latest; dedup behavior and the corpus are unchanged, and
+    a replay of the latest batch stays safe after compaction."""
+    from azure_etl_spark.streaming.sinks import (
+        compact_digest_index,
+        incremental_dedup_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = os.path.join(str(tmp_path), "corpus")
+    index = os.path.join(str(tmp_path), "digests")
+    writer = incremental_dedup_writer(target, index)
+
+    # 4 batches: 3 disjoint slices, then a batch of clones of slice 0
+    slices = [docs.filter(F.col("doc_id").between(20 * i, 20 * i + 19)) for i in range(3)]
+    for i, s in enumerate(slices):
+        writer(s, i)
+    clones = slices[0].withColumn("doc_id", F.col("doc_id") + 100000)
+    writer(clones, 3)
+    corpus_before = spark.read.parquet(target)
+    n_before = corpus_before.count()
+    assert n_before == 60  # clones all dropped
+    assert corpus_before.filter(F.col("doc_id") >= 100000).count() == 0
+
+    absorbed = compact_digest_index(spark, index)
+    assert absorbed == 2  # batches 0,1 absorbed into 2; 3 untouched
+    remaining = sorted(os.listdir(index))
+    assert [d for d in remaining if d.startswith("batch_id=")] == [
+        "batch_id=2",
+        "batch_id=3",
+    ]
+    # corpus untouched by compaction
+    assert spark.read.parquet(target).count() == n_before
+
+    # replay of the latest batch after compaction: still dedups to zero
+    writer(clones, 3)
+    assert spark.read.parquet(target).count() == n_before
+
+    # a NEW batch (clones of slice 1 + 5 fresh docs) dedups against the
+    # compacted index exactly as it would have pre-compaction
+    fresh5 = docs.filter(F.col("doc_id").between(90, 94))
+    nxt = slices[1].withColumn("doc_id", F.col("doc_id") + 200000).unionByName(fresh5)
+    writer(nxt, 4)
+    out = spark.read.parquet(target)
+    assert out.count() == n_before + 5
+    assert out.filter(F.col("doc_id") >= 200000).count() == 0
+
+    # idempotent: re-running compaction is a no-op or converges safely
+    compact_digest_index(spark, index)
+    assert spark.read.parquet(target).count() == n_before + 5
