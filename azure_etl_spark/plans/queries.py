@@ -641,8 +641,18 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
-_LTOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+# Empty/whitespace-only guard mirrors operators/text.tokens(): Spark
+# returns an empty array there, while a bare string_split_regex('') in
+# DuckDB returns [''] (len 1) — without the CASE the oracles diverge on
+# empty documents (ADVICE r4).
+_TOKS_SQL = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(text), '\\s+') END)"
+)
+_LTOKS_SQL = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+)
 
 
 @query(
@@ -1112,7 +1122,8 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word_freq_top20",
     oracle="""
     WITH w AS (
-      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
       FROM documents)
     SELECT word, COUNT(*) AS n FROM w
     GROUP BY word ORDER BY n DESC, word LIMIT 20

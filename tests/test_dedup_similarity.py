@@ -323,3 +323,63 @@ def test_resolve_clusters_keep_by_prefers_best_quality(spark):
         for r in resolve_duplicate_clusters(tie, pairs, keep_by=F.col("score")).collect()
     }
     assert kept_tie == {1, 3}
+
+
+def test_resolve_clusters_keep_by_string_ids(spark):
+    """keep_by must work with non-numeric ids (the tie-break used to
+    negate the id, which throws under ANSI mode for strings)."""
+    from azure_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    df = spark.createDataFrame(
+        [
+            ("doc-a", "short clone", 0.2),
+            ("doc-b", "short clone longer better copy", 0.9),
+            ("doc-c", "unrelated solitary document", 0.5),
+        ],
+        "doc_id string, text string, score double",
+    )
+    pairs = spark.createDataFrame([("doc-a", "doc-b")], "id_a string, id_b string")
+    kept = {
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(df, pairs, keep_by=F.col("score")).collect()
+    }
+    assert kept == {"doc-b", "doc-c"}
+    # score tie -> lexicographically lowest id
+    tie = df.withColumn("score", F.lit(1.0))
+    kept_tie = {
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(tie, pairs, keep_by=F.col("score")).collect()
+    }
+    assert kept_tie == {"doc-a", "doc-c"}
+
+
+def test_quality_sql_matches_spark_on_empty_docs(spark, tmp_path):
+    """_QUALITY_SQL must agree with operators/text.quality_score on
+    empty and whitespace-only documents (ADVICE r4: DuckDB's bare
+    string_split_regex gives [''] where Spark's tokens() gives [])."""
+    import duckdb
+
+    from azure_etl_spark.operators import text as T
+    from azure_etl_spark.plans.queries import _QUALITY_SQL
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "a normal little document, with punctuation."),
+            (4, "\t\n"),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    spark_vals = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", T.quality_score("text").alias("q")).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    duck_vals = dict(
+        con.sql(f"SELECT doc_id, {_QUALITY_SQL} AS q FROM documents").fetchall()
+    )
+    assert spark_vals == duck_vals
