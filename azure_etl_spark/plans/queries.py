@@ -120,6 +120,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "rolling_7d_revenue": ("rev_7d",),
     "rollup_orders": ("total",),
     "skew_salted_agg": ("total",),
+    "snapshot_time_travel_gold": ("min_value_by_crypto", "max_value_by_crypto"),
     "tpch_q10ish": ("revenue",),
     "tpch_q11ish": ("total",),
     "tpch_q14ish": ("promo_revenue", "total_revenue"),
@@ -1333,6 +1334,51 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_json(e.select("event_id", "event_type", "value"), stage)
     back = read_json(spark, stage, schema="event_id long, event_type string, value double")
     return back.select("event_id", "event_type", "value")
+
+
+@query(
+    "snapshot_time_travel_gold",
+    oracle=f"""
+    {CRYPTO_SQL},
+    gold AS (SELECT symbol,
+                    MIN(price) AS min_value_by_crypto,
+                    MAX(price) AS max_value_by_crypto
+             FROM crypto GROUP BY symbol)
+    SELECT symbol, min_value_by_crypto, max_value_by_crypto,
+           CAST(0 AS INT) AS version FROM gold
+    UNION ALL
+    SELECT symbol, min_value_by_crypto, max_value_by_crypto,
+           CAST(1 AS INT) AS version FROM gold WHERE symbol <> 'A'
+    """,
+    description="S6/K3 snapshot table format (sources/snapshot.py): gold "
+    "committed as version 0, overwritten (atomically, manifest-swap) as a "
+    "filtered version 1; the query reads BOTH the latest version and the "
+    "time-travelled version 0 through read_table_format — the two Delta "
+    "semantics (silverToGold.scala:27) the parquet fallback lacks, "
+    "emulated without the environment-blocked delta-spark package.",
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.files import read_table_format, write_partitioned
+
+    gold = grouped_min_max(
+        crypto_view(spark, sf_dir),
+        keys=["symbol"],
+        value="price",
+        min_alias="min_value_by_crypto",
+        max_alias="max_value_by_crypto",
+    )
+    path = tempfile.mkdtemp(prefix="snap_") + "/gold"
+    write_partitioned(gold, path, ["symbol"], fmt="snapshot")
+    write_partitioned(
+        gold.filter(F.col("symbol") != "A"), path, ["symbol"], fmt="snapshot"
+    )
+    v0 = read_table_format(spark, path, version=0).withColumn("version", F.lit(0))
+    latest = read_table_format(spark, path).withColumn("version", F.lit(1))
+    return v0.unionByName(latest).select(
+        "symbol", "min_value_by_crypto", "max_value_by_crypto", "version"
+    )
 
 
 # ---------------------------------------------------------------- streaming

@@ -139,11 +139,33 @@ def write_partitioned(
     """
     if fmt is None:
         fmt = "delta" if HAVE_DELTA else "parquet"
+    if fmt == "snapshot":
+        from azure_etl_spark.sources.snapshot import write_snapshot
+
+        write_snapshot(df, path, mode=mode, partition_by=partition_by)
+        return
     df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
 
 
-def read_table_format(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
-    """S6: read back a (possibly Delta) table written by write_partitioned."""
+def read_table_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """S6: read back a (possibly Delta) table written by write_partitioned.
+
+    ``fmt='snapshot'`` (or an auto-detected snapshot layout, or any
+    ``version=`` request) routes to the manifest-backed snapshot format
+    (sources/snapshot.py), which supplies the two semantics the parquet
+    fallback lacks vs Delta: atomic overwrite and time travel.
+    """
+    from azure_etl_spark.sources.snapshot import is_snapshot_table, read_snapshot
+
+    if fmt == "snapshot" or version is not None or (
+        fmt is None and not HAVE_DELTA and is_snapshot_table(spark, path)
+    ):
+        return read_snapshot(spark, path, version=version)
     if fmt is None:
         fmt = "delta" if HAVE_DELTA else "parquet"
     return spark.read.format(fmt).load(path)
