@@ -3901,6 +3901,60 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_spans_docs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(w) - 8, 0)),
+               i -> array_to_string(w[i + 1 : i + 8], ' ')))) AS ngram
+      FROM docs WHERE source = 'src0'),
+    train AS (SELECT doc_id, w FROM docs WHERE source <> 'src0'),
+    tg AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos,
+             array_to_string(w[t.i + 1 : t.i + 8], ' ') AS ngram
+      FROM train, unnest(generate_series(0, greatest(len(w) - 8, 0))) AS t(i)),
+    hits AS (SELECT DISTINCT tg.doc_id, tg.pos FROM tg JOIN ev USING (ngram)),
+    cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list(generate_series(pos, pos + 7)))) AS covered
+      FROM hits GROUP BY doc_id),
+    cleaned AS (
+      SELECT t.doc_id,
+             list_transform(
+               list_filter(generate_series(1, len(t.w)),
+                           i -> NOT list_contains(coalesce(c.covered,
+                                CAST([] AS BIGINT[])), i - 1)),
+               i -> t.w[i]) AS kept,
+             len(t.w) AS n_words
+      FROM train t LEFT JOIN cov c USING (doc_id))
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text,
+           CAST(len(kept) AS INT) AS n_words_kept,
+           CAST(n_words - len(kept) AS INT) AS n_words_removed
+    FROM cleaned ORDER BY doc_id
+    """,
+    description="Sequence-level decontamination: words covered by any "
+    "8-gram shared with the eval shard (source=src0) are REMOVED and the "
+    "remainder reassembled — contaminated-span removal rather than "
+    "whole-document flagging, the production decontamination behavior. "
+    "Eval n-gram set broadcast, hit positions (tiny) joined back, span "
+    "coverage + reassembly in-row HOFs; the corpus never shuffles "
+    "(operators/curation.py:decontaminate_spans).",
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import decontaminate_spans
+
+    docs = _td(spark, sf_dir)
+    out = decontaminate_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
     "pack_sequences_budget",
     oracle=f"""
     WITH t AS (

@@ -35,6 +35,48 @@ def test_contamination_flags_planted_overlap(spark):
     assert got[2] == (0, False)
 
 
+def test_decontaminate_spans_removes_only_covered_words(spark):
+    from azure_etl_spark.operators.curation import decontaminate_spans
+
+    eval_text = "one two three four five six seven eight tail words here"
+    train = _docs(
+        spark,
+        [
+            # the eval 8-gram "one..eight" sits mid-document: exactly its
+            # 8 words must go, prefix/suffix survive
+            (1, "train", "prefix one two three four five six seven eight suffix"),
+            # no overlap -> untouched
+            (2, "train", "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # document IS a contaminated span -> fully removed
+            (3, "train", "one two three four five six seven eight"),
+        ],
+    )
+    ev = _docs(spark, [(100, "eval", eval_text)])
+    got = {r.doc_id: r for r in decontaminate_spans(train, ev, n=8).collect()}
+    assert got[1].cleaned_text == "prefix suffix"
+    assert (got[1].n_words_kept, got[1].n_words_removed) == (2, 8)
+    assert got[2].cleaned_text == "alpha beta gamma delta epsilon zeta eta theta iota"
+    assert got[2].n_words_removed == 0
+    assert got[3].cleaned_text == ""
+    assert (got[3].n_words_kept, got[3].n_words_removed) == (0, 8)
+
+
+def test_decontaminate_spans_overlapping_grams_union(spark):
+    """Two overlapping contaminated grams cover the UNION of their
+    positions — no double counting, no gaps."""
+    from azure_etl_spark.operators.curation import decontaminate_spans
+
+    # eval contains 'a1..a8' and 'a3..a10' (overlapping windows)
+    ev = _docs(spark, [(100, "eval", " ".join(f"a{i}" for i in range(1, 11)))])
+    train = _docs(
+        spark,
+        [(1, "train", "keep0 " + " ".join(f"a{i}" for i in range(1, 11)) + " keep1")],
+    )
+    got = decontaminate_spans(train, ev, n=8).collect()[0]
+    assert got.cleaned_text == "keep0 keep1"
+    assert got.n_words_removed == 10
+
+
 def test_pack_token_budget_contiguous_fill(spark):
     # 5 docs x 4 tokens, budget 8 -> seqs of 2,2,1 docs within one shard
     rows = [(i, "s", "a b c d") for i in range(5)]
