@@ -99,6 +99,26 @@ def with_lsh_signature(
     return df.withColumn(out_col, sig)
 
 
+def _probe_signatures(sig, n_planes: int):
+    """Multi-probe set for a bit-string signature: the exact bucket plus
+    its ``n_planes`` Hamming-1 neighbors (each one bit flipped). Pure
+    string surgery under codegen — no UDF. Multi-probe lifts recall at a
+    FIXED table count: a near pair that straddles one hyperplane lands
+    one bit apart, and probing adjacent buckets recovers it without the
+    index-side cost of more hash tables (Lv et al., multi-probe LSH)."""
+    probes = [sig]
+    for i in range(n_planes):
+        flipped = F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        probes.append(
+            F.concat(
+                F.substring(sig, 1, i), flipped, F.substring(sig, i + 2, n_planes - i - 1)
+            )
+        )
+    return F.array(*probes)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -109,11 +129,17 @@ def lsh_bucketed_topk(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k per query: score only candidates sharing a
     bucket in any of ``n_tables`` hash tables. The cross product becomes
     an equi-join on (table, signature) — the 100 TB plan. Recall rises
     with n_tables, cost with bucket size (fewer planes -> bigger buckets).
+
+    ``multiprobe=True`` additionally probes every Hamming-1 neighbor
+    bucket of each QUERY signature: the query (broadcast, small) side
+    fans out ``n_planes + 1``x while the candidate index is untouched —
+    recall comparable to many more tables at a fraction of the cost.
     """
     from pyspark.sql import Window
 
@@ -122,6 +148,12 @@ def lsh_bucketed_topk(
         qb = with_lsh_signature(queries, dim, n_planes, t, vec_col, "__sig").select(
             F.col(q_id), F.col(vec_col).alias("__qv"), F.col("__sig")
         )
+        if multiprobe:
+            qb = qb.select(
+                q_id,
+                "__qv",
+                F.explode(_probe_signatures(F.col("__sig"), n_planes)).alias("__sig"),
+            )
         cb = with_lsh_signature(candidates, dim, n_planes, t, vec_col, "__sig").select(
             F.col(c_id), F.col(vec_col).alias("__cv"), F.col("__sig")
         )
@@ -256,15 +288,29 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Near-duplicate (cosine >= threshold) pairs via LSH-bucketed
-    self-join; returns (id_a, id_b, cosine_sim), id_a < id_b."""
+    self-join; returns (id_a, id_b, cosine_sim), id_a < id_b.
+
+    ``multiprobe=True`` probes Hamming-1 neighbor buckets from ONE side
+    of the self-join (bit flips are symmetric, so expanding one side
+    covers all pairs whose table signatures differ by <= 1 bit): recall
+    of roughly double the plane agreement at the cost of an
+    ``n_planes + 1``x fan-out of signature rows, not of data rows.
+    """
     parts = []
     for t in range(n_tables):
         b = with_lsh_signature(df, dim, n_planes, t, vec_col, "__sig").select(
             id_col, vec_col, "__sig"
         )
         a = b.select(F.col("__sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        if multiprobe:
+            a = a.select(
+                F.explode(_probe_signatures(F.col("__sig"), n_planes)).alias("__sig"),
+                "id_a",
+                "__va",
+            )
         c = b.select(F.col("__sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         parts.append(
             a.join(c, "__sig").filter(F.col("id_a") < F.col("id_b")).drop("__sig")

@@ -1655,6 +1655,82 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_near_dup_multiprobe_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
+    """Multi-probe variant of _embedding_near_dup_oracle: one side of
+    the SQL self-join expands each signature to itself plus its
+    ``n_planes`` Hamming-1 neighbors (the same deterministic probe set
+    operators/similarity._probe_signatures builds), so the oracle
+    value-checks the probe expansion end-to-end too."""
+    sig_parts = []
+    for t in range(n_tables):
+        sig = _lsh_sig_sql(t, n_planes, 64, "v")
+        sig_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM corpus")
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pert AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_concat([v[1] + 0.25], v[2:]) AS v
+             FROM base),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    sigs AS MATERIALIZED ({' UNION ALL '.join(sig_parts)}),
+    probes AS (
+      SELECT t, vec_id, v,
+             unnest(list_prepend(sig, list_transform(
+               generate_series(1, {n_planes}),
+               i -> substr(sig, 1, CAST(i - 1 AS INT)) ||
+                    (CASE WHEN substr(sig, CAST(i AS INT), 1) = '1'
+                          THEN '0' ELSE '1' END) ||
+                    substr(sig, CAST(i + 1 AS INT))))) AS sig
+      FROM sigs),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             any_value(a.v) AS va, any_value(b.v) AS vb
+      FROM probes a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+                               AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    scored AS (
+      SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cs FROM pairs)
+    SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
+    FROM scored WHERE cs >= 0.9
+    """
+
+
+@query(
+    "embedding_near_dup_multiprobe",
+    # Same planted corpus + deterministic-bucket oracle technique as
+    # embedding_near_dup, with Hamming-1 multi-probe on: the oracle
+    # replays the probe expansion in SQL, so the lifted-recall pipeline
+    # is value-checked exactly. Planted recall at these params is 100%
+    # (vs 94.4% single-probe) — asserted in tests/test_dedup_similarity.
+    oracle=_embedding_near_dup_multiprobe_oracle,
+    description="Embedding near-dup pairs with multi-probe LSH "
+    "(Hamming-1 neighbor buckets probed from one self-join side): recall "
+    "of ~2x the plane agreement at a fixed table count — the query side "
+    "fans out n_planes+1 signature rows, the candidate index is "
+    "untouched (operators/similarity.py:_probe_signatures).",
+)
+def q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.25)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    out = embedding_near_dup_pairs(
+        corpus, dim=64, threshold=0.9, n_planes=8, n_tables=4, multiprobe=True
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
 # ------------------------------------------------------- fingerprint / simhash
 
 @query(
