@@ -1,15 +1,16 @@
 #!/usr/bin/env python
 """Bench regression guard: compare a bench.py output line against the
-round-2 reference numbers (the best clean measurement; r3's uniform
-+21% drift was sandbox load, not plan changes — see BASELINE.md).
+round-4 clean-run reference numbers (BENCH_LOCAL_r04.json, min-of-3 on
+a quiet sandbox — the current best; r3's uniform +21% drift was sandbox
+load, not plan changes — see BASELINE.md).
 
 Usage:
     python bench.py | tail -1 > /tmp/bench.json
     python tools/bench_guard.py /tmp/bench.json [--factor 1.5]
 
 Exits non-zero and lists offenders if any reference query is slower
-than ``factor`` x its reference time. Queries added after round 2 have
-no reference and are reported informationally. A uniform slowdown
+than ``factor`` x its reference time. Queries added after the reference
+round have no reference and are reported informationally. A uniform slowdown
 across ALL queries (load noise, not a plan regression) is called out
 as such: single-query regressions are the actionable signal.
 """
@@ -21,30 +22,30 @@ import json
 import os
 import sys
 
-# BENCH_r02.json "queries" (sf0.1, local[32], quiet sandbox)
+# BENCH_LOCAL_r04.json "queries" (sf0.1, local[32], min-of-3, quiet sandbox)
 REFERENCE: dict[str, float] = {
-    "flagship_gold_minmax": 0.653,
-    "dedup_distinct": 1.533,
-    "topk_orders": 0.102,
-    "join_revenue_per_nation": 0.484,
-    "window_minmax_partition": 0.52,
-    "events_hourly_rollup": 0.179,
-    "tpch_q1ish": 1.258,
-    "text_token_stats": 0.185,
-    "minhash_near_dup": 0.999,  # r3 value: exact-verify stage added in r3
-    "cosine_topk": 0.11,
-    "tpch_q3ish": 0.795,
-    "tpch_q6ish": 0.183,
-    "tpch_q9ish": 0.442,
-    "hll_sketch_rollup_users": 0.363,  # r02's 0.259 was a lucky draw; best clean min-of-4 (r4)
-    "training_corpus_filter": 0.534,
-    "contamination_ngram_overlap": 0.876,
-    "pack_sequences_budget": 0.458,
-    "word_entropy_docs": 0.228,
-    "remove_dup_segments_docs": 1.15,
-    "unigram_logprob_docs": 0.743,
-    "cohort_weekly_retention": 0.4,
-    "pipeline_medallion": 3.546,
+    "flagship_gold_minmax": 0.458,
+    "dedup_distinct": 1.377,
+    "topk_orders": 0.096,
+    "join_revenue_per_nation": 0.369,
+    "window_minmax_partition": 0.538,
+    "events_hourly_rollup": 0.169,
+    "tpch_q1ish": 1.277,
+    "text_token_stats": 0.168,
+    "minhash_near_dup": 0.782,
+    "cosine_topk": 0.093,
+    "tpch_q3ish": 0.739,
+    "tpch_q6ish": 0.154,
+    "tpch_q9ish": 0.395,
+    "hll_sketch_rollup_users": 0.268,
+    "training_corpus_filter": 0.495,
+    "contamination_ngram_overlap": 0.781,
+    "pack_sequences_budget": 0.266,
+    "word_entropy_docs": 0.158,
+    "remove_dup_segments_docs": 0.909,
+    "unigram_logprob_docs": 0.604,
+    "cohort_weekly_retention": 0.321,
+    "pipeline_medallion": 3.033,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
@@ -82,7 +83,7 @@ def main() -> int:
         print(f"(info) no reference for: {', '.join(sorted(new))}")
     if ratios:
         med = sorted(ratios)[len(ratios) // 2]
-        print(f"median ratio vs r02 reference: {med:.2f}x over {len(ratios)} queries")
+        print(f"median ratio vs r04 reference: {med:.2f}x over {len(ratios)} queries")
         if med > args.factor:
             print(
                 "NOTE: uniform slowdown across the board — likely sandbox "
