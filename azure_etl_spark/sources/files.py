@@ -92,7 +92,12 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    # JVM-side partition probe: df.rdd would wrap the plan in a Python
+    # Row-deserializer conversion on every call (a library path every
+    # documents query traverses); queryExecution().toRdd() plans the
+    # same partitioning without that wrapper and runs no job.
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < min_partitions:
         return df.repartition(min_partitions)
     return df
 
