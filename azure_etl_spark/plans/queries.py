@@ -1381,6 +1381,101 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    source AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM source
+    UNION ALL
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice FROM target t
+    ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+    description="Snapshot MERGE upsert (sources/snapshot.py "
+    "merge_snapshot): WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT "
+    "ALL with source-key-range file skipping — the Delta MERGE the "
+    "environment-blocked delta-spark would provide "
+    "(silverToGold.scala:27 gold layer maintenance). Oracle expresses "
+    "the same semantics relationally: source rows replace matched "
+    "target keys, unmatched target rows pass through.",
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.snapshot import merge_snapshot, read_snapshot, write_snapshot
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    target = orders.filter(F.col("o_orderkey") <= 2000).select(*cols)
+    source = (
+        orders.filter(F.col("o_orderkey").between(1000, 3000))
+        .select(
+            F.col("o_orderkey"),
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice").cast("decimal(14,2)") * 2).alias("o_totalprice"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="snap_merge_") + "/tbl"
+    write_snapshot(target, path)
+    merge_snapshot(spark, path, source, ["o_orderkey"])
+    return read_snapshot(spark, path).select(*cols)
+
+
+@query(
+    "snapshot_delete_skipping",
+    oracle="""
+    WITH remaining AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey NOT BETWEEN 800 AND 1200
+    )
+    SELECT CAST(2 AS INT) AS files_kept, CAST(1 AS INT) AS files_rewritten,
+           COUNT(*) AS n_remaining,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM remaining
+    """,
+    description="Snapshot copy-on-write DELETE with per-file min/max "
+    "stats (sources/snapshot.py delete_from_snapshot): three appends "
+    "with disjoint o_orderkey ranges land as three files; deleting "
+    "BETWEEN 800 AND 1200 provably touches only the middle file, so the "
+    "other two are carried into the new version with zero IO. The "
+    "oracle pins the skipping outcome (files_kept=2, files_rewritten=1) "
+    "as constants — deterministic from the stats protocol — plus the "
+    "surviving rows' count and exact DECIMAL sum.",
+)
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="snap_del_") + "/tbl"
+    for lo, hi, mode in ((0, 700, "overwrite"), (700, 1400, "append"), (1400, 2000, "append")):
+        part = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1)
+        write_snapshot(part, path, mode=mode)
+    res = delete_from_snapshot(spark, path, [("o_orderkey", "between", (800, 1200))])
+    remaining = read_snapshot(spark, path)
+    return remaining.agg(
+        F.lit(res["files_kept"]).cast("int").alias("files_kept"),
+        F.lit(res["files_rewritten"]).cast("int").alias("files_rewritten"),
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------- streaming
 
 @query(

@@ -65,6 +65,39 @@ def idempotent_batch_writer(
     return write
 
 
+def snapshot_append_writer(
+    table_path: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function appending each micro-batch to a
+    versioned snapshot table (sources/snapshot.py) with transactional
+    idempotence: the commit carries ``(txn_app_id=app_id,
+    txn_version=batch_id)``, and the snapshot log's carried-forward
+    ``txns`` map rejects a replayed batch id — the Delta
+    ``txnAppId``/``txnVersion`` pattern without delta-spark.
+
+    Versus :func:`idempotent_batch_writer` this gives readers a single
+    atomically-versioned table (time travel, stats-based file skipping,
+    compaction via ``compact_snapshot``) instead of a raw batch_id Hive
+    layout. Scale: each commit writes only its batch's rows; the
+    manifest append is metadata-sized.
+    """
+    from azure_etl_spark.sources.snapshot import write_snapshot
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        write_snapshot(
+            df,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    return write
+
+
 def incremental_dedup_writer(
     target_root: str,
     index_root: str,

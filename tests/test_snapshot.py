@@ -134,3 +134,229 @@ def test_table_format_api_routes_snapshot(spark, tmp_path):
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-5 Delta-parity DML: stats/file-skipping, COW delete/update, merge,
+# compaction, transactional idempotence.
+
+from azure_etl_spark.sources.snapshot import (  # noqa: E402
+    compact_snapshot,
+    delete_from_snapshot,
+    merge_snapshot,
+    resolve_scan,
+    update_snapshot,
+)
+
+
+def _keyed(spark, lo, hi, tag="t"):
+    """Rows with id in [lo, hi) in a SINGLE file, so per-file min/max
+    stats give each append a disjoint key interval."""
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id"),
+            F.lit(tag).alias("tag"),
+            (F.col("id") * 10).alias("val"),
+        )
+        .coalesce(1)
+    )
+
+
+def _three_file_table(spark, path):
+    """id ranges [0,100), [100,200), [200,300) — one file each."""
+    write_snapshot(_keyed(spark, 0, 100, "a"), path)
+    write_snapshot(_keyed(spark, 100, 200, "b"), path, mode="append")
+    write_snapshot(_keyed(spark, 200, 300, "c"), path, mode="append")
+
+
+def test_stats_collected_and_file_skipping(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    all_files, _ = resolve_scan(spark, path)
+    assert len(all_files) == 3
+
+    # predicate inside one file's interval: 2 of 3 files skipped
+    read, skipped = resolve_scan(spark, path, where=[("id", "between", (120, 130))])
+    assert len(read) == 1 and len(skipped) == 2
+
+    out = read_snapshot(spark, path, where=[("id", "between", (120, 130))])
+    assert out.count() == 11
+    assert {r["tag"] for r in out.collect()} == {"b"}
+
+    # predicate matching nothing anywhere: all files pruned, schema kept
+    read, skipped = resolve_scan(spark, path, where=[("id", ">", 10_000)])
+    assert read == [] and len(skipped) == 3
+    empty = read_snapshot(spark, path, where=[("id", ">", 10_000)])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "tag", "val"}
+
+    # string-column stats prune too
+    read, skipped = resolve_scan(spark, path, where=[("tag", "=", "c")])
+    assert len(read) == 1 and len(skipped) == 2
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    before_files, _ = resolve_scan(spark, path)
+
+    res = delete_from_snapshot(spark, path, [("id", "between", (150, 250))])
+    # files [100,200) and [200,300) touched; [0,100) carried untouched
+    assert res["files_rewritten"] == 2 and res["files_kept"] == 1
+
+    out = read_snapshot(spark, path)
+    ids = {r["id"] for r in out.collect()}
+    assert ids == set(range(0, 150)) | set(range(251, 300))
+
+    # the untouched file is literally the same file (no rewrite)
+    after_files, _ = resolve_scan(spark, path)
+    kept = set(before_files) & set(after_files)
+    assert len(kept) == 1 and next(iter(kept)).startswith("data/v0/")
+
+    # old version still time-travels to the pre-delete rows
+    assert read_snapshot(spark, path, version=2).count() == 300
+
+
+def test_update_applies_only_to_matching_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    res = update_snapshot(
+        spark, path, [("id", "between", (0, 9))], {"val": "val + 1", "tag": F.lit("upd")}
+    )
+    assert res["files_rewritten"] == 1 and res["files_kept"] == 2
+    out = read_snapshot(spark, path)
+    assert out.count() == 300
+    rows = {r["id"]: (r["val"], r["tag"]) for r in out.collect()}
+    assert rows[5] == (51, "upd")
+    assert rows[9] == (91, "upd")
+    assert rows[10] == (100, "a")  # outside predicate, same file: untouched
+    assert rows[250] == (2500, "c")  # untouched file
+
+
+def test_merge_upsert_prunes_and_matches(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    # source: update ids 190..199, insert ids 1000..1009 — key range
+    # [190, 1009] overlaps files 2 and 3, not file 1
+    source = (
+        spark.range(190, 200)
+        .union(spark.range(1000, 1010))
+        .select(
+            F.col("id"), F.lit("src").alias("tag"), (F.col("id") * -1).alias("val")
+        )
+    )
+    res = merge_snapshot(spark, path, source, ["id"])
+    assert res["files_kept"] == 1 and res["files_rewritten"] == 2
+    out = read_snapshot(spark, path)
+    assert out.count() == 310
+    rows = {r["id"]: (r["val"], r["tag"]) for r in out.collect()}
+    assert rows[195] == (-195, "src")  # matched -> replaced
+    assert rows[150] == (1500, "b")  # unmatched target in touched file
+    assert rows[1005] == (-1005, "src")  # inserted
+    assert rows[50] == (500, "a")  # untouched file
+
+    # duplicate source keys are an error, not a nondeterministic merge
+    dup = source.union(source.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_snapshot(spark, path, dup, ["id"])
+
+
+def test_merge_disjoint_keys_is_pure_insert(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    source = _keyed(spark, 5000, 5010, "new")
+    res = merge_snapshot(spark, path, source, ["id"])
+    assert res["files_kept"] == 3 and res["files_rewritten"] == 0
+    assert read_snapshot(spark, path).count() == 310
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 50, "a").repartition(8), path)
+    write_snapshot(_keyed(spark, 50, 100, "b").repartition(8), path, mode="append")
+    files_before, _ = resolve_scan(spark, path)
+    assert len(files_before) > 8
+    before = sorted(
+        (r["id"], r["tag"], r["val"]) for r in read_snapshot(spark, path).collect()
+    )
+    res = compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    files_after, _ = resolve_scan(spark, path)
+    assert len(files_after) == 1
+    after = sorted(
+        (r["id"], r["tag"], r["val"]) for r in read_snapshot(spark, path).collect()
+    )
+    assert before == after
+    # old (pre-compaction) version still readable until vacuum
+    assert read_snapshot(spark, path, version=res["version"] - 1).count() == 100
+    hist = {r["version"]: r["operation"] for r in snapshot_history(spark, path).collect()}
+    assert hist[res["version"]] == "compact"
+
+
+def test_vacuum_keeps_dirs_referenced_by_cow_files(spark, tmp_path):
+    """After a COW delete, the new manifest references individual files
+    inside OLD version dirs — vacuum must keep those dirs even when the
+    old versions' manifests are dropped."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    delete_from_snapshot(spark, path, [("id", "between", (150, 250))])
+    removed = vacuum_snapshots(spark, path, keep_last=1)
+    assert removed == [0, 1, 2]
+    # data/v0 (untouched file carried by the delete manifest) survives
+    out = read_snapshot(spark, path)
+    assert out.count() == 199  # 300 - 101 deleted (between is inclusive)
+    assert {r["id"] for r in out.collect()} == set(range(0, 150)) | set(range(251, 300))
+
+
+def test_partitioned_cow_preserves_partition_columns(spark, tmp_path):
+    """COW on a Hive-partitioned snapshot: partition columns survive
+    file-granular reads (basePath grouping) and land back partitioned."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    write_snapshot(df, path, partition_by=["bucket"])
+    # partition-column predicate: only bucket=2 files touched
+    res = delete_from_snapshot(spark, path, [("bucket", "=", 2), ("id", "<", 50)])
+    assert res["files_kept"] > 0
+    out = read_snapshot(spark, path)
+    assert "bucket" in out.columns
+    assert out.count() == 100 - 12  # ids 2,6,...,46 in bucket 2 below 50
+    assert out.filter("bucket = 2").count() == 25 - 12
+
+
+def test_txn_idempotent_replay_skipped(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v = write_snapshot(
+        _keyed(spark, 0, 10), path, mode="append", txn_app_id="app", txn_version=0
+    )
+    assert v == 0
+    # replay of the same (app, batch) is detected and skipped
+    assert (
+        write_snapshot(
+            _keyed(spark, 0, 10), path, mode="append", txn_app_id="app", txn_version=0
+        )
+        == -1
+    )
+    assert read_snapshot(spark, path).count() == 10
+    # next batch commits; txns map carries forward so an old replay
+    # arriving late is STILL rejected
+    write_snapshot(
+        _keyed(spark, 10, 20), path, mode="append", txn_app_id="app", txn_version=1
+    )
+    assert (
+        write_snapshot(
+            _keyed(spark, 0, 10), path, mode="append", txn_app_id="app", txn_version=0
+        )
+        == -1
+    )
+    assert read_snapshot(spark, path).count() == 20
+    # a different app id is independent
+    assert (
+        write_snapshot(
+            _keyed(spark, 100, 105), path, mode="append", txn_app_id="other",
+            txn_version=0,
+        )
+        > 0
+    )
+    assert read_snapshot(spark, path).count() == 25
