@@ -325,6 +325,21 @@ def _read_files(
     return out
 
 
+def _cluster_for_skipping(
+    df: DataFrame, cluster_by: list[str], num_files: int | None = None
+) -> DataFrame:
+    """Clustered write = layout.sort_for_skipping applied at commit
+    time: each written file covers a narrow [min,max] interval, which is
+    what makes the manifest's stats-based file skipping effective
+    (Delta's OPTIMIZE ZORDER serves the same purpose; compose with
+    layout.morton_key for two-dimensional clustering). Without this, a
+    uniformly-shuffled column's per-file interval spans the whole domain
+    and no file is ever skippable."""
+    from azure_etl_spark.operators.layout import sort_for_skipping
+
+    return sort_for_skipping(df, cluster_by, partitions=num_files)
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -334,6 +349,8 @@ def write_snapshot(
     collect_stats: bool = True,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the snapshot table at ``path``.
 
@@ -358,6 +375,8 @@ def write_snapshot(
         raise ValueError(f"snapshot mode must be overwrite|append, got {mode!r}")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be passed together")
+    if cluster_by:
+        df = _cluster_for_skipping(df, cluster_by, cluster_files)
     spark = df.sparkSession
     for _ in range(max_retries):
         versions = _list_versions(spark, path)
@@ -646,6 +665,7 @@ def compact_snapshot(
     path: str,
     target_file_bytes: int = 128 << 20,
     version: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the current version's (possibly many small)
     files into one right-sized data dir, committed as a new version —
@@ -663,7 +683,12 @@ def compact_snapshot(
     n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
     df = read_snapshot(spark, path, version=version)
     partition_by = parent.get("partition_by", [])
-    if partition_by:
+    if cluster_by:
+        # OPTIMIZE + cluster: rewritten files get narrow [min,max]
+        # intervals on the clustering columns, re-arming file skipping
+        # that a long append chain of unordered batches has eroded
+        df = _cluster_for_skipping(df, cluster_by, int(n))
+    elif partition_by:
         # spread within partitions without a global shuffle key collision
         df = df.repartition(int(n), *partition_by)
     else:

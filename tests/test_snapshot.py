@@ -360,3 +360,87 @@ def test_txn_idempotent_replay_skipped(spark, tmp_path):
         > 0
     )
     assert read_snapshot(spark, path).count() == 25
+
+
+def test_cluster_by_arms_file_skipping(spark, tmp_path):
+    """A uniformly-shuffled key gives every file a whole-domain [min,max]
+    interval (nothing skippable); cluster_by range-sorts the write so a
+    narrow predicate prunes almost everything — the property that makes
+    stats skipping pay off at scale, not just exist."""
+    df = spark.range(10_000).select(
+        # decorrelate from insertion order so unclustered files span the domain
+        F.xxhash64("id").alias("key"), F.col("id").alias("payload")
+    )
+    lo = df.agg(F.expr("percentile(key, 0.50)")).collect()[0][0]
+    hi = df.agg(F.expr("percentile(key, 0.52)")).collect()[0][0]
+    pred = [("key", "between", (int(lo), int(hi)))]
+
+    unclustered = str(tmp_path / "flat")
+    write_snapshot(df.repartition(8), unclustered)
+    read_u, skip_u = resolve_scan(spark, unclustered, where=pred)
+    assert len(skip_u) == 0 and len(read_u) == 8  # every file may match
+
+    clustered = str(tmp_path / "clustered")
+    write_snapshot(df, clustered, cluster_by=["key"], cluster_files=8)
+    read_c, skip_c = resolve_scan(spark, clustered, where=pred)
+    assert len(read_c) <= 2 and len(skip_c) >= 6  # 2% range -> ~1 file
+
+    # identical answers either way
+    a = sorted(r["payload"] for r in read_snapshot(spark, unclustered, where=pred).collect())
+    b = sorted(r["payload"] for r in read_snapshot(spark, clustered, where=pred).collect())
+    assert a == b and len(a) > 0
+
+
+def test_compact_with_cluster_by_rearms_skipping(spark, tmp_path):
+    """An append chain of unordered micro-batches erodes skipping;
+    compact_snapshot(cluster_by=...) is OPTIMIZE-with-clustering — fewer
+    files AND narrow per-file intervals again."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(4000).select(F.xxhash64("id").alias("key"), F.col("id").alias("v"))
+    for i in range(4):
+        part = df.filter(F.col("v") % 4 == i).repartition(3)
+        write_snapshot(part, path, mode="append" if i else "overwrite")
+    pred = [("key", "between", (0, 1 << 40))]  # tiny slice of int64 domain
+    read_b, _ = resolve_scan(spark, path, where=pred)
+    assert len(read_b) == 12  # every file spans the domain: no pruning
+
+    before = sorted(r["v"] for r in read_snapshot(spark, path).collect())
+    compact_snapshot(spark, path, target_file_bytes=16 << 10, cluster_by=["key"])
+    after = sorted(r["v"] for r in read_snapshot(spark, path).collect())
+    assert before == after
+    files, _ = resolve_scan(spark, path)
+    read_a, skip_a = resolve_scan(spark, path, where=pred)
+    assert len(files) > 1 and len(read_a) <= 2 and len(skip_a) >= len(files) - 2
+
+
+def test_snapshot_append_writer_stream_exactly_once(spark, sf_dir, tmp_path):
+    """End-to-end availableNow stream through snapshot_append_writer:
+    the corpus lands as snapshot versions, and a crash-replay of an
+    already-committed batch id is rejected by the txns map."""
+    from azure_etl_spark.sources.files import load_table
+    from azure_etl_spark.sources.snapshot import read_snapshot as read_snap
+    from azure_etl_spark.streaming.sinks import snapshot_append_writer
+
+    src_dir = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(src_dir)
+    table = str(tmp_path / "tbl")
+    writer = snapshot_append_writer(table, app_id="ingest-test")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = events.count()
+    assert read_snap(spark, table).count() == total
+
+    # simulate an at-least-once replay of batch 0 after a crash: the
+    # foreachBatch function is re-invoked with the same batch_id
+    writer(spark.read.parquet(src_dir).limit(50), 0)
+    assert read_snap(spark, table).count() == total
