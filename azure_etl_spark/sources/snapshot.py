@@ -311,7 +311,10 @@ def _read_files(
     spark: SparkSession, root: str, rel_files: list[str]
 ) -> DataFrame:
     """Read an explicit file subset, grouping by data/vN base so Hive
-    partition columns survive (``basePath`` per group)."""
+    partition columns survive (``basePath`` per group).
+    allowMissingColumns: dirs written before a schema-evolving append
+    lack the new columns — they read back null-filled, Delta's
+    mergeSchema read semantics."""
     groups: dict[str, list[str]] = {}
     for f in rel_files:
         groups.setdefault(_base_dir_of(f), []).append(f)
@@ -321,7 +324,7 @@ def _read_files(
             spark.read.option("basePath", f"{root}/{base}")
             .parquet(*[f"{root}/{f}" for f in fl])
         )
-        out = part if out is None else out.unionByName(part)
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
 
 
@@ -351,6 +354,7 @@ def write_snapshot(
     txn_version: int | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new version of the snapshot table at ``path``.
 
@@ -384,6 +388,17 @@ def write_snapshot(
         txns = dict(parent.get("txns", {})) if parent else {}
         if txn_app_id is not None and txns.get(txn_app_id, -1) >= txn_version:
             return -1  # replayed transaction: already durable, skip
+        if mode == "append" and parent is not None and "columns" in parent:
+            # Delta-style schema enforcement: appends must match the
+            # table's columns unless merge_schema opts into evolution
+            # (new columns null-fill old files on read; dropped columns
+            # null-fill new files)
+            drift = set(df.columns) ^ set(parent["columns"])
+            if drift and not merge_schema:
+                raise ValueError(
+                    f"append schema drift {sorted(drift)} vs table columns "
+                    f"{parent['columns']}; pass merge_schema=True to evolve"
+                )
         version = (versions[-1] + 1) if versions else 0
         data_rel = f"{DATA_DIR}/v{version}"
         writer = df.write.mode("overwrite")  # reclaim a crashed writer's orphan dir
@@ -403,6 +418,12 @@ def write_snapshot(
             stats = {**parent.get("stats", {}), **stats}
         if txn_app_id is not None:
             txns[txn_app_id] = txn_version
+        columns = list(df.columns)
+        if mode == "append" and parent is not None and "columns" in parent:
+            # evolved table schema = parent's order, new columns appended
+            columns = parent["columns"] + [
+                c for c in df.columns if c not in parent["columns"]
+            ]
         manifest = {
             "version": version,
             "mode": mode,
@@ -412,6 +433,7 @@ def write_snapshot(
             "committed_at_unix": time.time(),
             "stats": stats,
             "txns": txns,
+            "columns": columns,
         }
         if _try_commit_manifest(spark, path, version, manifest):
             return version
@@ -477,18 +499,93 @@ def read_snapshot(
                 raise SnapshotVersionError(
                     f"version {version} at {path} lists no data files"
                 )
-            return _read_files(spark, root, probe).filter(F.lit(False))
-        return _read_files(spark, root, rel_files).filter(_where_to_column(where))
+            return _project(
+                _read_files(spark, root, probe).filter(F.lit(False)), manifest
+            )
+        return _project(
+            _read_files(spark, root, rel_files).filter(_where_to_column(where)),
+            manifest,
+        )
     out = None
     for d in manifest["data_dirs"]:
         part = spark.read.option("basePath", f"{root}/{d}").parquet(f"{root}/{d}")
-        out = part if out is None else out.unionByName(part)
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     extra = manifest.get("data_files", [])
     if extra:
         part = _read_files(spark, root, extra)
-        out = part if out is None else out.unionByName(part)
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     if out is None:
         raise SnapshotVersionError(f"version {version} at {path} lists no data")
+    return _project(out, manifest)
+
+
+def _project(df: DataFrame, manifest: dict) -> DataFrame:
+    """Normalize to the manifest's recorded column order (schema-evolved
+    unions put new columns wherever the first-read dir had them)."""
+    cols = manifest.get("columns")
+    return df.select(*cols) if cols else df
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """File-granularity change feed between two versions (Delta CDF
+    semantics at the manifest's resolution): for each commit in
+    ``(from_version, to_version]``, rows in files the commit ADDED are
+    ``_change_type='insert'``, rows in files it REMOVED are
+    ``'delete'``; an UPDATE surfaces as a delete+insert pair. Each row
+    carries ``_commit_version``.
+
+    Granularity caveat (same trade Delta makes without the CDF column):
+    a copy-on-write commit rewrites entire touched files, so unchanged
+    rows *within* a touched file appear as delete+insert churn — bounded
+    by the touched-file count, which stats-based pruning already
+    minimizes. Downstream consumers that need net row changes can
+    anti-join the two sides on the full row.
+
+    Scale: reads only the files that entered/left the manifest between
+    the two versions — an incremental consumer processes O(changed
+    data), never the table.
+    """
+    if to_version is None:
+        to_version = _resolve_version(spark, path, None)
+    if to_version <= from_version:
+        raise ValueError(f"to_version {to_version} must exceed from_version {from_version}")
+    root = path.rstrip("/")
+    out = None
+    prev_manifest = _load_manifest(spark, path, from_version)
+    prev_files = set(_manifest_files(spark, path, prev_manifest)[0])
+    for v in range(from_version + 1, to_version + 1):
+        manifest = _load_manifest(spark, path, v)
+        cur_files = set(_manifest_files(spark, path, manifest)[0])
+        if manifest.get("operation") == "compact":
+            # layout-only commit (Delta's dataChange=false): same rows,
+            # different files — not a change to feed consumers
+            prev_files = cur_files
+            continue
+        for rel, tag in ((cur_files - prev_files, "insert"),
+                         (prev_files - cur_files, "delete")):
+            if not rel:
+                continue
+            part = (
+                _read_files(spark, root, sorted(rel))
+                .withColumn("_change_type", F.lit(tag))
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        prev_files = cur_files
+    if out is None:
+        base = read_snapshot(spark, path, version=to_version).limit(0)
+        return (
+            base.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+            .filter(F.lit(False))
+        )
     return out
 
 
@@ -535,6 +632,8 @@ def _commit_cow(
             "committed_at_unix": time.time(),
             "stats": stats,
             "txns": dict(parent.get("txns", {})),
+            # COW ops never change the table schema
+            **({"columns": parent["columns"]} if "columns" in parent else {}),
         }
         if _try_commit_manifest(spark, path, version, manifest):
             return version

@@ -444,3 +444,67 @@ def test_snapshot_append_writer_stream_exactly_once(spark, sf_dir, tmp_path):
     # foreachBatch function is re-invoked with the same batch_id
     writer(spark.read.parquet(src_dir).limit(50), 0)
     assert read_snap(spark, table).count() == total
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Appends with drifted columns are rejected unless merge_schema
+    opts in; evolved reads null-fill old files and keep the recorded
+    column order (Delta mergeSchema semantics)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 10, "a"), path)  # id, tag, val
+
+    drifted = spark.range(5).select(F.col("id"), F.lit("x").alias("extra"))
+    with pytest.raises(ValueError, match="schema drift"):
+        write_snapshot(drifted, path, mode="append")
+
+    evolved = spark.range(10, 15).select(
+        F.col("id"), F.lit("b").alias("tag"), (F.col("id") * 10).alias("val"),
+        F.lit("new").alias("extra"),
+    )
+    write_snapshot(evolved, path, mode="append", merge_schema=True)
+    out = read_snapshot(spark, path)
+    assert out.columns == ["id", "tag", "val", "extra"]
+    rows = {r["id"]: r["extra"] for r in out.collect()}
+    assert rows[3] is None and rows[12] == "new"
+    # post-evolution append of the OLD shape also needs merge_schema
+    with pytest.raises(ValueError, match="schema drift"):
+        write_snapshot(_keyed(spark, 20, 25), path, mode="append")
+    write_snapshot(_keyed(spark, 20, 25), path, mode="append", merge_schema=True)
+    assert read_snapshot(spark, path).count() == 20
+
+
+def test_snapshot_change_feed(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import snapshot_changes
+
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2: appends of [0,100) [100,200) [200,300)
+
+    # append commit -> pure inserts
+    ch = snapshot_changes(spark, path, from_version=1, to_version=2)
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+    assert {r["id"] for r in ch.collect()} == set(range(200, 300))
+    assert {r["_commit_version"] for r in ch.collect()} == {2}
+
+    # COW delete -> deletes for the touched file's removed rows, plus
+    # rewrite churn (delete+insert) for surviving rows of that file
+    delete_from_snapshot(spark, path, [("id", "between", (100, 150))])  # v3
+    ch = snapshot_changes(spark, path, from_version=2).cache()
+    assert {r["_commit_version"] for r in ch.collect()} == {3}
+    dels = {r["id"] for r in ch.filter("_change_type = 'delete'").collect()}
+    ins = {r["id"] for r in ch.filter("_change_type = 'insert'").collect()}
+    assert dels == set(range(100, 200))  # whole touched file leaves
+    assert ins == set(range(151, 200))  # survivors re-enter
+    # net deletes = exactly the deleted keys
+    assert dels - ins == set(range(100, 151))
+    # untouched files ([0,100), [200,300)) generate NO churn
+    assert not (dels | ins) & (set(range(0, 100)) | set(range(200, 300)))
+
+    # compaction is layout-only: invisible to the feed
+    compact_snapshot(spark, path, target_file_bytes=1 << 30)  # v4
+    assert snapshot_changes(spark, path, from_version=3).count() == 0
+
+    # multi-commit range stitches per-commit tags
+    write_snapshot(_keyed(spark, 500, 510, "z"), path, mode="append")  # v5
+    ch = snapshot_changes(spark, path, from_version=3)
+    assert {r["_commit_version"] for r in ch.collect()} == {5}
+    assert {r["id"] for r in ch.collect()} == set(range(500, 510))
