@@ -1476,6 +1476,69 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey < 3000 AND o_orderkey NOT BETWEEN 500 AND 1000
+    GROUP BY o_orderpriority
+    """,
+    description="Change-feed-driven incremental aggregate maintenance "
+    "(operators/aggregate.maintain_agg_from_changes over "
+    "sources/snapshot.snapshot_changes): gold per-priority SUM/COUNT is "
+    "bootstrapped from version 0, then maintained through an append "
+    "commit and a copy-on-write delete by folding each commit's "
+    "insert/delete rows into a signed partial aggregate — refresh cost "
+    "O(changed rows), never a table rescan. The oracle recomputes the "
+    "final state directly, so the incremental path must land on the "
+    "exact same values (sums maintained on DECIMAL, cast once at the "
+    "boundary).",
+)
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.operators.aggregate import maintain_agg_from_changes
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="snap_cdc_") + "/tbl"
+    v0 = orders.filter(F.col("o_orderkey") < 1500)
+    write_snapshot(v0.coalesce(1), path)
+    # bootstrap state = v0 fed through the same fold as inserts
+    state = maintain_agg_from_changes(
+        None,
+        v0.withColumn("_change_type", F.lit("insert")),
+        keys=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey").between(1500, 2999)).coalesce(1),
+        path,
+        mode="append",
+    )
+    delete_from_snapshot(spark, path, [("o_orderkey", "between", (500, 1000))])
+    changes = snapshot_changes(spark, path, from_version=0).select(
+        "o_orderpriority", "o_totalprice", "_change_type"
+    )
+    state = maintain_agg_from_changes(
+        state, changes, keys=["o_orderpriority"], sum_cols=["o_totalprice"]
+    )
+    return state.select(
+        "o_orderpriority", F.col("o_totalprice").alias("sum_price"), "n"
+    )
+
+
 # ---------------------------------------------------------------- streaming
 
 @query(

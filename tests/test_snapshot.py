@@ -508,3 +508,57 @@ def test_snapshot_change_feed(spark, tmp_path):
     ch = snapshot_changes(spark, path, from_version=3)
     assert {r["_commit_version"] for r in ch.collect()} == {5}
     assert {r["id"] for r in ch.collect()} == set(range(500, 510))
+
+
+def test_maintain_agg_from_changes_equals_recompute(spark, tmp_path):
+    """Incrementally-maintained SUM/COUNT state tracks a snapshot table
+    through append, COW delete, and COW update commits, matching a full
+    recompute at every step."""
+    from azure_etl_spark.operators.aggregate import maintain_agg_from_changes
+    from azure_etl_spark.sources.snapshot import snapshot_changes
+
+    path = str(tmp_path / "tbl")
+
+    def full(df):
+        return {
+            (r["tag"]): (r["s"], r["n"])
+            for r in df.groupBy("tag")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def state_dict(st):
+        return {r["tag"]: (r["val"], r["n"]) for r in st.collect()}
+
+    base = _keyed(spark, 0, 100, "a").union(_keyed(spark, 100, 200, "b"))
+    write_snapshot(base.coalesce(1), path)  # v0
+    state = maintain_agg_from_changes(
+        None, base.withColumn("_change_type", F.lit("insert")), ["tag"], ["val"]
+    )
+    assert state_dict(state) == full(read_snapshot(spark, path))
+
+    last = 0
+    for commit in (
+        lambda: write_snapshot(_keyed(spark, 200, 250, "c").coalesce(1), path, mode="append"),
+        lambda: delete_from_snapshot(spark, path, [("id", "between", (150, 220))]),
+        lambda: update_snapshot(spark, path, [("id", "<", 10)], {"val": "val + 1000"}),
+    ):
+        commit()
+        from azure_etl_spark.sources.snapshot import _list_versions
+        cur = _list_versions(spark, path)[-1]
+        ch = snapshot_changes(spark, path, from_version=last, to_version=cur).select(
+            "tag", "val", "_change_type"
+        )
+        state = maintain_agg_from_changes(state, ch, ["tag"], ["val"])
+        assert state_dict(state) == full(read_snapshot(spark, path)), f"at v{cur}"
+        last = cur
+
+    # a fully-deleted group drops out of the state
+    delete_from_snapshot(spark, path, [("tag", "=", "c")])
+    cur = _list_versions(spark, path)[-1]
+    ch = snapshot_changes(spark, path, from_version=last, to_version=cur).select(
+        "tag", "val", "_change_type"
+    )
+    state = maintain_agg_from_changes(state, ch, ["tag"], ["val"])
+    assert "c" not in state_dict(state)
+    assert state_dict(state) == full(read_snapshot(spark, path))
