@@ -562,3 +562,115 @@ def test_maintain_agg_from_changes_equals_recompute(spark, tmp_path):
     state = maintain_agg_from_changes(state, ch, ["tag"], ["val"])
     assert "c" not in state_dict(state)
     assert state_dict(state) == full(read_snapshot(spark, path))
+
+
+def test_snapshot_table_streaming_source(spark, tmp_path):
+    """Tail a snapshot table as a stream (Python Data Source): initial
+    load = current version, then one micro-batch per commit; compaction
+    emits nothing; a COW delete fails the tail unless ignorechanges."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 100, "a"), path)
+    write_snapshot(_keyed(spark, 100, 150, "b"), path, mode="append")
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    out = drain()
+    assert out.count() == 150  # initial load covers both commits
+    assert set(out.columns) == {"id", "tag", "val"}
+
+    # tail: only the new commit's rows arrive in the next run
+    write_snapshot(_keyed(spark, 150, 170, "c"), path, mode="append")
+    out = drain()
+    assert out.count() == 170
+    assert out.filter("tag = 'c'").count() == 20
+
+    # compaction is invisible to the tail
+    compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    assert drain().count() == 170
+
+    # a COW delete breaks the append-only tail loudly
+    delete_from_snapshot(spark, path, [("id", "between", (0, 10))])
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException, match="removes files"):
+        drain()
+
+
+def test_snapshot_stream_source_partitioned(spark, tmp_path):
+    """Hive partition columns are reconstructed from per-file stats."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    write_snapshot(df, path, partition_by=["bucket"])
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_part")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("snap_part")
+    assert out.count() == 40
+    got = {(r["id"], r["bucket"], r["val"]) for r in out.collect()}
+    want = {(i, i % 3, i * 2) for i in range(40)}
+    assert got == want
+
+
+def test_snapshot_stream_source_ignore_changes(spark, tmp_path):
+    """With ignorechanges=true a COW commit's rewrite files are emitted
+    (re-delivering surviving rows — Delta's documented ignoreChanges
+    trade) instead of failing the tail."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 100, "a"), path)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", path)
+            .option("ignorechanges", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    assert drain().count() == 100
+    delete_from_snapshot(spark, path, [("id", "<", 20)])
+    out = drain()
+    # rewrite file re-delivers the 80 survivors; deletes are not replayed
+    assert out.count() == 180
+    assert out.filter("id < 20").count() == 20  # only the original delivery
