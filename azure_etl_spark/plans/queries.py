@@ -1477,6 +1477,115 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_mor_delete",
+    oracle="""
+    WITH remaining AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey NOT BETWEEN 800 AND 1200
+        AND o_orderkey NOT IN (3, 7, 1399)
+    )
+    SELECT CAST(0 AS INT) AS files_rewritten, CAST(2 AS INT) AS files_covered,
+           COUNT(*) AS n_remaining,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM remaining
+    """,
+    description="Merge-on-read DELETE on the snapshot log "
+    "(sources/snapshot.py delete_from_snapshot(mode='merge_on_read') + "
+    "delete_keys_from_snapshot): a predicate delete commits as a "
+    "stats-scoped manifest entry (files_rewritten pinned 0 — no data "
+    "IO) and an Iceberg-style equality-delete key file removes three "
+    "keys via broadcast anti-join at read; the key range [3,1399] "
+    "provably covers only the first two of the three files "
+    "(files_covered pinned 2). The oracle recomputes the surviving "
+    "rows relationally — the read path's on-the-fly entry application "
+    "must land on the exact same count and DECIMAL sum.",
+)
+def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        delete_keys_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="snap_mor_") + "/tbl"
+    for lo, hi, mode in ((0, 700, "overwrite"), (700, 1400, "append"), (1400, 2000, "append")):
+        part = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1)
+        write_snapshot(part, path, mode=mode)
+    res = delete_from_snapshot(
+        spark, path, [("o_orderkey", "between", (800, 1200))], mode="merge_on_read"
+    )
+    keys = spark.createDataFrame([(3,), (7,), (1399,)], "o_orderkey long")
+    kres = delete_keys_from_snapshot(spark, path, keys, ["o_orderkey"])
+    remaining = read_snapshot(spark, path)
+    return remaining.agg(
+        F.lit(res["files_rewritten"]).cast("int").alias("files_rewritten"),
+        F.lit(kres["files_covered"]).cast("int").alias("files_covered"),
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@query(
+    "snapshot_restore_gold",
+    oracle="""
+    WITH tbl AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT CAST(1 AS INT) AS restored_to, CAST(3 AS INT) AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM tbl
+    """,
+    description="RESTORE on the snapshot log (sources/snapshot.py "
+    "restore_snapshot): after an overwrite (v0), an append (v1) and a "
+    "copy-on-write DELETE (v2), restoring to v1 commits a NEW version "
+    "(pinned 3) that reproduces v1's data references with no data "
+    "copied — the rollback is O(manifest). The oracle recomputes the "
+    "pre-delete state directly; the restored read must match it "
+    "exactly, proving the deleted rows came back.",
+)
+def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="snap_restore_") + "/tbl"
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") < 1000).coalesce(1), path
+    )
+    write_snapshot(
+        orders.filter(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    delete_from_snapshot(spark, path, [("o_orderkey", ">=", 500)])
+    res = restore_snapshot(spark, path, to_version=1)
+    restored = read_snapshot(spark, path)
+    return restored.agg(
+        F.lit(res["restored_to"]).cast("int").alias("restored_to"),
+        F.lit(res["version"]).cast("int").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@query(
     "cdc_incremental_agg",
     oracle="""
     SELECT o_orderpriority,

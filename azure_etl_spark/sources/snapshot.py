@@ -54,6 +54,21 @@ Round-5 extensions (Delta-parity DML on the same log protocol):
   (carried forward commit-to-commit, like Delta's SetTransaction), so
   a replayed streaming micro-batch (same app id, same batch id) is
   detected and skipped — exactly-once ``foreachBatch`` sinks.
+- **Merge-on-read deletes** (:func:`delete_from_snapshot` with
+  ``mode='merge_on_read'``, :func:`delete_keys_from_snapshot`): the
+  Iceberg-style alternative to copy-on-write. The commit records a
+  *delete entry* in the manifest — a predicate, or a parquet file of
+  key tuples (equality deletes, the GDPR shape) — scoped to exactly
+  the files whose stats say they may contain matches. No data is
+  rewritten: at 100 TB, deleting a handful of rows costs O(manifest)
+  (predicate) or O(keys written) instead of rewriting every touched
+  multi-GB file. Readers apply the entries on the fly (filter /
+  anti-join per affected file group); :func:`compact_snapshot` and any
+  copy-on-write commit *materialize* them for the files they rewrite,
+  so OPTIMIZE doubles as the deferred rewrite. The change feed emits
+  the logically deleted rows at the delete commit, and the streaming
+  source treats a merge-on-read delete like any non-append commit
+  (error unless ``ignorechanges``).
 
 Scale notes: the manifest is one small JSON per commit; with stats it
 lists O(files) entries, exactly the granularity Delta's log keeps, and
@@ -76,6 +91,7 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
+DELETES_DIR = "deletes"  # parquet key files for merge-on-read equality deletes
 
 _DATA_V_RE = re.compile(rf"^({DATA_DIR}/v\d+)/")
 
@@ -91,6 +107,10 @@ _STATS_TYPES = (
 
 class SnapshotConflictError(RuntimeError):
     """All optimistic-concurrency retries lost the manifest-create race."""
+
+
+class SnapshotConstraintError(ValueError):
+    """A write contained rows violating the table's constraints."""
 
 
 class SnapshotVersionError(ValueError):
@@ -139,7 +159,25 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
             f"snapshot version {version} not found under {path} "
             f"(available: {_list_versions(spark, path)})"
         )
-    return json.loads(_read_small_file(jvm, fs, mpath).decode("utf-8"))
+    # the commit protocol atomically CLAIMS the manifest path first and
+    # streams the JSON right after — a reader racing that microsecond
+    # window sees an empty/partial file; retry briefly before treating
+    # it as corruption (a crashed claimer never publishes content, so
+    # the final raise is the honest outcome there)
+    last = b""
+    for _ in range(40):
+        last = _read_small_file(jvm, fs, mpath)
+        if last:
+            try:
+                return json.loads(last.decode("utf-8"))
+            except json.JSONDecodeError:
+                pass
+        time.sleep(0.05)
+    raise SnapshotVersionError(
+        f"manifest v{version} under {path} unreadable after retries "
+        f"({len(last)} bytes) — a crashed writer may have claimed but "
+        "never published this version"
+    )
 
 
 def _try_commit_manifest(
@@ -177,6 +215,19 @@ def _json_safe(v):
     return v
 
 
+def _json_safe_predicate(where: Predicate) -> list[list]:
+    """A predicate destined for a manifest must survive the JSON round
+    trip: date/timestamp/Decimal values normalize the same way stats do
+    (ISO order == chronological order, so comparisons stay faithful)."""
+    out = []
+    for col, op, val in where:
+        if op == "between":
+            out.append([col, op, [_json_safe(val[0]), _json_safe(val[1])]])
+        else:
+            out.append([col, op, _json_safe(val)])
+    return out
+
+
 def _stats_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, _STATS_TYPES)]
 
@@ -201,19 +252,50 @@ def _list_parquet_files(spark: SparkSession, root: str, rel_dir: str) -> list[st
 
 
 def _collect_file_stats(
-    spark: SparkSession, root: str, rel_dir: str
+    spark: SparkSession, root: str, rel_dir: str, bloom: dict | None = None
 ) -> dict[str, dict]:
     """One pass over a newly written data dir: per-file row count and
     min/max for every atomic-typed column (partition columns included —
     Hive-dir discovery surfaces them as constant per file). This is the
     same per-file metadata Delta records in its log, and the input to
-    all file skipping below."""
+    all file skipping below.
+
+    ``bloom`` (``{"cols": [...], "bits": m, "hashes": k}``) additionally
+    folds a per-file Bloom filter per listed column into the SAME
+    aggregate pass: each row contributes its k ``xxhash64(col, seed) %
+    m`` bit positions, ``collect_set`` bounds the per-file state at m
+    ints, and the bitset is packed driver-side (m/8 bytes, base64) into
+    the manifest — Delta's Bloom filter index, log-resident. Point
+    lookups on high-cardinality columns whose [min,max] interval spans
+    every file (the case clustering can't fix for more than one column)
+    then skip files whose filter provably lacks the value."""
     df = spark.read.option("basePath", f"{root}/{rel_dir}").parquet(f"{root}/{rel_dir}")
     cols = _stats_columns(df)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+    bloom_cols = [c for c in (bloom or {}).get("cols", []) if c in df.columns]
+    if bloom_cols:
+        m, k = int(bloom["bits"]), int(bloom["hashes"])
+        for c in bloom_cols:
+            positions = F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+            aggs.append(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col(c).isNotNull(), positions).otherwise(
+                                F.array().cast("array<bigint>")
+                            )
+                        )
+                    )
+                ).alias(f"__bloom_{c}")
+            )
     rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
     prefix = f"{root.rstrip('/')}/"
     stats: dict[str, dict] = {}
@@ -230,7 +312,80 @@ def _collect_file_stats(
             "max": {c: _json_safe(d[f"__max_{c}"]) for c in cols
                     if d[f"__max_{c}"] is not None},
         }
+        if bloom_cols:
+            stats[rel]["bloom"] = {
+                c: {
+                    "m": int(bloom["bits"]),
+                    "k": int(bloom["hashes"]),
+                    "type": df.schema[c].dataType.simpleString(),
+                    "b64": _pack_bits(d[f"__bloom_{c}"], int(bloom["bits"])),
+                }
+                for c in bloom_cols
+            }
     return stats
+
+
+def _pack_bits(positions, m: int) -> str:
+    import base64
+
+    buf = bytearray((m + 7) // 8)
+    for p in positions or []:
+        p = int(p)
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_positions(
+    spark: SparkSession, value, dtype: str, m: int, k: int,
+    _cache: dict | None = None,
+) -> list[int]:
+    """The k bit positions a literal hashes to — computed with the SAME
+    JVM xxhash64 the write side used (one driver-side row, memoized per
+    scan), so write and probe can never drift."""
+    key = (repr(value), dtype, m, k)
+    if _cache is not None and key in _cache:
+        return _cache[key]
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast(dtype), F.lit(i)), F.lit(m)
+                ).alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+        .collect()[0]
+    )
+    out = [int(row[f"p{i}"]) for i in range(k)]
+    if _cache is not None:
+        _cache[key] = out
+    return out
+
+
+def _bloom_excludes(
+    spark: SparkSession, file_stats: dict | None, where: Predicate,
+    cache: dict,
+) -> bool:
+    """True when some equality conjunct's value provably never landed in
+    this file (a required Bloom bit is unset). False positives keep the
+    file (correct, just unpruned); false negatives are impossible."""
+    import base64
+
+    blooms = (file_stats or {}).get("bloom")
+    if not blooms:
+        return False
+    for col, op, val in where:
+        if op != "=" or col not in blooms:
+            continue
+        meta = blooms[col]
+        bits = base64.b64decode(meta["b64"])
+        for p in _bloom_positions(
+            spark, val, meta["type"], int(meta["m"]), int(meta["k"]), cache
+        ):
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                return True
+    return False
 
 
 Predicate = list[tuple]  # [(col, op, value)] conjunctive; op in =,<,<=,>,>=,between
@@ -328,6 +483,97 @@ def _read_files(
     return out
 
 
+def _apply_delete_entry(
+    spark: SparkSession, root: str, df: DataFrame, entry: dict
+) -> DataFrame:
+    """Apply one merge-on-read delete entry to rows read from files it
+    covers: predicate entries filter (NOT matching), equality-delete
+    entries LEFT ANTI join the key file. The anti-join's build side is
+    the key file — small by construction — so AQE broadcasts it; the
+    corpus side never shuffles."""
+    if "predicate" in entry:
+        return df.filter(~_where_to_column([tuple(p) for p in entry["predicate"]]))
+    keys = (
+        spark.read.parquet(f"{root}/{entry['keys_dir']}")
+        .select(*entry["key_cols"])
+        .dropDuplicates()
+    )
+    return df.join(keys, on=list(entry["key_cols"]), how="left_anti")
+
+
+def _read_with_deletes(
+    spark: SparkSession, root: str, rel_files: list[str], manifest: dict
+) -> DataFrame:
+    """Read an explicit file subset with the manifest's merge-on-read
+    delete entries applied. Files are grouped by the SET of entries that
+    cover them (most files have none and read untouched); each group
+    gets its entries applied once, then groups union back. Cost is
+    proportional to the covered-file count — uncovered files pay
+    nothing."""
+    entries = manifest.get("deletes", [])
+    if not entries:
+        return _read_files(spark, root, rel_files)
+    covers = {e["id"]: set(e["files"]) for e in entries}
+    by_id = {e["id"]: e for e in entries}
+    groups: dict[tuple, list[str]] = {}
+    for f in rel_files:
+        key = tuple(sorted(i for i, fl in covers.items() if f in fl))
+        groups.setdefault(key, []).append(f)
+    out = None
+    for key, fl in sorted(groups.items()):
+        part = _read_files(spark, root, fl)
+        for i in key:  # id order == commit order
+            part = _apply_delete_entry(spark, root, part, by_id[i])
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    return out
+
+
+def _validate_constraints(df: DataFrame, constraints: dict | None) -> None:
+    """Enforce NOT NULL / CHECK constraints on rows about to be written
+    (Delta's write-time enforcement): ONE aggregate pass counts
+    violations per constraint; any violation fails the write before a
+    single data file lands. CHECK follows SQL semantics — a NULL check
+    result passes; only definite FALSE violates."""
+    if not constraints:
+        return
+    conds: list[tuple[str, Column]] = []
+    for c in constraints.get("not_null", []):
+        conds.append((f"NOT NULL {c}", F.col(c).isNull()))
+    for name, expr in constraints.get("check", {}).items():
+        conds.append((f"CHECK {name} ({expr})", ~F.expr(expr)))
+    if not conds:
+        return
+    counts = df.agg(
+        *[
+            F.sum(F.when(viol, 1).otherwise(0)).alias(f"c{i}")
+            for i, (_n, viol) in enumerate(conds)
+        ]
+    ).collect()[0]
+    broken = [
+        (name, int(counts[f"c{i}"] or 0))
+        for i, (name, _v) in enumerate(conds)
+        if (counts[f"c{i}"] or 0) > 0
+    ]
+    if broken:
+        raise SnapshotConstraintError(
+            "write rejected: "
+            + "; ".join(f"{n} violated by {k} row(s)" for n, k in broken)
+        )
+
+
+def _carry_deletes(parent: dict, keep_files: list[str]) -> list[dict]:
+    """Delete entries surviving a copy-on-write commit: rewritten files
+    had their deletes materialized, so each entry is narrowed to the
+    files the commit carries verbatim; emptied entries drop."""
+    kept = set(keep_files)
+    out = []
+    for e in parent.get("deletes", []):
+        files = sorted(set(e["files"]) & kept)
+        if files:
+            out.append({**e, "files": files})
+    return out
+
+
 def _cluster_for_skipping(
     df: DataFrame, cluster_by: list[str], num_files: int | None = None
 ) -> DataFrame:
@@ -355,6 +601,9 @@ def write_snapshot(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     merge_schema: bool = False,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_hashes: int = 5,
 ) -> int:
     """Commit ``df`` as a new version of the snapshot table at ``path``.
 
@@ -367,6 +616,13 @@ def write_snapshot(
 
     ``collect_stats`` (default on) records per-file min/max for file
     skipping — one extra scan of the *new* data only.
+
+    ``bloom_cols`` opts columns into per-file Bloom filters (inside the
+    same stats pass; ~``bloom_bits``/8 bytes of manifest per file per
+    column), arming equality-lookup file skipping on columns min/max
+    can't prune. The setting is table metadata: once set it rides the
+    manifest forward, so appends and COW rewrites keep collecting
+    filters without re-passing the option.
 
     ``txn_app_id``/``txn_version`` make the commit idempotent: if the
     current manifest's ``txns`` map already shows ``>= txn_version`` for
@@ -382,12 +638,18 @@ def write_snapshot(
     if cluster_by:
         df = _cluster_for_skipping(df, cluster_by, cluster_files)
     spark = df.sparkSession
+    validated = False
     for _ in range(max_retries):
         versions = _list_versions(spark, path)
         parent = _load_manifest(spark, path, versions[-1]) if versions else None
         txns = dict(parent.get("txns", {})) if parent else {}
         if txn_app_id is not None and txns.get(txn_app_id, -1) >= txn_version:
             return -1  # replayed transaction: already durable, skip
+        if not validated and parent is not None:
+            # table constraints survive overwrite (they are table
+            # metadata, like Delta's); enforce before any data lands
+            _validate_constraints(df, parent.get("constraints"))
+            validated = True
         if mode == "append" and parent is not None and "columns" in parent:
             # Delta-style schema enforcement: appends must match the
             # table's columns unless merge_schema opts into evolution
@@ -409,13 +671,22 @@ def write_snapshot(
         dirs = [data_rel]
         carried_files: list[str] = []
         stats: dict[str, dict] = {}
+        deletes: list[dict] = []
+        bloom_cfg = (
+            {"cols": list(bloom_cols), "bits": bloom_bits, "hashes": bloom_hashes}
+            if bloom_cols
+            else (parent.get("bloom") if parent else None)
+        )
         if collect_stats:
-            stats = _collect_file_stats(spark, root, data_rel)
+            stats = _collect_file_stats(spark, root, data_rel, bloom=bloom_cfg)
         if mode == "append" and parent is not None:
             dirs = parent["data_dirs"] + dirs
             carried_files = list(parent.get("data_files", []))
             # carry parent's stats for every file it still references
             stats = {**parent.get("stats", {}), **stats}
+            # merge-on-read delete entries still apply to the carried
+            # files (the append adds rows, it does not un-delete)
+            deletes = [dict(e) for e in parent.get("deletes", [])]
         if txn_app_id is not None:
             txns[txn_app_id] = txn_version
         columns = list(df.columns)
@@ -433,7 +704,14 @@ def write_snapshot(
             "committed_at_unix": time.time(),
             "stats": stats,
             "txns": txns,
+            "deletes": deletes,
             "columns": columns,
+            **({"bloom": bloom_cfg} if bloom_cfg else {}),
+            **(
+                {"constraints": parent["constraints"]}
+                if parent is not None and "constraints" in parent
+                else {}
+            ),
         }
         if _try_commit_manifest(spark, path, version, manifest):
             return version
@@ -468,7 +746,13 @@ def resolve_scan(
     files, stats = _manifest_files(spark, path, manifest)
     if not where:
         return files, []
-    read = [f for f in files if _file_may_match(stats.get(f), where)]
+    bloom_cache: dict = {}
+    read = [
+        f
+        for f in files
+        if _file_may_match(stats.get(f), where)
+        and not _bloom_excludes(spark, stats.get(f), where, bloom_cache)
+    ]
     skipped = [f for f in files if f not in set(read)]
     return read, skipped
 
@@ -503,9 +787,16 @@ def read_snapshot(
                 _read_files(spark, root, probe).filter(F.lit(False)), manifest
             )
         return _project(
-            _read_files(spark, root, rel_files).filter(_where_to_column(where)),
+            _read_with_deletes(spark, root, rel_files, manifest).filter(
+                _where_to_column(where)
+            ),
             manifest,
         )
+    if manifest.get("deletes"):
+        files = _manifest_files(spark, path, manifest)[0]
+        if not files:
+            raise SnapshotVersionError(f"version {version} at {path} lists no data")
+        return _project(_read_with_deletes(spark, root, files, manifest), manifest)
     out = None
     for d in manifest["data_dirs"]:
         part = spark.read.option("basePath", f"{root}/{d}").parquet(f"{root}/{d}")
@@ -524,6 +815,72 @@ def _project(df: DataFrame, manifest: dict) -> DataFrame:
     unions put new columns wherever the first-read dir had them)."""
     cols = manifest.get("columns")
     return df.select(*cols) if cols else df
+
+
+def _match_delete_entry(
+    spark: SparkSession, root: str, df: DataFrame, entry: dict
+) -> DataFrame:
+    """Rows a merge-on-read delete entry covers (the inverse of
+    :func:`_apply_delete_entry`): predicate entries filter TO matching
+    rows, equality-delete entries LEFT SEMI join the key file."""
+    if "predicate" in entry:
+        return df.filter(_where_to_column([tuple(p) for p in entry["predicate"]]))
+    keys = (
+        spark.read.parquet(f"{root}/{entry['keys_dir']}")
+        .select(*entry["key_cols"])
+        .dropDuplicates()
+    )
+    return df.join(keys, on=list(entry["key_cols"]), how="left_semi")
+
+
+def _mor_entry_changes(
+    spark: SparkSession,
+    root: str,
+    prev_manifest: dict,
+    cur_manifest: dict,
+    shared_files: list[str],
+) -> list[tuple[str, DataFrame]]:
+    """Logical row changes on files present in BOTH versions, caused by
+    merge-on-read delete entries appearing (rows leave: ``delete``) or
+    disappearing without a file rewrite (restore un-delete: rows return:
+    ``insert``). Rows are read under the opposite side's full entry set
+    first, so a row invisible on both sides is never emitted. Cost is
+    bounded by the covered files."""
+    prev_entries = {e["id"]: e for e in prev_manifest.get("deletes", [])}
+    cur_entries = {e["id"]: e for e in cur_manifest.get("deletes", [])}
+    prev_cov = {i: set(e["files"]) for i, e in prev_entries.items()}
+    cur_cov = {i: set(e["files"]) for i, e in cur_entries.items()}
+    groups: dict[tuple, list[str]] = {}
+    for f in shared_files:
+        p = tuple(sorted(i for i, fl in prev_cov.items() if f in fl))
+        c = tuple(sorted(i for i, fl in cur_cov.items() if f in fl))
+        if p != c:
+            groups.setdefault((p, c), []).append(f)
+    out: list[tuple[str, DataFrame]] = []
+    for (p, c), files in sorted(groups.items()):
+        added = [i for i in c if i not in p]
+        removed = [i for i in p if i not in c]
+        if added:
+            # visible-at-prev rows the new entries now cover
+            base = _read_files(spark, root, files)
+            for i in p:
+                base = _apply_delete_entry(spark, root, base, prev_entries[i])
+            for i in added:
+                out.append(
+                    ("delete", _match_delete_entry(spark, root, base, cur_entries[i]))
+                )
+                base = _apply_delete_entry(spark, root, base, cur_entries[i])
+        if removed:
+            # rows visible at cur that the vanished entries had hidden
+            base = _read_files(spark, root, files)
+            for i in c:
+                base = _apply_delete_entry(spark, root, base, cur_entries[i])
+            for i in removed:
+                out.append(
+                    ("insert", _match_delete_entry(spark, root, base, prev_entries[i]))
+                )
+                base = _apply_delete_entry(spark, root, base, prev_entries[i])
+    return out
 
 
 def snapshot_changes(
@@ -563,22 +920,39 @@ def snapshot_changes(
         cur_files = set(_manifest_files(spark, path, manifest)[0])
         if manifest.get("operation") == "compact":
             # layout-only commit (Delta's dataChange=false): same rows,
-            # different files — not a change to feed consumers
-            prev_files = cur_files
+            # different files — not a change to feed consumers. (Any
+            # merge-on-read deletes were materialized into the rewrite,
+            # so the logical rows are unchanged too.)
+            prev_manifest, prev_files = manifest, cur_files
             continue
-        for rel, tag in ((cur_files - prev_files, "insert"),
-                         (prev_files - cur_files, "delete")):
-            if not rel:
-                continue
+        parts = []
+        # file-level diff; each side reads under ITS manifest's
+        # merge-on-read entries so only logically-visible rows feed out
+        ins, rem = sorted(cur_files - prev_files), sorted(prev_files - cur_files)
+        if ins:
+            parts.append(("insert", _read_with_deletes(spark, root, ins, manifest)))
+        if rem:
+            parts.append(
+                ("delete", _read_with_deletes(spark, root, rem, prev_manifest))
+            )
+        # entry-level diff over files present on both sides: a
+        # merge-on-read delete commit changes no files, but rows covered
+        # by its new entry leave the logical table at this commit
+        parts.extend(
+            _mor_entry_changes(
+                spark, root, prev_manifest, manifest,
+                sorted(prev_files & cur_files),
+            )
+        )
+        for tag, df in parts:
             part = (
-                _read_files(spark, root, sorted(rel))
-                .withColumn("_change_type", F.lit(tag))
+                df.withColumn("_change_type", F.lit(tag))
                 .withColumn("_commit_version", F.lit(v).cast("int"))
             )
             out = part if out is None else out.unionByName(
                 part, allowMissingColumns=True
             )
-        prev_files = cur_files
+        prev_manifest, prev_files = manifest, cur_files
     if out is None:
         base = read_snapshot(spark, path, version=to_version).limit(0)
         return (
@@ -605,6 +979,10 @@ def _commit_cow(
     root = path.rstrip("/")
     partition_by = parent.get("partition_by", [])
     parent_stats = parent.get("stats", {})
+    if rewrite_df is not None:
+        # an UPDATE/MERGE rewrite can introduce violations; DELETE can't
+        # but the check is one aggregate over the touched rows only
+        _validate_constraints(rewrite_df, parent.get("constraints"))
     for _ in range(max_retries):
         versions = _list_versions(spark, path)
         version = (versions[-1] + 1) if versions else 0
@@ -621,7 +999,11 @@ def _commit_cow(
             # carries the untouched files
             if _list_parquet_files(spark, root, data_rel):
                 dirs = [data_rel]
-                stats.update(_collect_file_stats(spark, root, data_rel))
+                stats.update(
+                    _collect_file_stats(
+                        spark, root, data_rel, bloom=parent.get("bloom")
+                    )
+                )
         manifest = {
             "version": version,
             "mode": "overwrite",
@@ -632,9 +1014,61 @@ def _commit_cow(
             "committed_at_unix": time.time(),
             "stats": stats,
             "txns": dict(parent.get("txns", {})),
-            # COW ops never change the table schema
+            # rewritten files materialized their merge-on-read deletes;
+            # entries narrow to the files carried verbatim
+            "deletes": _carry_deletes(parent, keep_files),
+            **({"bloom": parent["bloom"]} if "bloom" in parent else {}),
+            # COW ops never change the table schema or its constraints
             **({"columns": parent["columns"]} if "columns" in parent else {}),
+            **(
+                {"constraints": parent["constraints"]}
+                if "constraints" in parent
+                else {}
+            ),
         }
+        if _try_commit_manifest(spark, path, version, manifest):
+            return version
+    raise SnapshotConflictError(
+        f"lost the manifest-create race {max_retries} times at {path}"
+    )
+
+
+def _commit_metadata(
+    spark: SparkSession,
+    path: str,
+    parent: dict,
+    mutate,
+    operation: str,
+    max_retries: int = 5,
+) -> int:
+    """Commit a new version that reuses the parent's data references —
+    no data IO, just a manifest describing the same (or logically
+    narrowed) rows. ``mutate(manifest, version)`` edits the draft in
+    place before the atomic manifest-create; it re-runs on each
+    optimistic-concurrency retry against the fresh version number."""
+    for _ in range(max_retries):
+        versions = _list_versions(spark, path)
+        version = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": version,
+            "mode": "overwrite",
+            "operation": operation,
+            "data_dirs": list(parent["data_dirs"]),
+            "data_files": list(parent.get("data_files", [])),
+            "partition_by": parent.get("partition_by", []),
+            "committed_at_unix": time.time(),
+            "stats": dict(parent.get("stats", {})),
+            "txns": dict(parent.get("txns", {})),
+            "deletes": [dict(e) for e in parent.get("deletes", [])],
+            **({"bloom": parent["bloom"]} if "bloom" in parent else {}),
+            **({"columns": parent["columns"]} if "columns" in parent else {}),
+            **(
+                {"constraints": parent["constraints"]}
+                if "constraints" in parent
+                else {}
+            ),
+        }
+        mutate(manifest, version)
         if _try_commit_manifest(spark, path, version, manifest):
             return version
     raise SnapshotConflictError(
@@ -647,24 +1081,110 @@ def delete_from_snapshot(
     path: str,
     where: Predicate,
     version: int | None = None,
+    mode: str = "copy_on_write",
 ) -> dict:
-    """Copy-on-write DELETE: files whose stats prove no row matches are
-    carried into the new version untouched (zero IO); only files that
-    *may* contain matches are read and rewritten without the matching
-    rows. Returns ``{"version", "files_kept", "files_rewritten"}`` —
-    the rewrite cost is sized by the touched files, not the table."""
+    """DELETE with a choice of physical strategy (Delta/Iceberg parity).
+
+    ``mode='copy_on_write'`` (default): files whose stats prove no row
+    matches are carried into the new version untouched (zero IO); only
+    files that *may* contain matches are read and rewritten without the
+    matching rows. Rewrite cost is sized by the touched files, not the
+    table.
+
+    ``mode='merge_on_read'``: no data is rewritten at all — the commit
+    records a delete entry (this predicate, scoped to the files whose
+    stats say they may match) in the manifest. Readers apply it on the
+    fly; the next copy-on-write commit or :func:`compact_snapshot` over
+    a covered file materializes it. At 100 TB this turns "delete 100
+    rows spread over 50 multi-GB files" from a 50-file rewrite into a
+    one-manifest commit.
+
+    Returns ``{"version", "files_kept", "files_rewritten"}``
+    (merge-on-read reports the covered files as ``files_kept`` and
+    ``files_rewritten=0``).
+    """
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"delete mode must be copy_on_write|merge_on_read, got {mode!r}")
     version = _resolve_version(spark, path, version)
     parent = _load_manifest(spark, path, version)
     touched, keep = resolve_scan(spark, path, version, where)
     root = path.rstrip("/")
+    if mode == "merge_on_read":
+        if not touched:  # stats prove a no-op: nothing to record
+            return {"version": version, "files_kept": len(keep), "files_rewritten": 0}
+
+        def mutate(manifest: dict, v: int) -> None:
+            manifest["deletes"].append(
+                {"id": v, "predicate": _json_safe_predicate(where), "files": touched}
+            )
+
+        new_version = _commit_metadata(spark, path, parent, mutate, "delete_mor")
+        return {
+            "version": new_version,
+            "files_kept": len(keep) + len(touched),
+            "files_rewritten": 0,
+        }
     rewrite = None
     if touched:
-        rewrite = _read_files(spark, root, touched).filter(~_where_to_column(where))
+        rewrite = _read_with_deletes(spark, root, touched, parent).filter(
+            ~_where_to_column(where)
+        )
     new_version = _commit_cow(spark, path, parent, keep, rewrite, "delete")
     return {
         "version": new_version,
         "files_kept": len(keep),
         "files_rewritten": len(touched),
+    }
+
+
+def delete_keys_from_snapshot(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    version: int | None = None,
+) -> dict:
+    """Merge-on-read *equality delete* (the Iceberg equality-delete
+    file, aka the GDPR shape): write the distinct key tuples as a small
+    parquet file and record a delete entry pointing at it, scoped via
+    the keys' own [min,max] range to the target files that may contain
+    them. No table data is rewritten — readers LEFT ANTI join the key
+    file (broadcast — it is small by construction) against only the
+    covered files; compaction or any copy-on-write commit materializes
+    it. Cost at 100 TB: O(keys) written + one manifest, independent of
+    table size."""
+    version = _resolve_version(spark, path, version)
+    parent = _load_manifest(spark, path, version)
+    keys = keys.select(*key_cols).dropDuplicates().localCheckpoint(eager=True)
+    bounds = keys.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in key_cols],
+        *[F.max(k).alias(f"hi_{k}") for k in key_cols],
+    ).collect()[0]
+    where: Predicate = [
+        (k, "between", (bounds[f"lo_{k}"], bounds[f"hi_{k}"])) for k in key_cols
+        if bounds[f"lo_{k}"] is not None
+    ]
+    if not where:  # empty key set: no-op
+        return {"version": version, "files_covered": 0, "n_keys": 0}
+    touched, _keep = resolve_scan(spark, path, version, where)
+    if not touched:
+        return {"version": version, "files_covered": 0, "n_keys": keys.count()}
+    root = path.rstrip("/")
+
+    def mutate(manifest: dict, v: int) -> None:
+        keys_rel = f"{DELETES_DIR}/v{v}"
+        # key files are tiny: one file keeps the read-side broadcast cheap
+        keys.coalesce(1).write.mode("overwrite").parquet(f"{root}/{keys_rel}")
+        manifest["deletes"].append(
+            {"id": v, "keys_dir": keys_rel, "key_cols": list(key_cols),
+             "files": touched}
+        )
+
+    new_version = _commit_metadata(spark, path, parent, mutate, "delete_keys")
+    return {
+        "version": new_version,
+        "files_covered": len(touched),
+        "n_keys": keys.count(),
     }
 
 
@@ -684,7 +1204,8 @@ def update_snapshot(
     root = path.rstrip("/")
     rewrite = None
     if touched:
-        df = _read_files(spark, root, touched)
+        # merge-on-read deletes on touched files materialize here
+        df = _read_with_deletes(spark, root, touched, parent)
         cond = _where_to_column(where)
         updates = {
             c: F.when(cond, F.expr(e) if isinstance(e, str) else e)
@@ -734,7 +1255,8 @@ def merge_snapshot(
     root = path.rstrip("/")
     cols = None
     if touched:
-        target = _read_files(spark, root, touched)
+        # merge-on-read deletes on touched files materialize here
+        target = _read_with_deletes(spark, root, touched, parent)
         cols = target.columns
         # matched: replace with source row; keep: target rows with no match
         unmatched_target = target.join(source.select(*key_cols), key_cols, "left_anti")
@@ -800,6 +1322,86 @@ def compact_snapshot(
     }
 
 
+def set_snapshot_constraints(
+    spark: SparkSession,
+    path: str,
+    not_null: list[str] | None = None,
+    check: dict[str, str] | None = None,
+) -> int:
+    """ADD CONSTRAINT (Delta parity): record NOT NULL columns and named
+    CHECK expressions as table metadata. Existing rows are validated
+    first — one aggregate scan, the same price Delta pays — so a
+    constraint can never be added to data that already violates it.
+    Every subsequent append / overwrite / UPDATE / MERGE validates its
+    incoming rows before any data file lands. Returns the new version.
+    """
+    version = _resolve_version(spark, path, None)
+    parent = _load_manifest(spark, path, version)
+    prev = parent.get("constraints", {})
+    cons = {
+        "not_null": sorted(set(prev.get("not_null", [])) | set(not_null or [])),
+        "check": {**prev.get("check", {}), **(check or {})},
+    }
+    _validate_constraints(read_snapshot(spark, path, version=version), cons)
+
+    def mutate(manifest: dict, v: int) -> None:
+        manifest["constraints"] = cons
+
+    return _commit_metadata(spark, path, parent, mutate, "set_constraints")
+
+
+def drop_snapshot_constraints(
+    spark: SparkSession,
+    path: str,
+    not_null: list[str] | None = None,
+    check_names: list[str] | None = None,
+) -> int:
+    """DROP CONSTRAINT: metadata-only commit removing the named
+    constraints; future writes stop validating them."""
+    parent = _load_manifest(spark, path, _resolve_version(spark, path, None))
+    prev = parent.get("constraints", {"not_null": [], "check": {}})
+    cons = {
+        "not_null": [c for c in prev.get("not_null", []) if c not in set(not_null or [])],
+        "check": {
+            n: e for n, e in prev.get("check", {}).items()
+            if n not in set(check_names or [])
+        },
+    }
+
+    def mutate(manifest: dict, v: int) -> None:
+        manifest["constraints"] = cons
+
+    return _commit_metadata(spark, path, parent, mutate, "drop_constraints")
+
+
+def restore_snapshot(spark: SparkSession, path: str, to_version: int) -> dict:
+    """RESTORE TABLE TO VERSION N (Delta parity): commit a NEW version
+    whose manifest reproduces version N's data references, stats, and
+    merge-on-read entries — the rollback is itself a commit, so history
+    is preserved, time travel still reaches the rolled-back versions
+    until vacuum, and concurrent readers are unaffected. No data is
+    copied: the restore is O(manifest) at any table size.
+
+    Streaming-transaction watermarks (``txns``) are taken from the
+    CURRENT version, not the restored one — an exactly-once sink must
+    not regress its seen-batch map, or a replayed micro-batch would
+    double-commit after a restore."""
+    cur = _load_manifest(spark, path, _resolve_version(spark, path, None))
+    target = _load_manifest(spark, path, to_version)  # raises if vacuumed
+
+    def mutate(manifest: dict, v: int) -> None:
+        manifest["txns"] = dict(cur.get("txns", {}))
+        # constraints are current table metadata, not part of the
+        # restored data state
+        if "constraints" in cur:
+            manifest["constraints"] = cur["constraints"]
+        elif "constraints" in manifest:
+            del manifest["constraints"]
+
+    new_version = _commit_metadata(spark, path, target, mutate, "restore")
+    return {"version": new_version, "restored_to": to_version}
+
+
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """Commit log as a DataFrame (version, mode, n_data_dirs,
     committed_at_unix) — the time-travel catalog."""
@@ -837,12 +1439,18 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list
     else:
         keep = set(versions[-keep_last:])
     referenced: set[str] = set()
+    referenced_deletes: set[str] = set()
     for v in keep:
         m = _load_manifest(spark, path, v)
         referenced.update(m["data_dirs"])
         # COW manifests reference individual untouched files inside old
         # version dirs — those dirs must survive vacuum too
         referenced.update(_base_dir_of(f) for f in m.get("data_files", []))
+        # merge-on-read equality-delete key files a retained manifest
+        # still applies at read time
+        referenced_deletes.update(
+            e["keys_dir"] for e in m.get("deletes", []) if "keys_dir" in e
+        )
     fs, jvm = _fs(spark, path)
     removed = [v for v in versions if v not in keep]
     for v in removed:
@@ -852,6 +1460,12 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list
         for st in fs.listStatus(ddir):
             rel = f"{DATA_DIR}/{st.getPath().getName()}"
             if rel not in referenced:
+                fs.delete(st.getPath(), True)
+    deldir = _jpath(jvm, path, DELETES_DIR)
+    if fs.exists(deldir):
+        for st in fs.listStatus(deldir):
+            rel = f"{DELETES_DIR}/{st.getPath().getName()}"
+            if rel not in referenced_deletes:
                 fs.delete(st.getPath(), True)
     return removed
 

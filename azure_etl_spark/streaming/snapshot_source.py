@@ -13,8 +13,28 @@ without delta-spark:
   ``ignorechanges=true``, which then emits the commit's added (rewrite)
   files — re-delivering surviving rows of touched files, exactly the
   documented ``ignoreChanges`` caveat Delta has, for the same reason;
+- a MERGE-ON-READ delete commit (``operation='delete_mor'`` /
+  ``'delete_keys'``) removes no files but logically removes rows: the
+  source raises the same error unless ``ignorechanges=true`` (which
+  then emits nothing for that commit — rows already delivered stay
+  delivered, the ignoreDeletes caveat);
 - the first offset snapshots the table's CURRENT version as one initial
-  load (all files), then tails subsequent commits.
+  load (all files) **with its merge-on-read delete entries applied**
+  (pyarrow-side predicate filter / anti-join per file), so the initial
+  load matches ``read_snapshot`` exactly; then it tails subsequent
+  commits;
+- ``maxfilespertrigger`` (admission control, Delta's
+  ``maxFilesPerTrigger``) caps how many files each micro-batch admits:
+  offsets gain a sub-commit position (``{"version": V, "pos": K,
+  "init": B}``) so a multi-file commit or a backlog of commits drains
+  as bounded batches instead of one cluster-crushing batch. Caveat: the
+  FIRST batch a reader instance plans is uncapped — the Python source
+  API plans ``latestOffset`` before the reader can learn its position
+  (from ``initialOffset`` or the checkpoint), and pacing from an
+  assumed position would regress offsets and re-deliver files on
+  restart. Delta makes the same trade after restart; once the first
+  batch commits, every later trigger is paced. Old (complete-form)
+  checkpoints keep working.
 
 Implemented on the Spark 4 Python Data Source API
 (``pyspark.sql.datasource``), like sources/pyds.py. Everything here is
@@ -60,8 +80,22 @@ def _versions(table: str) -> list[int]:
 
 
 def _manifest(table: str, version: int) -> dict:
-    with open(os.path.join(table, MANIFEST_DIR, f"v{version}.json")) as f:
-        return json.load(f)
+    # the commit protocol claims the manifest path before streaming its
+    # JSON — retry the microsecond partial-read window (same contract as
+    # sources/snapshot._load_manifest)
+    import time
+
+    p = os.path.join(table, MANIFEST_DIR, f"v{version}.json")
+    for _ in range(40):
+        with open(p) as f:
+            raw = f.read()
+        if raw:
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError:
+                pass
+        time.sleep(0.05)
+    raise ValueError(f"manifest v{version} under {table} unreadable after retries")
 
 
 def _manifest_files(table: str, m: dict) -> list[str]:
@@ -95,65 +129,254 @@ def _partition_constants(m: dict, rel_file: str) -> list[tuple[str, object]]:
     return out
 
 
+def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
+    """Merge-on-read delete entries covering one file, with equality-
+    delete key paths made absolute for the executor-side read."""
+    out = []
+    for e in m.get("deletes", []):
+        if rel_file not in e.get("files", []):
+            continue
+        if "keys_dir" in e:
+            out.append(
+                {"keys_path": os.path.join(table, e["keys_dir"]),
+                 "key_cols": list(e["key_cols"])}
+            )
+        else:
+            out.append({"predicate": [list(p) for p in e["predicate"]]})
+    return out
+
+
 class _SnapshotFilePartition(InputPartition):
-    def __init__(self, abs_path: str, part_values: list[tuple[str, object]]):
+    def __init__(
+        self,
+        abs_path: str,
+        part_values: list[tuple[str, object]],
+        deletes: list[dict] | None = None,
+    ):
         self.abs_path = abs_path
         self.part_values = part_values
+        self.deletes = deletes or []
+
+
+def _apply_delete_arrow(tbl, entry: dict):
+    """Apply one merge-on-read delete entry to a pyarrow Table — the
+    executor-side mirror of sources/snapshot._apply_delete_entry:
+    predicate entries drop matching rows via a compute filter, equality
+    deletes LEFT ANTI join the (small) key file."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if "predicate" in entry:
+        cond = None
+        for col, op, val in entry["predicate"]:
+            f = pc.field(col)
+            typ = tbl.schema.field(col).type
+            if op == "between":
+                lo, hi = (_arrow_scalar(v, typ) for v in val)
+                part = (f >= lo) & (f <= hi)
+            else:
+                v = _arrow_scalar(val, typ)
+                part = {
+                    "=": f == v, "<": f < v, "<=": f <= v,
+                    ">": f > v, ">=": f >= v,
+                }[op]
+            cond = part if cond is None else cond & part
+        # drop matching rows; a null comparison is not a match (keep)
+        return tbl.filter(~cond | cond.is_null())
+    keys = pq.read_table(entry["keys_path"], columns=entry["key_cols"])
+    keys = keys.group_by(entry["key_cols"]).aggregate([])  # distinct
+    return tbl.join(keys, keys=entry["key_cols"], join_type="left anti")
+
+
+def _arrow_scalar(val, typ):
+    import pyarrow as pa
+
+    s = pa.scalar(val)
+    try:
+        return s.cast(typ)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return s
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.table = options["path"]
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
         self.columns = [f.name for f in schema.fields]
         self.schema = schema
+        self._last_end = None  # last end offset this instance planned
 
     # -- offsets ------------------------------------------------------
+    # An offset is either the legacy complete form {"version": V}
+    # ("everything through commit V consumed") or the partial form
+    # {"version": V, "pos": K, "init": B} — the first K files of V's
+    # sorted *unit* consumed, where the unit is the full manifest file
+    # list when B (the initial snapshot load) or commit V's added files
+    # otherwise. maxFilesPerTrigger caps how far latestOffset advances
+    # per trigger by walking units file-by-file; old checkpoints (all
+    # complete-form) keep working unchanged.
+
     def initialOffset(self):
         # version -1 = "nothing seen": the first batch loads the whole
-        # current version, then the tail follows commits
-        return {"version": -1}
+        # current version, then the tail follows commits. Spark may call
+        # latestOffset BEFORE initialOffset on a fresh query — never
+        # clobber a position latestOffset already planned past, or
+        # pacing would regress and re-deliver files.
+        off = {"version": -1}
+        if self._last_end is None:
+            self._last_end = off
+        return off
+
+    def _unit_len(self, v: int, init: bool, prev_files: set | None) -> int:
+        m = _manifest(self.table, v)
+        cur = _manifest_files(self.table, m)
+        if init:
+            return len(cur)
+        if m.get("operation") == "compact":
+            return 0
+        return len(set(cur) - (prev_files or set()))
 
     def latestOffset(self):
         vs = _versions(self.table)
-        return {"version": vs[-1] if vs else -1}
+        if not vs:
+            return {"version": -1}
+        latest = vs[-1]
+        if self.max_files is None or self._last_end is None:
+            # no cap — or a reader whose position only the checkpoint
+            # knows (fresh start or restart, depending on whether Spark
+            # called initialOffset yet): plan to the tip. One uncapped
+            # batch, then pacing engages — the admission-control trade
+            # Delta's maxFilesPerTrigger also makes after restart.
+            off = {"version": latest}
+            self._last_end = off
+            return off
+        st = self._last_end
+        sv, spos, sinit = st["version"], st.get("pos"), st.get("init", False)
+        # units still (partially) unconsumed, in order
+        units: list[tuple[int, bool]] = []
+        if sv < 0:
+            units.append((latest, True))
+        else:
+            if spos is not None:
+                units.append((sv, sinit))
+            units.extend((v, False) for v in range(sv + 1, latest + 1))
+        budget = self.max_files
+        end = st
+        prev_files: set | None = None
+        for i, (v, init) in enumerate(units):
+            if not init and prev_files is None and v > 0:
+                prev_files = set(
+                    _manifest_files(self.table, _manifest(self.table, v - 1))
+                )
+            n = self._unit_len(v, init, prev_files)
+            lo = spos if (i == 0 and spos is not None) else 0
+            take = min(n - lo, budget)
+            pos = lo + take
+            budget -= take
+            end = (
+                {"version": v}
+                if pos >= n
+                else {"version": v, "pos": pos, "init": init}
+            )
+            if budget <= 0:
+                break
+            prev_files = set(
+                _manifest_files(self.table, _manifest(self.table, v))
+            )
+        self._last_end = end
+        return end
+
+    @staticmethod
+    def _off_key(off: dict) -> tuple:
+        # complete-form {"version": V} sorts after any partial position
+        # within V
+        pos = off.get("pos")
+        return (off["version"], float("inf") if pos is None else pos)
 
     def commit(self, end):
-        pass
+        # defensive resync from a completed batch — FORWARD-only: this
+        # callback can arrive after latestOffset already planned the
+        # next batch, and regressing the position would make the source
+        # report "caught up" with a backlog still pending (dropping it
+        # under processAllAvailable) or re-deliver files
+        if self._last_end is None or self._off_key(end) > self._off_key(self._last_end):
+            self._last_end = end
 
     # -- planning (driver-side) --------------------------------------
     def partitions(self, start, end):
-        lo, hi = start["version"], end["version"]
-        if hi <= lo:
+        sv, spos, sinit = start["version"], start.get("pos"), start.get("init", False)
+        ev, epos = end["version"], end.get("pos")
+        if ev < sv or (ev == sv and epos is None and spos is None):
             return []
-        added: list[tuple[str, list]] = []
-        if lo < 0:
-            m = _manifest(self.table, hi)
-            for f in _manifest_files(self.table, m):
-                added.append((f, _partition_constants(m, f)))
+        added: list[tuple[str, list, list]] = []
+
+        def emit(m, files, lo, hi):
+            for f in files[lo:hi]:
+                added.append(
+                    (f, _partition_constants(m, f),
+                     _file_delete_entries(self.table, m, f))
+                )
+
+        if sv < 0:
+            # initial snapshot load of the end offset's version,
+            # possibly rate-limit-sliced
+            m = _manifest(self.table, ev)
+            files = _manifest_files(self.table, m)
+            emit(m, files, 0, epos if epos is not None else len(files))
         else:
-            prev = set(_manifest_files(self.table, _manifest(self.table, lo)))
-            for v in range(lo + 1, hi + 1):
-                m = _manifest(self.table, v)
-                cur = set(_manifest_files(self.table, m))
-                if m.get("operation") == "compact":
-                    prev = cur  # layout-only: nothing to emit
-                    continue
-                if (prev - cur) and not self.ignore_changes:
-                    raise ValueError(
-                        f"snapshot stream source: commit v{v} removes files "
-                        f"(operation={m.get('operation', m['mode'])!r}); an "
-                        "append-only tail cannot represent deletes — restart "
-                        "from a fresh checkpoint, or set ignorechanges=true "
-                        "to emit rewrite files (may re-deliver surviving "
-                        "rows, as Delta's ignoreChanges does)"
+            if spos is not None:
+                # finish (or continue) the partially-consumed unit; the
+                # append-only checks for this commit ran when its first
+                # slice was planned
+                m = _manifest(self.table, sv)
+                cur = _manifest_files(self.table, m)
+                if sinit:
+                    files = cur
+                else:
+                    prevf = set(
+                        _manifest_files(self.table, _manifest(self.table, sv - 1))
                     )
-                for f in sorted(cur - prev):
-                    added.append((f, _partition_constants(m, f)))
-                prev = cur
+                    files = sorted(set(cur) - prevf)
+                hi = epos if (ev == sv and epos is not None) else len(files)
+                emit(m, files, spos, hi)
+            if ev > sv:
+                prev_m = _manifest(self.table, sv)
+                prev = set(_manifest_files(self.table, prev_m))
+                prev_ids = {e["id"] for e in prev_m.get("deletes", [])}
+                for v in range(sv + 1, ev + 1):
+                    m = _manifest(self.table, v)
+                    cur = set(_manifest_files(self.table, m))
+                    cur_ids = {e["id"] for e in m.get("deletes", [])}
+                    if m.get("operation") == "compact":
+                        prev, prev_ids = cur, cur_ids  # layout-only
+                        continue
+                    if (prev - cur) and not self.ignore_changes:
+                        raise ValueError(
+                            f"snapshot stream source: commit v{v} removes files "
+                            f"(operation={m.get('operation', m['mode'])!r}); an "
+                            "append-only tail cannot represent deletes — restart "
+                            "from a fresh checkpoint, or set ignorechanges=true "
+                            "to emit rewrite files (may re-deliver surviving "
+                            "rows, as Delta's ignoreChanges does)"
+                        )
+                    if (cur_ids - prev_ids) and not self.ignore_changes:
+                        raise ValueError(
+                            f"snapshot stream source: commit v{v} adds merge-on-"
+                            f"read delete entries (operation="
+                            f"{m.get('operation', m['mode'])!r}); an append-only "
+                            "tail cannot represent row deletes — restart from a "
+                            "fresh checkpoint, or set ignorechanges=true to skip "
+                            "them (already-delivered rows stay delivered)"
+                        )
+                    files = sorted(cur - prev)
+                    hi = epos if (v == ev and epos is not None) else len(files)
+                    emit(m, files, 0, hi)
+                    prev, prev_ids = cur, cur_ids
         return [
-            _SnapshotFilePartition(os.path.join(self.table, f), pv)
-            for f, pv in added
+            _SnapshotFilePartition(os.path.join(self.table, f), pv, des)
+            for f, pv, des in added
         ]
 
     # -- execution (executor-side, Arrow-vectorized) ------------------
@@ -164,6 +387,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.abs_path)
+        for entry in partition.deletes:
+            tbl = _apply_delete_arrow(tbl, entry)
         n = tbl.num_rows
         consts = dict(partition.part_values)
         arrays = []

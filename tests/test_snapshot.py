@@ -674,3 +674,433 @@ def test_snapshot_stream_source_ignore_changes(spark, tmp_path):
     # rewrite file re-delivers the 80 survivors; deletes are not replayed
     assert out.count() == 180
     assert out.filter("id < 20").count() == 20  # only the original delivery
+
+
+# ---------------------------------------------------------------------------
+# Round-5 merge-on-read deletes: predicate + equality-delete entries,
+# materialization by COW/compaction, change feed, vacuum, streaming.
+
+from azure_etl_spark.sources.snapshot import (  # noqa: E402
+    delete_keys_from_snapshot,
+    snapshot_changes,
+)
+
+
+def test_mor_delete_rewrites_nothing(spark, tmp_path):
+    """A merge-on-read delete is a manifest-only commit: no data dir is
+    written, reads apply the entry on the fly, stats scope the entry to
+    the files that may match, and time travel still sees the old rows."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2: [0,100) [100,200) [200,300)
+
+    res = delete_from_snapshot(
+        spark, path, [("id", "between", (150, 250))], mode="merge_on_read"
+    )
+    assert res["version"] == 3 and res["files_rewritten"] == 0
+    # manifest-only: the commit wrote no data dir
+    assert not os.path.exists(os.path.join(path, "data", "v3"))
+
+    out = read_snapshot(spark, path)
+    ids = {r["id"] for r in out.collect()}
+    assert ids == set(range(0, 150)) | set(range(251, 300))
+
+    # the entry covers only the two files whose stats may match
+    from azure_etl_spark.sources.snapshot import _load_manifest
+
+    entries = _load_manifest(spark, path, 3)["deletes"]
+    assert len(entries) == 1 and len(entries[0]["files"]) == 2
+
+    # predicate reads (file skipping path) also apply the entry
+    assert read_snapshot(spark, path, where=[("id", ">=", 140)]).count() == 59
+    # time travel: pre-delete version unaffected
+    assert read_snapshot(spark, path, version=2).count() == 300
+    # stats prove a no-op delete: no commit at all
+    res = delete_from_snapshot(spark, path, [("id", ">", 9999)], mode="merge_on_read")
+    assert res["version"] == 3 and res["files_rewritten"] == 0
+
+
+def test_mor_equality_delete_keys(spark, tmp_path):
+    """Equality deletes (the GDPR shape): key tuples land in a small
+    parquet file, readers anti-join it against covered files only."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    keys = spark.createDataFrame([(3,), (57,), (120,)], "id long")
+    res = delete_keys_from_snapshot(spark, path, keys, ["id"])
+    assert res["files_covered"] == 2 and res["n_keys"] == 3
+    assert os.path.isdir(os.path.join(path, "deletes", "v3"))
+
+    out = read_snapshot(spark, path)
+    assert out.count() == 297
+    assert out.filter(F.col("id").isin(3, 57, 120)).count() == 0
+    # uncovered file untouched; covered files keep their other rows
+    assert out.filter("id = 250").count() == 1 and out.filter("id = 4").count() == 1
+
+
+def test_mor_append_carries_deletes(spark, tmp_path):
+    """Appending after a merge-on-read delete must not resurrect the
+    deleted rows (the entry rides the manifest forward)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 100, "a"), path)
+    delete_from_snapshot(spark, path, [("id", "<", 10)], mode="merge_on_read")
+    write_snapshot(_keyed(spark, 100, 120, "b"), path, mode="append")
+    out = read_snapshot(spark, path)
+    assert out.count() == 110
+    assert out.filter("id < 10").count() == 0
+
+
+def test_mor_materialized_by_compact_and_cow(spark, tmp_path):
+    """Compaction (and any COW rewrite of a covered file) materializes
+    merge-on-read entries: rows stay identical, entries disappear for
+    the rewritten files, and vacuum reclaims orphaned key files."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    delete_from_snapshot(spark, path, [("id", "between", (150, 250))],
+                         mode="merge_on_read")  # v3
+    keys = spark.createDataFrame([(5,), (260,)], "id long")
+    delete_keys_from_snapshot(spark, path, keys, ["id"])  # v4
+
+    before = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+
+    # COW update touches file [0,100): its equality entry materializes
+    update_snapshot(spark, path, [("id", "<", 3)], {"val": "val + 1"})  # v5
+    from azure_etl_spark.sources.snapshot import _load_manifest
+
+    m5 = _load_manifest(spark, path, 5)
+    # the equality entry (key range [5, 260] spans all 3 files) no
+    # longer covers the rewritten [0,100) file; the predicate entry's
+    # two covered files were untouched
+    by_kind = {("keys_dir" in e): e for e in m5["deletes"]}
+    assert len(by_kind[True]["files"]) == 2
+    assert len(by_kind[False]["files"]) == 2
+    assert sorted(r["id"] for r in read_snapshot(spark, path).collect()) == before
+
+    res = compact_snapshot(spark, path, target_file_bytes=1 << 30)  # v6
+    m6 = _load_manifest(spark, path, res["version"])
+    assert m6["deletes"] == []
+    assert sorted(r["id"] for r in read_snapshot(spark, path).collect()) == before
+    # compaction is still invisible to the change feed
+    assert snapshot_changes(spark, path, from_version=5).count() == 0
+
+    # vacuum to the post-compaction tail: the orphaned key file goes
+    vacuum_snapshots(spark, path, keep_last=1)
+    assert not os.path.exists(os.path.join(path, "deletes", "v4"))
+
+
+def test_mor_vacuum_keeps_referenced_key_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    keys = spark.createDataFrame([(7,), (8,)], "id long")
+    delete_keys_from_snapshot(spark, path, keys, ["id"])  # v3
+    write_snapshot(_keyed(spark, 300, 310, "d"), path, mode="append")  # v4
+    vacuum_snapshots(spark, path, keep_last=2)  # keeps v3, v4 — both use the keys
+    assert os.path.isdir(os.path.join(path, "deletes", "v3"))
+    assert read_snapshot(spark, path).count() == 308
+
+
+def test_mor_change_feed_emits_logical_deletes(spark, tmp_path):
+    """A merge-on-read delete commit changes no files but the feed emits
+    exactly the covered rows as deletes — with NO rewrite churn (the
+    advantage over the COW feed)."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2
+    delete_from_snapshot(spark, path, [("id", "between", (100, 150))],
+                         mode="merge_on_read")  # v3
+
+    ch = snapshot_changes(spark, path, from_version=2).cache()
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+    assert {r["id"] for r in ch.collect()} == set(range(100, 151))
+    assert {r["_commit_version"] for r in ch.collect()} == {3}
+
+    # a second, overlapping entry emits only the NEWLY deleted rows
+    delete_from_snapshot(spark, path, [("id", "between", (140, 160))],
+                         mode="merge_on_read")  # v4
+    ch = snapshot_changes(spark, path, from_version=3)
+    assert {r["id"] for r in ch.collect()} == set(range(151, 161))
+
+    # equality-delete entries feed deletes too (anti/semi-join path)
+    keys = spark.createDataFrame([(20,), (21,), (155,)], "id long")
+    delete_keys_from_snapshot(spark, path, keys, ["id"])  # v5
+    ch = snapshot_changes(spark, path, from_version=4)
+    # 155 is already logically deleted -> only 20, 21 newly leave
+    assert {r["id"] for r in ch.collect()} == {20, 21}
+
+
+def test_mor_stream_source_initial_load_and_tail(spark, tmp_path):
+    """The streaming source's initial load applies merge-on-read entries
+    (pyarrow-side), a MOR delete breaks the tail loudly, and
+    ignorechanges skips it."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    delete_from_snapshot(spark, path, [("id", "between", (150, 250))],
+                         mode="merge_on_read")
+    keys = spark.createDataFrame([(3,), (4,)], "id long")
+    delete_keys_from_snapshot(spark, path, keys, ["id"])
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(**opts):
+        reader = spark.readStream.format("snapshot_table").option("path", path)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    out = drain()
+    ids = {r["id"] for r in out.collect()}
+    assert ids == set(range(0, 150)) - {3, 4} | set(range(251, 300))
+
+    # a MOR delete mid-tail fails loudly...
+    delete_from_snapshot(spark, path, [("id", "<", 10)], mode="merge_on_read")
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException, match="merge-on-read"):
+        drain()
+
+    # ...unless ignorechanges, which skips it (nothing new delivered)
+    ckpt2 = str(tmp_path / "ckpt2")
+    out2 = str(tmp_path / "out2")
+
+    def drain2():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", path).option("ignorechanges", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out2)
+
+    first = drain2()  # fresh checkpoint: initial load applies ALL entries
+    ids2 = {r["id"] for r in first.collect()}
+    assert ids2 == set(range(10, 150)) - {3, 4} | set(range(251, 300)) - {3, 4}
+    write_snapshot(_keyed(spark, 500, 505, "z"), path, mode="append")
+    assert {r["id"] for r in drain2().collect()} - ids2 == set(range(500, 505))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 RESTORE + table constraints (Delta parity).
+
+from azure_etl_spark.sources.snapshot import (  # noqa: E402
+    SnapshotConstraintError,
+    drop_snapshot_constraints,
+    restore_snapshot,
+    set_snapshot_constraints,
+)
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE reproduces an old version's state as a NEW commit: no
+    data copied, history preserved, change feed shows the rows coming
+    back, and a post-restore append builds on the restored state."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2 -> 300 rows
+    delete_from_snapshot(spark, path, [("id", ">=", 100)])  # v3: COW, 100 rows left
+    assert read_snapshot(spark, path).count() == 100
+
+    res = restore_snapshot(spark, path, to_version=2)
+    assert res == {"version": 4, "restored_to": 2}
+    assert read_snapshot(spark, path).count() == 300
+    # no data was copied: the restore commit wrote no new data dir
+    assert not os.path.exists(os.path.join(path, "data", "v4"))
+    # the rolled-back version is still reachable (until vacuum)
+    assert read_snapshot(spark, path, version=3).count() == 100
+    hist = {r["version"]: r["operation"] for r in snapshot_history(spark, path).collect()}
+    assert hist[4] == "restore"
+
+    # change feed across the restore: the deleted rows re-enter
+    ch = snapshot_changes(spark, path, from_version=3, to_version=4)
+    ins = {r["id"] for r in ch.filter("_change_type = 'insert'").collect()}
+    assert set(range(100, 300)) <= ins
+
+    # restore also reinstates merge-on-read entries
+    delete_from_snapshot(spark, path, [("id", "<", 50)], mode="merge_on_read")  # v5
+    write_snapshot(_keyed(spark, 1000, 1010, "z"), path, mode="append")  # v6
+    restore_snapshot(spark, path, to_version=5)  # v7: back to 250 rows
+    assert read_snapshot(spark, path).count() == 250
+    assert read_snapshot(spark, path).filter("id < 50").count() == 0
+
+
+def test_restore_keeps_txn_watermarks(spark, tmp_path):
+    """After a restore, a replayed exactly-once batch must still be
+    recognized as committed (txns come from the CURRENT version)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 10, "a"), path)  # v0
+    write_snapshot(_keyed(spark, 10, 20, "b"), path, mode="append",
+                   txn_app_id="app", txn_version=7)  # v1
+    restore_snapshot(spark, path, to_version=0)  # v2
+    # replay of batch 7 is skipped even though v0 predates the txn
+    assert write_snapshot(_keyed(spark, 10, 20, "b"), path, mode="append",
+                          txn_app_id="app", txn_version=7) == -1
+    # and a NEWER batch commits fine
+    assert write_snapshot(_keyed(spark, 20, 30, "c"), path, mode="append",
+                          txn_app_id="app", txn_version=8) == 3
+
+
+def test_constraints_enforced_on_writes(spark, tmp_path):
+    """NOT NULL + CHECK validate existing data at ADD time and every
+    write path afterwards (append, overwrite, update, merge); DROP
+    stops enforcement."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # val = id*10 >= 0 everywhere
+
+    # adding a constraint the current data violates fails
+    with pytest.raises(SnapshotConstraintError, match="CHECK val_small"):
+        set_snapshot_constraints(spark, path, check={"val_small": "val < 100"})
+
+    v = set_snapshot_constraints(
+        spark, path, not_null=["tag"], check={"val_nonneg": "val >= 0"}
+    )
+    assert v == 3
+
+    # append violating CHECK is rejected before any data lands
+    bad = spark.range(5).select(
+        F.col("id"), F.lit("x").alias("tag"), F.lit(-1).alias("val")
+    )
+    with pytest.raises(SnapshotConstraintError, match="val_nonneg"):
+        write_snapshot(bad, path, mode="append")
+    # append with a NULL tag is rejected
+    nulls = spark.range(5).select(
+        F.col("id"), F.lit(None).cast("string").alias("tag"),
+        (F.col("id")).alias("val"),
+    )
+    with pytest.raises(SnapshotConstraintError, match="NOT NULL tag"):
+        write_snapshot(nulls, path, mode="append")
+    # the failed writes committed nothing
+    assert read_snapshot(spark, path).count() == 300
+
+    # constraints survive overwrite (table metadata)
+    write_snapshot(_keyed(spark, 0, 50, "w"), path)  # ok rows
+    with pytest.raises(SnapshotConstraintError):
+        write_snapshot(bad, path)
+
+    # UPDATE that would break the CHECK is rejected
+    with pytest.raises(SnapshotConstraintError, match="val_nonneg"):
+        update_snapshot(spark, path, [("id", "<", 5)], {"val": "-1"})
+
+    # a NULL check result passes (SQL CHECK semantics)
+    write_snapshot(
+        spark.range(50, 55).select(
+            F.col("id"), F.lit("n").alias("tag"),
+            F.lit(None).cast("long").alias("val"),
+        ),
+        path, mode="append",
+    )
+    assert read_snapshot(spark, path).count() == 55
+
+    drop_snapshot_constraints(spark, path, check_names=["val_nonneg"])
+    write_snapshot(bad, path, mode="append")  # now fine
+    assert read_snapshot(spark, path).count() == 60
+    # NOT NULL still active
+    with pytest.raises(SnapshotConstraintError, match="NOT NULL tag"):
+        write_snapshot(nulls, path, mode="append")
+
+
+def test_bloom_filter_skips_equality_lookups(spark, tmp_path):
+    """Per-file Bloom filters prune point lookups on a high-cardinality
+    column whose [min,max] interval spans every file (the case
+    clustering can't arm): present keys read ~1 file, absent keys read
+    0, and the setting rides the manifest through appends."""
+    path = str(tmp_path / "tbl")
+    # tag-keyed lookups: every file's id interval is disjoint but each
+    # carries a distinct set of string keys with overlapping min/max
+    def part(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("user_"), F.col("id")).alias("uid"),
+                (F.col("id") * 10).alias("val"),
+            )
+            .coalesce(1)
+        )
+
+    write_snapshot(part(0, 100), path, bloom_cols=["uid"])
+    write_snapshot(part(100, 200), path, mode="append")  # cfg carried
+    write_snapshot(part(200, 300), path, mode="append")
+
+    # min/max on uid is useless here ("user_0".."user_99" interleaves
+    # lexically with "user_100".."user_199"), but the bloom isn't:
+    read, skipped = resolve_scan(spark, path, where=[("uid", "=", "user_150")])
+    assert len(read) == 1 and len(skipped) == 2
+    out = read_snapshot(spark, path, where=[("uid", "=", "user_150")])
+    assert [r["id"] for r in out.collect()] == [150]
+
+    # absent key: every file pruned, zero IO
+    read, skipped = resolve_scan(spark, path, where=[("uid", "=", "user_9999")])
+    assert read == []
+    assert read_snapshot(spark, path, where=[("uid", "=", "user_9999")]).count() == 0
+
+    # non-equality predicates ignore the bloom (interval rules apply)
+    read, _ = resolve_scan(spark, path, where=[("id", "<", 50)])
+    assert len(read) == 1
+
+    # COW rewrites keep collecting filters (table metadata carried)
+    update_snapshot(spark, path, [("id", "=", 150)], {"val": "0"})
+    read, skipped = resolve_scan(spark, path, where=[("uid", "=", "user_150")])
+    assert len(read) == 1 and len(skipped) == 2
+    assert [r["val"] for r in read_snapshot(
+        spark, path, where=[("uid", "=", "user_150")]
+    ).collect()] == [0]
+
+
+def test_snapshot_stream_source_max_files_per_trigger(spark, tmp_path):
+    """maxfilespertrigger paces the tail into bounded per-file batches
+    with no duplicate delivery. (The first planned batch is uncapped —
+    the documented trade: the Python source API plans latestOffset
+    before the reader can learn its position.)"""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)
+    ckpt = str(tmp_path / "ckpt")
+    sizes = []
+
+    # NOT availableNow: Spark's Python micro-batch stream falls back
+    # to single-batch execution for availableNow, bypassing admission
+    # control — a long-lived paced query is the real use case anyway
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .option("maxfilespertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    # initial load: one uncapped batch (the documented trade), once
+    assert sum(sizes) == 300
+
+    # a 2-file append commit plus three 1-file commits land while the
+    # query runs: the 5-file backlog drains one file per batch, with
+    # nothing re-delivered
+    sizes.clear()
+    df = (
+        spark.range(300, 340)
+        .select(F.col("id"), F.lit("d").alias("tag"), (F.col("id") * 10).alias("val"))
+        .repartition(2)
+    )
+    write_snapshot(df, path, mode="append")
+    for lo in (340, 360, 380):
+        write_snapshot(_keyed(spark, lo, lo + 20, "e"), path, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    assert sum(sizes) == 100
+    assert [s for s in sizes if s] == [20, 20, 20, 20, 20]
