@@ -343,3 +343,100 @@ def remove_duplicate_segments(
             F.sum(1 - kept).alias("n_seg_dropped"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_dup: int = 2,
+    by: str = "docs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup (the ExactSubstr criterion of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): remove every word covered by a ``k``-gram that is
+    duplicated in the corpus, and reassemble the rest ->
+    (id, cleaned_text, n_words_kept, n_words_removed).
+
+    ``by='docs'`` counts DISTINCT documents per gram (cross-document
+    duplication, ``min_dup`` defaulting to 2); ``by='occurrences'``
+    counts total occurrences, which additionally catches a span
+    repeated within a single document — the paper's literal criterion.
+    Both remove EVERY occurrence of a duplicated span (the conservative
+    variant); keep-one-copy semantics would need a second global
+    tie-break pass over the hit list.
+
+    This matches the suffix-array formulation exactly at ``k``-token
+    resolution: any duplicated span of length >= k is tiled by
+    duplicated k-grams, so the union of duplicated k-windows IS the set
+    of tokens inside cross-document duplicated spans of length >= k —
+    no suffix array needed, just one frequency aggregation.
+
+    Relation to the siblings: :func:`remove_duplicate_segments` keys on
+    fixed SEGMENTS (boilerplate lines), so a duplicated span straddling
+    a segment boundary escapes; this operator slides the window, so it
+    cannot. :func:`decontaminate_spans` is the same coverage machinery
+    against an external eval set instead of the corpus itself.
+
+    Plan shape at scale: positional k-grams are map-side; ONE
+    aggregation keyed by gram text builds the corpus frequency table
+    (the shuffle that must exist — dedup is a meeting of values), the
+    duplicated-gram subset (usually tiny) joins back against the
+    positional grams (AQE broadcasts it when small), and coverage +
+    reassembly are in-row array HOFs under codegen. The corpus rows
+    themselves never shuffle. At 100 TB the gram-text shuffle key can
+    be narrowed to xxhash64(gram) (8 bytes vs ~50), trading an
+    astronomically unlikely hash-collision over-deletion — the same
+    trade production implementations make; kept as text here so the
+    DuckDB oracle can replay the exact pipeline.
+    """
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    if by not in ("docs", "occurrences"):
+        raise ValueError(f"by must be docs|occurrences, got {by!r}")
+    t = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__w")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0)))
+    pos_grams = t.select(
+        id_col,
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__w", i + 1, k)))
+        ).alias("pos", "gram"),
+    )
+    freq = (
+        F.count_distinct(F.col(id_col)) if by == "docs" else F.count(F.lit(1))
+    )
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(freq.alias("__nd"))
+        .filter(F.col("__nd") >= min_dup)
+        .select("gram")
+    )
+    starts = (
+        pos_grams.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + k - 1),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("__w"), lambda w, i: ~F.array_contains(F.col("__covered"), i)
+    )
+    return (
+        t.join(starts, id_col, "left")
+        .withColumn("__covered", covered)
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("cleaned_text"),
+            F.size(kept).alias("n_words_kept"),
+            (F.size("__w") - F.size(kept)).alias("n_words_removed"),
+        )
+    )

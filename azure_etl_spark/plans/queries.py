@@ -4298,6 +4298,54 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_duplicate_spans_docs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    tg AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos,
+             array_to_string(w[t.i + 1 : t.i + 8], ' ') AS ngram
+      FROM docs, unnest(generate_series(0, greatest(len(w) - 8, 0))) AS t(i)),
+    dup AS (
+      SELECT ngram FROM tg GROUP BY ngram
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT tg.doc_id, tg.pos FROM tg JOIN dup USING (ngram)),
+    cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list(generate_series(pos, pos + 7)))) AS covered
+      FROM hits GROUP BY doc_id),
+    cleaned AS (
+      SELECT d.doc_id,
+             list_transform(
+               list_filter(generate_series(1, len(d.w)),
+                           i -> NOT list_contains(coalesce(c.covered,
+                                CAST([] AS BIGINT[])), i - 1)),
+               i -> d.w[i]) AS kept,
+             len(d.w) AS n_words
+      FROM docs d LEFT JOIN cov c USING (doc_id))
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text,
+           CAST(len(kept) AS INT) AS n_words_kept,
+           CAST(n_words - len(kept) AS INT) AS n_words_removed
+    FROM cleaned ORDER BY doc_id
+    """,
+    description="Corpus-wide exact-substring dedup (Lee et al. 2022 "
+    "ExactSubstr at 8-gram resolution, "
+    "operators/curation.py:remove_duplicate_spans): every word covered "
+    "by an 8-gram occurring in >=2 distinct documents is removed and "
+    "the remainder reassembled — the sliding-window generalization of "
+    "segment-level boilerplate removal (a duplicated span straddling a "
+    "segment boundary cannot escape). One gram-keyed frequency "
+    "aggregation, duplicated subset joined back, coverage + reassembly "
+    "in-row HOFs; corpus rows never shuffle. Oracle replays the "
+    "identical pipeline in SQL.",
+)
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import remove_duplicate_spans
+
+    return remove_duplicate_spans(_td(spark, sf_dir), k=8).orderBy("doc_id")
+
+
+@query(
     "pack_sequences_budget",
     oracle=f"""
     WITH t AS (

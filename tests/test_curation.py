@@ -277,3 +277,42 @@ def test_chunk_sliding_windows_overlap_and_truncation(spark):
     assert rows[(2, 0)] == (1, "solo")
     assert rows[(3, 0)] == (1, "")
     assert len(rows) == 5
+
+
+def test_remove_duplicate_spans_cross_doc(spark):
+    """ExactSubstr at k-gram resolution: a span duplicated across docs
+    is removed from BOTH, a span straddling what segment-dedup would
+    call a boundary cannot escape, unique text survives, and
+    within-doc-only repetition does not trigger (min_dup_docs=2)."""
+    from azure_etl_spark.operators.curation import remove_duplicate_spans
+
+    dup = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    docs = _docs(
+        spark,
+        [
+            (1, "a", f"alpha beta {dup} gamma delta"),
+            (2, "b", f"start {dup} end"),
+            # unique doc: untouched
+            (3, "c", "unique words that appear nowhere else in this corpus ok"),
+            # repeats an 8-gram only within ITSELF -> not cross-doc
+            (4, "d", "w1 w2 w3 w4 w5 w6 w7 w8 filler w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    # the 10 duplicated words go; unique flanks survive
+    assert got[1].cleaned_text == "alpha beta gamma delta"
+    assert (got[1].n_words_kept, got[1].n_words_removed) == (4, 10)
+    assert got[2].cleaned_text == "start end"
+    assert (got[2].n_words_kept, got[2].n_words_removed) == (2, 10)
+    assert got[3].n_words_removed == 0
+    assert got[4].n_words_removed == 0  # within-doc repeat, 1 distinct doc
+
+    # by='occurrences' (the paper's literal criterion) also catches the
+    # within-doc repetition — and ONLY it, unique docs stay intact
+    got1 = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, k=8, by="occurrences").collect()
+    }
+    assert got1[4].n_words_removed == 16  # both 8-word copies; the
+    assert got1[4].cleaned_text == "filler"  # uncovered middle survives
+    assert got1[3].n_words_removed == 0
