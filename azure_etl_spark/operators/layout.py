@@ -58,6 +58,62 @@ def morton_key(x_bucket: Column, y_bucket: Column) -> Column:
     return _spread16(x_bucket).bitwiseOR(F.shiftleft(_spread16(y_bucket), 1))
 
 
+def zorder_for_skipping(
+    df: DataFrame, cols: Sequence[str], partitions: int | None = None
+) -> DataFrame:
+    """Two-dimensional clustering (Delta's OPTIMIZE ZORDER BY (a, b)):
+    bucketize both columns to 16 bits against their actual min/max (one
+    lightweight agg, driver-side bounds), interleave with
+    :func:`morton_key`, then range-sort on the Morton code. Every
+    written file then covers a narrow rectangle in (a, b) space, so
+    per-file min/max stats skip on EITHER column — where a linear sort
+    on (a, b) only ever skips on ``a`` (the secondary column's range
+    spans the whole domain in every file).
+
+    Columns must be numeric/date/timestamp (bucketization needs an
+    order-preserving cast to double); cluster strings with
+    :func:`sort_for_skipping` or pre-bucket them yourself. Nulls sort
+    into bucket 0. Scale: the bounds agg is one column-pruned pass; the
+    Z-sort is the same single range-shuffle a linear clustered write
+    already pays — Z-ordering changes the sort KEY, not the plan shape.
+    """
+    if len(cols) != 2:
+        raise ValueError(f"zorder_for_skipping takes exactly 2 columns, got {list(cols)}")
+
+    def as_num(c: str) -> Column:
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dt == "date":
+            col = F.datediff(col, F.lit("1970-01-01"))
+        elif dt.startswith("timestamp"):
+            col = F.unix_timestamp(col)
+        elif dt == "string":
+            raise ValueError(
+                f"zorder column {c!r} is a string; bucketize it first or "
+                "use sort_for_skipping"
+            )
+        return col.cast("double")
+
+    nx, ny = (as_num(c) for c in cols)
+    b = df.agg(
+        F.min(nx).alias("x_lo"), F.max(nx).alias("x_hi"),
+        F.min(ny).alias("y_lo"), F.max(ny).alias("y_hi"),
+    ).collect()[0]
+
+    def bucket(col: Column, lo, hi) -> Column:
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("bigint")
+        scaled = F.floor((col - F.lit(float(lo))) / F.lit(float(hi - lo)) * 65535)
+        return F.coalesce(
+            F.least(F.lit(65535), F.greatest(F.lit(0), scaled)), F.lit(0)
+        ).cast("bigint")
+
+    tmp = "__zorder_key"
+    out = df.withColumn(tmp, morton_key(bucket(nx, b["x_lo"], b["x_hi"]),
+                                        bucket(ny, b["y_lo"], b["y_hi"])))
+    return sort_for_skipping(out, [tmp], partitions).drop(tmp)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -4338,6 +4338,7 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation, duplicated subset joined back, coverage + reassembly "
     "in-row HOFs; corpus rows never shuffle. Oracle replays the "
     "identical pipeline in SQL.",
+    bench=True,
 )
 def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.curation import remove_duplicate_spans

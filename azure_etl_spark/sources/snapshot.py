@@ -575,17 +575,26 @@ def _carry_deletes(parent: dict, keep_files: list[str]) -> list[dict]:
 
 
 def _cluster_for_skipping(
-    df: DataFrame, cluster_by: list[str], num_files: int | None = None
+    df: DataFrame,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    mode: str = "linear",
 ) -> DataFrame:
-    """Clustered write = layout.sort_for_skipping applied at commit
-    time: each written file covers a narrow [min,max] interval, which is
-    what makes the manifest's stats-based file skipping effective
-    (Delta's OPTIMIZE ZORDER serves the same purpose; compose with
-    layout.morton_key for two-dimensional clustering). Without this, a
-    uniformly-shuffled column's per-file interval spans the whole domain
-    and no file is ever skippable."""
-    from azure_etl_spark.operators.layout import sort_for_skipping
+    """Clustered write applied at commit time: each written file covers
+    a narrow interval, which is what makes the manifest's stats-based
+    file skipping effective. ``mode='linear'`` range-sorts on the
+    columns (skips on the leading column); ``mode='zorder'`` Morton-
+    interleaves exactly two columns (Delta's OPTIMIZE ZORDER) so
+    per-file rectangles stay narrow in BOTH dimensions and filters on
+    either column skip. Without clustering, a uniformly-shuffled
+    column's per-file interval spans the whole domain and no file is
+    ever skippable."""
+    from azure_etl_spark.operators.layout import sort_for_skipping, zorder_for_skipping
 
+    if mode == "zorder":
+        return zorder_for_skipping(df, cluster_by, partitions=num_files)
+    if mode != "linear":
+        raise ValueError(f"cluster mode must be linear|zorder, got {mode!r}")
     return sort_for_skipping(df, cluster_by, partitions=num_files)
 
 
@@ -604,6 +613,7 @@ def write_snapshot(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
     bloom_hashes: int = 5,
+    cluster_mode: str = "linear",
 ) -> int:
     """Commit ``df`` as a new version of the snapshot table at ``path``.
 
@@ -636,7 +646,7 @@ def write_snapshot(
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be passed together")
     if cluster_by:
-        df = _cluster_for_skipping(df, cluster_by, cluster_files)
+        df = _cluster_for_skipping(df, cluster_by, cluster_files, cluster_mode)
     spark = df.sparkSession
     validated = False
     for _ in range(max_retries):
@@ -1287,6 +1297,7 @@ def compact_snapshot(
     target_file_bytes: int = 128 << 20,
     version: int | None = None,
     cluster_by: list[str] | None = None,
+    cluster_mode: str = "linear",
 ) -> dict:
     """OPTIMIZE: rewrite the current version's (possibly many small)
     files into one right-sized data dir, committed as a new version —
@@ -1308,7 +1319,8 @@ def compact_snapshot(
         # OPTIMIZE + cluster: rewritten files get narrow [min,max]
         # intervals on the clustering columns, re-arming file skipping
         # that a long append chain of unordered batches has eroded
-        df = _cluster_for_skipping(df, cluster_by, int(n))
+        # (cluster_mode='zorder' = OPTIMIZE ZORDER BY, two columns)
+        df = _cluster_for_skipping(df, cluster_by, int(n), cluster_mode)
     elif partition_by:
         # spread within partitions without a global shuffle key collision
         df = df.repartition(int(n), *partition_by)

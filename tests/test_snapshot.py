@@ -1104,3 +1104,53 @@ def test_snapshot_stream_source_max_files_per_trigger(spark, tmp_path):
     q.stop()
     assert sum(sizes) == 100
     assert [s for s in sizes if s] == [20, 20, 20, 20, 20]
+
+
+def test_zorder_cluster_skips_on_both_dimensions(spark, tmp_path):
+    """cluster_mode='zorder' (OPTIMIZE ZORDER BY): a 64x64 uniform grid
+    written as 16 Z-ordered files skips on EITHER dimension, where the
+    linear sort on (a, b) only ever skips on the leading column."""
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    write_snapshot(grid, zpath, cluster_by=["a", "b"], cluster_files=16,
+                   cluster_mode="zorder")
+    write_snapshot(grid, lpath, cluster_by=["a", "b"], cluster_files=16)
+
+    where_a = [("a", "between", (0, 7))]
+    where_b = [("b", "between", (0, 7))]
+
+    zr_a, zs_a = resolve_scan(spark, zpath, where=where_a)
+    zr_b, zs_b = resolve_scan(spark, zpath, where=where_b)
+    lr_a, _ = resolve_scan(spark, lpath, where=where_a)
+    lr_b, ls_b = resolve_scan(spark, lpath, where=where_b)
+
+    # z-order: an eighth of either dimension touches at most half the
+    # files (exact quadrant boundaries depend on the range partitioner)
+    assert len(zr_a) <= 8 and len(zr_b) <= 8
+    # linear: leading column skips fine, secondary column skips NOTHING
+    assert len(lr_a) <= 8
+    assert len(ls_b) == 0 and len(lr_b) == 16
+
+    # identical answers regardless of layout
+    za = read_snapshot(spark, zpath, where=where_b)
+    la = read_snapshot(spark, lpath, where=where_b)
+    assert sorted(r["payload"] for r in za.collect()) == sorted(
+        r["payload"] for r in la.collect()
+    )
+    assert za.count() == 64 * 8
+
+    # compaction can re-arm BOTH dimensions after unordered appends
+    for lo in (0, 2048):
+        write_snapshot(
+            grid.filter((F.col("payload") >= lo) & (F.col("payload") < lo + 2048))
+            .repartition(4),
+            zpath, mode="append",
+        )
+    compact_snapshot(spark, zpath, target_file_bytes=1, cluster_by=["a", "b"],
+                     cluster_mode="zorder", version=None)
+    rr, ss = resolve_scan(spark, zpath, where=where_b)
+    assert len(ss) > len(rr)  # most files skipped again on the 2nd dim

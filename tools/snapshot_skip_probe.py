@@ -70,6 +70,23 @@ def main(n_files: int = 32) -> None:
             f"rows={rows} best_of_3={best:.3f}s"
         )
 
+    # --- two-dimensional: linear (l_orderkey, l_partkey) vs Z-order ---
+    hi_part = li.agg(F.max("l_partkey")).collect()[0][0]
+    pred_b = [("l_partkey", "between", (int(hi_part * 0.40), int(hi_part * 0.41)))]
+    linear2, zorder2 = f"{base}/linear2", f"{base}/zorder2"
+    write_snapshot(li, linear2, cluster_by=["l_orderkey", "l_partkey"],
+                   cluster_files=n_files)
+    write_snapshot(li, zorder2, cluster_by=["l_orderkey", "l_partkey"],
+                   cluster_files=n_files, cluster_mode="zorder")
+    print("-- secondary-column predicate (l_partkey ~1% of domain):")
+    for label, path in (("linear(a,b)", linear2), ("zorder(a,b)", zorder2)):
+        opened, skipped = resolve_scan(spark, path, where=pred_b)
+        print(f"{label:12s} files_opened={len(opened):3d} files_skipped={len(skipped):3d}")
+    print("-- leading-column predicate (l_orderkey ~1% of domain):")
+    for label, path in (("linear(a,b)", linear2), ("zorder(a,b)", zorder2)):
+        opened, skipped = resolve_scan(spark, path, where=pred)
+        print(f"{label:12s} files_opened={len(opened):3d} files_skipped={len(skipped):3d}")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
