@@ -11,9 +11,13 @@ Protocol (a deliberately minimal version of the Delta log):
 - A commit IS the atomic create-if-not-exists of ``_manifest/v{N}.json``
   (Hadoop ``FileSystem.create(path, overwrite=false)`` — the same
   primitive Delta's log relies on). Data files are fully written BEFORE
-  the manifest exists, so readers can never observe a partial version;
-  a crashed writer leaves an orphan data dir that the next writer of
-  that version number overwrites and ``vacuum`` cleans up.
+  the manifest exists, so readers can never observe a partial version.
+- Every write attempt lands in its own ATTEMPT-UNIQUE data dir
+  (``data/v{N}-{token}``) — two writers racing the same version number
+  can never touch each other's files (a shared ``data/v{N}`` dir would
+  let the race loser's overwrite clobber the winner's already-committed
+  data). Crashed or race-losing attempts leave orphan dirs no manifest
+  references; ``vacuum`` reclaims them.
 - Two writers racing to commit the same version: exactly one wins the
   manifest create; the loser re-reads the log and retries against the
   next version number (optimistic concurrency, bounded retries).
@@ -84,6 +88,7 @@ import decimal as _decimal
 import json
 import re
 import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,7 +98,9 @@ MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 DELETES_DIR = "deletes"  # parquet key files for merge-on-read equality deletes
 
-_DATA_V_RE = re.compile(rf"^({DATA_DIR}/v\d+)/")
+# data dirs are attempt-unique (data/vN-token); bare data/vN accepted
+# for tables written before the suffix existed
+_DATA_V_RE = re.compile(rf"^({DATA_DIR}/v\d+(?:-[0-9a-f]+)?)/")
 
 # Atomic types whose min/max order DuckDB, Spark, and JSON agree on;
 # stats are collected only for these (arrays/maps/binary are skipped —
@@ -672,8 +679,11 @@ def write_snapshot(
                     f"{parent['columns']}; pass merge_schema=True to evolve"
                 )
         version = (versions[-1] + 1) if versions else 0
-        data_rel = f"{DATA_DIR}/v{version}"
-        writer = df.write.mode("overwrite")  # reclaim a crashed writer's orphan dir
+        # attempt-unique dir: a concurrent writer of the same version
+        # number can never clobber this attempt's files; if the commit
+        # below loses the race the dir becomes a vacuumable orphan
+        data_rel = f"{DATA_DIR}/v{version}-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         root = path.rstrip("/")
@@ -898,6 +908,7 @@ def snapshot_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    net: bool = False,
 ) -> DataFrame:
     """File-granularity change feed between two versions (Delta CDF
     semantics at the manifest's resolution): for each commit in
@@ -910,8 +921,13 @@ def snapshot_changes(
     a copy-on-write commit rewrites entire touched files, so unchanged
     rows *within* a touched file appear as delete+insert churn — bounded
     by the touched-file count, which stats-based pruning already
-    minimizes. Downstream consumers that need net row changes can
-    anti-join the two sides on the full row.
+    minimizes. ``net=True`` cancels that churn: rows are aggregated
+    over the whole range with +1 per insert and -1 per delete, and only
+    the non-zero multiset difference is emitted (a row both deleted and
+    re-inserted disappears; a row inserted twice emits twice). The
+    extra cost is ONE aggregation over the churn rows — still bounded
+    by the changed files, never the table. Net mode necessarily loses
+    per-commit attribution, so ``_commit_version`` is the range end.
 
     Scale: reads only the files that entered/left the manifest between
     the two versions — an incremental consumer processes O(changed
@@ -970,6 +986,25 @@ def snapshot_changes(
             .withColumn("_commit_version", F.lit(0).cast("int"))
             .filter(F.lit(False))
         )
+    if net:
+        data_cols = [c for c in out.columns
+                     if c not in ("_change_type", "_commit_version")]
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        agg = out.groupBy(*data_cols).agg(F.sum(sign).alias("__net"))
+        nonzero = agg.filter(F.col("__net") != 0)
+        return (
+            nonzero.withColumn(
+                "_change_type",
+                F.when(F.col("__net") > 0, "insert").otherwise("delete"),
+            )
+            .withColumn("_commit_version", F.lit(to_version).cast("int"))
+            # multiset semantics: |net| copies of each surviving row
+            .withColumn(
+                "__dup",
+                F.explode(F.sequence(F.lit(1), F.abs(F.col("__net")).cast("int"))),
+            )
+            .select(*data_cols, "_change_type", "_commit_version")
+        )
     return out
 
 
@@ -996,7 +1031,7 @@ def _commit_cow(
     for _ in range(max_retries):
         versions = _list_versions(spark, path)
         version = (versions[-1] + 1) if versions else 0
-        data_rel = f"{DATA_DIR}/v{version}"
+        data_rel = f"{DATA_DIR}/v{version}-{uuid.uuid4().hex[:8]}"
         dirs: list[str] = []
         stats = {f: parent_stats[f] for f in keep_files if f in parent_stats}
         if rewrite_df is not None:
@@ -1182,7 +1217,9 @@ def delete_keys_from_snapshot(
     root = path.rstrip("/")
 
     def mutate(manifest: dict, v: int) -> None:
-        keys_rel = f"{DELETES_DIR}/v{v}"
+        # attempt-unique like data dirs: a racing delete of the same
+        # version can never clobber this attempt's key file
+        keys_rel = f"{DELETES_DIR}/v{v}-{uuid.uuid4().hex[:8]}"
         # key files are tiny: one file keeps the read-side broadcast cheap
         keys.coalesce(1).write.mode("overwrite").parquet(f"{root}/{keys_rel}")
         manifest["deletes"].append(

@@ -13,6 +13,7 @@ from azure_etl_spark.sources.files import read_table_format, write_partitioned
 from azure_etl_spark.sources.snapshot import (
     SnapshotConflictError,
     SnapshotVersionError,
+    _load_manifest,
     _try_commit_manifest,
     read_snapshot,
     snapshot_history,
@@ -82,7 +83,8 @@ def test_conflict_retries_next_version(spark, tmp_path):
     # simulate a racing writer owning version 1
     assert _try_commit_manifest(
         spark, path, 1, {"version": 1, "mode": "overwrite",
-                         "data_dirs": ["data/v0"], "partition_by": [],
+                         "data_dirs": _load_manifest(spark, path, 0)["data_dirs"],
+                         "partition_by": [],
                          "committed_at_unix": 0.0}
     )
     v = write_snapshot(_df(spark, "mine"), path)
@@ -111,7 +113,7 @@ def test_vacuum_drops_old_versions_keeps_shared_dirs(spark, tmp_path):
     # v1's data dir is shared with retained v2's append chain — must survive
     assert read_snapshot(spark, path, version=1).count() == 3
     assert read_snapshot(spark, path).count() == 5
-    assert not os.path.exists(os.path.join(path, "data", "v0"))
+    assert _vdirs(path, "data", 0) == []
 
 
 def test_table_format_api_routes_snapshot(spark, tmp_path):
@@ -148,6 +150,15 @@ from azure_etl_spark.sources.snapshot import (  # noqa: E402
     update_snapshot,
 )
 
+
+
+def _vdirs(path, sub, n):
+    """Dirs for version n under data/ or deletes/ (attempt-unique names)."""
+    import glob
+    return glob.glob(os.path.join(path, sub, f"v{n}-*")) + (
+        [os.path.join(path, sub, f"v{n}")]
+        if os.path.exists(os.path.join(path, sub, f"v{n}")) else []
+    )
 
 def _keyed(spark, lo, hi, tag="t"):
     """Rows with id in [lo, hi) in a SINGLE file, so per-file min/max
@@ -212,7 +223,7 @@ def test_delete_rewrites_only_touched_files(spark, tmp_path):
     # the untouched file is literally the same file (no rewrite)
     after_files, _ = resolve_scan(spark, path)
     kept = set(before_files) & set(after_files)
-    assert len(kept) == 1 and next(iter(kept)).startswith("data/v0/")
+    assert len(kept) == 1 and next(iter(kept)).startswith("data/v0-")
 
     # old version still time-travels to the pre-delete rows
     assert read_snapshot(spark, path, version=2).count() == 300
@@ -698,7 +709,7 @@ def test_mor_delete_rewrites_nothing(spark, tmp_path):
     )
     assert res["version"] == 3 and res["files_rewritten"] == 0
     # manifest-only: the commit wrote no data dir
-    assert not os.path.exists(os.path.join(path, "data", "v3"))
+    assert _vdirs(path, "data", 3) == []
 
     out = read_snapshot(spark, path)
     ids = {r["id"] for r in out.collect()}
@@ -727,7 +738,7 @@ def test_mor_equality_delete_keys(spark, tmp_path):
     keys = spark.createDataFrame([(3,), (57,), (120,)], "id long")
     res = delete_keys_from_snapshot(spark, path, keys, ["id"])
     assert res["files_covered"] == 2 and res["n_keys"] == 3
-    assert os.path.isdir(os.path.join(path, "deletes", "v3"))
+    assert len(_vdirs(path, "deletes", 3)) == 1
 
     out = read_snapshot(spark, path)
     assert out.count() == 297
@@ -783,7 +794,7 @@ def test_mor_materialized_by_compact_and_cow(spark, tmp_path):
 
     # vacuum to the post-compaction tail: the orphaned key file goes
     vacuum_snapshots(spark, path, keep_last=1)
-    assert not os.path.exists(os.path.join(path, "deletes", "v4"))
+    assert _vdirs(path, "deletes", 4) == []
 
 
 def test_mor_vacuum_keeps_referenced_key_files(spark, tmp_path):
@@ -793,7 +804,7 @@ def test_mor_vacuum_keeps_referenced_key_files(spark, tmp_path):
     delete_keys_from_snapshot(spark, path, keys, ["id"])  # v3
     write_snapshot(_keyed(spark, 300, 310, "d"), path, mode="append")  # v4
     vacuum_snapshots(spark, path, keep_last=2)  # keeps v3, v4 — both use the keys
-    assert os.path.isdir(os.path.join(path, "deletes", "v3"))
+    assert len(_vdirs(path, "deletes", 3)) == 1
     assert read_snapshot(spark, path).count() == 308
 
 
@@ -916,7 +927,7 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     assert res == {"version": 4, "restored_to": 2}
     assert read_snapshot(spark, path).count() == 300
     # no data was copied: the restore commit wrote no new data dir
-    assert not os.path.exists(os.path.join(path, "data", "v4"))
+    assert _vdirs(path, "data", 4) == []
     # the rolled-back version is still reachable (until vacuum)
     assert read_snapshot(spark, path, version=3).count() == 100
     hist = {r["version"]: r["operation"] for r in snapshot_history(spark, path).collect()}
@@ -1154,3 +1165,111 @@ def test_zorder_cluster_skips_on_both_dimensions(spark, tmp_path):
                      cluster_mode="zorder", version=None)
     rr, ss = resolve_scan(spark, zpath, where=where_b)
     assert len(ss) > len(rr)  # most files skipped again on the 2nd dim
+
+
+def test_concurrent_writers_all_commit(spark, tmp_path):
+    """Four real threads race 3 appends each through the optimistic-
+    concurrency protocol: every commit must land (distinct versions, no
+    lost updates) and the final table holds all rows exactly once."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)
+    errors = []
+
+    def worker(w):
+        try:
+            for j in range(3):
+                lo = 1000 * (w + 1) + 100 * j
+                write_snapshot(
+                    _keyed(spark, lo, lo + 10, f"w{w}"), path,
+                    mode="append", max_retries=40,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    out = read_snapshot(spark, path)
+    assert out.count() == 10 + 4 * 3 * 10
+    # 13 commits, all versions distinct and contiguous
+    hist = snapshot_history(spark, path)
+    assert hist.count() == 13
+    assert out.select("id").distinct().count() == out.count()
+
+
+def test_restore_reinstates_current_constraints(spark, tmp_path):
+    """Constraints are CURRENT table metadata: restoring to a version
+    that predates them keeps them enforced (rollback of data, not of
+    schema policy)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 10, "a"), path)  # v0
+    set_snapshot_constraints(spark, path, check={"val_nonneg": "val >= 0"})  # v1
+    restore_snapshot(spark, path, to_version=0)  # v2
+    bad = spark.range(3).select(
+        F.col("id"), F.lit("x").alias("tag"), F.lit(-5).alias("val")
+    )
+    with pytest.raises(SnapshotConstraintError, match="val_nonneg"):
+        write_snapshot(bad, path, mode="append")
+
+
+def test_maintain_agg_over_mor_feed(spark, tmp_path):
+    """Incremental SUM/COUNT maintenance consumes merge-on-read delete
+    commits exactly like COW ones — and cheaper: the feed carries ONLY
+    the logically deleted rows, no rewrite churn to cancel out."""
+    from azure_etl_spark.operators.aggregate import maintain_agg_from_changes
+
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2
+
+    boot = read_snapshot(spark, path).withColumn("_change_type", F.lit("insert"))
+    state = maintain_agg_from_changes(None, boot, keys=["tag"], sum_cols=["val"])
+
+    delete_from_snapshot(spark, path, [("id", "between", (100, 150))],
+                         mode="merge_on_read")  # v3
+    keys = spark.createDataFrame([(7,), (205,)], "id long")
+    delete_keys_from_snapshot(spark, path, keys, ["id"])  # v4
+
+    state = maintain_agg_from_changes(
+        state, snapshot_changes(spark, path, from_version=2), keys=["tag"],
+        sum_cols=["val"],
+    )
+    expect = {
+        (r["tag"], r["s"], r["n"])
+        for r in read_snapshot(spark, path)
+        .groupBy("tag")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["tag"], r["val"], r["n"]) for r in state.collect()}
+    assert got == expect
+
+
+def test_snapshot_changes_net_cancels_rewrite_churn(spark, tmp_path):
+    """net=True turns the file-granularity feed into true row deltas:
+    a COW delete's rewrite churn (whole touched file out, survivors
+    back in) collapses to exactly the deleted rows."""
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2
+    delete_from_snapshot(spark, path, [("id", "between", (100, 150))])  # v3 COW
+
+    churn = snapshot_changes(spark, path, from_version=2)
+    assert churn.count() == 100 + 49  # file out + survivors back
+
+    net = snapshot_changes(spark, path, from_version=2, net=True).cache()
+    assert {r["_change_type"] for r in net.collect()} == {"delete"}
+    assert {r["id"] for r in net.collect()} == set(range(100, 151))
+    assert net.count() == 51
+
+    # an update shows as delete(old)+insert(new) for changed rows ONLY
+    update_snapshot(spark, path, [("id", "between", (10, 12))], {"val": "val + 1"})
+    net2 = snapshot_changes(spark, path, from_version=3, net=True).cache()
+    assert net2.count() == 6  # 3 old out, 3 new in
+    old = {(r["id"], r["val"]) for r in net2.filter("_change_type='delete'").collect()}
+    new = {(r["id"], r["val"]) for r in net2.filter("_change_type='insert'").collect()}
+    assert old == {(10, 100), (11, 110), (12, 120)}
+    assert new == {(10, 101), (11, 111), (12, 121)}
