@@ -2875,6 +2875,104 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_topk_oracle(
+    m: int = 4, k_codes: int = 16, max_iter: int = 3, k: int = 5, dim: int = 64
+) -> str:
+    """Oracle = the full product-quantization pipeline in SQL. Every
+    stage is deterministic (pq_train = kmeans_fit per subspace with
+    k-lowest-id init and (distance, cid) argmin; encode uses the same
+    argmin; ADC is a sum of exact lookups), so the oracle unrolls m
+    independent k-means runs as chained CTEs, re-encodes every vector,
+    rebuilds the per-query lookup tables, and replays the ADC top-k —
+    an exact value check of train+encode+search end-to-end."""
+    sub_len = dim // m
+
+    def dist(va: str, vb: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_len}),"
+            f" i -> ({va}[i] - {vb}[i]) ** 2))"
+        )
+
+    ctes = ["vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    part_selects = []
+    for s in range(m):
+        lo, hi = s * sub_len + 1, (s + 1) * sub_len
+        ctes.append(f"sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs)")
+        ctes.append(f"""c0_{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM sv{s} ORDER BY vec_id LIMIT {k_codes}))""")
+        for n in range(1, max_iter + 1):
+            ctes.append(f"""a{n}_{s} AS (
+      SELECT id, cid, v FROM (
+        SELECT e.vec_id AS id, c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid')} ASC, c.cid ASC) AS rn
+        FROM sv{s} e CROSS JOIN c{n - 1}_{s} c) x WHERE rn = 1)""")
+            ctes.append(f"""c{n}_{s} AS (
+      SELECT cid, list(mv ORDER BY pos) AS centroid
+      FROM (SELECT cid, pos, AVG(val) AS mv
+            FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS val FROM a{n}_{s}) u
+            GROUP BY cid, pos) g
+      GROUP BY cid)""")
+        ctes.append(f"""enc{s} AS (
+      SELECT vec_id, cid AS code FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid')} ASC, c.cid ASC) AS rn
+        FROM sv{s} e CROSS JOIN c{max_iter}_{s} c) x WHERE rn = 1)""")
+        ctes.append(f"""lut{s} AS (
+      SELECT q.vec_id AS q_id, c.cid AS code,
+             {dist('q.v', 'c.centroid')} AS part
+      FROM sv{s} q CROSS JOIN c{max_iter}_{s} c WHERE q.vec_id < 3)""")
+        part_selects.append(
+            f"SELECT l.q_id, e.vec_id, l.part FROM enc{s} e "
+            f"JOIN lut{s} l ON e.code = l.code"
+        )
+    ctes.append(
+        "scored AS (SELECT q_id, vec_id, SUM(part) AS adc FROM ("
+        + " UNION ALL ".join(part_selects)
+        + ") parts GROUP BY q_id, vec_id)"
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT q_id, vec_id, ROUND(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adc ASC, vec_id ASC) AS rn FROM scored) r
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "pq_topk",
+    oracle=_pq_topk_oracle,
+    description="Product-quantization ANN (Jégou et al. 2011): "
+    "per-subspace deterministic k-means codebooks (pq_train), "
+    "argmin encoding to m small codes per vector — a 64x memory "
+    "compression of the candidate scan — and asymmetric-distance "
+    "(ADC) top-k where each candidate costs m table lookups instead "
+    "of a dim-wide arithmetic pass (operators/similarity.py). "
+    "Complements IVF: IVF cuts how many candidates are scored, PQ "
+    "cuts the cost of each. Oracle unrolls all m k-means runs, the "
+    "encoding, the lookup tables, and the ADC ranking in SQL.",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=4, k_codes=16, max_iter=3)
+    enc = pq_encode(e, books, m=4)
+    qs = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = pq_topk(qs, enc, books, k=5, m=4)
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("adc_dist", 4).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------- nulls / string distance
 
 @query(

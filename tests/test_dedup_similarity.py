@@ -394,3 +394,48 @@ def test_quality_sql_matches_spark_on_empty_docs(spark, tmp_path):
         con.sql(f"SELECT doc_id, {_QUALITY_SQL} AS q FROM documents").fetchall()
     )
     assert spark_vals == duck_vals
+
+
+def test_pq_adc_retrieves_cluster_members(spark):
+    """Product quantization: on well-separated synthetic clusters the
+    ADC top-k returns the query's own cluster, codes are cluster-
+    constant, and the compressed representation is m ints per vector."""
+    from azure_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    # 4 clusters of 25 vectors in 64-d: center c has value 10*(c+1) in
+    # dims [16c, 16c+16); deterministic per-point jitter in [0, 0.4)
+    base = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("c"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(
+                (d >= (F.col("id") % 4) * 16) & (d < ((F.col("id") % 4) + 1) * 16),
+                ((F.col("id") % 4) + 1) * 10.0 + (F.col("id") % 5) * 0.1,
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    books = pq_train(base, m=4, k_codes=8, max_iter=3)
+    # k_codes is an upper bound: duplicate subvectors collapse clusters
+    # (Lloyd's drops empties), but every subspace keeps a codebook
+    assert books.select("sub").distinct().count() == 4
+    assert books.count() <= 4 * 8
+    enc = pq_encode(base, books, m=4)
+    assert enc.count() == 100
+    row = enc.filter("vec_id = 0").collect()[0]
+    assert len(row["codes"]) == 4
+
+    # same-cluster vectors with identical jitter encode identically
+    codes = {r["vec_id"]: tuple(r["codes"]) for r in enc.collect()}
+    assert codes[0] == codes[20]  # id%4==0, id%5 equal
+    assert codes[1] == codes[21]
+
+    qs = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = pq_topk(qs, enc, books, k=10, m=4)
+    got = {(r["q_id"], r["vec_id"]) for r in top.collect()}
+    # every retrieved neighbor belongs to the query's cluster
+    for q, v in got:
+        assert q % 4 == v % 4
+    assert top.groupBy("q_id").count().filter("count <> 10").count() == 0

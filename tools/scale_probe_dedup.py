@@ -218,6 +218,31 @@ def probe_factor(spark, n: int) -> dict:
         t, _ = timed(lambda: seg.write.format("noop").mode("overwrite").save())
         out["remove_dup_segments"] = {"sec": t}
 
+        # --- Exact-substring dedup (sliding-window ExactSubstr): the
+        # gram-frequency shuffle is the cost driver; the duplicated-gram
+        # count is the join-back size driver — replicas have DISTINCT
+        # words, so it must stay ~flat (base-corpus duplicates only)
+        # while rows grow Nx
+        from azure_etl_spark.operators.curation import remove_duplicate_spans
+
+        spans = remove_duplicate_spans(docs, k=8)
+        t, _ = timed(lambda: spans.write.format("noop").mode("overwrite").save())
+        w = F.split(normalized_text("text"), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - 8, F.lit(0)))
+        n_dup = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8)))
+                ).alias("gram"),
+            )
+            .groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .count()
+        )
+        out["remove_dup_spans"] = {"sec": t, "dup_grams": n_dup}
+
         # --- Decontamination: eval side stays BASE-sized (the realistic
         # asymmetry — benchmarks don't grow with the corpus)
         eval_docs = load_table(spark, SF_DIR, "documents").filter(
