@@ -453,3 +453,65 @@ def pq_topk(
         .filter(F.col("__rn") <= k)
         .select(q_id, c_id, "adc_dist", F.col("__rn").alias("rank"))
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed (the standard billion-scale ANN recipe, e.g.
+    FAISS IVFPQ): the coarse quantizer cuts HOW MANY candidates are
+    scored (only vectors assigned to each query's ``nprobe`` nearest
+    clusters), product quantization cuts WHAT each one costs (m table
+    lookups against the 64x-compressed codes). Scored rows ~=
+    |Q| x (nprobe/k_clusters) x |C| x m — both savings multiply.
+
+    Same deterministic pieces as :func:`ivf_topk` and :func:`pq_topk`,
+    so the SQL oracle replays the full composition. Returns
+    (q_id, c_id, adc_dist, rank), rank 1 = nearest."""
+    sub_len = dim // m
+    # coarse probe: each query's nprobe nearest clusters
+    q = queries.select(F.col(q_id), F.col(vec_col).alias("__qv"))
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "__d", _sq_dist(F.col("__qv"), F.col("centroid"))
+    )
+    wprobe = Window.partitionBy(q_id).orderBy(F.col("__d").asc(), F.col("cid").asc())
+    probed = (
+        qc.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .select(q_id, "cid")
+    )
+    # candidate pairs: vectors living in a probed cluster
+    pairs = assignments.join(F.broadcast(probed), "cid").select(q_id, c_id)
+    # ADC scoring restricted to the probed pairs
+    lut = (
+        _subvectors(queries, q_id, q_id, vec_col, m, sub_len)
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            q_id, "sub", F.col("cid").alias("code"),
+            _sq_dist(F.col("__subv"), F.col("centroid")).alias("__part"),
+        )
+    )
+    enc = encoded.select(F.col(c_id), F.posexplode("codes").alias("sub", "code"))
+    scored = (
+        pairs.join(enc, c_id)
+        .join(F.broadcast(lut), [q_id, "sub", "code"])
+        .groupBy(q_id, c_id)
+        .agg(F.sum("__part").alias("adc_dist"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("adc_dist").asc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(q_id, c_id, "adc_dist", F.col("__rn").alias("rank"))
+    )

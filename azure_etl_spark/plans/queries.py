@@ -2973,6 +2973,139 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_topk_oracle(
+    k_clusters: int = 8, coarse_iter: int = 3, m: int = 4, k_codes: int = 16,
+    pq_iter: int = 3, k: int = 5, nprobe: int = 3, dim: int = 64,
+) -> str:
+    """Oracle for the IVF+PQ composition: the coarse k-means + probe
+    CTEs from _ivf_topk_oracle chained with the per-subspace codebook +
+    encode + LUT CTEs from _pq_topk_oracle, with ADC scoring restricted
+    to (query, vector) pairs whose cluster the query probes."""
+    sub_len = dim // m
+
+    def dist(va: str, vb: str, n: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}),"
+            f" i -> ({va}[i] - {vb}[i]) ** 2))"
+        )
+
+    ctes = ["vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    # coarse quantizer (full-dim k-means) + probe
+    ctes.append(f"""g0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k_clusters}))""")
+    for n in range(1, coarse_iter + 1):
+        ctes.append(f"""ga{n} AS (
+      SELECT id, cid, v FROM (
+        SELECT e.vec_id AS id, c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid', dim)} ASC, c.cid ASC) AS rn
+        FROM vecs e CROSS JOIN g{n - 1} c) x WHERE rn = 1)""")
+        ctes.append(f"""g{n} AS (
+      SELECT cid, list(mv ORDER BY pos) AS centroid
+      FROM (SELECT cid, pos, AVG(val) AS mv
+            FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS val FROM ga{n}) u
+            GROUP BY cid, pos) g
+      GROUP BY cid)""")
+    ctes.append("qv AS (SELECT vec_id AS q_id, v FROM vecs WHERE vec_id < 3)")
+    ctes.append(f"""probed AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY {dist('q.v', 'c.centroid', dim)} ASC, c.cid ASC) AS pr
+        FROM qv q CROSS JOIN g{coarse_iter} c) x WHERE pr <= {nprobe})""")
+    ctes.append(f"""pairs AS (
+      SELECT p.q_id, a.id AS vec_id FROM ga{coarse_iter} a
+      JOIN probed p ON a.cid = p.cid)""")
+    # PQ codebooks per subspace + encode + LUT
+    part_selects = []
+    for s in range(m):
+        lo, hi = s * sub_len + 1, (s + 1) * sub_len
+        ctes.append(f"sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs)")
+        ctes.append(f"""c0_{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM sv{s} ORDER BY vec_id LIMIT {k_codes}))""")
+        for n in range(1, pq_iter + 1):
+            ctes.append(f"""a{n}_{s} AS (
+      SELECT id, cid, v FROM (
+        SELECT e.vec_id AS id, c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid', sub_len)} ASC, c.cid ASC) AS rn
+        FROM sv{s} e CROSS JOIN c{n - 1}_{s} c) x WHERE rn = 1)""")
+            ctes.append(f"""c{n}_{s} AS (
+      SELECT cid, list(mv ORDER BY pos) AS centroid
+      FROM (SELECT cid, pos, AVG(val) AS mv
+            FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS val FROM a{n}_{s}) u
+            GROUP BY cid, pos) g
+      GROUP BY cid)""")
+        ctes.append(f"""enc{s} AS (
+      SELECT vec_id, cid AS code FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid', sub_len)} ASC, c.cid ASC) AS rn
+        FROM sv{s} e CROSS JOIN c{pq_iter}_{s} c) x WHERE rn = 1)""")
+        ctes.append(f"""lut{s} AS (
+      SELECT q.vec_id AS q_id, c.cid AS code,
+             {dist('q.v', 'c.centroid', sub_len)} AS part
+      FROM sv{s} q CROSS JOIN c{pq_iter}_{s} c WHERE q.vec_id < 3)""")
+        part_selects.append(
+            f"SELECT p.q_id, p.vec_id, l.part FROM pairs p "
+            f"JOIN enc{s} e ON p.vec_id = e.vec_id "
+            f"JOIN lut{s} l ON l.q_id = p.q_id AND l.code = e.code"
+        )
+    ctes.append(
+        "scored AS (SELECT q_id, vec_id, SUM(part) AS adc FROM ("
+        + " UNION ALL ".join(part_selects)
+        + ") parts GROUP BY q_id, vec_id)"
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT q_id, vec_id, ROUND(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adc ASC, vec_id ASC) AS rn FROM scored) r
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "ivf_pq_topk",
+    oracle=_ivf_pq_topk_oracle,
+    description="IVF + product quantization composed (the FAISS IVFPQ "
+    "recipe, operators/similarity.py:ivf_pq_topk): the coarse "
+    "quantizer's probe cuts HOW MANY candidates are scored "
+    "(nprobe/k_clusters of the corpus), PQ's ADC lookup cuts WHAT each "
+    "one costs (m lookups vs a dim-wide pass) — the savings multiply. "
+    "Both quantizers are the same deterministic k-means, so the oracle "
+    "unrolls the coarse k-means + probe AND all m per-subspace "
+    "codebooks + encode + lookup tables, then replays the restricted "
+    "ADC ranking — end-to-end exact.",
+)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_fit,
+        pq_encode,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(e, k=8, max_iter=3)
+    books = pq_train(e, m=4, k_codes=16, max_iter=3)
+    enc = pq_encode(e, books, m=4)
+    qs = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_pq_topk(qs, enc, assign, cents, books, k=5, nprobe=3, m=4)
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("adc_dist", 4).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------- nulls / string distance
 
 @query(

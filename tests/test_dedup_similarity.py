@@ -439,3 +439,37 @@ def test_pq_adc_retrieves_cluster_members(spark):
     for q, v in got:
         assert q % 4 == v % 4
     assert top.groupBy("q_id").count().filter("count <> 10").count() == 0
+
+
+def test_ivf_pq_composed_retrieves_cluster_members(spark):
+    """IVF+PQ: composed probe + ADC still returns the query's own
+    cluster on separated synthetic data, with k rows per query."""
+    from azure_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_fit,
+        pq_encode,
+        pq_train,
+    )
+
+    base = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(
+                (d >= (F.col("id") % 4) * 16) & (d < ((F.col("id") % 4) + 1) * 16),
+                ((F.col("id") % 4) + 1) * 10.0 + (F.col("id") % 7) * 0.1,
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    assign, cents = kmeans_fit(base, k=4, max_iter=3)
+    books = pq_train(base, m=4, k_codes=8, max_iter=3)
+    enc = pq_encode(base, books, m=4)
+    qs = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = ivf_pq_topk(qs, enc, assign, cents, books, k=8, nprobe=1, m=4)
+    rows = top.collect()
+    assert len(rows) == 4 * 8
+    for r in rows:
+        # nprobe=1 keeps only the query's own (well-separated) cluster
+        assert r["q_id"] % 4 == r["vec_id"] % 4
