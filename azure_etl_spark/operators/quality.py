@@ -53,3 +53,52 @@ def expectation_observation(rules: dict[str, Column]) -> tuple[Observation, list
         for name, cond in rules.items()
     ]
     return obs, metrics
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> list[float]:
+    """Train a logistic-regression classifier IN the engine: full-batch
+    gradient descent where each step is ONE distributed aggregation
+    (`avg((sigmoid(w·x) - y) * x_j)` per feature) and the only
+    driver-side state is the weight vector itself (len(feature_cols)
+    floats). The fasttext-style quality-classifier step of an LLM data
+    pipeline, without any ML library: at 100 TB each iteration is a
+    single map-side-combined pass over the corpus, and `iters` is fixed
+    so runs are reproducible (zero init, deterministic feature order —
+    the same property that lets kmeans_fit's oracle unroll in SQL).
+
+    Include a constant ``1.0`` column for the bias term. Returns the
+    learned weights aligned with ``feature_cols``.
+    """
+    w = [0.0] * len(feature_cols)
+    for _ in range(iters):
+        z = F.lit(0.0)
+        for wj, c in zip(w, feature_cols):
+            z = z + F.lit(float(wj)) * F.col(c)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = df.agg(
+            *[
+                F.avg((p - F.col(label_col)) * F.col(c)).alias(f"g{j}")
+                for j, c in enumerate(feature_cols)
+            ]
+        ).collect()[0]
+        w = [wj - lr * float(g[f"g{j}"]) for j, wj in enumerate(w)]
+    return w
+
+
+def logreg_score(
+    df: DataFrame, feature_cols: list[str], weights: list[float],
+    out_col: str = "prob",
+) -> DataFrame:
+    """Score rows with trained weights: sigmoid(w·x) as a pure codegen
+    expression — no UDF, no model object, broadcastable by construction
+    (the "model" is len(feature_cols) literals folded into the plan)."""
+    z = F.lit(0.0)
+    for wj, c in zip(weights, feature_cols):
+        z = z + F.lit(float(wj)) * F.col(c)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

@@ -3106,6 +3106,98 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_oracle(iters: int = 3, lr: float = 0.5) -> str:
+    """Oracle for in-engine logistic regression: zero-init full-batch
+    gradient descent with a FIXED iteration count is deterministic
+    modulo float-sum order (the same property the k-means oracles use),
+    so the loop unrolls into chained single-row weight CTEs — g{n} is
+    one aggregate over the feature CTE under weights w{n-1}, w{n} is a
+    scalar update. The final SELECT replays the sigmoid scoring."""
+    feats = ["x0", "x1", "x2", "x3"]
+    wcols = ["a", "b", "c", "d"]
+
+    def zexpr(alias: str) -> str:
+        return " + ".join(f"{alias}.{w} * {x}" for w, x in zip(wcols, feats))
+
+    ctes = [f"""feats AS (
+      SELECT doc_id,
+             1.0 AS x0,
+             ln(1.0 + CAST(len({_TOKS_SQL}) AS DOUBLE)) AS x1,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS x2,
+             CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                  ELSE CAST(length(text) AS DOUBLE) / len({_TOKS_SQL}) END AS x3,
+             CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents)""",
+            "w0 AS (SELECT " + ", ".join(f"0.0 AS {w}" for w in wcols) + ")"]
+    for n in range(1, iters + 1):
+        g = ", ".join(
+            f"AVG((1.0 / (1.0 + exp(-({zexpr('w')}))) - y) * {x}) AS g{j}"
+            for j, x in enumerate(feats)
+        )
+        ctes.append(f"g{n} AS (SELECT {g} FROM feats CROSS JOIN w{n - 1} w)")
+        upd = ", ".join(
+            f"w.{wc} - {lr} * g.g{j} AS {wc}" for j, wc in enumerate(wcols)
+        )
+        ctes.append(f"w{n} AS (SELECT {upd} FROM w{n - 1} w CROSS JOIN g{n} g)")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-({zexpr('w')}))), 5) AS prob,
+           CAST(y AS INT) AS label
+    FROM feats CROSS JOIN w{iters} w
+    WHERE doc_id < 300 ORDER BY doc_id
+    """
+
+
+@query(
+    "logreg_quality_filter",
+    oracle=_logreg_oracle,
+    description="In-engine quality-classifier training (operators/"
+    "quality.py:logreg_fit): full-batch gradient-descent logistic "
+    "regression where each of the 3 fixed iterations is ONE distributed "
+    "aggregation (avg gradient per feature, map-side combined) and the "
+    "only driver state is the 4-float weight vector; scoring folds the "
+    "weights into a codegen sigmoid expression (logreg_score) — the "
+    "fasttext-style quality-filter step of an LLM curation pipeline "
+    "with no ML library. Features: bias, ln(1+tokens), punctuation "
+    "ratio, mean token length; label = benchmark shard membership. "
+    "Oracle unrolls the same 3 GD steps as chained single-row weight "
+    "CTEs and replays the scoring.",
+)
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.quality import logreg_fit, logreg_score
+
+    docs = _td(spark, sf_dir)
+    t = F.col("text")
+    n_tok = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("double")
+    chars = F.length(t).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).cast("double")
+    feats = docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        F.log(F.lit(1.0) + n_tok).alias("x1"),
+        F.when(chars == 0, F.lit(0.0)).otherwise(punct / chars).alias("x2"),
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(chars / n_tok).alias("x3"),
+        F.when(F.col("source") == "src0", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    cols = ["x0", "x1", "x2", "x3"]
+    w = logreg_fit(feats, cols, "y", iters=3, lr=0.5)
+    scored = logreg_score(feats, cols, w)
+    return (
+        scored.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.round("prob", 5).alias("prob"),
+            F.col("y").cast("int").alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------- nulls / string distance
 
 @query(
