@@ -751,6 +751,24 @@ def _resolve_version(spark: SparkSession, path: str, version: int | None) -> int
     return versions[-1]
 
 
+def version_as_of(spark: SparkSession, path: str, ts_unix: float) -> int:
+    """Timestamp time travel (Delta's ``timestampAsOf``): the newest
+    retained version committed at or before ``ts_unix``. O(retained
+    manifests) driver-side JSON reads; raises if the table did not yet
+    exist at that time (or those versions were vacuumed)."""
+    best = None
+    for v in _list_versions(spark, path):
+        m = _load_manifest(spark, path, v)
+        if float(m.get("committed_at_unix", 0.0)) <= ts_unix:
+            best = v
+    if best is None:
+        raise SnapshotVersionError(
+            f"no snapshot version at {path} committed at or before {ts_unix} "
+            "(table newer than the timestamp, or versions vacuumed)"
+        )
+    return best
+
+
 def resolve_scan(
     spark: SparkSession,
     path: str,
@@ -782,15 +800,21 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     where: Predicate | None = None,
+    as_of_unix: float | None = None,
 ) -> DataFrame:
     """Read the snapshot table at ``path`` — latest version by default,
-    or any retained ``version`` (time travel).
+    any retained ``version``, or the version current at ``as_of_unix``
+    (timestamp time travel via :func:`version_as_of`).
 
     ``where`` is an optional conjunctive predicate
     ``[(col, op, value), ...]`` (op in ``= < <= > >= between``). It is
     applied twice: file skipping via manifest stats (files whose
     [min,max] cannot match are never opened — the 100 TB win), then as a
     normal row filter Catalyst pushes into the surviving scans."""
+    if as_of_unix is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_unix, not both")
+        version = version_as_of(spark, path, as_of_unix)
     version = _resolve_version(spark, path, version)
     manifest = _load_manifest(spark, path, version)
     root = path.rstrip("/")
@@ -1335,6 +1359,7 @@ def compact_snapshot(
     version: int | None = None,
     cluster_by: list[str] | None = None,
     cluster_mode: str = "linear",
+    where: Predicate | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the current version's (possibly many small)
     files into one right-sized data dir, committed as a new version —
@@ -1342,15 +1367,30 @@ def compact_snapshot(
     unaffected; vacuum reclaims the small files once retention allows.
     File count is computed from actual on-disk bytes of the current
     version, so a long append chain of micro-batches collapses to
-    ~target-sized files."""
+    ~target-sized files.
+
+    ``where`` scopes the rewrite (Delta's ``OPTIMIZE ... WHERE``):
+    only files whose stats may match are rewritten; the rest carry into
+    the new version verbatim — on a 100 TB table you compact the hot
+    partition's micro-batch debris without touching cold data. Note
+    merge-on-read delete entries materialize only for the REWRITTEN
+    files; entries on carried files stay active."""
     version = _resolve_version(spark, path, version)
     parent = _load_manifest(spark, path, version)
-    files, _ = _manifest_files(spark, path, parent)
+    all_files, _ = _manifest_files(spark, path, parent)
+    if where:
+        files, keep = resolve_scan(spark, path, version, where)
+    else:
+        files, keep = all_files, []
     root = path.rstrip("/")
     fs, jvm = _fs(spark, root)
     total = sum(fs.getFileStatus(_jpath(jvm, root, f)).getLen() for f in files)
     n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
-    df = read_snapshot(spark, path, version=version)
+    df = (
+        _read_with_deletes(spark, root, files, parent)
+        if where
+        else read_snapshot(spark, path, version=version)
+    )
     partition_by = parent.get("partition_by", [])
     if cluster_by:
         # OPTIMIZE + cluster: rewritten files get narrow [min,max]
@@ -1363,10 +1403,11 @@ def compact_snapshot(
         df = df.repartition(int(n), *partition_by)
     else:
         df = df.repartition(int(n))
-    new_version = _commit_cow(spark, path, parent, [], df, "compact")
+    new_version = _commit_cow(spark, path, parent, keep, df, "compact")
     return {
         "version": new_version,
         "files_before": len(files),
+        "files_kept": len(keep),
         "target_files": int(n),
     }
 

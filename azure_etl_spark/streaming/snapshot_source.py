@@ -23,6 +23,9 @@ without delta-spark:
   (pyarrow-side predicate filter / anti-join per file), so the initial
   load matches ``read_snapshot`` exactly; then it tails subsequent
   commits;
+- ``startingversion`` (Delta's ``startingVersion``) skips the initial
+  snapshot load: an integer tails from that commit on; ``latest``
+  delivers only commits that land after the query starts;
 - ``maxfilespertrigger`` (admission control, Delta's
   ``maxFilesPerTrigger``) caps how many files each micro-batch admits:
   offsets gain a sub-commit position (``{"version": V, "pos": K,
@@ -204,6 +207,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
+        self.starting_version = options.get("startingversion")  # int | "latest" | None
         self.columns = [f.name for f in schema.fields]
         self.schema = schema
         self._last_end = None  # last end offset this instance planned
@@ -220,11 +224,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def initialOffset(self):
         # version -1 = "nothing seen": the first batch loads the whole
-        # current version, then the tail follows commits. Spark may call
-        # latestOffset BEFORE initialOffset on a fresh query — never
-        # clobber a position latestOffset already planned past, or
-        # pacing would regress and re-deliver files.
-        off = {"version": -1}
+        # current version, then the tail follows commits. With
+        # ``startingversion`` (Delta's startingVersion) the initial
+        # snapshot load is skipped: N means "deliver commits from
+        # version N on", "latest" means "only commits after now".
+        # Spark may call latestOffset BEFORE initialOffset on a fresh
+        # query — never clobber a position latestOffset already planned
+        # past, or pacing would regress and re-deliver files.
+        if self.starting_version is None:
+            off = {"version": -1}
+        elif str(self.starting_version).lower() == "latest":
+            vs = _versions(self.table)
+            off = {"version": vs[-1] if vs else -1}
+        else:
+            off = {"version": int(self.starting_version) - 1}
         if self._last_end is None:
             self._last_end = off
         return off

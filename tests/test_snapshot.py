@@ -1273,3 +1273,113 @@ def test_snapshot_changes_net_cancels_rewrite_churn(spark, tmp_path):
     new = {(r["id"], r["val"]) for r in net2.filter("_change_type='insert'").collect()}
     assert old == {(10, 100), (11, 110), (12, 120)}
     assert new == {(10, 101), (11, 111), (12, 121)}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_snapshot(as_of_unix=...) resolves the version current at
+    that moment (Delta timestampAsOf)."""
+    import time as _time
+
+    from azure_etl_spark.sources.snapshot import version_as_of
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 10, "v0"), path)
+    t_after_v0 = _time.time()
+    _time.sleep(0.05)
+    write_snapshot(_keyed(spark, 0, 20, "v1"), path)
+
+    assert version_as_of(spark, path, t_after_v0) == 0
+    assert read_snapshot(spark, path, as_of_unix=t_after_v0).count() == 10
+    assert read_snapshot(spark, path, as_of_unix=_time.time()).count() == 20
+    with pytest.raises(SnapshotVersionError):
+        version_as_of(spark, path, t_after_v0 - 1e6)  # before the table
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, path, version=0, as_of_unix=t_after_v0)
+
+
+def test_compact_where_scopes_the_rewrite(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only stats-matching files are rewritten; the
+    rest carry verbatim, rows stay identical, and merge-on-read entries
+    on carried files stay active."""
+    path = str(tmp_path / "tbl")
+    # hot "partition": ids < 100 fragmented across 5 tiny appends
+    for lo in (0, 20, 40, 60, 80):
+        write_snapshot(_keyed(spark, lo, lo + 20, "hot"), path,
+                       mode="append" if lo else "overwrite")
+    write_snapshot(_keyed(spark, 1000, 1100, "cold"), path, mode="append")
+    delete_from_snapshot(spark, path, [("id", ">=", 1090)], mode="merge_on_read")
+    before = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+
+    res = compact_snapshot(spark, path, target_file_bytes=1 << 30,
+                           where=[("id", "<", 100)])
+    assert res["files_before"] == 5 and res["files_kept"] == 1
+    after_files, _ = resolve_scan(spark, path)
+    assert len(after_files) == 2  # 5 hot files -> 1, cold carried
+    assert sorted(r["id"] for r in read_snapshot(spark, path).collect()) == before
+    # the cold file's MOR entry survived the scoped compaction
+    from azure_etl_spark.sources.snapshot import _load_manifest as _lm
+
+    assert len(_lm(spark, path, res["version"])["deletes"]) == 1
+
+
+def test_stream_source_starting_version(spark, tmp_path):
+    """startingversion=N skips the initial snapshot and tails from
+    commit N; 'latest' delivers only commits after the query starts."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    _three_file_table(spark, path)  # v0..v2
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(out, ck, **opts):
+        reader = spark.readStream.format("snapshot_table").option("path", path)
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # from version 1: commits v1+v2 only, no v0 rows
+    out = drain(out_dir, ckpt, startingversion="1")
+    assert {r["tag"] for r in out.collect()} == {"b", "c"}
+    assert out.count() == 200
+
+    # latest: nothing yet; an append then arrives alone
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    import os as _os
+
+    drain(out2, ckpt2, startingversion="latest")
+    assert not _os.path.exists(_os.path.join(out2, "_SUCCESS")) or \
+        spark.read.parquet(out2).count() == 0
+    write_snapshot(_keyed(spark, 300, 320, "d"), path, mode="append")
+    out = drain(out2, ckpt2, startingversion="latest")
+    assert {r["tag"] for r in out.collect()} == {"d"}
+
+
+def test_partition_evolution_mixed_layouts(spark, tmp_path):
+    """Appending with a DIFFERENT partition layout (including none)
+    still reads back correctly: each data dir keeps its own hive
+    layout, partition columns are reconstructed per dir (Iceberg-style
+    partition evolution; Delta cannot do this without a rewrite)."""
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket"), F.lit("p").alias("tag")
+    )
+    write_snapshot(df1, path, partition_by=["bucket"])
+    df2 = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket"), F.lit("u").alias("tag")
+    )
+    write_snapshot(df2, path, mode="append")  # unpartitioned layout
+    out = read_snapshot(spark, path)
+    assert out.count() == 20
+    got = {(r["id"], r["bucket"]) for r in out.collect()}
+    assert got == {(i, i % 2) for i in range(20)}
