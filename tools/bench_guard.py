@@ -46,6 +46,8 @@ REFERENCE: dict[str, float] = {
     "unigram_logprob_docs": 0.604,
     "cohort_weekly_retention": 0.321,
     "pipeline_medallion": 3.033,
+    # added round 5 (BENCH_LOCAL_r05.json clean-run value)
+    "dedup_duplicate_spans_docs": 1.152,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
