@@ -314,3 +314,109 @@ def test_apply_cdc_matches_dict_semantics(spark, target, changes):
         else:
             want[k] = v
     assert got == want
+
+
+# --- snapshot-log DML model check -------------------------------------------
+
+_snap_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 50), st.integers(1, 12)),
+    st.tuples(st.just("overwrite"), st.integers(0, 50), st.integers(1, 12)),
+    st.tuples(st.just("cow_delete"), st.integers(0, 60), st.integers(0, 60)),
+    st.tuples(st.just("mor_delete"), st.integers(0, 60), st.integers(0, 60)),
+    st.tuples(st.just("delete_keys"),
+              st.lists(st.integers(0, 60), min_size=1, max_size=4),
+              st.just(0)),
+    st.tuples(st.just("update"), st.integers(0, 60), st.integers(0, 60)),
+    st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    st.tuples(st.just("restore"), st.just(0), st.just(0)),
+)
+
+
+@given(ops=st.lists(_snap_op, min_size=1, max_size=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_dml_sequences_match_model(spark, ops, tmp_path_factory):
+    """Random sequences of snapshot-log DML (append / overwrite / COW +
+    merge-on-read deletes / equality deletes / update / compact /
+    restore) must always read back exactly what a trivial Python dict
+    model predicts — the invariant every Delta-parity path shares."""
+    from azure_etl_spark.sources.snapshot import (
+        compact_snapshot,
+        delete_from_snapshot,
+        delete_keys_from_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        update_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("snapprop") / "tbl")
+
+    def df_for(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id"), (F.col("id") * 10).alias("val")
+        ).coalesce(1)
+
+    # bootstrap so every op has a table to act on
+    v = write_snapshot(df_for(0, 5), path)
+    model = {i: i * 10 for i in range(5)}
+    vhist = {v: dict(model)}  # committed version -> model state
+
+    for op, a, b in ops:
+        new_v = None
+        if op in ("append", "overwrite"):
+            rows = {i: i * 10 for i in range(a, a + b)}
+            if op == "append":
+                if set(rows) & set(model):
+                    continue  # keep the model a plain dict (no dup ids)
+                model.update(rows)
+            else:
+                model = dict(rows)
+            new_v = write_snapshot(df_for(a, b), path, mode=op)
+        elif op in ("cow_delete", "mor_delete"):
+            lo, hi = min(a, b), max(a, b)
+            res = delete_from_snapshot(
+                spark, path, [("id", "between", (lo, hi))],
+                mode="copy_on_write" if op == "cow_delete" else "merge_on_read",
+            )
+            model = {k: w for k, w in model.items() if not lo <= k <= hi}
+            new_v = res["version"]
+        elif op == "delete_keys":
+            keys = spark.createDataFrame([(k,) for k in set(a)], "id long")
+            res = delete_keys_from_snapshot(spark, path, keys, ["id"])
+            model = {k: w for k, w in model.items() if k not in set(a)}
+            new_v = res["version"]
+        elif op == "update":
+            lo, hi = min(a, b), max(a, b)
+            res = update_snapshot(spark, path, [("id", "between", (lo, hi))],
+                                  {"val": "val + 1"})
+            model = {
+                k: (w + 1 if lo <= k <= hi else w) for k, w in model.items()
+            }
+            new_v = res["version"]
+        elif op == "compact":
+            new_v = compact_snapshot(spark, path, target_file_bytes=1 << 30)["version"]
+        elif op == "restore":
+            target = sorted(vhist)[len(vhist) // 2]  # a real committed version
+            res = restore_snapshot(spark, path, to_version=target)
+            model = dict(vhist[target])
+            new_v = res["version"]
+        # a stats-proven no-op (e.g. MOR delete matching nothing) commits
+        # no version — record model state only for real commits
+        if new_v is not None and new_v not in vhist:
+            vhist[new_v] = dict(model)
+
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got == model
+
+    # time travel: the earliest committed version still reads as the
+    # state recorded at its commit, regardless of every later DML
+    v0 = min(vhist)
+    old = {
+        r["id"]: r["val"]
+        for r in read_snapshot(spark, path, version=v0).collect()
+    }
+    assert old == vhist[v0]
