@@ -515,3 +515,49 @@ def ivf_pq_topk(
         .filter(F.col("__rn") <= k)
         .select(q_id, c_id, "adc_dist", F.col("__rn").alias("rank"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings first, then comparing pairs
+    ONLY within a cluster.
+
+    k-means (the deterministic :func:`kmeans_fit`) partitions the corpus
+    into k clusters; the cosine>=threshold self-join runs per cluster, so
+    pair work is sum(s_i^2) over cluster sizes instead of N^2 corpus-wide
+    — at 100 TB you raise k so clusters stay bounded (the paper uses
+    k ~ sqrt(N)) and the join stays an equi-join on cid. The keep policy
+    is the greedy-by-order rule: a row is dropped iff some LOWER-id row
+    in the same cluster is cosine-similar above the threshold, which
+    makes the output order-independent and exactly SQL-replayable.
+
+    Returns (id_col, cid, kept) for every input row.
+    """
+    assign, _ = kmeans_fit(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assign.withColumnRenamed(id_col, "id"), "id"
+    )
+    a = vecs.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    b = vecs.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        vecs.join(dropped, vecs["id"] == dropped["id_b"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.col("id_b").isNull().alias("kept"),
+        )
+    )

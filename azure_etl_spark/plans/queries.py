@@ -2788,24 +2788,22 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- IVF ANN
 
-def _ivf_topk_oracle(
-    k_clusters: int = 8, max_iter: int = 3, k: int = 5, nprobe: int = 3, dim: int = 64
-) -> str:
-    """Oracle = the SAME IVF pipeline in SQL. kmeans_fit is fully
-    deterministic (k-lowest-id init, fixed iteration count, lexicographic
-    (distance, cid) argmin tie-break), so the fixed ``max_iter`` Lloyd
-    rounds unroll into chained CTEs: a{n} = assignment under c{n-1},
-    c{n} = per-(cluster, dim) means of a{n}. The final SELECT replays
-    ivf_topk's probe (rank centroids per query, keep nprobe, exact
-    cosine inside probed clusters, top-k window). Checks the quantizer,
-    the assignment argmin, the probe, and the re-rank end-to-end."""
+def _sq_dist_sql(va: str, vb: str, dim: int) -> str:
+    """DuckDB squared-euclidean between two DOUBLE[] expressions."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> ({va}[i] - {vb}[i]) ** 2))"
+    )
 
-    def dist(va: str, vb: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> ({va}[i] - {vb}[i]) ** 2))"
-        )
 
+def _kmeans_ctes(k_clusters: int, max_iter: int, dim: int) -> list[str]:
+    """CTE chain replaying the deterministic kmeans_fit in SQL.
+
+    kmeans_fit is fully deterministic (k-lowest-id init, fixed iteration
+    count, lexicographic (distance, cid) argmin tie-break), so the fixed
+    ``max_iter`` Lloyd rounds unroll into chained CTEs: a{n} = assignment
+    under c{n-1}, c{n} = per-(cluster, dim) means of a{n}. Shared by the
+    IVF, IVFPQ and semantic-dedup oracles."""
     ctes = [
         "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""c0 AS (
@@ -2818,7 +2816,7 @@ def _ivf_topk_oracle(
       SELECT id, cid, v FROM (
         SELECT e.vec_id AS id, c.cid, e.v,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY {dist('e.v', 'c.centroid')} ASC, c.cid ASC) AS rn
+                   ORDER BY {_sq_dist_sql('e.v', 'c.centroid', dim)} ASC, c.cid ASC) AS rn
         FROM vecs e CROSS JOIN c{n - 1} c) x WHERE rn = 1)""")
         ctes.append(f"""c{n} AS (
       SELECT cid, list(m ORDER BY pos) AS centroid
@@ -2827,6 +2825,22 @@ def _ivf_topk_oracle(
                          unnest(v) AS val FROM a{n}) u
             GROUP BY cid, pos) g
       GROUP BY cid)""")
+    return ctes
+
+
+def _ivf_topk_oracle(
+    k_clusters: int = 8, max_iter: int = 3, k: int = 5, nprobe: int = 3, dim: int = 64
+) -> str:
+    """Oracle = the SAME IVF pipeline in SQL (see _kmeans_ctes). The
+    final SELECT replays ivf_topk's probe (rank centroids per query,
+    keep nprobe, exact cosine inside probed clusters, top-k window).
+    Checks the quantizer, the assignment argmin, the probe, and the
+    re-rank end-to-end."""
+
+    def dist(va: str, vb: str) -> str:
+        return _sq_dist_sql(va, vb, dim)
+
+    ctes = _kmeans_ctes(k_clusters, max_iter, dim)
     ctes.append("q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 3)")
     ctes.append(f"""probed AS (
       SELECT q_id, cid, qv FROM (
@@ -2873,6 +2887,46 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 6).alias("cosine_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ----------------------------------------------------------- semantic dedup
+
+def _semantic_dedup_oracle(
+    k_clusters: int = 8, max_iter: int = 3, threshold: float = 0.95, dim: int = 64
+) -> str:
+    """Replays semantic_dedup end-to-end: the deterministic k-means CTE
+    chain (_kmeans_ctes), the intra-cluster cosine>=threshold self-join,
+    and the greedy keep-lowest-id policy as a LEFT JOIN null test."""
+    a = f"a{max_iter}"
+    ctes = _kmeans_ctes(k_clusters, max_iter, dim)
+    ctes.append(f"""dropped AS (
+      SELECT DISTINCT y.id AS id_b
+      FROM {a} x JOIN {a} y ON x.cid = y.cid AND x.id < y.id
+      WHERE list_cosine_similarity(x.v, y.v) >= {threshold})""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT a.id AS vec_id, a.cid AS cid, d.id_b IS NULL AS kept
+    FROM {a} a LEFT JOIN dropped d ON a.id = d.id_b
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle,
+    description="SemDeDup (Abbas et al. 2023): k-means clusters the "
+    "embedding corpus, cosine>=0.95 pairs are found ONLY within each "
+    "cluster (pair work is sum of squared cluster sizes, never corpus "
+    "N^2 — raise k with N so clusters stay bounded), and the greedy "
+    "keep-lowest-id policy drops the semantic duplicates. Oracle "
+    "replays the deterministic k-means + intra-cluster join + keep "
+    "policy in SQL (same CTE chain as ivf_topk).",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, k=8, max_iter=3, threshold=0.95).orderBy("vec_id")
 
 
 def _pq_topk_oracle(

@@ -473,3 +473,22 @@ def test_ivf_pq_composed_retrieves_cluster_members(spark):
     for r in rows:
         # nprobe=1 keeps only the query's own (well-separated) cluster
         assert r["q_id"] % 4 == r["vec_id"] % 4
+
+
+def test_semantic_dedup_drops_clones(spark, sf_dir):
+    """SemDeDup keep policy: exact clones share a cluster (identical
+    vectors get identical deterministic assignments) and cosine 1.0, so
+    every higher-id clone must be dropped and every original kept (the
+    fixture's organic top cosine ~0.33 is far below threshold)."""
+    from azure_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    doubled = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = semantic_dedup(doubled, k=4, max_iter=2, threshold=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    for r in emb.select("vec_id").collect():
+        i = r["vec_id"]
+        assert rows[i]["kept"] is True, i
+        assert rows[i + 100000]["kept"] is False, i
+        assert rows[i]["cid"] == rows[i + 100000]["cid"]
