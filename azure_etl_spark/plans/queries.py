@@ -2929,6 +2929,145 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, k=8, max_iter=3, threshold=0.95).orderBy("vec_id")
 
 
+# ------------------------------------------------------- BPE tokenizer training
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_word_cte() -> str:
+    """(word, cnt) over lowercased whitespace tokens matching ^[a-z]+$ —
+    mirrors tokenize.word_frequencies (same guard as word_freq_top20)."""
+    return r"""wf AS (
+      SELECT w AS word, COUNT(*) AS cnt FROM (
+        SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)"""
+
+
+def _bpe_round_ctes(n_merges: int) -> list[str]:
+    """CTE chain replaying bpe_train: w0 = sentinel-wrapped char symbol
+    strings, then per round r: pair counts p{r}/c{r}, the deterministic
+    argmax b{r} (count desc, RS-joined pair key asc — RS sorts below
+    [a-z], matching Spark's struct tie-break), and w{r} = leftmost-non-
+    overlapping replace of the winning pair inside every word. The
+    doubled inner sentinels make both engines' replace exactly BPE's
+    greedy left-to-right merge (see operators/tokenize.py)."""
+    from azure_etl_spark.operators.tokenize import DSEP, PSEP, SEP
+
+    ctes = [
+        _bpe_word_cte(),
+        f"""w0 AS (
+      SELECT '{SEP}' || array_to_string(string_split(word, ''), '{DSEP}') || '{SEP}' AS s,
+             cnt
+      FROM wf)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                    i -> struct_pack(lhs := arr[i], rhs := arr[i + 1]))) AS pr, cnt
+      FROM (SELECT string_split(substring(s, 2, length(s) - 2), '{DSEP}') AS arr, cnt
+            FROM w{r - 1}) t)""")
+        ctes.append(f"""c{r} AS (
+      SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM p{r} GROUP BY 1, 2)""")
+        ctes.append(f"""b{r} AS (
+      SELECT lhs, rhs, lhs || rhs AS merged, pair_count,
+             '{SEP}' || lhs || '{DSEP}' || rhs || '{SEP}' AS pat,
+             '{SEP}' || lhs || rhs || '{SEP}' AS rep
+      FROM c{r} ORDER BY pair_count DESC, lhs || '{PSEP}' || rhs ASC LIMIT 1)""")
+        ctes.append(f"""w{r} AS (
+      SELECT replace(s, b.pat, b.rep) AS s, cnt FROM w{r - 1}, b{r} b)""")
+    return ctes
+
+
+def _bpe_train_oracle() -> str:
+    n = _BPE_N_MERGES
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, merged, pair_count FROM b{r}"
+        for r in range(1, n + 1)
+    )
+    return f"""
+    WITH {', '.join(_bpe_round_ctes(n))}
+    SELECT rank, lhs, rhs, merged, pair_count FROM ({union}) u ORDER BY rank
+    """
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle,
+    description="In-engine BPE tokenizer training (Sennrich et al. "
+    "2016): one corpus-wide word-count shuffle, then each merge round "
+    "is a linear pass over the (small, Heaps-law) vocabulary table — "
+    "explode adjacent symbol pairs, 1-row deterministic argmax "
+    "(count desc, pair asc), broadcast the winner back and merge via "
+    "one JVM replace on sentinel-wrapped symbol strings. Oracle "
+    "unrolls all 8 rounds as chained CTEs and replays the identical "
+    "greedy leftmost merges.",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.tokenize import bpe_train, word_frequencies
+
+    merges, _ = bpe_train(word_frequencies(_td(spark, sf_dir)), _BPE_N_MERGES)
+    return merges.orderBy("rank")
+
+
+def _bpe_encode_oracle() -> str:
+    from azure_etl_spark.operators.tokenize import DSEP, SEP
+
+    n = _BPE_N_MERGES
+    ctes = _bpe_round_ctes(n)
+    ctes.append(rf"""d0 AS (
+      SELECT doc_id,
+             list_transform(words,
+                 w -> '{SEP}' || array_to_string(string_split(w, ''), '{DSEP}') || '{SEP}')
+                 AS syms
+      FROM (SELECT doc_id,
+                   list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                               w -> regexp_matches(w, '^[a-z]+$')) AS words
+            FROM documents) t)""")
+    for r in range(1, n + 1):
+        ctes.append(f"""d{r} AS (
+      SELECT doc_id, list_transform(syms, s -> replace(s, b.pat, b.rep)) AS syms
+      FROM d{r - 1}, b{r} b)""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+           array_to_string(toks, ' ') AS tok_str
+    FROM (SELECT doc_id,
+                 flatten(list_transform(syms,
+                     s -> string_split(substring(s, 2, length(s) - 2), '{DSEP}'))) AS toks
+          FROM d{n}) f
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=_bpe_encode_oracle,
+    description="Apply the learned BPE merges to the corpus: each "
+    "round's winning pair is a 1-row broadcast and one JVM replace "
+    "inside a per-word transform — the corpus never shuffles. Oracle "
+    "chains the same 8 replaces over the same training CTEs, so "
+    "training AND encoding are value-checked end-to-end.",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.tokenize import bpe_encode, bpe_train, word_frequencies
+
+    d = _td(spark, sf_dir)
+    _, rounds = bpe_train(word_frequencies(d), _BPE_N_MERGES)
+    return (
+        bpe_encode(d, rounds)
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.array_join("bpe_tokens", " ").alias("tok_str"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _pq_topk_oracle(
     m: int = 4, k_codes: int = 16, max_iter: int = 3, k: int = 5, dim: int = 64
 ) -> str:

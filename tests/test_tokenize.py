@@ -1,0 +1,62 @@
+"""BPE tokenizer training/encoding (operators/tokenize.py).
+
+Hand-checked merges on the classic Sennrich-style toy corpus, plus a
+losslessness property on the fixture corpus (BPE segmentation is a
+partition of each word: concatenating a word's tokens restores it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_etl_spark.operators.tokenize import (
+    bpe_encode,
+    bpe_train,
+    word_frequencies,
+)
+from azure_etl_spark.sources.files import load_table
+
+
+def _toy_words(spark):
+    rows = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    return spark.createDataFrame(rows, ["word", "cnt"])
+
+
+def test_bpe_train_hand_checked_merges(spark):
+    """low*5 lower*2 newest*6 widest*3: pair counts make round 1 a tie
+    (e,s)=9 vs (s,t)=9 -> lexicographic tie-break picks (e,s); then
+    (es,t)=9; then the (l,o)/(o,w) 7-7 tie picks (l,o)."""
+    merges, _ = bpe_train(_toy_words(spark), n_merges=3)
+    got = [(r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    _, rounds = bpe_train(_toy_words(spark), n_merges=3)
+    docs = spark.createDataFrame([(1, "lowest newest low")], ["doc_id", "text"])
+    out = bpe_encode(docs, rounds).collect()[0]
+    # lowest: l o w e s t -> es -> est -> lo  => [lo, w, est]
+    assert out["bpe_tokens"] == ["lo", "w", "est", "n", "e", "w", "est", "lo", "w"]
+    assert out["n_bpe_tokens"] == 9
+
+
+def test_bpe_segmentation_is_lossless(spark, sf_dir):
+    """Concatenated tokens must exactly rebuild the filtered word
+    stream for every fixture document (no characters created or lost
+    by the sentinel encoding + greedy merges)."""
+    d = load_table(spark, sf_dir, "documents")
+    _, rounds = bpe_train(word_frequencies(d), n_merges=8)
+    enc = bpe_encode(d, rounds)
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w.rlike("^[a-z]+$"),
+    )
+    bad = enc.withColumn("__orig", F.concat_ws("", words)).filter(
+        F.concat_ws("", F.col("bpe_tokens")) != F.col("__orig")
+    )
+    assert bad.count() == 0
