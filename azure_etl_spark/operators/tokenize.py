@@ -113,6 +113,11 @@ def bpe_train(words: DataFrame, n_merges: int = 8) -> tuple[DataFrame, list[Data
                 "rep"
             ),
         ).localCheckpoint(eager=True)
+        # vocabulary fully merged before n_merges rounds: the argmax over
+        # an empty pair table is a NULL row — stop instead of letting a
+        # NULL pattern poison every word via replace(s, NULL, NULL)
+        if best.first()["lhs"] is None:
+            break
         rounds.append(best)
         cur = (
             cur.join(F.broadcast(best.select("pat", "rep")))
@@ -120,6 +125,11 @@ def bpe_train(words: DataFrame, n_merges: int = 8) -> tuple[DataFrame, list[Data
             .select("s", "cnt")
             .localCheckpoint(eager=True)
         )
+    if not rounds:  # no adjacent pairs at all (every word is one symbol)
+        empty = words.sparkSession.createDataFrame(
+            [], "rank int, lhs string, rhs string, merged string, pair_count bigint"
+        )
+        return empty, rounds
     merges = rounds[0].drop("pat", "rep")
     for b in rounds[1:]:
         merges = merges.unionByName(b.drop("pat", "rep"))

@@ -420,3 +420,64 @@ def test_snapshot_dml_sequences_match_model(spark, ops, tmp_path_factory):
         for r in read_snapshot(spark, path, version=v0).collect()
     }
     assert old == vhist[v0]
+
+
+def _ref_bpe(words: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE (Sennrich et al. 2016): greedy
+    leftmost merge of the (max count, lexicographically min) pair."""
+    seqs = {w: tuple(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = counts.get(
+                    (seq[i], seq[i + 1]), 0
+                ) + words[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((best[0], best[1], counts[best]))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(seq[i] + seq[i + 1])
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges, seqs
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(1, 4),
+)
+@SET
+def test_bpe_train_matches_python_reference(spark, words, n_merges):
+    """Two-letter alphabet forces heavy pair-count ties and overlapping
+    runs (aaaa...) — exercising exactly the tie-break and greedy
+    leftmost-merge semantics the SQL oracle also replays."""
+    from azure_etl_spark.operators.tokenize import bpe_encode, bpe_train
+
+    wf = spark.createDataFrame(list(words.items()), ["word", "cnt"])
+    merges, rounds = bpe_train(wf, n_merges=n_merges)
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in merges.orderBy("rank").collect()]
+    want, want_seqs = _ref_bpe(words, n_merges)
+    # both sides stop when no pairs remain (all words fully merged)
+    assert got == want
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(words))], ["doc_id", "text"]
+    )
+    enc = {
+        r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, rounds).collect()
+    }
+    for i, w in enumerate(sorted(words)):
+        assert tuple(enc[i]) == want_seqs[w], w
