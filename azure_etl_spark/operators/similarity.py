@@ -544,12 +544,31 @@ def semantic_dedup(
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
         assign.withColumnRenamed(id_col, "id"), "id"
     )
-    a = vecs.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("__va"))
-    b = vecs.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    # Precompute each vector's norm ONCE (pair count is quadratic in
+    # cluster size, vector count is linear): the per-pair work drops
+    # from three 64-element folds (dot + both norms) to one. The
+    # expression dot/(na*nb) is the same float ops in the same order as
+    # cosine(), so results stay bit-identical to the SQL oracle.
+    vecs_n = vecs.withColumn("__n", norm(F.col("v")))
+    a = vecs_n.select(
+        "cid",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = vecs_n.select(
+        "cid",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= F.lit(threshold)
+        )
         .select("id_b")
         .distinct()
     )

@@ -142,30 +142,41 @@ def bpe_encode(
     """Apply learned merges to a corpus: adds ``bpe_tokens``
     (array<string>) and ``n_bpe_tokens``.
 
-    Each round's winning (pat, rep) is broadcast onto the corpus and
-    applied with one JVM ``replace`` inside a per-word transform — the
-    corpus is scanned once per merge with zero shuffles (1-row broadcast
-    joins only), mirroring how the oracle chains the same replaces.
+    The merge list is assembled into ONE rank-ordered array (a 1-row
+    broadcast), and all merges apply in a single corpus pass: per word,
+    ``aggregate`` folds the (pat, rep) array over the symbol string with
+    one JVM ``replace`` per merge — chained replaces are exactly the
+    fold, which is also how the oracle unrolls them. Zero shuffles, one
+    scan, regardless of merge count.
     """
+    if not rounds:
+        return df.withColumn(
+            "bpe_tokens",
+            F.filter(tokens(F.lower(F.col(text_col))), lambda w: w.rlike("^[a-z]+$")),
+        ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+    merged = rounds[0].select("rank", "pat", "rep")
+    for b in rounds[1:]:
+        merged = merged.unionByName(b.select("rank", "pat", "rep"))
+    ms = merged.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "pat", "rep"))).alias("__ms")
+    )
     words = F.filter(
         tokens(F.lower(F.col(text_col))), lambda w: w.rlike("^[a-z]+$")
     )
-    out = df.withColumn("__syms", F.transform(words, lambda w: symbolize(w)))
-    for i, b in enumerate(rounds):
-        p, rp = f"__pat{i}", f"__rep{i}"
-        out = (
-            out.join(
-                F.broadcast(b.select(F.col("pat").alias(p), F.col("rep").alias(rp)))
-            )
-            .withColumn(
-                "__syms",
-                F.transform(
-                    F.col("__syms"), lambda s: F.replace(s, F.col(p), F.col(rp))
-                ),
-            )
-            .drop(p, rp)
-        )
+    out = df.join(F.broadcast(ms)).withColumn(
+        "__syms",
+        F.transform(
+            words,
+            lambda w: F.aggregate(
+                F.col("__ms"),
+                symbolize(w),
+                lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+            ),
+        ),
+    )
     toks = F.flatten(F.transform(F.col("__syms"), lambda s: _symbols(s)))
-    return out.withColumn("bpe_tokens", toks).withColumn(
-        "n_bpe_tokens", F.size("bpe_tokens")
-    ).drop("__syms")
+    return (
+        out.withColumn("bpe_tokens", toks)
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+        .drop("__syms", "__ms")
+    )
