@@ -3,10 +3,12 @@
 The medallion pipeline (plans/pipeline.py) is the reference's dataflow;
 this is its LLM-training-data sibling: the standard curation funnel
 (language gate -> quality gate -> exact dedup -> near-dup dedup ->
-decontamination -> shard + pack) composed from the engine's operators
-into one testable object. Every stage is DataFrame -> DataFrame and the
-funnel's per-stage survivor counts ride a single ``stats()`` action at
-the end — no per-stage count() scans.
+optional semantic dedup -> decontamination -> shard + pack) composed
+from the engine's operators into one testable object. Every stage is
+DataFrame -> DataFrame; per-stage survivor counts are recorded in
+``stage_counts`` (count() per stage — the funnel is a diagnostic
+harness; production runs would ride the counts on Observation metrics
+as the medallion pipeline does).
 
 Scale shape per stage (details at the operators and SCALE.md):
 - language / quality gates: map-only column predicates, no shuffle;
@@ -46,6 +48,10 @@ class CurationPipeline:
     contamination_ngram: int = 8
     n_shards: int = 8
     token_budget: int = 512
+    # semantic dedup (SemDeDup) — active when run() receives embeddings;
+    # k follows the paper's sqrt rule at scale (see operators/similarity)
+    semantic_k: int = 8
+    semantic_threshold: float = 0.95
     # optional context-window chunking before shard+pack (the unit that
     # is packed becomes the chunk, not the document); stride defaults to
     # chunk_words (no overlap) when unset
@@ -53,7 +59,16 @@ class CurationPipeline:
     chunk_stride: int | None = None
     stage_counts: dict = field(default_factory=dict)
 
-    def run(self, docs: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
+    def run(
+        self,
+        docs: DataFrame,
+        eval_docs: DataFrame | None = None,
+        embeddings: DataFrame | None = None,
+    ) -> DataFrame:
+        """``embeddings`` (doc_id, embedding) enables the SemDeDup stage:
+        only survivors' embeddings are clustered, and a doc is dropped
+        when a lower-id same-cluster survivor is cosine-similar above
+        ``semantic_threshold``."""
         self.stage_counts["input"] = docs.count()
 
         kept = docs.filter(F.col("lang").isin(list(self.target_langs)))
@@ -68,6 +83,19 @@ class CurationPipeline:
         pairs = minhash_near_dup_pairs(kept, threshold=self.near_dup_threshold)
         kept = resolve_duplicate_clusters(kept, pairs)
         self.stage_counts["near_dedup"] = kept.count()
+
+        if embeddings is not None:
+            from azure_etl_spark.operators.similarity import semantic_dedup
+
+            surviving = embeddings.join(kept.select("doc_id"), "doc_id")
+            dropped = semantic_dedup(
+                surviving,
+                k=self.semantic_k,
+                threshold=self.semantic_threshold,
+                id_col="doc_id",
+            ).filter(~F.col("kept")).select("doc_id")
+            kept = kept.join(dropped, "doc_id", "left_anti")
+            self.stage_counts["semantic_dedup"] = kept.count()
 
         if eval_docs is not None:
             flagged = contamination_overlap(

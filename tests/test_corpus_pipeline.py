@@ -80,3 +80,29 @@ def test_funnel_chunked_variant_packs_chunks(spark, sf_dir):
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, b.select(*cols).collect())
     )
+
+
+def test_funnel_semantic_stage_drops_embedding_twin(spark, sf_dir):
+    """A doc whose TEXT is unique but whose EMBEDDING clones doc 3's
+    survives every text stage and is caught only by the SemDeDup stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    twin = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100002).alias("doc_id"),
+        F.concat(F.lit("entirely different words here "), F.reverse("text")).alias("text"),
+        "lang",
+    )
+    corpus = docs.unionByName(twin)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    emb = emb.unionByName(
+        emb.filter(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 100002).alias("doc_id"), "embedding"
+        )
+    )
+    p = CurationPipeline()
+    out = p.run(corpus, embeddings=emb)
+    c = p.stage_counts
+    assert c["semantic_dedup"] == c["near_dedup"] - 1, c
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 3 in ids and (3 + 100002) not in ids  # keep-lowest-id policy
