@@ -1563,3 +1563,79 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list
 def is_snapshot_table(spark: SparkSession, path: str) -> bool:
     fs, jvm = _fs(spark, path)
     return fs.exists(_jpath(jvm, path, MANIFEST_DIR))
+
+
+def convert_to_snapshot(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    collect_stats: bool = True,
+) -> int:
+    """Adopt the snapshot format IN PLACE over an existing parquet
+    directory — the ``CONVERT TO DELTA`` migration story.
+
+    The directory's children (part files, or Hive ``col=val`` partition
+    subdirs — pass ``partition_by`` so readers re-derive the columns)
+    are RENAMED under an attempt-unique ``data/v0-{token}`` dir: renames
+    are O(metadata) on HDFS/ABFS-with-HNS/local, so converting a 100 TB
+    table costs a directory listing plus (optionally) one stats pass —
+    no data is read or rewritten unless stats are requested. Commit is
+    the same atomic manifest create every writer uses; version 0 then
+    behaves like any committed snapshot (time travel, DML, vacuum).
+
+    Like Delta's CONVERT, this is a single-administrator operation: it
+    refuses to run on an existing snapshot table, and a lost commit
+    race (a writer slipped in mid-convert) raises rather than guess.
+    """
+    if is_snapshot_table(spark, path):
+        raise SnapshotConflictError(f"{path} is already a snapshot table")
+    fs, jvm = _fs(spark, path)
+    root = path.rstrip("/")
+    rootp = _jpath(jvm, root)
+    if not fs.exists(rootp):
+        raise SnapshotVersionError(f"nothing to convert at {path}")
+    data_rel = f"{DATA_DIR}/v0-{uuid.uuid4().hex[:8]}"
+    target = _jpath(jvm, root, data_rel)
+    fs.mkdirs(target)
+    moved = 0
+    for st in fs.listStatus(rootp):
+        name = st.getPath().getName()
+        if name in (DATA_DIR, MANIFEST_DIR, DELETES_DIR) or name.startswith(
+            ("_", ".")
+        ):
+            continue
+        if not fs.rename(st.getPath(), _jpath(jvm, root, data_rel, name)):
+            raise SnapshotConflictError(
+                f"convert: rename of {name} under {path} failed — "
+                "concurrent modification during convert?"
+            )
+        moved += 1
+    if moved == 0:
+        fs.delete(target, True)
+        raise SnapshotVersionError(f"no parquet content to convert at {path}")
+    df = spark.read.option("basePath", f"{root}/{data_rel}").parquet(
+        f"{root}/{data_rel}"
+    )
+    stats = (
+        _collect_file_stats(spark, root, data_rel, bloom=None)
+        if collect_stats
+        else {}
+    )
+    manifest = {
+        "version": 0,
+        "mode": "convert",
+        "data_dirs": [data_rel],
+        "data_files": [],
+        "partition_by": list(partition_by or []),
+        "committed_at_unix": time.time(),
+        "stats": stats,
+        "txns": {},
+        "deletes": [],
+        "columns": list(df.columns),
+    }
+    if not _try_commit_manifest(spark, path, 0, manifest):
+        raise SnapshotConflictError(
+            f"convert: version 0 appeared at {path} mid-convert; the moved "
+            f"data is intact under {data_rel} — recover manually"
+        )
+    return 0

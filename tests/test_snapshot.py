@@ -1383,3 +1383,40 @@ def test_partition_evolution_mixed_layouts(spark, tmp_path):
     assert out.count() == 20
     got = {(r["id"], r["bucket"]) for r in out.collect()}
     assert got == {(i, i % 2) for i in range(20)}
+
+
+def test_convert_to_snapshot_in_place(spark, tmp_path):
+    """CONVERT TO DELTA analogue: an existing plain parquet directory
+    (partitioned) is adopted in place by renames — same rows and
+    partition columns back, stats armed for skipping, and the table
+    then supports append/time-travel like any snapshot table."""
+    from azure_etl_spark.sources.snapshot import convert_to_snapshot
+
+    path = str(tmp_path / "plain")
+    _df(spark, "legacy", n=30).write.partitionBy("bucket").parquet(path)
+    assert convert_to_snapshot(spark, path, partition_by=["bucket"]) == 0
+
+    back = read_snapshot(spark, path)
+    assert back.count() == 30
+    assert set(back.columns) == {"id", "tag", "bucket"}
+    assert back.groupBy("bucket").count().count() == 3
+    m = _load_manifest(spark, path, 0)
+    assert m["mode"] == "convert" and m["stats"]  # skipping armed
+
+    # behaves like any snapshot table afterwards
+    assert write_snapshot(_df(spark, "new", n=5), path, mode="append") == 1
+    assert read_snapshot(spark, path).count() == 35
+    assert read_snapshot(spark, path, version=0).count() == 30
+
+    # refuses double-convert
+    with pytest.raises(SnapshotConflictError):
+        convert_to_snapshot(spark, path)
+
+
+def test_convert_empty_dir_refused(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import convert_to_snapshot
+
+    p = tmp_path / "empty"
+    p.mkdir()
+    with pytest.raises(SnapshotVersionError):
+        convert_to_snapshot(spark, str(p))
