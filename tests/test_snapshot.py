@@ -1412,6 +1412,13 @@ def test_convert_to_snapshot_in_place(spark, tmp_path):
     with pytest.raises(SnapshotConflictError):
         convert_to_snapshot(spark, path)
 
+    # DML works on the converted table (stats-scoped COW delete)
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    delete_from_snapshot(spark, path, [("id", "<", 3)])
+    assert read_snapshot(spark, path).filter(F.col("id") < 3).count() == 0
+    assert read_snapshot(spark, path).count() == 35 - 6  # 3 ids x 2 writes
+
 
 def test_convert_empty_dir_refused(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import convert_to_snapshot
