@@ -6233,6 +6233,89 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob_docs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bg AS (SELECT doc_id, w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+           FROM docs, unnest(range(1, CAST(len(w) AS BIGINT))) AS t(i)),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    cu AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT x) AS vs FROM
+          (SELECT unnest(w) AS x FROM docs) u),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln((c2 + 0.5) / (c1 + 0.5 * vs)) AS nlp
+      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(nlp), 6) AS avg_neg_logp
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_neg_logp
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    description="Bigram language-model score with add-0.5 smoothing "
+    "(the honest in-engine step toward CCNet's KenLM perplexity "
+    "filter): P(w2|w1) = (c(w1w2)+a)/(c(w1.)+aV), per-doc mean "
+    "-ln P over adjacent-token bigrams. The bigram table is "
+    "Heaps-bounded (AQE picks broadcast vs shuffle join by its actual "
+    "size); context counts derive from the bigram table (tiny) and the "
+    "vocab size joins as a 1-row broadcast scalar. Docs with <2 tokens "
+    "survive with n_bigrams=0.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select("doc_id", F.split(normalized_text("text"), " ").alias("w"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("w") < 2, F.array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cu = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = toks.select(F.explode("w").alias("x")).agg(
+        F.countDistinct("x").alias("vs")
+    )
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "nlp",
+            -F.log(
+                (F.col("c2") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("vs"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_neg_logp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "trimmed_mean_orders",
     oracle="""
     WITH q AS (
