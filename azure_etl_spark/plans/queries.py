@@ -2929,6 +2929,51 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, k=8, max_iter=3, threshold=0.95).orderBy("vec_id")
 
 
+def _cluster_profile_oracle(
+    k_clusters: int = 8, max_iter: int = 3, dim: int = 64
+) -> str:
+    a, c = f"a{max_iter}", f"c{max_iter}"
+    ctes = _kmeans_ctes(k_clusters, max_iter, dim)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT a.cid AS cid, COUNT(*) AS n,
+           ROUND(AVG(sqrt({_sq_dist_sql('a.v', 'c.centroid', dim)})), 6)
+             AS avg_dist
+    FROM {a} a JOIN {c} c ON a.cid = c.cid
+    GROUP BY a.cid ORDER BY a.cid
+    """
+
+
+@query(
+    "embedding_cluster_profile",
+    oracle=_cluster_profile_oracle,
+    description="Corpus composition profile: k-means partition sizes + "
+    "mean distance-to-centroid per cluster (the cohesion diagnostic "
+    "data-mixture tuning reads before re-weighting domains). Centroids "
+    "broadcast; one aggregate over the assignment — and the same "
+    "deterministic k-means CTE chain oracles it.",
+)
+def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import _sq_dist, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(e, k=8, max_iter=3)
+    vecs = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    return (
+        assign.withColumnRenamed("vec_id", "id")
+        .join(vecs, "id")
+        .join(F.broadcast(cents), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.sqrt(_sq_dist(F.col("v"), F.col("centroid")))), 6
+            ).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
 # ------------------------------------------------------- BPE tokenizer training
 
 _BPE_N_MERGES = 8
