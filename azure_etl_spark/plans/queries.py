@@ -120,6 +120,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "rolling_7d_revenue": ("rev_7d",),
     "rollup_orders": ("total",),
     "skew_salted_agg": ("total",),
+    "snapshot_convert_gold": ("min_value_by_crypto", "max_value_by_crypto"),
     "snapshot_time_travel_gold": ("min_value_by_crypto", "max_value_by_crypto"),
     "tpch_q10ish": ("revenue",),
     "tpch_q11ish": ("total",),
@@ -1373,6 +1374,60 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_partitioned(gold, path, ["symbol"], fmt="snapshot")
     write_partitioned(
         gold.filter(F.col("symbol") != "A"), path, ["symbol"], fmt="snapshot"
+    )
+    v0 = read_table_format(spark, path, version=0).withColumn("version", F.lit(0))
+    latest = read_table_format(spark, path).withColumn("version", F.lit(1))
+    return v0.unionByName(latest).select(
+        "symbol", "min_value_by_crypto", "max_value_by_crypto", "version"
+    )
+
+
+@query(
+    "snapshot_convert_gold",
+    oracle=f"""
+    {CRYPTO_SQL},
+    gold AS (SELECT symbol,
+                    MIN(price) AS min_value_by_crypto,
+                    MAX(price) AS max_value_by_crypto
+             FROM crypto GROUP BY symbol)
+    SELECT symbol, min_value_by_crypto, max_value_by_crypto,
+           CAST(0 AS INT) AS version FROM gold
+    UNION ALL
+    SELECT symbol, min_value_by_crypto, max_value_by_crypto,
+           CAST(1 AS INT) AS version FROM gold
+    UNION ALL
+    SELECT symbol, min_value_by_crypto, max_value_by_crypto,
+           CAST(1 AS INT) AS version FROM gold WHERE symbol = 'A'
+    """,
+    description="CONVERT TO DELTA analogue end-to-end: gold written as a "
+    "PLAIN partitioned parquet dir, adopted in place by "
+    "convert_to_snapshot (O(metadata) renames, no rewrite — the 100 TB "
+    "migration path), then appended through the snapshot log. Version 0 "
+    "(the converted legacy data) and the post-convert latest are both "
+    "read back — proving converted tables time-travel and append like "
+    "any snapshot table.",
+)
+def q_snapshot_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.files import read_table_format
+    from azure_etl_spark.sources.snapshot import convert_to_snapshot, write_snapshot
+
+    gold = grouped_min_max(
+        crypto_view(spark, sf_dir),
+        keys=["symbol"],
+        value="price",
+        min_alias="min_value_by_crypto",
+        max_alias="max_value_by_crypto",
+    )
+    path = tempfile.mkdtemp(prefix="snapconv_") + "/gold"
+    gold.write.partitionBy("symbol").parquet(path)  # legacy plain layout
+    convert_to_snapshot(spark, path, partition_by=["symbol"])
+    write_snapshot(
+        gold.filter(F.col("symbol") == "A"),
+        path,
+        mode="append",
+        partition_by=["symbol"],
     )
     v0 = read_table_format(spark, path, version=0).withColumn("version", F.lit(0))
     latest = read_table_format(spark, path).withColumn("version", F.lit(1))
