@@ -4999,6 +4999,56 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_curriculum_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_WORDS_SQL}) AS n_tokens,
+             {_QUALITY_SQL} AS q
+      FROM documents),
+    packed AS (
+      SELECT source, q,
+             CAST(floor(
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY q DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512.0) AS INT) AS seq_id,
+             n_tokens
+      FROM t)
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           ROUND(MIN(q), 6) AS q_min, ROUND(MAX(q), 6) AS q_max
+    FROM packed GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+    description="Curriculum-ordered packing: within each shard the "
+    "contiguous token-budget fill runs highest-quality-first (order by "
+    "quality desc via a negated sort column), so early training "
+    "sequences hold the best documents — the curriculum-learning "
+    "ordering knob on the same one-shuffle-per-shard packer. MIN/MAX "
+    "quality per sequence (order-independent aggregates) prove the "
+    "ordering end-to-end.",
+)
+def q_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.curation import pack_token_budget
+
+    docs = _td(spark, sf_dir).withColumn("q", T.quality_score("text"))
+    d2 = docs.withColumn("negq", -F.col("q"))
+    packed = pack_token_budget(
+        d2, budget=512, shard_col="source", order_cols=("negq", "doc_id")
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.round(F.min("q"), 6).alias("q_min"),
+            F.round(F.max("q"), 6).alias("q_max"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
     "mad_outliers_events",
     oracle="""
     WITH med AS (
