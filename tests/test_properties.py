@@ -481,3 +481,70 @@ def test_bpe_train_matches_python_reference(spark, words, n_merges):
     }
     for i, w in enumerate(sorted(words)):
         assert tuple(enc[i]) == want_seqs[w], w
+
+
+def _ref_semantic_dedup(vecs: dict[int, list[float]], k: int, iters: int, thr: float):
+    """Pure-Python SemDeDup mirror: deterministic Lloyd (k-lowest-id
+    init, (dist, cid) argmin, per-dim means), intra-cluster cosine
+    pairs, greedy keep-lowest-id."""
+    import math
+
+    ids = sorted(vecs)
+    cents = {c + 1: list(vecs[i]) for c, i in enumerate(ids[:k])}
+    assign = {}
+    for _ in range(iters):
+        for i in ids:
+            assign[i] = min(
+                cents,
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(vecs[i], cents[c])),
+                    c,
+                ),
+            )
+        for c in set(assign.values()):
+            members = [vecs[i] for i in ids if assign[i] == c]
+            cents[c] = [sum(col) / len(members) for col in zip(*members)]
+        cents = {c: v for c, v in cents.items() if any(assign[i] == c for i in ids)}
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+    dropped = set()
+    for i in ids:
+        for j in ids:
+            if i < j and assign[i] == assign[j] and cos(vecs[i], vecs[j]) >= thr:
+                dropped.add(j)
+    return assign, dropped
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=3,
+        max_size=12,
+    ),
+)
+@SET
+def test_semantic_dedup_matches_python_reference(spark, data):
+    """Small integer vectors force centroid/assignment ties and exact
+    cosine collisions — the determinism contract the SQL oracle relies
+    on. Zero vectors are excluded (cosine undefined)."""
+    from azure_etl_spark.operators.similarity import semantic_dedup
+
+    vecs = {
+        i: [float(x) for x in v]
+        for i, v in enumerate(data)
+        if any(x != 0 for x in v)
+    }
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(df, k=3, max_iter=2, threshold=0.999)
+    got = {r["vec_id"]: (r["cid"], r["kept"]) for r in out.collect()}
+    assign, dropped = _ref_semantic_dedup(vecs, k=3, iters=2, thr=0.999)
+    assert set(got) == set(vecs)
+    for i in vecs:
+        assert got[i][0] == assign[i], (i, got[i], assign[i])
+        assert got[i][1] == (i not in dropped), i
