@@ -168,12 +168,23 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
         )
     # the commit protocol atomically CLAIMS the manifest path first and
     # streams the JSON right after — a reader racing that microsecond
-    # window sees an empty/partial file; retry briefly before treating
-    # it as corruption (a crashed claimer never publishes content, so
-    # the final raise is the honest outcome there)
+    # window sees an empty/partial file, or (on checksummed filesystems
+    # like Hadoop's LocalFS wrapper) a ChecksumException/EOFException
+    # because the .crc trailer lags the data bytes mid-publish; retry
+    # briefly before treating it as corruption (a crashed claimer never
+    # publishes content, so the final raise is the honest outcome
+    # there). Only the transient signatures retry — anything else
+    # (permissions, connectivity) propagates immediately.
     last = b""
+    last_err: Exception | None = None
     for _ in range(40):
-        last = _read_small_file(jvm, fs, mpath)
+        try:
+            last = _read_small_file(jvm, fs, mpath)
+        except Exception as exc:
+            msg = str(exc)
+            if "ChecksumException" not in msg and "EOFException" not in msg:
+                raise
+            last, last_err = b"", exc
         if last:
             try:
                 return json.loads(last.decode("utf-8"))
@@ -182,8 +193,8 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
         time.sleep(0.05)
     raise SnapshotVersionError(
         f"manifest v{version} under {path} unreadable after retries "
-        f"({len(last)} bytes) — a crashed writer may have claimed but "
-        "never published this version"
+        f"({len(last)} bytes, last error: {last_err}) — a crashed writer "
+        "may have claimed but never published this version"
     )
 
 
@@ -192,16 +203,33 @@ def _try_commit_manifest(
 ) -> bool:
     """Atomically create ``_manifest/v{N}.json``; False if another
     writer committed this version first (the optimistic-concurrency
-    loss), any other failure propagates."""
+    loss), any other failure propagates.
+
+    The claim primitive is scheme-dependent: on HDFS/ABFS,
+    ``create(path, overwrite=false)`` is enforced atomically server-side.
+    On ``file://``, Hadoop's LocalFileSystem implements that flag as a
+    non-atomic exists-then-create check — two threads can both "win" and
+    the second silently overwrites the first (a lost update this race
+    test actually caught). There the claim is ``java.io.File
+    .createNewFile()`` — the O_CREAT|O_EXCL syscall, atomic across
+    threads and processes — and the JSON is then published over the
+    claimed empty file (readers tolerate the claim-to-publish window via
+    the retry loop in ``_load_manifest``)."""
     fs, jvm = _fs(spark, path)
     fs.mkdirs(_jpath(jvm, path, MANIFEST_DIR))
     mpath = _jpath(jvm, path, MANIFEST_DIR, f"v{version}.json")
-    try:
-        stream = fs.create(mpath, False)  # overwrite=False -> atomic claim
-    except Exception as exc:  # py4j wraps FileAlreadyExistsException
-        if "exists" in str(exc).lower():
-            return False
-        raise
+    if fs.getUri().getScheme() == "file":
+        local = fs.makeQualified(mpath).toUri().getPath()
+        if not jvm.java.io.File(local).createNewFile():
+            return False  # lost the O_EXCL race
+        stream = fs.create(mpath, True)  # publish over the claimed file
+    else:
+        try:
+            stream = fs.create(mpath, False)  # atomic claim on HDFS/ABFS
+        except Exception as exc:  # py4j wraps FileAlreadyExistsException
+            if "exists" in str(exc).lower():
+                return False
+            raise
     try:
         stream.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
     finally:
