@@ -1420,6 +1420,20 @@ def test_convert_to_snapshot_in_place(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 35 - 6  # 3 ids x 2 writes
 
 
+def test_convert_unpartitioned_flat_layout(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import convert_to_snapshot
+
+    path = str(tmp_path / "flat")
+    _df(spark, "legacy", n=12).repartition(3).write.parquet(path)
+    assert convert_to_snapshot(spark, path) == 0
+    back = read_snapshot(spark, path)
+    assert back.count() == 12
+    assert {r["tag"] for r in back.collect()} == {"legacy"}
+    # stats present for every moved part file
+    m = _load_manifest(spark, path, 0)
+    assert len(m["stats"]) == 3
+
+
 def test_convert_empty_dir_refused(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import convert_to_snapshot
 
