@@ -1593,6 +1593,41 @@ def is_snapshot_table(spark: SparkSession, path: str) -> bool:
     return fs.exists(_jpath(jvm, path, MANIFEST_DIR))
 
 
+def repair_snapshot_log(
+    spark: SparkSession, path: str, min_age_s: float = 60.0
+) -> list[int]:
+    """Remove claimed-but-never-published manifests left by crashed
+    writers, un-sticking the log.
+
+    A writer that dies between claiming ``v{N}.json`` and publishing its
+    JSON leaves an empty (or truncated) manifest: every subsequent
+    writer lists v{N}, tries to parent on it, and fails — the log is
+    wedged until the claim is removed (Delta has the same failure shape;
+    its recovery is also log surgery). A claim is repairable only when
+    its content does not parse AND its modification time is older than
+    ``min_age_s`` — a live writer publishes within milliseconds, so the
+    age guard keeps repair from racing an in-flight commit. Returns the
+    removed version numbers; orphaned attempt dirs are left for
+    :func:`vacuum_snapshots`.
+    """
+    fs, jvm = _fs(spark, path)
+    removed: list[int] = []
+    now_ms = time.time() * 1000.0
+    for v in _list_versions(spark, path):
+        mpath = _jpath(jvm, path, MANIFEST_DIR, f"v{v}.json")
+        try:
+            content = _read_small_file(jvm, fs, mpath)
+            json.loads(content.decode("utf-8"))
+            continue  # published fine
+        except Exception:
+            pass
+        age_ms = now_ms - fs.getFileStatus(mpath).getModificationTime()
+        if age_ms >= min_age_s * 1000.0:
+            fs.delete(mpath, False)
+            removed.append(v)
+    return removed
+
+
 def convert_to_snapshot(
     spark: SparkSession,
     path: str,

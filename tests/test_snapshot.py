@@ -1441,3 +1441,29 @@ def test_convert_empty_dir_refused(spark, tmp_path):
     p.mkdir()
     with pytest.raises(SnapshotVersionError):
         convert_to_snapshot(spark, str(p))
+
+
+def test_repair_log_unsticks_crashed_claim(spark, tmp_path):
+    """A claimed-but-unpublished manifest (crashed writer) wedges every
+    later commit; repair removes only the stale claim and writes flow
+    again. A freshly-claimed manifest is NOT repaired (age guard)."""
+    from azure_etl_spark.sources.snapshot import (
+        _fs,
+        _jpath,
+        repair_snapshot_log,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, "v0"), path)
+    # simulate the crash: claim v1 with no content
+    fs, jvm = _fs(spark, path)
+    fs.create(_jpath(jvm, path, "_manifest", "v1.json"), False).close()
+
+    with pytest.raises(SnapshotVersionError):
+        write_snapshot(_df(spark, "stuck"), path, mode="append")
+
+    assert repair_snapshot_log(spark, path, min_age_s=3600) == []  # too fresh
+    assert repair_snapshot_log(spark, path, min_age_s=0) == [1]
+    v = write_snapshot(_df(spark, "after", n=4), path, mode="append")
+    assert v == 1
+    assert read_snapshot(spark, path).count() == 14
