@@ -1,11 +1,17 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media are opaque ``binary`` columns + typed metadata columns. The actual
-codec work (decode/resize/frame-sample) needs libs not present in this
-container, so the codec kernels are STUBS — either deterministic fakes
-(for tests) or ``NotImplementedError`` — while everything Spark-side is
-real and tested: schema, Arrow batch shape, ``mapInPandas`` plumbing,
-partition sizing.
+Media are opaque ``binary`` columns + typed metadata columns.
+Everything Spark-side — schema, Arrow batch shape, ``mapInPandas``
+plumbing, partition sizing — is real and tested. Codec kernels come in
+three tiers:
+
+- **REAL for uncompressed formats** (operators/codecs.py, pure
+  numpy/stdlib): PNM images (P5/P6) decode/resize/features, PCM WAV
+  audio decode/features — ``fake=False`` runs these end-to-end.
+- **Deterministic fakes** (``fake=True``, the default in tests) for
+  exercising the plumbing without real payloads.
+- **Honestly gated** for compressed formats: JPEG/PNG/MP4 need
+  PIL/opencv/ffmpeg, absent in this container -> NotImplementedError.
 
 Scale notes: media rows are large, so the per-partition byte budget (not
 row count) is what matters — ``repartition_for_payload`` sizes
@@ -60,8 +66,30 @@ def repartition_for_payload(
 
 
 def decode_image(data: bytes) -> "object":
-    """Codec stub: real impl needs PIL/opencv (absent here)."""
-    raise NotImplementedError("image decode requires PIL/opencv; not in container")
+    """Decode an image payload to a numpy array. REAL for binary PNM
+    (P5 grayscale / P6 RGB — pure numpy); compressed formats are gated
+    on PIL/opencv, absent in this container."""
+    if data[:2] in (b"P5", b"P6"):
+        from azure_etl_spark.operators.codecs import decode_pnm
+
+        return decode_pnm(data)
+    raise NotImplementedError(
+        f"decode of magic {data[:2]!r} requires PIL/opencv; not in container"
+    )
+
+
+def _real_feature(data: bytes, n: int) -> list[float]:
+    """Real descriptor kernel: dispatch on payload magic (PNM image /
+    RIFF WAV audio)."""
+    from azure_etl_spark.operators import codecs
+
+    if data[:2] in (b"P5", b"P6"):
+        return codecs.image_features(codecs.decode_pnm(data), n)
+    if data[:4] == b"RIFF":
+        return codecs.audio_features(*codecs.decode_wav(data), n=n)
+    raise NotImplementedError(
+        f"feature kernel for magic {data[:4]!r} requires PIL/av; not in container"
+    )
 
 
 def _fake_feature(data: bytes, n: int = 8) -> list[float]:
@@ -77,17 +105,17 @@ def extract_features(
     df: DataFrame, media_col: str = "media", n_features: int = 8, fake: bool = True
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched binary in, fixed-size
-    float array out. Swap ``_fake_feature`` for a real kernel in prod."""
+    float array out. ``fake=False`` runs the REAL kernels for PNM/WAV
+    payloads (compressed formats raise — see module docstring)."""
     out_fields = ", ".join(f"{c} {t}" for c, t in zip(df.columns, _spark_ddl_types(df)))
     schema = f"{out_fields}, features array<float>"
+    kernel = _fake_feature if fake else _real_feature
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("real media kernel not available")
             pdf = pdf.copy()
             pdf["features"] = pdf[media_col].map(
-                lambda d: _fake_feature(bytes(d), n_features)
+                lambda d: kernel(bytes(d), n_features)
             )
             yield pdf
 
@@ -106,11 +134,12 @@ def resize_images(
     fake: bool = True,
 ) -> DataFrame:
     """Image resize through mapInPandas: binary in, binary out, metadata
-    updated. The codec kernel is a STUB (real impl needs PIL/opencv);
-    the fake kernel is deterministic — it re-hashes the payload with the
-    target dims so output bytes depend on (input, width, height) — and
-    everything around it (Arrow batching, schema preservation, metadata
-    rewrite) is the production plumbing."""
+    updated. ``fake=False`` runs the REAL kernel for PNM payloads
+    (decode -> nearest-neighbor resize -> re-encode, pure numpy);
+    compressed formats raise. The fake kernel is deterministic — it
+    re-hashes the payload with the target dims — and everything around
+    either kernel (Arrow batching, schema preservation, metadata
+    rewrite) is the same production plumbing."""
     schema = ", ".join(
         f"{c} {t}" for c, t in zip(df.columns, _spark_ddl_types(df))
     )
@@ -118,16 +147,28 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in it:
-            if not fake:
+        def real(d: bytes) -> bytes:
+            from azure_etl_spark.operators import codecs
+
+            if d[:2] not in (b"P5", b"P6"):
                 raise NotImplementedError(
-                    "image resize requires PIL/opencv; not in container"
+                    f"resize of magic {d[:2]!r} requires PIL/opencv; "
+                    "not in container"
                 )
+            return codecs.encode_pnm(
+                codecs.resize_nearest(codecs.decode_pnm(d), width, height)
+            )
+
+        for pdf in it:
             pdf = pdf.copy()
             pdf[media_col] = pdf[media_col].map(
-                lambda d: hashlib.sha256(
-                    bytes(d) + f"|{width}x{height}".encode()
-                ).digest()
+                (
+                    lambda d: hashlib.sha256(
+                        bytes(d) + f"|{width}x{height}".encode()
+                    ).digest()
+                )
+                if fake
+                else (lambda d: real(bytes(d)))
             )
             pdf["width"] = width
             pdf["height"] = height

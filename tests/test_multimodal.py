@@ -154,3 +154,103 @@ def test_media_stats_arrow_matches_builtin(spark, sf_dir):
         ).collect()
     )
     assert got == want and len(got) == 200
+
+
+def _ppm(w, h):
+    """Deterministic RGB gradient P6 image."""
+    import numpy as np
+
+    from azure_etl_spark.operators.codecs import encode_pnm
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = ((x * 37) % 256, (y * 91) % 256, (x + y) % 256)
+    return encode_pnm(arr), arr
+
+
+def _wav(sr=8000, n=400):
+    import numpy as np
+
+    from azure_etl_spark.operators.codecs import encode_wav
+
+    t = np.arange(n)
+    samples = (np.sin(2 * np.pi * 440 * t / sr) * 12000).astype("<i2")
+    return encode_wav(sr, samples), sr, samples
+
+
+def test_pnm_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from azure_etl_spark.operators.codecs import (
+        decode_pnm,
+        encode_pnm,
+        resize_nearest,
+    )
+
+    data, arr = _ppm(8, 6)
+    back = decode_pnm(data)
+    assert np.array_equal(back, arr)
+    assert decode_pnm(encode_pnm(back[:, :, 0])).shape == (6, 8)  # P5 path
+    small = resize_nearest(arr, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor at exact 2x downscale samples pixel centers
+    assert np.array_equal(small, arr[1::2, 1::2])
+
+
+def test_real_image_kernels_through_spark(spark):
+    """fake=False drives the REAL PNM kernels through the same
+    mapInPandas plumbing; outputs must equal the numpy reference."""
+    import numpy as np
+
+    from azure_etl_spark.operators.codecs import decode_pnm, image_features
+    from azure_etl_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    data, arr = _ppm(8, 6)
+    df = spark.createDataFrame(
+        [(1, bytearray(data), "image/x-ppm", 8, 6, 1, None)],
+        "id long, media binary, media_type string, width int, height int,"
+        " n_frames int, sample_rate int",
+    )
+    out = resize_images(df, 4, 3, fake=False).collect()[0]
+    assert np.array_equal(
+        decode_pnm(bytes(out["media"])), arr[1::2, 1::2]
+    )
+    assert (out["width"], out["height"]) == (4, 3)
+
+    feats = extract_features(df, fake=False).collect()[0]["features"]
+    want = image_features(arr, 8)
+    assert [round(float(x), 5) for x in feats] == [round(w, 5) for w in want]
+
+
+def test_real_audio_kernel_through_spark(spark):
+    from azure_etl_spark.operators.codecs import audio_features
+    from azure_etl_spark.operators.multimodal import extract_features
+
+    data, sr, samples = _wav()
+    df = spark.createDataFrame(
+        [(1, bytearray(data), "audio/wav", None, None, 1, sr)],
+        "id long, media binary, media_type string, width int, height int,"
+        " n_frames int, sample_rate int",
+    )
+    feats = extract_features(df, fake=False).collect()[0]["features"]
+    want = audio_features(sr, samples.reshape(-1, 1), 8)
+    assert [round(float(x), 5) for x in feats] == [round(w, 5) for w in want]
+    assert abs(feats[0] - 400 / 8000) < 1e-6  # duration
+
+
+def test_unknown_magic_still_gated(spark):
+    import pytest as _pytest
+
+    from azure_etl_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n"), "image/png", 1, 1, 1, None)],
+        "id long, media binary, media_type string, width int, height int,"
+        " n_frames int, sample_rate int",
+    )
+    with _pytest.raises(Exception, match="PIL|NotImplemented"):
+        resize_images(df, 2, 2, fake=False).collect()
