@@ -580,3 +580,72 @@ def semantic_dedup(
             F.col("id_b").isNull().alias("kept"),
         )
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    dim: int,
+    pos_threshold: float = 0.9,
+    neg_threshold: float = 0.5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training.
+
+    Positives are the LSH-mined near-duplicate pairs (cosine >=
+    ``pos_threshold``; anchor = lower id). The negative for each anchor
+    is drawn from the anchor's OWN table-0 LSH bucket — candidates that
+    share coarse hyperplane structure but score below ``neg_threshold``
+    (harder than a uniform random negative, the standard in-batch-ish
+    heuristic) — picking the candidate that minimizes
+    ``md5(anchor:candidate)``: a deterministic pseudo-random draw that
+    is reproducible across runs, partitionings, and engines (the SQL
+    oracle replays it). Anchors whose bucket holds no sub-threshold
+    candidate are dropped (raise n_planes to shrink buckets before
+    concluding negatives don't exist).
+
+    Cost: the positive side is the bucketed near-dup join; the negative
+    side is ONE bucket-scoped self-join on table 0 — never corpus
+    all-pairs.
+    """
+    pairs = embedding_near_dup_pairs(
+        df, dim, pos_threshold, n_planes, n_tables, id_col, vec_col
+    )
+    b = with_lsh_signature(df, dim, n_planes, 0, vec_col, "__sig")
+    a = b.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__va"), "__sig"
+    )
+    c = b.select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("__vc"), "__sig"
+    )
+    cand = (
+        a.join(c, "__sig")
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .withColumn("__sim", cosine(F.col("__va"), F.col("__vc")))
+        .filter(F.col("__sim") < F.lit(neg_threshold))
+        .withColumn(
+            "__draw", F.md5(F.concat_ws(":", "anchor_id", "negative_id"))
+        )
+    )
+    neg = cand.groupBy("anchor_id").agg(
+        F.min_by(
+            F.struct("negative_id", "__sim"), F.struct("__draw", "negative_id")
+        ).alias("__n")
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("positive_id"),
+            F.col("cosine_sim").alias("pos_sim"),
+        )
+        .join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("__n.negative_id").alias("negative_id"),
+            "pos_sim",
+            F.col("__n.__sim").alias("neg_sim"),
+        )
+    )

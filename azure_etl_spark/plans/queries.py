@@ -1937,6 +1937,93 @@ def _embedding_near_dup_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
     """
 
 
+def _contrastive_triplets_oracle(
+    n_planes: int = 8, n_tables: int = 4, pos_thr: float = 0.9, neg_thr: float = 0.5
+) -> str:
+    """Replays contrastive_triplets end-to-end: the near-dup positive
+    mining (same CTEs as _embedding_near_dup_oracle), the table-0
+    bucket-scoped negative candidates, and the deterministic
+    md5(anchor:candidate) draw."""
+    sig_parts = []
+    for t in range(n_tables):
+        sig = _lsh_sig_sql(t, n_planes, 64, "v")
+        sig_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM corpus")
+    sig0 = _lsh_sig_sql(0, n_planes, 64, "v")
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pert AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_concat([v[1] + 0.25], v[2:]) AS v
+             FROM base),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    sigs AS ({' UNION ALL '.join(sig_parts)}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             any_value(a.v) AS va, any_value(b.v) AS vb
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+                             AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    pos AS (
+      SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cs FROM pairs),
+    s0 AS (SELECT vec_id, v, {sig0} AS sig FROM corpus),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+             list_cosine_similarity(a.v, c.v) AS nsim,
+             md5(CAST(a.vec_id AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR))
+               AS draw
+      FROM s0 a JOIN s0 c ON a.sig = c.sig AND a.vec_id <> c.vec_id
+      WHERE list_cosine_similarity(a.v, c.v) < {neg_thr}),
+    neg AS (
+      SELECT anchor_id, negative_id, nsim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                    ORDER BY draw, negative_id) AS rn
+        FROM cand) x WHERE rn = 1)
+    SELECT p.id_a AS anchor_id, p.id_b AS positive_id, n.negative_id,
+           ROUND(p.cs, 6) AS pos_sim, ROUND(n.nsim, 6) AS neg_sim
+    FROM pos p JOIN neg n ON p.id_a = n.anchor_id
+    WHERE p.cs >= {pos_thr}
+    ORDER BY anchor_id, positive_id
+    """
+
+
+@query(
+    "contrastive_triplets_emb",
+    oracle=_contrastive_triplets_oracle,
+    description="Contrastive training triplets: positives = LSH-mined "
+    "near-dup pairs over the planted-twin corpus; the negative per "
+    "anchor comes from the anchor's OWN table-0 bucket (shares coarse "
+    "hyperplane structure but cosine < 0.5 — harder than uniform "
+    "random), drawn deterministically by min md5(anchor:candidate) so "
+    "the sample is reproducible across runs, partitionings, and "
+    "engines. Bucket-scoped work only — never corpus all-pairs.",
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import contrastive_triplets
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.25)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    out = contrastive_triplets(
+        corpus, dim=64, pos_threshold=0.9, neg_threshold=0.5,
+        n_planes=8, n_tables=4,
+    )
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        F.round("pos_sim", 6).alias("pos_sim"),
+        F.round("neg_sim", 6).alias("neg_sim"),
+    ).orderBy("anchor_id", "positive_id")
+
+
 @query(
     "embedding_near_dup",
     # The fixture's embeddings are near-orthogonal (max pairwise cosine

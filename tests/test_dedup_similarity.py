@@ -492,3 +492,37 @@ def test_semantic_dedup_drops_clones(spark, sf_dir):
         assert rows[i]["kept"] is True, i
         assert rows[i + 100000]["kept"] is False, i
         assert rows[i]["cid"] == rows[i + 100000]["cid"]
+
+
+def test_contrastive_triplets_semantics(spark, sf_dir):
+    """Every triplet's positive is cosine-near, its negative is below
+    the negative threshold, and the draw is deterministic under
+    repartitioning."""
+    from azure_etl_spark.operators.similarity import contrastive_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.25)), F.slice("embedding", 2, 63)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    t = contrastive_triplets(corpus, dim=64, pos_threshold=0.9, neg_threshold=0.5)
+    rows = t.collect()
+    assert rows, "planted twins must yield triplets"
+    for r in rows:
+        assert r["pos_sim"] >= 0.9
+        assert r["neg_sim"] < 0.5
+        assert r["negative_id"] not in (r["anchor_id"], r["positive_id"])
+    again = {
+        (r["anchor_id"], r["positive_id"]): r["negative_id"]
+        for r in contrastive_triplets(
+            corpus.repartition(13), dim=64, pos_threshold=0.9, neg_threshold=0.5
+        ).collect()
+    }
+    for r in rows:
+        assert again[(r["anchor_id"], r["positive_id"])] == r["negative_id"]
