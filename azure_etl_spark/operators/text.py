@@ -372,3 +372,67 @@ def heavy_hitters(
         .orderBy(F.col("n").desc(), "v")
         .limit(k)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    classic retrieval scorer (Robertson/Sparck Jones), the lexical half
+    of a RAG retrieval stack.
+
+    Plan shape: one tokenize pass computes per-doc length; corpus
+    constants (N, avgdl) are a 1-row broadcast scalar; document
+    frequencies for the |terms| query terms are a terms-sized broadcast;
+    tf is a filtered explode -> groupBy. The corpus shuffles once for
+    the per-(doc, term) tf aggregate, sized by term-matching tokens
+    only. idf uses the +1 Lucene smoothing so scores stay positive.
+    Returns (id_col, score) for docs matching >= 1 term.
+    """
+    from azure_etl_spark.operators.dedup import normalized_text
+
+    toks = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__w")
+    )
+    dl = toks.select(id_col, F.size("__w").alias("__dl"))
+    consts = dl.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    words = toks.select(
+        id_col, F.explode("__w").alias("__t")
+    ).filter(F.col("__t").isin(terms))
+    tf = words.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.countDistinct(id_col).alias("__df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(consts))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .select("__t", "__idf")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts.select("__avgdl")))
+        .withColumn(
+            "__part",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (1 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("__part").alias("score"))

@@ -6553,6 +6553,43 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_score_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    consts AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    words AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM words
+           WHERE t IN ('hash', 'join', 'scan') GROUP BY doc_id, t),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+    idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfreq, consts),
+    parts AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / consts.avgdl))
+               AS part
+      FROM tf JOIN idf USING (t) JOIN dl USING (doc_id), consts)
+    SELECT doc_id, ROUND(SUM(part), 6) AS score
+    FROM parts GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    description="BM25 relevance against a fixed term set (the lexical "
+    "half of a RAG retrieval stack): corpus constants and per-term "
+    "document frequencies are 1-row / |terms|-row broadcasts, tf is a "
+    "filtered explode + groupBy — the corpus shuffles once, sized by "
+    "matching tokens only. Lucene +1 idf smoothing; top-50 by score.",
+)
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.bm25_scores(_td(spark, sf_dir), ["hash", "join", "scan"])
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
     "trimmed_mean_orders",
     oracle="""
     WITH q AS (
