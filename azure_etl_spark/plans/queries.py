@@ -6590,6 +6590,98 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_rrf_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    consts AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    words AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM words
+           WHERE t IN ('hash', 'join', 'scan') GROUP BY doc_id, t),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+    idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfreq, consts),
+    bm AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / consts.avgdl)))
+               AS score
+      FROM tf JOIN idf USING (t) JOIN dl USING (doc_id), consts
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS lrank
+      FROM bm QUALIFY lrank <= 50),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM vecs WHERE vec_id = 0),
+    sim AS (SELECT vec_id AS doc_id, list_cosine_similarity(v, q) AS s
+            FROM vecs, qv WHERE vec_id <> 0),
+    vec AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS INT)
+               AS vrank
+      FROM sim QUALIFY vrank <= 50),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lrank AS lex_rank, v.vrank AS vec_rank,
+             COALESCE(1.0 / (60 + l.lrank), 0) + COALESCE(1.0 / (60 + v.vrank), 0)
+               AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    description="Hybrid retrieval via reciprocal rank fusion (the "
+    "standard BM25 (+) dense-cosine composition, k=60): each ranker "
+    "produces its top-50 independently — the lexical one from the "
+    "matching-token shuffle, the dense one map-only + TakeOrdered — "
+    "then a full-outer join on doc id sums 1/(60+rank). Ranker outputs "
+    "are rank lists (tiny), so fusion costs nothing at any corpus "
+    "size.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each ranker: TakeOrderedAndProject to its top-50 FIRST, then the
+    # (unpartitioned, but 50-row) window stamps ranks — the documented
+    # tiny-result exception, never a corpus-wide single-partition sort
+    bm = T.bm25_scores(_td(spark, sf_dir), ["hash", "join", "scan"])
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        bm.orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+        .withColumn("lex_rank", F.row_number().over(wlex))
+        .select("doc_id", "lex_rank")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    from azure_etl_spark.functions.vectors import cosine as _cos
+
+    sim = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), _cos(F.col("v"), F.col("q")).alias("s"))
+    )
+    wvec = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    vec = (
+        sim.orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+        .withColumn("vec_rank", F.row_number().over(wvec))
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "lex_rank", "vec_rank", F.round("rrf", 6).alias("rrf_score")
+        )
+    )
+
+
+@query(
     "trimmed_mean_orders",
     oracle="""
     WITH q AS (
