@@ -3230,6 +3230,59 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+def _bpe_token_freq_oracle() -> str:
+    from azure_etl_spark.operators.tokenize import DSEP, SEP
+
+    n = _BPE_N_MERGES
+    ctes = _bpe_round_ctes(n)
+    ctes.append(rf"""d0 AS (
+      SELECT doc_id,
+             list_transform(words,
+                 w -> '{SEP}' || array_to_string(string_split(w, ''), '{DSEP}') || '{SEP}')
+                 AS syms
+      FROM (SELECT doc_id,
+                   list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                               w -> regexp_matches(w, '^[a-z]+$')) AS words
+            FROM documents) t)""")
+    for r in range(1, n + 1):
+        ctes.append(f"""d{r} AS (
+      SELECT doc_id, list_transform(syms, s -> replace(s, b.pat, b.rep)) AS syms
+      FROM d{r - 1}, b{r} b)""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(flatten(list_transform(syms,
+              s -> string_split(substring(s, 2, length(s) - 2), '{DSEP}')))) AS tok
+          FROM d{n}) u
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 40
+    """
+
+
+@query(
+    "bpe_token_freq",
+    oracle=_bpe_token_freq_oracle,
+    description="Corpus token distribution under the trained BPE "
+    "tokenizer (top-40): the sanity table every tokenizer training run "
+    "ends with — merged subwords surface with their true corpus "
+    "frequencies. Same single encode pass as bpe_encode_docs plus one "
+    "explode + count.",
+)
+def q_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.tokenize import bpe_encode, bpe_train, word_frequencies
+
+    d = _td(spark, sf_dir)
+    _, rounds = bpe_train(word_frequencies(d), _BPE_N_MERGES)
+    enc = bpe_encode(d, rounds)
+    return (
+        enc.select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(40)
+    )
+
+
 @query(
     "bpe_encode_docs",
     oracle=_bpe_encode_oracle,
