@@ -143,3 +143,22 @@ def audio_features(sample_rate: int, samples: np.ndarray, n: int = 8) -> list[fl
         float(sample_rate),
     ]
     return (feats + [0.0] * n)[:n]
+
+
+def decode_pnm_stream(data: bytes) -> list[np.ndarray]:
+    """Concatenated binary PNM frames (the uncompressed MJPEG-style
+    stream: each frame is self-delimiting via its header) -> list of
+    frame arrays. The REAL kernel behind multimodal frame sampling for
+    payloads no external codec is needed for."""
+    frames = []
+    off = 0
+    while off < len(data):
+        chunk = data[off:]
+        magic, w, h, _mv, body = _read_pnm_header(chunk)
+        ch = 3 if magic == b"P6" else 1
+        end = body + w * h * ch
+        if end > len(chunk):
+            raise ValueError("truncated PNM frame in stream")
+        frames.append(decode_pnm(chunk[:end]))
+        off += end
+    return frames

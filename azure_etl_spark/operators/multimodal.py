@@ -185,10 +185,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling through mapInPandas: ONE media row expands to
     ceil(n_frames / every_n) frame rows — the 1->N shape (decode +
-    per-frame emit) that explode can't express over opaque binary. Codec
-    kernel is a STUB; the fake emits deterministic per-frame payloads.
-    Output partitioning note: frame rows inherit the input partition, so
-    follow with ``repartition_for_payload`` before heavy per-frame work.
+    per-frame emit) that explode can't express over opaque binary.
+    ``fake=False`` runs the REAL kernel for concatenated-PNM streams
+    (each frame self-delimits via its header — the uncompressed
+    MJPEG-style layout; frame count comes from the actual stream, and
+    each sampled frame re-encodes as standalone PNM); container formats
+    (MP4 etc.) stay gated on av/ffmpeg. Output partitioning note: frame
+    rows inherit the input partition, so follow with
+    ``repartition_for_payload`` before heavy per-frame work.
     """
     out_schema = (
         ", ".join(f"{c} {t}" for c, t in zip(df.columns, _spark_ddl_types(df)))
@@ -199,20 +203,32 @@ def sample_frames(
         import hashlib
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "frame extraction requires av/ffmpeg; not in container"
-                )
             rows = []
             for rec in pdf.to_dict("records"):
-                n = int(rec.get("n_frames") or 1)
-                for i in range(0, n, every_n):
-                    out = dict(rec)
-                    out["frame_idx"] = i
-                    out["frame"] = hashlib.sha256(
-                        bytes(rec[media_col]) + f"|frame{i}".encode()
-                    ).digest()
-                    rows.append(out)
+                if fake:
+                    n = int(rec.get("n_frames") or 1)
+                    for i in range(0, n, every_n):
+                        out = dict(rec)
+                        out["frame_idx"] = i
+                        out["frame"] = hashlib.sha256(
+                            bytes(rec[media_col]) + f"|frame{i}".encode()
+                        ).digest()
+                        rows.append(out)
+                else:
+                    from azure_etl_spark.operators import codecs
+
+                    data = bytes(rec[media_col])
+                    if data[:2] not in (b"P5", b"P6"):
+                        raise NotImplementedError(
+                            f"frame extraction from magic {data[:2]!r} "
+                            "requires av/ffmpeg; not in container"
+                        )
+                    frames = codecs.decode_pnm_stream(data)
+                    for i in range(0, len(frames), every_n):
+                        out = dict(rec)
+                        out["frame_idx"] = i
+                        out["frame"] = codecs.encode_pnm(frames[i])
+                        rows.append(out)
             yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_idx", "frame"])
 
     return df.mapInPandas(batches, schema=out_schema)

@@ -254,3 +254,33 @@ def test_unknown_magic_still_gated(spark):
     )
     with _pytest.raises(Exception, match="PIL|NotImplemented"):
         resize_images(df, 2, 2, fake=False).collect()
+
+
+def test_real_frame_sampling_pnm_stream(spark):
+    """A 5-frame concatenated-PNM stream sampled every 2 frames yields
+    frames 0, 2, 4 — each decoding back to the exact source frame."""
+    import numpy as np
+
+    from azure_etl_spark.operators.codecs import decode_pnm, decode_pnm_stream
+    from azure_etl_spark.operators.multimodal import sample_frames
+
+    frames = []
+    stream = b""
+    for f in range(5):
+        data, arr = _ppm(4, 3)
+        arr = (arr.astype(np.int64) + f) % 256
+        from azure_etl_spark.operators.codecs import encode_pnm
+
+        stream += encode_pnm(arr.astype(np.uint8))
+        frames.append(arr.astype(np.uint8))
+    assert len(decode_pnm_stream(stream)) == 5
+
+    df = spark.createDataFrame(
+        [(1, bytearray(stream), "video/x-pnm-stream", 4, 3, 5, None)],
+        "id long, media binary, media_type string, width int, height int,"
+        " n_frames int, sample_rate int",
+    )
+    out = sample_frames(df, every_n=2, fake=False).collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        assert np.array_equal(decode_pnm(bytes(r["frame"])), frames[r["frame_idx"]])
