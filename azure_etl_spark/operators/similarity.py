@@ -649,3 +649,59 @@ def contrastive_triplets(
             F.col("__n.__sim").alias("neg_sim"),
         )
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily
+    pick ``k`` items maximizing ``lam*relevance - (1-lam)*max_sim_to_
+    already_selected`` — the diversification pass run on a RERANK
+    CANDIDATE LIST (top-50/100 from a first-stage retriever), never the
+    corpus. Each round is a candidates-x-selected cosine aggregate and a
+    1-row deterministic argmax (score desc, id asc tie-break), so the
+    fixed ``k`` rounds unroll into an exact SQL oracle exactly like the
+    k-means and BPE trainers. Returns (rank, id, rel, mmr_score).
+    """
+    cand = candidates.select(
+        F.col(id_col).alias("id"), F.col(rel_col).alias("rel"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    first = (
+        cand.orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(1)
+        .select("id", "rel", "v", F.col("rel").alias("mmr_score"))
+        .withColumn("rank", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    sel = first
+    for r in range(2, k + 1):
+        remaining = cand.join(sel.select("id"), "id", "left_anti")
+        scored = (
+            remaining.join(
+                F.broadcast(sel.select(F.col("id").alias("__sid"), F.col("v").alias("__sv")))
+            )
+            .withColumn("__sim", cosine(F.col("v"), F.col("__sv")))
+            .groupBy("id")
+            .agg(
+                F.first("rel").alias("rel"),
+                F.first("v").alias("v"),
+                F.max("__sim").alias("__ms"),
+            )
+            .withColumn(
+                "mmr_score", F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("__ms")
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("id"))
+            .limit(1)
+            .select("id", "rel", "v", "mmr_score")
+            .withColumn("rank", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("rank", F.col("id").alias(id_col), "rel", "mmr_score")

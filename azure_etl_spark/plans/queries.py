@@ -6734,6 +6734,87 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_rerank_oracle(k: int = 8, lam: float = 0.7, n_cand: int = 20) -> str:
+    """Replays mmr_select: candidate top-20 by cosine, then k greedy
+    rounds unrolled as CTEs — p{r} is the argmax of lam*rel-(1-lam)*
+    max-sim-to-selected over the not-yet-picked, u{r} the growing
+    selection. (1-lam) is interpolated from the SAME Python double the
+    Spark side multiplies by, so scores are bit-identical."""
+    om = repr(1 - lam)
+    ctes = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "qv AS (SELECT v AS q FROM vecs WHERE vec_id = 0)",
+        # MATERIALIZED is load-bearing: every round references the
+        # previous selection CTE three times (cross join, NOT IN, union),
+        # so inlining would re-evaluate the whole chain ~3^k times —
+        # materialization keeps the oracle linear in k.
+        f"""cand AS MATERIALIZED (
+      SELECT vec_id AS id, list_cosine_similarity(v, q) AS rel, v
+      FROM vecs, qv WHERE vec_id <> 0
+      ORDER BY rel DESC, id LIMIT {n_cand})""",
+        """u1 AS MATERIALIZED (
+      SELECT id, rel, v, rel AS mmr_score, 1 AS rank
+      FROM cand ORDER BY rel DESC, id LIMIT 1)""",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT id, rel, v, {lam} * rel - {om} * ms AS mmr_score, {r} AS rank
+      FROM (
+        SELECT c.id, any_value(c.rel) AS rel, any_value(c.v) AS v,
+               MAX(list_cosine_similarity(c.v, s.v)) AS ms
+        FROM cand c CROSS JOIN u{r - 1} s
+        WHERE c.id NOT IN (SELECT id FROM u{r - 1})
+        GROUP BY c.id) x
+      ORDER BY mmr_score DESC, id LIMIT 1)""")
+        ctes.append(
+            f"u{r} AS MATERIALIZED "
+            f"(SELECT * FROM u{r - 1} UNION ALL SELECT * FROM p{r})"
+        )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT rank, id AS doc_id, ROUND(rel, 6) AS rel, ROUND(mmr_score, 6) AS mmr_score
+    FROM u{k} ORDER BY rank
+    """
+
+
+@query(
+    "mmr_rerank_docs",
+    oracle=_mmr_rerank_oracle,
+    description="MMR diversification (Carbonell & Goldstein 1998) of a "
+    "dense-retrieval candidate list: top-20 by cosine, then 8 greedy "
+    "rounds of lam*rel - (1-lam)*max-sim-to-selected with deterministic "
+    "tie-breaks — the rerank pass runs on the CANDIDATE LIST, never "
+    "the corpus, so each round is a tiny broadcast aggregate. Oracle "
+    "unrolls all rounds as CTEs (the k-means/BPE technique).",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.functions.vectors import cosine as _cos
+    from azure_etl_spark.operators.similarity import mmr_select
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cos(F.col("v"), F.col("q")).alias("rel"),
+            "v",
+        )
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(20)
+    )
+    out = mmr_select(cand, k=8, lam=0.7)
+    return out.select(
+        "rank",
+        "doc_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("rank")
+
+
 @query(
     "trimmed_mean_orders",
     oracle="""
