@@ -526,3 +526,31 @@ def test_contrastive_triplets_semantics(spark, sf_dir):
     }
     for r in rows:
         assert again[(r["anchor_id"], r["positive_id"])] == r["negative_id"]
+
+
+def test_mmr_select_diversifies(spark, sf_dir):
+    """MMR's picked set must (a) start at the relevance argmax, (b) never
+    repeat an id, and (c) have monotonically non-increasing mmr scores
+    after round 1 (the feasible score of any remaining candidate can
+    only shrink as the selected set grows)."""
+    from azure_etl_spark.functions.vectors import cosine as _cos
+    from azure_etl_spark.operators.similarity import mmr_select
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), _cos("v", F.col("q")).alias("rel"), "v")
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(12)
+    )
+    rows = mmr_select(cand, k=5, lam=0.7).orderBy("rank").collect()
+    assert len(rows) == 5
+    assert len({r["doc_id"] for r in rows}) == 5
+    top_rel = cand.orderBy(F.col("rel").desc(), "doc_id").first()
+    assert rows[0]["doc_id"] == top_rel["doc_id"]
+    scores = [r["mmr_score"] for r in rows[1:]]
+    assert scores == sorted(scores, reverse=True)
