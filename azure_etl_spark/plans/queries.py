@@ -3041,10 +3041,17 @@ def _semantic_dedup_oracle(
     and the greedy keep-lowest-id policy as a LEFT JOIN null test."""
     a = f"a{max_iter}"
     ctes = _kmeans_ctes(k_clusters, max_iter, dim)
+    # the cosine is spelled out as dot/(sqrt(dot(x,x))*sqrt(dot(y,y))) —
+    # the SAME expression (same ops, same order) the engine evaluates —
+    # rather than DuckDB's builtin list_cosine_similarity, so a pair
+    # landing exactly on the threshold boundary cannot flip `kept`
+    # between engines (ADVICE r5)
     ctes.append(f"""dropped AS (
       SELECT DISTINCT y.id AS id_b
       FROM {a} x JOIN {a} y ON x.cid = y.cid AND x.id < y.id
-      WHERE list_cosine_similarity(x.v, y.v) >= {threshold})""")
+      WHERE list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))) >= {threshold})""")
     return f"""
     WITH {', '.join(ctes)}
     SELECT a.id AS vec_id, a.cid AS cid, d.id_b IS NULL AS kept
@@ -3163,8 +3170,16 @@ def _bpe_round_ctes(n_merges: int) -> list[str]:
              '{SEP}' || lhs || '{DSEP}' || rhs || '{SEP}' AS pat,
              '{SEP}' || lhs || rhs || '{SEP}' AS rep
       FROM c{r} ORDER BY pair_count DESC, lhs || '{PSEP}' || rhs ASC LIMIT 1)""")
+        # LEFT JOIN ON TRUE + COALESCE guards the exhausted-vocabulary
+        # case (ADVICE r5): when no pair remains before round n, b{r}
+        # is EMPTY — a plain cross join would empty every later CTE,
+        # while the engine's bpe_train early-stops and keeps encoding.
+        # With the guard, b.pat is NULL, replace() yields NULL, and
+        # COALESCE carries the word through unchanged — mirroring the
+        # engine's early-stop exactly.
         ctes.append(f"""w{r} AS (
-      SELECT replace(s, b.pat, b.rep) AS s, cnt FROM w{r - 1}, b{r} b)""")
+      SELECT COALESCE(replace(s, b.pat, b.rep), s) AS s, cnt
+      FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)""")
     return ctes
 
 
@@ -3215,9 +3230,10 @@ def _bpe_encode_oracle() -> str:
                                w -> regexp_matches(w, '^[a-z]+$')) AS words
             FROM documents) t)""")
     for r in range(1, n + 1):
+        # same exhausted-vocabulary guard as w{r} (ADVICE r5)
         ctes.append(f"""d{r} AS (
-      SELECT doc_id, list_transform(syms, s -> replace(s, b.pat, b.rep)) AS syms
-      FROM d{r - 1}, b{r} b)""")
+      SELECT doc_id, list_transform(syms, s -> COALESCE(replace(s, b.pat, b.rep), s)) AS syms
+      FROM d{r - 1} LEFT JOIN b{r} b ON TRUE)""")
     return f"""
     WITH {', '.join(ctes)}
     SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
@@ -3246,9 +3262,10 @@ def _bpe_token_freq_oracle() -> str:
                                w -> regexp_matches(w, '^[a-z]+$')) AS words
             FROM documents) t)""")
     for r in range(1, n + 1):
+        # same exhausted-vocabulary guard as w{r} (ADVICE r5)
         ctes.append(f"""d{r} AS (
-      SELECT doc_id, list_transform(syms, s -> replace(s, b.pat, b.rep)) AS syms
-      FROM d{r - 1}, b{r} b)""")
+      SELECT doc_id, list_transform(syms, s -> COALESCE(replace(s, b.pat, b.rep), s)) AS syms
+      FROM d{r - 1} LEFT JOIN b{r} b ON TRUE)""")
     return f"""
     WITH {', '.join(ctes)}
     SELECT tok, COUNT(*) AS n

@@ -74,9 +74,17 @@ Round-5 extensions (Delta-parity DML on the same log protocol):
   source treats a merge-on-read delete like any non-append commit
   (error unless ``ignorechanges``).
 
-Scale notes: the manifest is one small JSON per commit; with stats it
-lists O(files) entries, exactly the granularity Delta's log keeps, and
-vacuum bounds retained versions. All filesystem access goes through the
+Scale notes (round-6 two-level log): per-file stats do NOT live inline
+in the manifest — each commit writes its own immutable stats SIDECAR
+(``_manifest/stats-*.json``, O(commit's files)) and the manifest carries
+only the sidecar names (``stats_refs``), so commit serialization cost is
+O(commit), not O(table). Every ``_STATS_CHECKPOINT_EVERY`` commits the
+sidecar chain compacts into one parquet CHECKPOINT pruned to live files
+(``stats-ckpt-*.parquet`` — the Delta-checkpoint / Iceberg-manifest-list
+design), bounding both the ref chain and stale-entry garbage; amortized
+commit cost stays flat as the table grows (measured:
+``tools/snapshot_commit_probe.py``). Vacuum bounds retained versions and
+reclaims unreferenced sidecars. All filesystem access goes through the
 Hadoop FS API, so the same code runs on HDFS/ABFS/S3A, where
 ``create(overwrite=false)`` is the documented atomic primitive.
 """
@@ -181,8 +189,7 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
         try:
             last = _read_small_file(jvm, fs, mpath)
         except Exception as exc:
-            msg = str(exc)
-            if "ChecksumException" not in msg and "EOFException" not in msg:
+            if not _is_transient_read_error(exc):
                 raise
             last, last_err = b"", exc
         if last:
@@ -196,6 +203,42 @@ def _load_manifest(spark: SparkSession, path: str, version: int) -> dict:
         f"({len(last)} bytes, last error: {last_err}) — a crashed writer "
         "may have claimed but never published this version"
     )
+
+
+# mid-publish / IO-shaped failure classes that are worth retrying inside
+# a bounded loop; permission and connectivity-config errors are not here
+# on purpose — they propagate immediately
+_TRANSIENT_READ_ERRORS = (
+    "ChecksumException",
+    "EOFException",
+    "SocketTimeoutException",
+    "InterruptedIOException",
+    "ConnectTimeoutException",
+)
+
+
+def _is_transient_read_error(exc: Exception) -> bool:
+    """Classify a manifest/sidecar read failure as transient. Prefers
+    the wrapped Java exception CLASS (py4j's ``java_exception``, cause
+    chain included) over message substrings, so a reworded message
+    cannot bypass the bounded retry loop; falls back to the substring
+    check for non-py4j errors."""
+    jexc = getattr(exc, "java_exception", None)
+    seen: set[int] = set()
+    while jexc is not None and id(jexc) not in seen:
+        seen.add(id(jexc))
+        try:
+            cls = jexc.getClass().getName()
+        except Exception:
+            break
+        if cls.rsplit(".", 1)[-1] in _TRANSIENT_READ_ERRORS:
+            return True
+        try:
+            jexc = jexc.getCause()
+        except Exception:
+            break
+    msg = str(exc)
+    return any(name in msg for name in _TRANSIENT_READ_ERRORS)
 
 
 def _try_commit_manifest(
@@ -370,6 +413,156 @@ def _pack_bits(positions, m: int) -> str:
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
+# --------------------------------------------------------------------------
+# Two-level stats log (round-6): per-commit stats live in immutable
+# SIDECAR files under _manifest/ and the manifest carries only their
+# names (``stats_refs``), so a commit serializes O(its own files) of
+# metadata — not O(table files). Every _STATS_CHECKPOINT_EVERY refs the
+# chain is compacted into ONE parquet CHECKPOINT (file/rows/min/max/bloom
+# rows, zstd) pruned to the files the manifest still references — the
+# Delta-checkpoint / Iceberg-manifest-list design. Inline
+# ``manifest["stats"]`` is still read (tables written by earlier rounds)
+# and is folded into the next checkpoint.
+# --------------------------------------------------------------------------
+
+_STATS_REF_PREFIX = "stats-"
+_STATS_CHECKPOINT_EVERY = 16
+_STATS_CACHE: dict[tuple[str, str], dict] = {}  # sidecars are immutable
+_STATS_CACHE_MAX = 64
+
+
+def _write_ref_bytes(spark: SparkSession, path: str, name: str, raw: bytes) -> str:
+    fs, jvm = _fs(spark, path)
+    fs.mkdirs(_jpath(jvm, path, MANIFEST_DIR))
+    stream = fs.create(_jpath(jvm, path, MANIFEST_DIR, name), True)
+    try:
+        stream.write(bytearray(raw))
+    finally:
+        stream.close()
+    return name
+
+
+def _write_stats_ref(spark: SparkSession, path: str, stats: dict) -> str:
+    """One immutable JSON sidecar holding a single commit's per-file
+    stats; attempt-unique name (race losers leave vacuumable orphans)."""
+    name = f"{_STATS_REF_PREFIX}{uuid.uuid4().hex[:12]}.json"
+    raw = json.dumps(stats, sort_keys=True).encode("utf-8")
+    return _write_ref_bytes(spark, path, name, raw)
+
+
+def _write_stats_checkpoint(spark: SparkSession, path: str, stats: dict) -> str:
+    """Compacted checkpoint: ALL live per-file stats as one parquet file
+    (columns file/rows/min/max/bloom, JSON-encoded cells, zstd). Parquet
+    keeps multi-MB bloom-bearing checkpoints compact and columnar —
+    a reader that needs only min/max never decodes the bloom column."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(stats)
+    table = pa.table(
+        {
+            "file": pa.array(files, type=pa.string()),
+            "rows": pa.array(
+                [int(stats[f].get("rows", 0)) for f in files], type=pa.int64()
+            ),
+            "min": pa.array(
+                [json.dumps(stats[f].get("min", {}), sort_keys=True) for f in files],
+                type=pa.string(),
+            ),
+            "max": pa.array(
+                [json.dumps(stats[f].get("max", {}), sort_keys=True) for f in files],
+                type=pa.string(),
+            ),
+            "bloom": pa.array(
+                [
+                    json.dumps(stats[f]["bloom"], sort_keys=True)
+                    if "bloom" in stats[f]
+                    else None
+                    for f in files
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    name = f"{_STATS_REF_PREFIX}ckpt-{uuid.uuid4().hex[:12]}.parquet"
+    return _write_ref_bytes(spark, path, name, buf.getvalue())
+
+
+def _parse_stats_ref(name: str, raw: bytes) -> dict[str, dict]:
+    if name.endswith(".parquet"):
+        import io
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(io.BytesIO(raw))
+        out: dict[str, dict] = {}
+        for f, rows, mn, mx, bl in zip(
+            t["file"].to_pylist(),
+            t["rows"].to_pylist(),
+            t["min"].to_pylist(),
+            t["max"].to_pylist(),
+            t["bloom"].to_pylist(),
+        ):
+            st = {"rows": rows, "min": json.loads(mn), "max": json.loads(mx)}
+            if bl is not None:
+                st["bloom"] = json.loads(bl)
+            out[f] = st
+        return out
+    return json.loads(raw.decode("utf-8"))
+
+
+def _load_stats_ref(spark: SparkSession, path: str, name: str) -> dict[str, dict]:
+    key = (path.rstrip("/"), name)
+    hit = _STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    fs, jvm = _fs(spark, path)
+    raw = _read_small_file(jvm, fs, _jpath(jvm, path, MANIFEST_DIR, name))
+    out = _parse_stats_ref(name, raw)
+    if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
+    _STATS_CACHE[key] = out
+    return out
+
+
+def _manifest_stats(spark: SparkSession, path: str, manifest: dict) -> dict[str, dict]:
+    """Effective per-file stats for a manifest: sidecar refs in commit
+    order, then legacy inline stats. Entries for files the manifest no
+    longer lists are inert (lookups are keyed by listed file)."""
+    refs = manifest.get("stats_refs", [])
+    if not refs:
+        return manifest.get("stats", {})
+    stats: dict[str, dict] = {}
+    for ref in refs:
+        stats.update(_load_stats_ref(spark, path, ref))
+    stats.update(manifest.get("stats", {}))
+    return stats
+
+
+def _maybe_checkpoint_stats(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Compact a long sidecar chain into one parquet checkpoint, pruned
+    to the files the draft manifest references — amortized O(live files
+    / _STATS_CHECKPOINT_EVERY) per commit, which is what keeps commit
+    latency flat as the table grows."""
+    refs = manifest.get("stats_refs", [])
+    if len(refs) < _STATS_CHECKPOINT_EVERY and not (
+        refs and manifest.get("stats")
+    ):
+        return
+    stats = _manifest_stats(spark, path, manifest)
+    root = path.rstrip("/")
+    live = set(manifest.get("data_files", []))
+    for d in manifest["data_dirs"]:
+        live.update(_list_parquet_files(spark, root, d))
+    stats = {f: s for f, s in stats.items() if f in live}
+    manifest["stats_refs"] = [_write_stats_checkpoint(spark, path, stats)]
+    manifest["stats"] = {}
+
+
 def _bloom_positions(
     spark: SparkSession, value, dtype: str, m: int, k: int,
     _cache: dict | None = None,
@@ -494,7 +687,7 @@ def _manifest_files(
     files: list[str] = list(manifest.get("data_files", []))
     for d in manifest["data_dirs"]:
         files.extend(_list_parquet_files(spark, root, d))
-    return files, manifest.get("stats", {})
+    return files, _manifest_stats(spark, path, manifest)
 
 
 def _read_files(
@@ -719,6 +912,7 @@ def write_snapshot(
         dirs = [data_rel]
         carried_files: list[str] = []
         stats: dict[str, dict] = {}
+        stats_refs: list[str] = []
         deletes: list[dict] = []
         bloom_cfg = (
             {"cols": list(bloom_cols), "bits": bloom_bits, "hashes": bloom_hashes}
@@ -726,12 +920,18 @@ def write_snapshot(
             else (parent.get("bloom") if parent else None)
         )
         if collect_stats:
-            stats = _collect_file_stats(spark, root, data_rel, bloom=bloom_cfg)
+            new_stats = _collect_file_stats(spark, root, data_rel, bloom=bloom_cfg)
+            if new_stats:
+                # sidecar, not inline: the manifest stays O(1) in stats
+                stats_refs = [_write_stats_ref(spark, path, new_stats)]
         if mode == "append" and parent is not None:
             dirs = parent["data_dirs"] + dirs
             carried_files = list(parent.get("data_files", []))
-            # carry parent's stats for every file it still references
-            stats = {**parent.get("stats", {}), **stats}
+            # carry the parent's stats REFS (O(refs) names, not O(files)
+            # entries); legacy inline stats ride along until the next
+            # checkpoint folds them in
+            stats = dict(parent.get("stats", {}))
+            stats_refs = parent.get("stats_refs", []) + stats_refs
             # merge-on-read delete entries still apply to the carried
             # files (the append adds rows, it does not un-delete)
             deletes = [dict(e) for e in parent.get("deletes", [])]
@@ -751,6 +951,7 @@ def write_snapshot(
             "partition_by": list(partition_by or []),
             "committed_at_unix": time.time(),
             "stats": stats,
+            "stats_refs": stats_refs,
             "txns": txns,
             "deletes": deletes,
             "columns": columns,
@@ -761,6 +962,7 @@ def write_snapshot(
                 else {}
             ),
         }
+        _maybe_checkpoint_stats(spark, path, manifest)
         if _try_commit_manifest(spark, path, version, manifest):
             return version
         # lost the race: another writer owns this version — retry on top
@@ -1075,7 +1277,6 @@ def _commit_cow(
     write_snapshot (data dirs are version-named, so a retry rewrites)."""
     root = path.rstrip("/")
     partition_by = parent.get("partition_by", [])
-    parent_stats = parent.get("stats", {})
     if rewrite_df is not None:
         # an UPDATE/MERGE rewrite can introduce violations; DELETE can't
         # but the check is one aggregate over the touched rows only
@@ -1085,7 +1286,12 @@ def _commit_cow(
         version = (versions[-1] + 1) if versions else 0
         data_rel = f"{DATA_DIR}/v{version}-{uuid.uuid4().hex[:8]}"
         dirs: list[str] = []
-        stats = {f: parent_stats[f] for f in keep_files if f in parent_stats}
+        # carry the parent's stats refs verbatim: entries for files this
+        # commit drops are inert (lookups key on listed files) and the
+        # next checkpoint prunes them — the commit itself stays O(own
+        # files), never O(table files)
+        stats = dict(parent.get("stats", {}))
+        stats_refs = list(parent.get("stats_refs", []))
         if rewrite_df is not None:
             writer = rewrite_df.write.mode("overwrite")
             if partition_by:
@@ -1096,11 +1302,11 @@ def _commit_cow(
             # carries the untouched files
             if _list_parquet_files(spark, root, data_rel):
                 dirs = [data_rel]
-                stats.update(
-                    _collect_file_stats(
-                        spark, root, data_rel, bloom=parent.get("bloom")
-                    )
+                new_stats = _collect_file_stats(
+                    spark, root, data_rel, bloom=parent.get("bloom")
                 )
+                if new_stats:
+                    stats_refs.append(_write_stats_ref(spark, path, new_stats))
         manifest = {
             "version": version,
             "mode": "overwrite",
@@ -1110,6 +1316,7 @@ def _commit_cow(
             "partition_by": partition_by,
             "committed_at_unix": time.time(),
             "stats": stats,
+            "stats_refs": stats_refs,
             "txns": dict(parent.get("txns", {})),
             # rewritten files materialized their merge-on-read deletes;
             # entries narrow to the files carried verbatim
@@ -1123,6 +1330,7 @@ def _commit_cow(
                 else {}
             ),
         }
+        _maybe_checkpoint_stats(spark, path, manifest)
         if _try_commit_manifest(spark, path, version, manifest):
             return version
     raise SnapshotConflictError(
@@ -1155,6 +1363,7 @@ def _commit_metadata(
             "partition_by": parent.get("partition_by", []),
             "committed_at_unix": time.time(),
             "stats": dict(parent.get("stats", {})),
+            "stats_refs": list(parent.get("stats_refs", [])),
             "txns": dict(parent.get("txns", {})),
             "deletes": [dict(e) for e in parent.get("deletes", [])],
             **({"bloom": parent["bloom"]} if "bloom" in parent else {}),
@@ -1558,6 +1767,7 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list
         keep = set(versions[-keep_last:])
     referenced: set[str] = set()
     referenced_deletes: set[str] = set()
+    referenced_refs: set[str] = set()
     for v in keep:
         m = _load_manifest(spark, path, v)
         referenced.update(m["data_dirs"])
@@ -1569,10 +1779,20 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list
         referenced_deletes.update(
             e["keys_dir"] for e in m.get("deletes", []) if "keys_dir" in e
         )
+        # stats sidecars / checkpoints a retained manifest still loads
+        referenced_refs.update(m.get("stats_refs", []))
     fs, jvm = _fs(spark, path)
     removed = [v for v in versions if v not in keep]
     for v in removed:
         fs.delete(_jpath(jvm, path, MANIFEST_DIR, f"v{v}.json"), False)
+    # stats sidecars no retained manifest references (dropped versions,
+    # race losers, pre-checkpoint debris)
+    mdir = _jpath(jvm, path, MANIFEST_DIR)
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith(_STATS_REF_PREFIX) and name not in referenced_refs:
+                fs.delete(st.getPath(), False)
     ddir = _jpath(jvm, path, DATA_DIR)
     if fs.exists(ddir):
         for st in fs.listStatus(ddir):
@@ -1593,6 +1813,25 @@ def is_snapshot_table(spark: SparkSession, path: str) -> bool:
     return fs.exists(_jpath(jvm, path, MANIFEST_DIR))
 
 
+def _fs_now_ms(spark: SparkSession, path: str, fs, jvm) -> float:
+    """The filesystem's idea of "now": mtime of a just-touched probe
+    file. Comparing claim ages against this (instead of driver
+    ``time.time()``) makes the repair age guard immune to driver/FS
+    clock skew. Falls back to driver time if the probe can't be
+    written (read-only mount) — the documented assumption then is
+    clock alignment within ``min_age_s``."""
+    probe = _jpath(jvm, path, MANIFEST_DIR, f".now-probe-{uuid.uuid4().hex[:8]}")
+    try:
+        fs.mkdirs(_jpath(jvm, path, MANIFEST_DIR))
+        fs.create(probe, True).close()
+        try:
+            return float(fs.getFileStatus(probe).getModificationTime())
+        finally:
+            fs.delete(probe, False)
+    except Exception:
+        return time.time() * 1000.0
+
+
 def repair_snapshot_log(
     spark: SparkSession, path: str, min_age_s: float = 60.0
 ) -> list[int]:
@@ -1609,10 +1848,16 @@ def repair_snapshot_log(
     age guard keeps repair from racing an in-flight commit. Returns the
     removed version numbers; orphaned attempt dirs are left for
     :func:`vacuum_snapshots`.
+
+    "Now" comes from the FILESYSTEM'S clock (:func:`_fs_now_ms`), not
+    the driver's — with driver/FS clock skew, driver ``time.time()``
+    could make a live in-flight claim look older than ``min_age_s``
+    and get destructively mis-repaired. Probe and claims age on the
+    same clock, so skew cancels out.
     """
     fs, jvm = _fs(spark, path)
     removed: list[int] = []
-    now_ms = time.time() * 1000.0
+    now_ms = _fs_now_ms(spark, path, fs, jvm)
     for v in _list_versions(spark, path):
         mpath = _jpath(jvm, path, MANIFEST_DIR, f"v{v}.json")
         try:
@@ -1691,7 +1936,8 @@ def convert_to_snapshot(
         "data_files": [],
         "partition_by": list(partition_by or []),
         "committed_at_unix": time.time(),
-        "stats": stats,
+        "stats": {},
+        "stats_refs": [_write_stats_ref(spark, path, stats)] if stats else [],
         "txns": {},
         "deletes": [],
         "columns": list(df.columns),

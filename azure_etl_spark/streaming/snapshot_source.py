@@ -94,11 +94,43 @@ def _manifest(table: str, version: int) -> dict:
             raw = f.read()
         if raw:
             try:
-                return json.loads(raw)
+                m = json.loads(raw)
             except json.JSONDecodeError:
                 pass
+            else:
+                # two-level log: fold stats sidecars/checkpoints into the
+                # inline map so downstream per-file lookups are uniform
+                if m.get("stats_refs"):
+                    m["stats"] = {
+                        **_effective_ref_stats(table, m["stats_refs"]),
+                        **m.get("stats", {}),
+                    }
+                return m
         time.sleep(0.05)
     raise ValueError(f"manifest v{version} under {table} unreadable after retries")
+
+
+def _effective_ref_stats(table: str, refs: list[str]) -> dict:
+    out: dict = {}
+    for name in refs:
+        p = os.path.join(table, MANIFEST_DIR, name)
+        if name.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(p)
+            for f, rows, mn, mx, bl in zip(
+                t["file"].to_pylist(), t["rows"].to_pylist(),
+                t["min"].to_pylist(), t["max"].to_pylist(),
+                t["bloom"].to_pylist(),
+            ):
+                st = {"rows": rows, "min": json.loads(mn), "max": json.loads(mx)}
+                if bl is not None:
+                    st["bloom"] = json.loads(bl)
+                out[f] = st
+        else:
+            with open(p) as fh:
+                out.update(json.load(fh))
+    return out
 
 
 def _manifest_files(table: str, m: dict) -> list[str]:

@@ -1401,7 +1401,9 @@ def test_convert_to_snapshot_in_place(spark, tmp_path):
     assert set(back.columns) == {"id", "tag", "bucket"}
     assert back.groupBy("bucket").count().count() == 3
     m = _load_manifest(spark, path, 0)
-    assert m["mode"] == "convert" and m["stats"]  # skipping armed
+    from azure_etl_spark.sources.snapshot import _manifest_stats
+
+    assert m["mode"] == "convert" and _manifest_stats(spark, path, m)  # armed
 
     # behaves like any snapshot table afterwards
     assert write_snapshot(_df(spark, "new", n=5), path, mode="append") == 1
@@ -1430,8 +1432,10 @@ def test_convert_unpartitioned_flat_layout(spark, tmp_path):
     assert back.count() == 12
     assert {r["tag"] for r in back.collect()} == {"legacy"}
     # stats present for every moved part file
+    from azure_etl_spark.sources.snapshot import _manifest_stats
+
     m = _load_manifest(spark, path, 0)
-    assert len(m["stats"]) == 3
+    assert len(_manifest_stats(spark, path, m)) == 3
 
 
 def test_convert_empty_dir_refused(spark, tmp_path):
@@ -1467,3 +1471,106 @@ def test_repair_log_unsticks_crashed_claim(spark, tmp_path):
     v = write_snapshot(_df(spark, "after", n=4), path, mode="append")
     assert v == 1
     assert read_snapshot(spark, path).count() == 14
+
+
+# ---------------------------------------------------------------------------
+# Two-level stats log (round-6): per-commit sidecars + parquet checkpoints
+# keep commit metadata O(commit), not O(table files)
+# ---------------------------------------------------------------------------
+
+
+def test_two_level_stats_log_checkpoints_and_prunes(spark, tmp_path):
+    """A long append chain: stats never inline in the manifest, the
+    sidecar-ref chain compacts into a parquet checkpoint past the
+    threshold, every live file still has stats, and skipping works."""
+    import json as _json
+
+    from azure_etl_spark.sources import snapshot as snap
+
+    path = str(tmp_path / "twolevel")
+    n = snap._STATS_CHECKPOINT_EVERY + 4
+    for i in range(n):
+        df = spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id % 3 as b")
+        write_snapshot(df, path, mode="append")
+
+    m = _load_manifest(spark, path, n - 1)
+    assert m["stats"] == {}  # stats are never inlined by new commits
+    assert any("ckpt" in r for r in m["stats_refs"])  # chain compacted
+    assert len(m["stats_refs"]) < n  # strictly fewer refs than commits
+
+    # manifest JSON itself stays metadata-sized: no per-file min/max
+    raw = _json.load(open(os.path.join(path, "_manifest", f"v{n-1}.json")))
+    assert raw["stats"] == {} and "stats_refs" in raw
+
+    # stats complete for every live file; skipping still prunes
+    files, stats = snap._manifest_files(spark, path, m)
+    assert len(files) >= n and set(files) <= set(stats)
+    read, skipped = snap.resolve_scan(spark, path, where=[("id", "<", 5)])
+    assert len(skipped) > len(read)
+    got = read_snapshot(spark, path, where=[("id", "<", 5)])
+    assert got.count() == 5
+
+
+def test_stats_checkpoint_prunes_dropped_files_and_vacuum_reclaims(
+    spark, tmp_path
+):
+    """COW/overwrite commits carry stale sidecar entries harmlessly;
+    the next checkpoint prunes them to live files only, and vacuum
+    deletes sidecars no retained manifest references."""
+    from azure_etl_spark.sources import snapshot as snap
+
+    path = str(tmp_path / "reclaim")
+    for i in range(6):
+        write_snapshot(_df(spark, f"a{i}"), path, mode="append")
+    # full logical replace: old files dropped, their stats entries stale
+    write_snapshot(_df(spark, "fresh", n=8), path, mode="overwrite")
+    m = _load_manifest(spark, path, 6)
+    files, stats = snap._manifest_files(spark, path, m)
+    assert set(files) <= set(stats)
+
+    vacuum_snapshots(spark, path, keep_last=1)
+    kept = _load_manifest(spark, path, 6)
+    on_disk = {
+        n for n in os.listdir(os.path.join(path, "_manifest"))
+        if n.startswith(snap._STATS_REF_PREFIX)
+    }
+    assert on_disk == set(kept.get("stats_refs", []))
+    assert read_snapshot(spark, path).count() == 8
+
+
+def test_legacy_inline_stats_manifest_still_works(spark, tmp_path):
+    """Tables written by earlier rounds carry stats INLINE in the
+    manifest: readers still consume them, and the first new commit
+    folds them into the checkpointed form."""
+    import json as _json
+
+    from azure_etl_spark.sources import snapshot as snap
+
+    path = str(tmp_path / "legacy")
+    write_snapshot(_df(spark, "old", n=20), path)
+    m = _load_manifest(spark, path, 0)
+    merged = snap._manifest_stats(spark, path, m)
+    assert merged
+    # rewrite v0 as a round-5-style manifest: inline stats, no refs
+    m["stats"], m["stats_refs"] = merged, []
+    with open(os.path.join(path, "_manifest", "v0.json"), "w") as fh:
+        _json.dump(m, fh)
+    # the out-of-band rewrite invalidates Hadoop LocalFS's checksum
+    # sidecar; drop it (ChecksumFileSystem tolerates a missing .crc)
+    crc = os.path.join(path, "_manifest", ".v0.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    snap._STATS_CACHE.clear()
+
+    # reads + skipping work off the inline map
+    read, skipped = snap.resolve_scan(spark, path, where=[("id", "<", 2)])
+    assert read and set(read) <= set(merged)
+    assert read_snapshot(spark, path, where=[("id", "<", 2)]).count() == 2
+
+    # an append on the legacy table folds inline stats into a checkpoint
+    write_snapshot(_df(spark, "new", n=5), path, mode="append")
+    m1 = _load_manifest(spark, path, 1)
+    assert m1["stats"] == {}
+    files, stats = snap._manifest_files(spark, path, m1)
+    assert set(files) <= set(stats)
+    assert read_snapshot(spark, path).count() == 25

@@ -60,3 +60,34 @@ def test_bpe_segmentation_is_lossless(spark, sf_dir):
         F.concat_ws("", F.col("bpe_tokens")) != F.col("__orig")
     )
     assert bad.count() == 0
+
+
+def test_bpe_oracle_guard_survives_vocab_exhaustion(spark):
+    """ADVICE r5: when every pair is merged before the unrolled round
+    count, the oracle's per-round merge CTE is EMPTY — the guarded
+    LEFT JOIN must carry words/docs through unchanged (mirroring the
+    engine's early-stop) instead of emptying every later CTE."""
+    import duckdb
+    import pandas as pd
+
+    from azure_etl_spark.plans.queries import _bpe_encode_oracle, _BPE_N_MERGES
+
+    docs = [(1, "ab ab"), (2, "ab b"), (3, "b")]
+    sdf = spark.createDataFrame(docs, "doc_id int, text string")
+    merges, rounds = bpe_train(word_frequencies(sdf), n_merges=_BPE_N_MERGES)
+    assert merges.count() < _BPE_N_MERGES  # vocabulary exhausted early
+
+    enc = {
+        r["doc_id"]: (r["n_bpe_tokens"], " ".join(r["bpe_tokens"]))
+        for r in bpe_encode(sdf, rounds).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    got = {
+        int(r.doc_id): (int(r.n_bpe_tokens), r.tok_str)
+        for r in con.sql(_bpe_encode_oracle()).df().itertuples()
+    }
+    assert got == enc and len(got) == 3
