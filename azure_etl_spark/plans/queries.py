@@ -7567,6 +7567,146 @@ def q_map_zip_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+# ------------------------------------------------- perceptual image dedup
+
+
+def _image_hash_ctes(kind: str) -> str:
+    """CTE chain recomputing the perceptual hash of every synthetic PNM
+    image in pure SQL (operators/imagehash.py): the deterministic
+    texture formula (quadratic integer mix mod 251 + one perturbed
+    pixel), nearest-neighbor sampling with the exact
+    floor((i + 0.5) * src / dst) index map of codecs.resize_nearest,
+    then dhash gradient bits (9x8) or ahash above-mean bits (8x8),
+    packed into four 16-bit chunk values ch0..ch3 (same packing as
+    shiftrightunsigned & 0xFFFF on the engine's int64)."""
+    ncols = 9 if kind == "dhash" else 8
+    ctes = f"""ids AS (SELECT doc_id FROM documents),
+    grid AS (
+      SELECT y.y AS y, x.x AS x
+      FROM generate_series(0, 7) y(y), generate_series(0, {ncols - 1}) x(x)),
+    px AS (
+      SELECT i.doc_id, g.y, g.x,
+             LEAST(CAST(FLOOR((g.y + 0.5) * 16.0 / 8) AS INT), 15) AS sy,
+             LEAST(CAST(FLOOR((g.x + 0.5) * 24.0 / {ncols}) AS INT), 23) AS sx
+      FROM ids i, grid g),
+    v AS (
+      SELECT doc_id, y, x,
+             (((sx * 31 + sy * 17 + (doc_id - doc_id % 4) * 101 + 7)
+               * (sx + sy * 3 + ((doc_id - doc_id % 4) % 89) + 1)) % 251
+              + CASE WHEN sy = doc_id % 16 AND sx = doc_id % 24
+                     THEN doc_id % 4 ELSE 0 END) % 256 AS val
+      FROM px)"""
+    if kind == "dhash":
+        bits = """bits AS (
+      SELECT l.doc_id, l.y * 8 + l.x AS pos, l.val > r.val AS b
+      FROM v l JOIN v r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      WHERE l.x < 8)"""
+    else:
+        bits = """m AS (SELECT doc_id, AVG(val) AS mu FROM v GROUP BY doc_id),
+    bits AS (
+      SELECT v.doc_id, v.y * 8 + v.x AS pos, v.val > m.mu AS b
+      FROM v JOIN m ON v.doc_id = m.doc_id)"""
+    packs = ",\n      ".join(
+        f"CAST(SUM(CASE WHEN b AND pos // 16 = {c} THEN 1 << (pos % 16) "
+        f"ELSE 0 END) AS INT) AS ch{c}"
+        for c in range(4)
+    )
+    return f"""{ctes},
+    {bits},
+    h AS (
+      SELECT doc_id,
+      {packs}
+      FROM bits GROUP BY doc_id)"""
+
+
+def _image_hashed(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import (
+        attach_synth_pnm,
+        image_perceptual_hash,
+    )
+
+    docs = _td(spark, sf_dir).select("doc_id")
+    return image_perceptual_hash(
+        attach_synth_pnm(docs), "media", "__ph", kind
+    )
+
+
+@query(
+    "image_dhash_docs",
+    oracle=f"""
+    WITH {_image_hash_ctes("dhash")}
+    SELECT doc_id, ch0, ch1, ch2, ch3 FROM h ORDER BY doc_id
+    """,
+    description="Perceptual difference-hash (dHash) of every corpus "
+    "image: REAL byte path (P5 PNM encoded, decoded, nearest-resized "
+    "to 9x8, gradient-sign bits) in one Arrow mapInPandas pass; the "
+    "oracle recomputes the identical hash from the deterministic pixel "
+    "formula in pure SQL. Emitted as four 16-bit chunks — the LSH "
+    "bucketing key for image_dhash_near_dup.",
+)
+def q_image_dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import hash_chunks
+
+    return (
+        _image_hashed(spark, sf_dir, "dhash")
+        .select("doc_id", *hash_chunks("__ph"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "image_ahash_docs",
+    oracle=f"""
+    WITH {_image_hash_ctes("ahash")}
+    SELECT doc_id, ch0, ch1, ch2, ch3 FROM h ORDER BY doc_id
+    """,
+    description="Perceptual average-hash (aHash): 8x8 above-mean bits "
+    "over the same decoded thumbnails (the mean of 64 uint8 samples is "
+    "exact in float64, so the comparison replays bit-identically in "
+    "SQL). Complements dHash — aHash keys on absolute luminance, dHash "
+    "on gradients.",
+)
+def q_image_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import hash_chunks
+
+    return (
+        _image_hashed(spark, sf_dir, "ahash")
+        .select("doc_id", *hash_chunks("__ph"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "image_dhash_near_dup",
+    oracle=f"""
+    WITH {_image_hash_ctes("dhash")}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+              + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3))
+              AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+        + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    description="Perceptual near-duplicate image pairs: dHash + the "
+    "4x16-bit-chunk pigeonhole candidate join (any pair with hamming "
+    "<= 3 shares a whole chunk, so candidates come from an equi-join — "
+    "4 tiny rows per image shuffle, pixels never do, no all-pairs "
+    "stage). The fixture plants groups of 4 near-identical images "
+    "(single-pixel perturbations, intra-group hamming <= 1); the "
+    "brute-force SQL oracle proves the bucketed join's recall is "
+    "complete at this threshold.",
+)
+def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
+
+    hashed = _image_hashed(spark, sf_dir, "dhash")
+    return hash64_near_dup_pairs(hashed, "doc_id", "__ph", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
