@@ -7707,6 +7707,324 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- unigram-LM tokenizer (r6)
+
+
+def _uni_lpf(lp: str, piece_expr: str) -> str:
+    return f"COALESCE(map_extract({lp}, {piece_expr})[1], -1e9)"
+
+
+def _uni_viterbi_ctes(
+    src: str, src_cols: list[str], lp_cte: str, pfx: str, word: str = "word"
+) -> list[str]:
+    """Unrolled Viterbi CTE chain replaying operators/unigram.py's two
+    folds: forward scores b1..b12 (each CTE references the previous
+    ONCE — linear plan, the SQL twin of the engine's aggregate-fold),
+    then 12 backtrace steps picking the LONGEST piece that achieves
+    the optimal score (exact float equality — both engines evaluate
+    the identical expression). Ends at ``{pfx}out``: src_cols + toks."""
+    from azure_etl_spark.operators.unigram import PIECE_MAX, WORD_MAX
+
+    ctes = [
+        f"{pfx}f0 AS (SELECT s.*, l.lp AS lp, [0.0::DOUBLE] AS B "
+        f"FROM {src} s CROSS JOIN {lp_cte} l)"
+    ]
+    for i in range(1, WORD_MAX + 1):
+        cands = []
+        for k in range(1, min(PIECE_MAX, i) + 1):
+            prev = "0.0" if i == k else f"b{i - k}"
+            cands.append(
+                f"{prev} + "
+                + _uni_lpf("lp", f"substring({word}, {i - k + 1}, {k})")
+            )
+        expr = f"GREATEST({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        ctes.append(f"{pfx}f{i} AS (SELECT *, ({expr}) AS b{i} FROM {pfx}f{i - 1})")
+    blist = ", ".join(f"b{i}" for i in range(1, WORD_MAX + 1))
+    ctes.append(
+        f"{pfx}t0 AS (SELECT *, list_concat(B, [{blist}]) AS BB, "
+        f"CAST(length({word}) AS INT) AS p0, CAST([] AS VARCHAR[]) AS tk0 "
+        f"FROM {pfx}f{WORD_MAX})"
+    )
+    for t in range(1, WORD_MAX + 1):
+        p = f"p{t - 1}"
+        conds = []
+        for k in range(PIECE_MAX, 1, -1):
+            conds.append(
+                f"WHEN {p} >= {k} AND BB[GREATEST({p} + 1, 1)] = "
+                f"BB[GREATEST({p} - {k} + 1, 1)] + "
+                + _uni_lpf("lp", f"substring({word}, {p} - {k} + 1, {k})")
+                + f" THEN {k}"
+            )
+        kt = f"CASE WHEN {p} <= 0 THEN 0 {' '.join(conds)} ELSE 1 END"
+        ctes.append(
+            f"{pfx}t{t} AS (SELECT *, ({kt}) AS k{t}, "
+            f"({p} - ({kt})) AS p{t}, "
+            f"CASE WHEN ({kt}) = 0 THEN tk{t - 1} ELSE "
+            f"list_append(tk{t - 1}, substring({word}, {p} - ({kt}) + 1, ({kt}))) "
+            f"END AS tk{t} FROM {pfx}t{t - 1})"
+        )
+    cols = ", ".join(src_cols)
+    ctes.append(
+        f"{pfx}out AS (SELECT {cols}, list_reverse(tk{WORD_MAX}) AS toks "
+        f"FROM {pfx}t{WORD_MAX})"
+    )
+    return ctes
+
+
+def _uni_lp_cte(name: str, vocab_cte: str) -> str:
+    # MATERIALIZED is load-bearing: the 1-row map is referenced by 36+
+    # lookups per pass; inlined, DuckDB would rebuild it per reference
+    return (
+        f"{name} AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), "
+        f"list(ln(n) - ln(tt.t) ORDER BY piece)) AS lp "
+        f"FROM {vocab_cte} CROSS JOIN (SELECT SUM(n) AS t FROM {vocab_cte}) tt "
+        f"GROUP BY tt.t)"
+    )
+
+
+def _uni_train_ctes() -> list[str]:
+    """Seed + EM_ITERS unrolled Viterbi-EM rounds, ending at vocab2
+    (piece, n) and its log-prob map lp2 — the SQL replay of
+    operators/unigram.unigram_train (spec: operators/unigram_ref.py)."""
+    from azure_etl_spark.operators.unigram import (
+        EM_ITERS,
+        PIECE_MAX,
+        SEED_MULTI,
+        WORD_MAX,
+    )
+
+    ctes = [
+        _bpe_word_cte(),
+        f"wfl AS (SELECT word, cnt FROM wf WHERE length(word) <= {WORD_MAX})",
+        f"""sub AS (
+      SELECT substring(word, i.i, k.k) AS piece, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM wfl, generate_series(1, {WORD_MAX}) i(i),
+           generate_series(1, {PIECE_MAX}) k(k)
+      WHERE i.i + k.k - 1 <= length(word) GROUP BY 1)""",
+        f"""seed_multi AS (SELECT piece, n FROM sub WHERE length(piece) > 1
+      ORDER BY n DESC, piece LIMIT {SEED_MULTI})""",
+        """seed AS MATERIALIZED (SELECT piece, n FROM sub WHERE length(piece) = 1
+      UNION ALL SELECT piece, n FROM seed_multi)""",
+        _uni_lp_cte("lp0", "seed"),
+    ]
+    prev_vocab = "seed"
+    for r in range(1, EM_ITERS + 1):
+        ctes += _uni_viterbi_ctes("wfl", ["word", "cnt"], f"lp{r - 1}", f"v{r}_")
+        ctes.append(
+            f"""uses{r} AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u
+      FROM (SELECT unnest(toks) AS piece, cnt FROM v{r}_out) GROUP BY piece)"""
+        )
+        ctes.append(
+            f"""vocab{r} AS MATERIALIZED (
+      SELECT s.piece,
+             (COALESCE(u.u, 0) + CASE WHEN length(s.piece) = 1 THEN 1 ELSE 0 END) AS n
+      FROM {prev_vocab} s LEFT JOIN uses{r} u ON s.piece = u.piece
+      WHERE (COALESCE(u.u, 0) + CASE WHEN length(s.piece) = 1 THEN 1 ELSE 0 END) > 0)"""
+        )
+        ctes.append(_uni_lp_cte(f"lp{r}", f"vocab{r}"))
+        prev_vocab = f"vocab{r}"
+    return ctes
+
+
+def _unigram_train_oracle() -> str:
+    return (
+        f"WITH {', '.join(_uni_train_ctes())}\n"
+        "SELECT piece, CAST(n AS BIGINT) AS n_uses, "
+        "ROUND(ln(n) - ln(tt.t), 6) AS logp "
+        "FROM vocab2 CROSS JOIN (SELECT SUM(n) AS t FROM vocab2) tt "
+        "ORDER BY piece"
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    from azure_etl_spark.operators.unigram import EM_ITERS, WORD_MAX
+
+    ctes = _uni_train_ctes()
+    ctes.append(r"""dwords AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                             ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                             x -> regexp_matches(x, '^[a-z]+$')),
+                 (x, i) -> struct_pack(w := x, pos := i))) AS s
+        FROM documents) t)""")
+    ctes.append(
+        f"dshort AS (SELECT DISTINCT w AS word FROM dwords "
+        f"WHERE length(w) <= {WORD_MAX})"
+    )
+    ctes += _uni_viterbi_ctes("dshort", ["word"], f"lp{EM_ITERS}", "e_")
+    ctes.append(f"""enc AS (
+      SELECT d.doc_id, d.pos,
+             CASE WHEN length(d.w) > {WORD_MAX} THEN [d.w] ELSE s.toks END AS toks
+      FROM dwords d LEFT JOIN e_out s ON d.w = s.word)""")
+    ctes.append("""docagg AS (
+      SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
+      FROM enc GROUP BY doc_id)""")
+    return (
+        f"WITH {', '.join(ctes)}\n"
+        "SELECT d.doc_id, CAST(COALESCE(len(a.toks), 0) AS INT) AS n_tokens, "
+        "COALESCE(array_to_string(a.toks, ' '), '') AS tok_str "
+        "FROM documents d LEFT JOIN docagg a ON d.doc_id = a.doc_id "
+        "ORDER BY d.doc_id"
+    )
+
+
+@query(
+    "unigram_train_vocab",
+    oracle=_unigram_train_oracle,
+    description="Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer "
+    "training via deterministic fixed-iteration Viterbi-EM: substring "
+    "seed vocabulary (top-60 multi-char pieces + all chars), then 2 "
+    "hard-EM rounds — Viterbi-segment the Heaps-law-bounded word "
+    "table under broadcast piece log-probs (the DP is an aggregate "
+    "FOLD, pure codegen, unrolled to 12 static steps), count uses, "
+    "renormalize with char add-one smoothing. Corpus touched once; "
+    "per-round cost is O(|vocab words|). Oracle unrolls both EM "
+    "rounds as chained CTEs (materialized log-prob maps).",
+)
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.tokenize import word_frequencies
+    from azure_etl_spark.operators.unigram import unigram_train
+
+    vocab = unigram_train(word_frequencies(_td(spark, sf_dir)))
+    return vocab.select(
+        "piece", "n_uses", F.round("logp", 6).alias("logp")
+    ).orderBy("piece")
+
+
+@query(
+    "unigram_encode_docs",
+    oracle=_unigram_encode_oracle,
+    description="Encode the corpus with the trained unigram-LM "
+    "vocabulary: only DISTINCT words run the Viterbi DP (ties -> "
+    "longest piece), each occurrence pays one join; words beyond the "
+    "length cap pass through as single OOV tokens; empty docs emit "
+    "zero tokens (left join + coalesce). Oracle replays train + "
+    "encode end-to-end in one unrolled CTE chain.",
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.tokenize import word_frequencies
+    from azure_etl_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = _td(spark, sf_dir)
+    vocab = unigram_train(word_frequencies(docs))
+    enc = unigram_encode(docs, vocab.select("piece", F.col("n_uses").alias("n_occ")))
+    return enc.select(
+        "doc_id",
+        F.col("n_uni_tokens").alias("n_tokens"),
+        F.concat_ws(" ", "uni_tokens").alias("tok_str"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------- hashed n-gram quality features (r6)
+
+
+def _hashed_logreg_oracle(
+    n_buckets: int = 8, n: int = 3, iters: int = 3, lr: float = 0.5
+) -> str:
+    """Replays hashed_ngram_features + logreg end-to-end: char 3-grams
+    -> md5 first-8-hex-digits bucket (digit-by-digit base-16 value, the
+    simhash_md5_chunks trick — Spark's conv() computes the identical
+    integer), bucket-fraction features, then the same unrolled
+    zero-init GD as _logreg_oracle over the 1+n_buckets features."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(g), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    xcols = ",\n             ".join(
+        f"CASE WHEN len(bk) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(bk, v -> v = {b})) AS DOUBLE) / len(bk) END"
+        f" AS x{b + 1}"
+        for b in range(n_buckets)
+    )
+    feats = [f"x{j}" for j in range(n_buckets + 1)]
+    wcols = [f"w{j}" for j in range(n_buckets + 1)]
+
+    def zexpr(alias: str) -> str:
+        return " + ".join(f"{alias}.{w} * {x}" for w, x in zip(wcols, feats))
+
+    ctes = [
+        f"""gr AS (
+      SELECT doc_id, y,
+             CASE WHEN length(s) < {n} THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, length(s) - {n - 1}),
+                                      i -> substring(s, i, {n})) END AS grams
+      FROM (SELECT doc_id, trim(lower(text)) AS s,
+                   CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents) t)""",
+        f"""bkt AS (SELECT doc_id, y,
+             list_transform(grams, g -> ({digits}) % {n_buckets}) AS bk
+      FROM gr)""",
+        f"""feats AS MATERIALIZED (
+      SELECT doc_id, y, 1.0 AS x0,
+             {xcols}
+      FROM bkt)""",
+        "winit AS (SELECT " + ", ".join(f"0.0 AS {w}" for w in wcols) + ")",
+    ]
+    prev = "winit"
+    for it in range(1, iters + 1):
+        g = ", ".join(
+            f"AVG((1.0 / (1.0 + exp(-({zexpr('w')}))) - y) * {x}) AS g{j}"
+            for j, x in enumerate(feats)
+        )
+        ctes.append(f"g{it} AS (SELECT {g} FROM feats CROSS JOIN {prev} w)")
+        upd = ", ".join(
+            f"w.{wc} - {lr} * g.g{j} AS {wc}" for j, wc in enumerate(wcols)
+        )
+        ctes.append(f"wit{it} AS (SELECT {upd} FROM {prev} w CROSS JOIN g{it} g)")
+        prev = f"wit{it}"
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-({zexpr('w')}))), 5) AS prob,
+           CAST(y AS INT) AS label
+    FROM feats CROSS JOIN {prev} w
+    WHERE doc_id < 300 ORDER BY doc_id
+    """
+
+
+@query(
+    "logreg_hashed_ngram_quality",
+    oracle=_hashed_logreg_oracle,
+    description="The quality classifier on RAW TEXT via the hashing "
+    "trick (fastText's input shape, Joulin et al. 2016): char 3-grams "
+    "hashed into 8 fixed buckets, bucket-fraction features, then the "
+    "same 3-step distributed-GD logistic regression as "
+    "logreg_quality_filter. No vocabulary table to build or ship — "
+    "feature width is fixed regardless of corpus size, the whole "
+    "point at 100 TB. All in-row HOFs (one grams array, one bucket "
+    "array, filtered counts), no explode, no shuffle beyond the "
+    "gradient aggregate. Oracle replays hashing digit-by-digit and "
+    "unrolls the GD.",
+)
+def q_logreg_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.quality import (
+        hashed_ngram_features,
+        logreg_fit,
+        logreg_score,
+    )
+
+    docs = _td(spark, sf_dir)
+    lab = docs.withColumn(
+        "y", F.when(F.col("source") == "src0", F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    feats = hashed_ngram_features(lab, n_buckets=8).withColumn("x0", F.lit(1.0))
+    cols = [f"x{j}" for j in range(9)]
+    w = logreg_fit(feats, cols, "y", iters=3, lr=0.5)
+    return (
+        logreg_score(feats, cols, w)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.round("prob", 5).alias("prob"),
+            F.col("y").cast("int").alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
