@@ -137,15 +137,23 @@ def hash64_near_dup_pairs(
     complete for hamming <= 3 by construction."""
     if max_hamming > 3:
         raise ValueError("4-chunk bucketing guarantees recall only for hamming <= 3")
-    chunked = df.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("sig"),
+    # cut lineage on the (id, hash) projection BEFORE the self-join:
+    # a self-join re-evaluates its input lineage per side, and here the
+    # lineage is the Arrow decode+hash pass over the image bytes — the
+    # dominant cost at scale. The checkpointed projection is 16 bytes a
+    # row; the decode then runs exactly once.
+    sig = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sig")
+    ).localCheckpoint(eager=False)
+    chunked = sig.select(
+        "id",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("cidx"),
-                        F.shiftrightunsigned(F.col(hash_col), 16 * c)
+                        F.shiftrightunsigned(F.col("sig"), 16 * c)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("cval"),
                     )

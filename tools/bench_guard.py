@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Bench regression guard: compare a bench.py output line against the
-round-4 clean-run reference numbers (BENCH_LOCAL_r04.json, min-of-3 on
-a quiet sandbox — the current best; r3's uniform +21% drift was sandbox
-load, not plan changes — see BASELINE.md).
+clean-run reference matching its scale factor — sf0.1 lines against
+the round-4 reference (BENCH_LOCAL_r04.json), sf>=1 lines against the
+round-6 sf1 reference (BENCH_LOCAL_r06_sf1.json, 10x fixture built by
+tools/make_sf1.py). The sf1 basis exists because sf0.1's sub-second
+queries sit at the sandbox's ±30% noise floor (r3's uniform +21% drift
+was load, not plans — see BASELINE.md); at sf1 the headline queries
+run for seconds and real regressions separate from noise.
 
 Usage:
     python bench.py | tail -1 > /tmp/bench.json
@@ -50,6 +54,37 @@ REFERENCE: dict[str, float] = {
     "dedup_duplicate_spans_docs": 1.152,
 }
 
+# BENCH_LOCAL_r06_sf1.json "queries" (10x-replicated sf1 fixture
+# .benchdata/sf1 via tools/make_sf1.py, local[32], min-of-3).
+# The sf1 basis is the round-6 rebase: sf0.1's sub-second queries sit
+# at the sandbox's ±30% noise floor, sf1's seconds-scale runs don't —
+# guard runs against an sf>=1 bench line compare here instead.
+SF1_REFERENCE: dict[str, float] = {
+    "flagship_gold_minmax": 0.502,
+    "dedup_distinct": 1.416,
+    "topk_orders": 0.096,
+    "join_revenue_per_nation": 0.389,
+    "window_minmax_partition": 1.326,
+    "events_hourly_rollup": 0.195,
+    "tpch_q1ish": 1.308,
+    "text_token_stats": 0.326,
+    "minhash_near_dup": 0.83,
+    "cosine_topk": 0.146,
+    "tpch_q3ish": 0.573,
+    "tpch_q6ish": 0.144,
+    "tpch_q9ish": 0.38,
+    "hll_sketch_rollup_users": 0.394,
+    "training_corpus_filter": 0.692,
+    "contamination_ngram_overlap": 2.354,
+    "pack_sequences_budget": 0.446,
+    "word_entropy_docs": 0.885,
+    "remove_dup_segments_docs": 2.195,
+    "unigram_logprob_docs": 1.034,
+    "cohort_weekly_retention": 0.362,
+    "pipeline_medallion": 4.787,
+    "dedup_duplicate_spans_docs": 3.251,
+}
+
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
 # an absolute floor before calling one a regression
 ABS_FLOOR_SEC = 0.15
@@ -68,9 +103,13 @@ def main() -> int:
     if "parsed" in data:
         data = data["parsed"]
     queries: dict[str, float] = data["queries"]
+    # pick the reference matching the bench's scale factor
+    sf = float(data.get("sf", 0.1))
+    reference = SF1_REFERENCE if sf >= 1.0 else REFERENCE
+    ref_label = "sf1 (r06)" if sf >= 1.0 else "r04"
 
     offenders, new, ratios = [], [], []
-    for name, ref in REFERENCE.items():
+    for name, ref in reference.items():
         cur = queries.get(name)
         if cur is None:
             continue
@@ -78,14 +117,14 @@ def main() -> int:
         if cur > args.factor * ref and cur - ref > ABS_FLOOR_SEC:
             offenders.append((name, ref, cur, cur / ref))
     for name in queries:
-        if name not in REFERENCE:
+        if name not in reference:
             new.append(name)
 
     if new:
         print(f"(info) no reference for: {', '.join(sorted(new))}")
     if ratios:
         med = sorted(ratios)[len(ratios) // 2]
-        print(f"median ratio vs r04 reference: {med:.2f}x over {len(ratios)} queries")
+        print(f"median ratio vs {ref_label} reference: {med:.2f}x over {len(ratios)} queries")
         if med > args.factor:
             print(
                 "NOTE: uniform slowdown across the board — likely sandbox "

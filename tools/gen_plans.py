@@ -111,6 +111,36 @@ COMMENTARY = {
         "from catalog tables created by the query itself; the Exchange-free "
         "property is asserted in tests/test_layout.py.)"
     ),
+    "image_dhash_near_dup": (
+        "Perceptual image near-dup (round 6). Hashing is ONE Arrow "
+        "MapInPandas pass (decode + resize + dhash in numpy, batch-at-a-"
+        "time — never row-at-a-time Python), and the (id, hash) projection "
+        "is lineage-cut (localCheckpoint) before the self-join, so both "
+        "join sides Scan ExistingRDD instead of re-running the decode — "
+        "the plan's two leaf scans are 16-byte rows, not image bytes; the "
+        "pair stage is the simhash pigeonhole shape: explode 4 (chunk, "
+        "value) rows per image, equi-join on them, verify with "
+        "bit_count(xor) under codegen. "
+        "Pixels never reach an Exchange; there is no all-pairs operator "
+        "anywhere in the plan."
+    ),
+    "unigram_encode_docs": (
+        "Unigram-LM encode (round 6). The Viterbi DP is an aggregate FOLD "
+        "over a 12-step sequence — a single small codegen expression per "
+        "word, linear plan size (a per-step withColumn chain would inline "
+        "3^12 candidate expressions via CollapseProject). Only DISTINCT "
+        "words run the DP; the piece log-prob map is a 1-row broadcast "
+        "cross join; per-occurrence cost is the join back + in-row "
+        "array_sort/flatten reassembly."
+    ),
+    "logreg_hashed_ngram_quality": (
+        "Hashing-trick quality classifier (round 6). Feature extraction "
+        "is in-row HOFs (grams array -> bucket array -> filtered counts) "
+        "with no explode; each GD iteration is ONE map-side-combined "
+        "aggregate producing a 9-float gradient; scoring folds the "
+        "learned weights into a codegen sigmoid. Feature width is fixed "
+        "by the bucket count, so the plan is corpus-size-independent."
+    ),
 }
 
 
