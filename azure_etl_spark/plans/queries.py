@@ -8025,6 +8025,117 @@ def q_logreg_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- perceptual audio dedup (r6)
+
+
+def _audio_fp_ctes() -> str:
+    """CTE chain recomputing the audio fingerprint in pure SQL
+    (operators/audiohash.py): the deterministic int16 sample formula,
+    integer stride-band energies, Haitsma-Kalker difference-of-
+    difference sign bits, packed into ch0..ch3 (same 16-bit chunk
+    packing as the engine's shiftrightunsigned & 0xFFFF)."""
+    base = "(doc_id - doc_id % 4)"
+    fmod = (
+        f"(((i + 3) * ({base} % 97 + 5) * 31 + {base} * 17"
+        f" + (i * i % 13) * ({base} % 41 + 1)) % 2003)"
+    )
+    val = (
+        f"CASE WHEN i = doc_id % 324 THEN (({fmod} + (doc_id % 4) * 50) % 2003)"
+        f" - 1001 ELSE {fmod} - 1001 END"
+    )
+    packs = ",\n      ".join(
+        f"CAST(SUM(CASE WHEN bset AND pos // 16 = {c} THEN 1 << (pos % 16) "
+        f"ELSE 0 END) AS INT) AS ch{c}"
+        for c in range(4)
+    )
+    return f"""samp AS (
+      SELECT d.doc_id, i.i AS i, ({val}) AS s
+      FROM (SELECT doc_id FROM documents) d, generate_series(0, 323) i(i)),
+    en AS (
+      SELECT doc_id, i // 36 AS t, (i % 36) % 9 AS b,
+             CAST(SUM(s * s) AS BIGINT) AS e
+      FROM samp GROUP BY 1, 2, 3),
+    diff AS (
+      SELECT l.doc_id, l.t, l.b, l.e - r.e AS d
+      FROM en l JOIN en r ON l.doc_id = r.doc_id AND l.t = r.t
+                         AND r.b = l.b + 1
+      WHERE l.b < 8),
+    abits AS (
+      SELECT lo.doc_id, lo.t * 8 + lo.b AS pos, hi.d > lo.d AS bset
+      FROM diff lo JOIN diff hi ON lo.doc_id = hi.doc_id
+                               AND hi.t = lo.t + 1 AND hi.b = lo.b
+      WHERE lo.t < 8),
+    h AS (
+      SELECT doc_id,
+      {packs}
+      FROM abits GROUP BY doc_id)"""
+
+
+def _audio_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.audiohash import (
+        attach_synth_wav,
+        audio_perceptual_hash,
+    )
+
+    docs = _td(spark, sf_dir).select("doc_id")
+    return audio_perceptual_hash(attach_synth_wav(docs), "media", "__ph")
+
+
+@query(
+    "audio_fp_docs",
+    oracle=f"""
+    WITH {_audio_fp_ctes()}
+    SELECT doc_id, ch0, ch1, ch2, ch3 FROM h ORDER BY doc_id
+    """,
+    description="Perceptual audio fingerprint (Haitsma-Kalker 2002 "
+    "robust-hash bit derivation over integer stride-band energies) of "
+    "every corpus clip: REAL byte path (16-bit PCM WAV encoded, "
+    "decoded, energy grid, difference-of-difference sign bits) in one "
+    "Arrow mapInPandas pass; the oracle recomputes the identical "
+    "fingerprint from the deterministic sample formula in pure SQL. "
+    "Emitted as four 16-bit chunks — the LSH bucketing key.",
+)
+def q_audio_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import hash_chunks
+
+    return (
+        _audio_hashed(spark, sf_dir)
+        .select("doc_id", *hash_chunks("__ph"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "audio_fp_near_dup",
+    oracle=f"""
+    WITH {_audio_fp_ctes()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+              + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3))
+              AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+        + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    description="Perceptual near-duplicate audio pairs: the "
+    "fingerprint + the same 4x16-bit-chunk pigeonhole candidate join "
+    "as image/simhash near-dup (complete recall at hamming <= 3, "
+    "equi-join candidates, bit_count verify; samples never shuffle). "
+    "Fixture plants groups of 4 single-sample-perturbed clips "
+    "(596/600 planted pairs within threshold, 0 cross-group); the "
+    "brute-force SQL oracle proves the bucketed join finds exactly "
+    "the same pair set.",
+)
+def q_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
+
+    hashed = _audio_hashed(spark, sf_dir)
+    return hash64_near_dup_pairs(hashed, "doc_id", "__ph", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
