@@ -117,3 +117,74 @@ def test_single_pixel_edit_stays_within_small_hamming():
     other = synth_image_array(400)  # different base texture
     far = bin((dhash64(base) ^ dhash64(other)) & ((1 << 64) - 1)).count("1")
     assert far > 3
+
+
+# ------------------------------------------------------------------
+# Video: temporally-pooled clip dhash (third modality, round 6)
+# ------------------------------------------------------------------
+
+
+def test_video_synth_roundtrip_pnm_stream():
+    from azure_etl_spark.operators.codecs import decode_pnm_stream, encode_pnm
+    from azure_etl_spark.operators.imagehash import (
+        VIDEO_FRAMES,
+        synth_video_frames,
+    )
+
+    frames = synth_video_frames(13)
+    assert len(frames) == VIDEO_FRAMES
+    payload = b"".join(encode_pnm(f) for f in frames)
+    back = decode_pnm_stream(payload)
+    assert len(back) == VIDEO_FRAMES
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+
+def test_video_planted_near_dup_recall_through_spark_path(spark):
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.imagehash import (
+        attach_synth_pnm_stream,
+        synth_video_frames,
+        video_pooled_dhash,
+    )
+
+    def local_hash(d):
+        frames = synth_video_frames(d)
+        pooled = sum(f.astype(np.int64) for f in frames) // len(frames)
+        return dhash64(pooled)
+
+    n = 100
+    docs = spark.range(n).select(F.col("id").cast("int").alias("doc_id"))
+    hashed = video_pooled_dhash(attach_synth_pnm_stream(docs), "media", "__ph")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash64_near_dup_pairs(hashed, "doc_id", "__ph").collect()
+    }
+    hs = {d: local_hash(d) for d in range(n)}
+    want = {}
+    for a, b in itertools.combinations(range(n), 2):
+        ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            want[(a, b)] = ham
+    assert pairs == want and len(pairs) > 0
+    groups = {(a, b) for g in range(n // SYNTH_GROUP)
+              for a, b in itertools.combinations(
+                  range(g * SYNTH_GROUP, (g + 1) * SYNTH_GROUP), 2)}
+    assert set(pairs) == groups  # every planted pair, nothing else
+
+
+def test_video_single_frame_edit_small_hamming():
+    from azure_etl_spark.operators.imagehash import synth_video_frames
+
+    def pooled_hash(frames):
+        pooled = sum(f.astype(np.int64) for f in frames) // len(frames)
+        return dhash64(pooled)
+
+    base = synth_video_frames(0)
+    edited = [f.copy() for f in base]
+    edited[2][5, 5] = (int(edited[2][5, 5]) + 120) % 256  # one frame, one pixel
+    d = bin(
+        (pooled_hash(base) ^ pooled_hash(edited)) & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 4
