@@ -56,7 +56,10 @@ def main() -> None:
             os.path.join(path, snap.MANIFEST_DIR, f"v{v}.json")
         )
         m = snap._load_manifest(spark, path, v)
-        nfiles = len(snap._manifest_files(spark, path, m)[0])
+        # file count is arithmetic (append-only chain of fixed batches);
+        # listing via _manifest_files costs two py4j round-trips per
+        # file, which would add quadratic PROBE overhead of its own
+        nfiles = (i + 1) * files_per_batch
         rows.append({"commit": i, "files": nfiles, "sec": dt, "manifest_bytes": msize,
                      "refs": len(m.get("stats_refs", []))})
 
