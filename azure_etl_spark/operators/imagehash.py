@@ -330,3 +330,125 @@ def attach_synth_pnm_stream(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(batches, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# 128-bit dhash: the measured scale path for billion-item corpora
+# --------------------------------------------------------------------------
+#
+# The 64-bit/4x16-bit-chunk design's candidate volume carries a
+# birthday term ~4*n^2/2^17 (measured: tools/scale_probe_media.py) —
+# negligible per-candidate cost at 10^4-10^5 items, dominant at 10^9.
+# Multi-index hashing's sizing rule (Norouzi et al. 2012): to keep
+# buckets collision-free, bits-per-chunk must be >= log2(n). A 128-bit
+# dhash over a 9x16 thumbnail pairs with 4 x 32-BIT chunks — the same
+# pigeonhole completeness at hamming <= 3 (a local edit flips the same
+# few bits regardless of signature length), with per-chunk collision
+# rate n/2^32: collision-free to ~4e9 items. Same machinery, wider
+# chunks.
+
+
+def dhash128(arr: np.ndarray) -> tuple[int, int]:
+    """128-bit difference hash: 9x16 grayscale thumbnail, bit
+    ``y*8 + x`` iff ``g[y, x] > g[y, x+1]`` — returned as two SIGNED
+    int64 words (bits 0..63, 64..127)."""
+    from azure_etl_spark.operators.codecs import resize_nearest
+
+    g = resize_nearest(_to_gray(arr), 9, 16)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64)  # (16, 8)
+    w = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+    lo = int(np.int64((bits[:8] * w).sum(dtype=np.uint64)))
+    hi = int(np.int64((bits[8:] * w).sum(dtype=np.uint64)))
+    return lo, hi
+
+
+def image_perceptual_hash128(
+    df: DataFrame, media_col: str = "media", out_prefix: str = "dh"
+) -> DataFrame:
+    """Add ``{out_prefix}0``/``{out_prefix}1`` int64 columns holding the
+    128-bit dhash of PNM payloads (one Arrow pass, numpy kernel)."""
+    from azure_etl_spark.operators.codecs import decode_pnm
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, {out_prefix}0 bigint, {out_prefix}1 bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: bytes) -> tuple[int, int]:
+            if d[:2] not in (b"P5", b"P6"):
+                raise NotImplementedError(
+                    f"perceptual hash of magic {d[:2]!r} requires PIL; "
+                    "not in container"
+                )
+            return dhash128(decode_pnm(d))
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pair = pdf[media_col].map(lambda d: one(bytes(d)))
+            pdf[f"{out_prefix}0"] = pair.map(lambda t: t[0])
+            pdf[f"{out_prefix}1"] = pair.map(lambda t: t[1])
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def hash128_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over a 128-bit signature held as two int64 words:
+    4 x 32-BIT chunk pigeonhole join (complete at hamming <= 3, chunk
+    collision rate n/2^32 — buckets stay collision-free to billions of
+    items), verify with two bit_counts. Same lineage cut as the 64-bit
+    variant: the decode pass runs once."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk bucketing guarantees recall only for hamming <= 3")
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lo_col).alias("lo"),
+        F.col(hi_col).alias("hi"),
+    ).localCheckpoint(eager=False)
+    mask = F.lit(0xFFFFFFFF)
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("lo"), 0).bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("lo"), 32).bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("hi"), 0).bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("hi"), 32).bitwiseAND(mask),
+    ]
+    chunked = sig.select(
+        "id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("cidx"), e.alias("cval"))
+                    for c, e in enumerate(chunk_exprs)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "lo", "hi", "ch.cidx", "ch.cval")
+    a = chunked.select(
+        "cidx", "cval", F.col("id").alias("id_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    b = chunked.select(
+        "cidx", "cval", F.col("id").alias("id_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        a.join(b, ["cidx", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -8136,6 +8136,83 @@ def q_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ 128-bit image dhash (scale path)
+
+
+def _image_hash128_ctes() -> str:
+    """128-bit dhash oracle: same texture formula as the 64-bit image
+    oracle but a 9x16 thumbnail (16 rows of gradient bits), packed into
+    eight 16-bit chunk values ch0..ch7 for brute-force hamming."""
+    packs = ",\n      ".join(
+        f"CAST(SUM(CASE WHEN b AND pos // 16 = {c} THEN 1 << (pos % 16) "
+        f"ELSE 0 END) AS INT) AS ch{c}"
+        for c in range(8)
+    )
+    return f"""ids AS (SELECT doc_id FROM documents),
+    grid AS (
+      SELECT y.y AS y, x.x AS x
+      FROM generate_series(0, 15) y(y), generate_series(0, 8) x(x)),
+    px AS (
+      SELECT i.doc_id, g.y, g.x,
+             LEAST(CAST(FLOOR((g.y + 0.5) * 16.0 / 16) AS INT), 15) AS sy,
+             LEAST(CAST(FLOOR((g.x + 0.5) * 24.0 / 9) AS INT), 23) AS sx
+      FROM ids i, grid g),
+    v AS (
+      SELECT doc_id, y, x,
+             (((sx * 31 + sy * 17 + (doc_id - doc_id % 4) * 101 + 7)
+               * (sx + sy * 3 + ((doc_id - doc_id % 4) % 89) + 1)) % 251
+              + CASE WHEN sy = doc_id % 16 AND sx = doc_id % 24
+                     THEN doc_id % 4 ELSE 0 END) % 256 AS val
+      FROM px),
+    bits AS (
+      SELECT l.doc_id, l.y * 8 + l.x AS pos, l.val > r.val AS b
+      FROM v l JOIN v r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      WHERE l.x < 8),
+    h AS (
+      SELECT doc_id,
+      {packs}
+      FROM bits GROUP BY doc_id)"""
+
+
+_H128_HAM = " + ".join(
+    f"bit_count(xor(a.ch{c}, b.ch{c}))" for c in range(8)
+)
+
+
+@query(
+    "image_dhash128_near_dup",
+    oracle=f"""
+    WITH {_image_hash128_ctes()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({_H128_HAM} AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE {_H128_HAM} <= 3
+    ORDER BY id_a, id_b
+    """,
+    description="The billion-item scale path for perceptual image "
+    "dedup: a 128-bit dhash (9x16 thumbnail, two int64 words) paired "
+    "via 4 x 32-BIT pigeonhole chunks — same completeness at hamming "
+    "<= 3 (a local edit flips the same few bits at any signature "
+    "length), but per-chunk collision rate n/2^32, so buckets stay "
+    "collision-free to ~4e9 items where the 64-bit/16-bit-chunk "
+    "variant's birthday term (measured, SCALE.md media scaling) would "
+    "dominate. Multi-index-hashing sizing rule: bits-per-chunk >= "
+    "log2(n).",
+)
+def q_image_dhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import (
+        attach_synth_pnm,
+        hash128_near_dup_pairs,
+        image_perceptual_hash128,
+    )
+
+    docs = _td(spark, sf_dir).select("doc_id")
+    hashed = image_perceptual_hash128(attach_synth_pnm(docs), "media", "dh")
+    return hash128_near_dup_pairs(
+        hashed, "doc_id", "dh0", "dh1", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 # ----------------------------------------- perceptual video dedup (r6)
 
 

@@ -188,3 +188,34 @@ def test_video_single_frame_edit_small_hamming():
         (pooled_hash(base) ^ pooled_hash(edited)) & ((1 << 64) - 1)
     ).count("1")
     assert d <= 4
+
+
+def test_dhash128_planted_recall_and_collision_resistance(spark):
+    """The billion-item scale path: 128-bit dhash + 32-bit chunks must
+    find exactly the brute-force pair set, and its candidate buckets
+    must not blow up where 16-bit buckets do."""
+    from azure_etl_spark.operators.imagehash import (
+        dhash128,
+        hash128_near_dup_pairs,
+        image_perceptual_hash128,
+    )
+
+    n = 120
+    docs = spark.range(n).select(F.col("id").cast("int").alias("doc_id"))
+    hashed = image_perceptual_hash128(attach_synth_pnm(docs), "media", "dh")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash128_near_dup_pairs(hashed, "doc_id", "dh0", "dh1").collect()
+    }
+
+    def h(d):
+        lo, hi = dhash128(synth_image_array(d))
+        return (lo & (1 << 64) - 1) | ((hi & (1 << 64) - 1) << 64)
+
+    hs = {d: h(d) for d in range(n)}
+    want = {}
+    for a, b in itertools.combinations(range(n), 2):
+        ham = bin(hs[a] ^ hs[b]).count("1")
+        if ham <= 3:
+            want[(a, b)] = ham
+    assert pairs == want and len(pairs) == (n // SYNTH_GROUP) * 6

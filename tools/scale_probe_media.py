@@ -75,6 +75,41 @@ def main() -> None:
         t0 = time.perf_counter()
         n_pairs = hash64_near_dup_pairs(hashed, "doc_id", "__ph").count()
         t_pairs = time.perf_counter() - t0
+
+        # the 128-bit / 32-bit-chunk scale path: candidate volume should
+        # collapse to ~exact-bucket-mates only (collision rate n/2^32)
+        from azure_etl_spark.operators.imagehash import (
+            hash128_near_dup_pairs,
+            image_perceptual_hash128,
+        )
+
+        h128 = image_perceptual_hash128(attach_synth_pnm(docs), "media", "dh")
+        sig128 = h128.select("doc_id", "dh0", "dh1").localCheckpoint(eager=True)
+        chunk32 = sig128.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cidx"),
+                            F.shiftrightunsigned(F.col(w), s)
+                            .bitwiseAND(F.lit(0xFFFFFFFF))
+                            .alias("cval"),
+                        )
+                        for c, (w, s) in enumerate(
+                            [("dh0", 0), ("dh0", 32), ("dh1", 0), ("dh1", 32)]
+                        )
+                    ]
+                )
+            ).alias("ch"),
+        ).select("doc_id", "ch.cidx", "ch.cval")
+        a1 = chunk32.withColumnRenamed("doc_id", "id_a")
+        b1 = chunk32.withColumnRenamed("doc_id", "id_b")
+        cand128 = (
+            a1.join(b1, ["cidx", "cval"]).filter(F.col("id_a") < F.col("id_b")).count()
+        )
+        pairs128 = hash128_near_dup_pairs(h128, "doc_id", "dh0", "dh1").count()
+
         out["points"].append(
             {
                 "n": n,
@@ -83,6 +118,9 @@ def main() -> None:
                 "candidates": candidates,
                 "pairs": n_pairs,
                 "cand_per_item": round(candidates / n, 2),
+                "candidates_128": cand128,
+                "cand128_per_item": round(cand128 / n, 2),
+                "pairs_128": pairs128,
             }
         )
     print(json.dumps(out))
