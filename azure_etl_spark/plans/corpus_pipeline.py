@@ -38,6 +38,35 @@ from azure_etl_spark.operators.sampling import deterministic_shard
 from azure_etl_spark.operators.text import quality_score, token_count
 
 
+def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs across a mixed-modality
+    media table (doc_id, media, media_type): each modality runs its own
+    perceptual hash — image dhash, audio Haitsma-Kalker fingerprint,
+    video pooled-frame dhash — then one shared pigeonhole chunk join
+    per modality; pairs never cross modalities (a WAV cannot near-dup a
+    PNM). Unknown media types are ignored rather than failing the
+    stage (they simply never pair)."""
+    from azure_etl_spark.operators.audiohash import audio_perceptual_hash
+    from azure_etl_spark.operators.imagehash import (
+        hash64_near_dup_pairs,
+        image_perceptual_hash,
+        video_pooled_dhash,
+    )
+
+    routes = (
+        ("image/pnm", image_perceptual_hash),
+        ("audio/wav", audio_perceptual_hash),
+        ("video/pnm-stream", video_pooled_dhash),
+    )
+    out: DataFrame | None = None
+    for mtype, hasher in routes:
+        part = media.filter(F.col("media_type") == mtype).select(id_col, "media")
+        hashed = hasher(part, "media", "__ph")
+        pairs = hash64_near_dup_pairs(hashed, id_col, "__ph")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
 @dataclass
 class CurationPipeline:
     """Curation funnel over a (doc_id, text, lang, ...) corpus."""
@@ -64,11 +93,22 @@ class CurationPipeline:
         docs: DataFrame,
         eval_docs: DataFrame | None = None,
         embeddings: DataFrame | None = None,
+        media: DataFrame | None = None,
     ) -> DataFrame:
         """``embeddings`` (doc_id, embedding) enables the SemDeDup stage:
         only survivors' embeddings are clustered, and a doc is dropped
         when a lower-id same-cluster survivor is cosine-similar above
-        ``semantic_threshold``."""
+        ``semantic_threshold``.
+
+        ``media`` (doc_id, media binary, media_type in 'image/pnm' |
+        'audio/wav' | 'video/pnm-stream') enables the round-6
+        MULTIMODAL dedup stage: perceptual hashes per modality
+        (dhash / Haitsma-Kalker fingerprint / pooled-frame dhash), the
+        shared pigeonhole chunk join for pairs, and the same
+        cluster-resolution policy as text near-dup — a doc whose
+        attached media is a near-duplicate of a better/lower-id
+        survivor's media is dropped. Payloads never shuffle; the pair
+        stage moves 4 x 16-byte rows per item."""
         self.stage_counts["input"] = docs.count()
 
         kept = docs.filter(F.col("lang").isin(list(self.target_langs)))
@@ -83,6 +123,13 @@ class CurationPipeline:
         pairs = minhash_near_dup_pairs(kept, threshold=self.near_dup_threshold)
         kept = resolve_duplicate_clusters(kept, pairs)
         self.stage_counts["near_dedup"] = kept.count()
+
+        if media is not None:
+            pairs_m = media_near_dup_pairs(
+                media.join(kept.select("doc_id"), "doc_id")
+            )
+            kept = resolve_duplicate_clusters(kept, pairs_m)
+            self.stage_counts["media_dedup"] = kept.count()
 
         if embeddings is not None:
             from azure_etl_spark.operators.similarity import semantic_dedup

@@ -106,3 +106,54 @@ def test_funnel_semantic_stage_drops_embedding_twin(spark, sf_dir):
     assert c["semantic_dedup"] == c["near_dedup"] - 1, c
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 3 in ids and (3 + 100002) not in ids  # keep-lowest-id policy
+
+
+def test_funnel_multimodal_media_dedup_stage(spark, sf_dir):
+    """Round-6 multimodal stage: docs whose ATTACHED media (image /
+    audio / video) is a planted near-duplicate of a lower-id survivor's
+    media are dropped, across all three modalities, while docs with
+    unique media survive."""
+    import pandas as pd
+
+    from azure_etl_spark.operators.audiohash import synth_audio_array
+    from azure_etl_spark.operators.codecs import encode_pnm, encode_wav
+    from azure_etl_spark.operators.imagehash import (
+        synth_image_array,
+        synth_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).filter(F.col("doc_id") < 60)
+
+    # media for ids 0..59: synth groups of 4 -> ids {0..3}, {4..7}, ...
+    # are near-identical within each modality block
+    rows = []
+    for d in range(60):
+        if d < 20:
+            payload = encode_pnm(synth_image_array(d))
+            mtype = "image/pnm"
+        elif d < 40:
+            payload = encode_wav(8000, synth_audio_array(d))
+            mtype = "audio/wav"
+        else:
+            payload = b"".join(
+                encode_pnm(f) for f in synth_video_frames(d)
+            )
+            mtype = "video/pnm-stream"
+        rows.append((d, bytearray(payload), mtype))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media", "media_type"]),
+        "doc_id long, media binary, media_type string",
+    )
+
+    p = CurationPipeline()
+    p.run(docs, media=media)
+    c = p.stage_counts
+    assert "media_dedup" in c
+    # each group of 4 collapses to 1 survivor for every id group that
+    # survived the earlier text gates — media dedup must remove a
+    # substantial, strictly positive count
+    assert c["media_dedup"] < c["near_dedup"]
+    removed = c["near_dedup"] - c["media_dedup"]
+    assert removed >= 20  # ~3 of every 4 media-grouped survivors drop
