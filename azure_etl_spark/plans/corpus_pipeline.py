@@ -38,30 +38,52 @@ from azure_etl_spark.operators.sampling import deterministic_shard
 from azure_etl_spark.operators.text import quality_score, token_count
 
 
-def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id_a, id_b, hamming) near-dup pairs across a mixed-modality
-    media table (doc_id, media, media_type): each modality runs its own
-    perceptual hash — image dhash, audio Haitsma-Kalker fingerprint,
-    video pooled-frame dhash — then one shared pigeonhole chunk join
-    per modality; pairs never cross modalities (a WAV cannot near-dup a
-    PNM). Unknown media types are ignored rather than failing the
-    stage (they simply never pair)."""
+_MEDIA_ROUTES = ("image/pnm", "audio/wav", "video/pnm-stream")
+
+
+def _media_hasher(mtype: str):
     from azure_etl_spark.operators.audiohash import audio_perceptual_hash
     from azure_etl_spark.operators.imagehash import (
-        hash64_near_dup_pairs,
         image_perceptual_hash,
         video_pooled_dhash,
     )
 
-    routes = (
-        ("image/pnm", image_perceptual_hash),
-        ("audio/wav", audio_perceptual_hash),
-        ("video/pnm-stream", video_pooled_dhash),
-    )
+    return {
+        "image/pnm": image_perceptual_hash,
+        "audio/wav": audio_perceptual_hash,
+        "video/pnm-stream": video_pooled_dhash,
+    }[mtype]
+
+
+def perceptual_hash_mixed(
+    media: DataFrame, id_col: str = "doc_id", out_col: str = "__ph"
+) -> DataFrame:
+    """(id_col, media_type, out_col) for a mixed-modality media table:
+    each media_type routes to its perceptual hash (image dhash, audio
+    Haitsma-Kalker fingerprint, video pooled-frame dhash). Unknown
+    media types are ignored rather than failing (they simply never
+    hash or pair)."""
     out: DataFrame | None = None
-    for mtype, hasher in routes:
+    for mtype in _MEDIA_ROUTES:
         part = media.filter(F.col("media_type") == mtype).select(id_col, "media")
-        hashed = hasher(part, "media", "__ph")
+        hashed = _media_hasher(mtype)(part, "media", out_col).select(
+            id_col, F.lit(mtype).alias("media_type"), out_col
+        )
+        out = hashed if out is None else out.unionByName(hashed)
+    return out
+
+
+def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs across a mixed-modality
+    media table (doc_id, media, media_type): each modality runs its own
+    perceptual hash, then one shared pigeonhole chunk join PER modality
+    — pairs never cross modalities (a WAV cannot near-dup a PNM)."""
+    from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
+
+    out: DataFrame | None = None
+    for mtype in _MEDIA_ROUTES:
+        part = media.filter(F.col("media_type") == mtype).select(id_col, "media")
+        hashed = _media_hasher(mtype)(part, "media", "__ph")
         pairs = hash64_near_dup_pairs(hashed, id_col, "__ph")
         out = pairs if out is None else out.unionByName(pairs)
     return out

@@ -209,3 +209,124 @@ def compact_digest_index(spark: SparkSession, index_root: str) -> int:
             True,
         )
     return len(absorb)
+
+
+def incremental_media_dedup_writer(
+    target_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_hamming: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for streaming MEDIA ingest with
+    cross-batch perceptual near-dup dedup — the multimodal sibling of
+    :func:`incremental_dedup_writer` (round 6).
+
+    Per micro-batch: (1) perceptual-hash the batch's payloads per
+    modality (image dhash / audio fingerprint / video pooled dhash —
+    one Arrow pass); (2) read the cumulative SIGNATURE index (Hive
+    ``batch_id=N`` layout holding (media_type, signature) — 64-bit
+    rows, never payloads) EXCLUDING the current batch id, and drop
+    batch items within ``max_hamming`` of any indexed signature via the
+    pigeonhole chunk join (batch chunks x index chunks equi-join per
+    modality, ``bit_count(xor)`` verify); (3) drop within-batch
+    near-dups (keep the min id per connected pair group — transitive
+    closure is unnecessary at hamming <= 3 granularity because the
+    keep-min rule reapplies per batch deterministically); (4) overwrite
+    the batch's own ``batch_id=N`` dirs in BOTH the media target and
+    the signature index.
+
+    Replay-safe exactly like the text digest writer: the index read
+    excludes the current batch, so a re-delivered batch dedups against
+    the same "seen" set as its first attempt, and both writes overwrite
+    the batch's own directories. A transiently unreadable EXISTING
+    index fails the batch (explicit FS probe via ``_list_batch_ids``)
+    instead of silently admitting duplicates. Steady-state cost: one
+    hash pass over the batch + a join against 16-byte signature rows —
+    payloads are written once and never re-read.
+    """
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.plans.corpus_pipeline import perceptual_hash_mixed
+
+    def _chunks(df: DataFrame, sig: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cidx"),
+                            F.shiftrightunsigned(F.col(sig), 16 * c)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("cval"),
+                        )
+                        for c in range(4)
+                    ]
+                )
+            ).alias("__ch"),
+        ).select("*", "__ch.cidx", "__ch.cval").drop("__ch")
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        hashed = df.join(
+            perceptual_hash_mixed(df, id_col=id_col), [id_col, "media_type"]
+        )
+        prior = [b for b in _list_batch_ids(spark, index_root) if b != batch_id]
+        if prior:  # errors reading an index that EXISTS must propagate
+            seen = (
+                spark.read.option("basePath", index_root)
+                .parquet(
+                    *[os.path.join(index_root, f"batch_id={b}") for b in prior]
+                )
+                .select("media_type", F.col("__sig"))
+                .dropDuplicates()
+            )
+            # index side fully renamed so the equi-join keys are
+            # unambiguous
+            idx = _chunks(seen, "__sig").select(
+                F.col("media_type").alias("__mt"),
+                F.col("__sig"),
+                F.col("cidx").alias("__cidx"),
+                F.col("cval").alias("__cval"),
+            )
+            cand = _chunks(
+                hashed.select(id_col, "media_type", "__ph"), "__ph"
+            ).join(
+                idx,
+                (F.col("media_type") == F.col("__mt"))
+                & (F.col("cidx") == F.col("__cidx"))
+                & (F.col("cval") == F.col("__cval")),
+            )
+            dup_ids = (
+                cand.filter(
+                    F.bit_count(F.col("__ph").bitwiseXOR(F.col("__sig")))
+                    <= max_hamming
+                )
+                .select(id_col)
+                .dropDuplicates()
+            )
+            hashed = hashed.join(dup_ids, id_col, "left_anti")
+        # within-batch: keep the min id among near-dup pairs
+        from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
+
+        pairs = hash64_near_dup_pairs(
+            hashed.select(F.col(id_col), F.col("__ph")), id_col, "__ph",
+            max_hamming=max_hamming,
+        )
+        hashed = hashed.join(
+            pairs.select(F.col("id_b").alias(id_col)).dropDuplicates(),
+            id_col,
+            "left_anti",
+        )
+        fresh = hashed.localCheckpoint(eager=True)
+        fresh.drop("__ph").write.mode("overwrite").format("parquet").save(
+            os.path.join(target_root, f"batch_id={batch_id}")
+        )
+        fresh.select(
+            "media_type", F.col("__ph").alias("__sig")
+        ).write.mode("overwrite").format("parquet").save(
+            os.path.join(index_root, f"batch_id={batch_id}")
+        )
+
+    return write

@@ -910,3 +910,70 @@ def test_medallion_fold_replay_is_exactly_once(spark, sf_dir, tmp_path):
         for r in snap.read_snapshot(spark, gold).collect()
     }
     assert got == state
+
+
+def test_incremental_media_dedup_across_batches(spark, tmp_path):
+    """Streaming media ingest with cross-batch perceptual dedup
+    (round 6): within-batch near-identical payloads collapse to the
+    min id, later batches drop items near-identical to ANY indexed
+    signature (per modality), unique items flow through, and a
+    replayed batch id converges to the same state."""
+    import pandas as pd
+
+    from azure_etl_spark.operators.audiohash import synth_audio_array
+    from azure_etl_spark.operators.codecs import encode_pnm, encode_wav
+    from azure_etl_spark.operators.imagehash import synth_image_array
+    from azure_etl_spark.streaming.sinks import incremental_media_dedup_writer
+
+    def img(src):
+        return bytearray(encode_pnm(synth_image_array(src)))
+
+    def wav(src):
+        return bytearray(encode_wav(8000, synth_audio_array(src)))
+
+    target = os.path.join(str(tmp_path), "media_t")
+    index = os.path.join(str(tmp_path), "media_i")
+    w = incremental_media_dedup_writer(target, index)
+
+    schema = "doc_id long, media binary, media_type string"
+    b0 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, img(0), "image/pnm"),
+                (1, img(1), "image/pnm"),  # near-dup of img(0): same group
+                (10, img(40), "image/pnm"),  # unique image group
+                (20, wav(80), "audio/wav"),  # unique audio group
+            ],
+            columns=["doc_id", "media", "media_type"],
+        ),
+        schema,
+    )
+    w(b0, 0)
+    ids0 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert ids0 == {0, 10, 20}  # within-batch dup (id 1) collapsed
+
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (100, img(2), "image/pnm"),  # group of img(0) -> indexed dup
+                (101, img(44), "image/pnm"),  # fresh image group
+                (102, wav(81), "audio/wav"),  # group of wav(80) -> indexed dup
+                (103, wav(120), "audio/wav"),  # fresh audio group
+            ],
+            columns=["doc_id", "media", "media_type"],
+        ),
+        schema,
+    )
+    w(b1, 1)
+    ids1 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert ids1 == {0, 10, 20, 101, 103}
+
+    # crash-redelivery of batch 1: index read excludes batch_id=1, so
+    # the replay dedups against exactly the same seen set and
+    # overwrites its own directories — state unchanged
+    w(b1, 1)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert ids2 == ids1
+    # the signature index holds 64-bit rows only, never payloads
+    idx_cols = set(spark.read.parquet(index).columns)
+    assert idx_cols == {"media_type", "__sig", "batch_id"}
