@@ -163,11 +163,17 @@ def incremental_dedup_writer(
     return write
 
 
-def compact_digest_index(spark: SparkSession, index_root: str) -> int:
+def compact_digest_index(
+    spark: SparkSession, index_root: str, cols: tuple = ("__h",)
+) -> int:
     """Consolidate the digest index written by
     :func:`incremental_dedup_writer` so a long-running stream does not
     accumulate one tiny ``batch_id=N`` directory per micro-batch forever
-    (unbounded file count over bounded data).
+    (unbounded file count over bounded data). ``cols`` names the index
+    key columns — default the text digest; pass
+    ``("media_type", "__sig")`` for the perceptual signature index of
+    :func:`incremental_media_dedup_writer` (same layout, same replay
+    rule, same compaction).
 
     All batch partitions EXCEPT the latest are rewritten into the
     highest compacted partition; the latest is left untouched because it
@@ -192,7 +198,7 @@ def compact_digest_index(spark: SparkSession, index_root: str) -> int:
     merged = (
         spark.read.option("basePath", index_root)
         .parquet(*paths)
-        .select("__h")
+        .select(*cols)
         .distinct()
         .localCheckpoint(eager=True)  # fully read before overwriting a source dir
     )

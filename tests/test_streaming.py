@@ -977,3 +977,46 @@ def test_incremental_media_dedup_across_batches(spark, tmp_path):
     # the signature index holds 64-bit rows only, never payloads
     idx_cols = set(spark.read.parquet(index).columns)
     assert idx_cols == {"media_type", "__sig", "batch_id"}
+
+
+def test_media_signature_index_compaction(spark, tmp_path):
+    """The media signature index compacts with the same machinery as
+    the text digest index (cols override): absorbed batch dirs merge
+    into the kept one, the latest stays untouched, and dedup behavior
+    is unchanged afterwards."""
+    import pandas as pd
+
+    from azure_etl_spark.operators.codecs import encode_pnm
+    from azure_etl_spark.operators.imagehash import synth_image_array
+    from azure_etl_spark.streaming.sinks import (
+        compact_digest_index,
+        incremental_media_dedup_writer,
+    )
+
+    target = os.path.join(str(tmp_path), "mt")
+    index = os.path.join(str(tmp_path), "mi")
+    w = incremental_media_dedup_writer(target, index)
+    schema = "doc_id long, media binary, media_type string"
+    for b in range(4):  # one fresh image group per batch
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [(b * 10, bytearray(encode_pnm(synth_image_array(b * 8))), "image/pnm")],
+                columns=["doc_id", "media", "media_type"],
+            ),
+            schema,
+        )
+        w(df, b)
+    absorbed = compact_digest_index(spark, index, cols=("media_type", "__sig"))
+    assert absorbed == 2  # batches 0,1 absorbed into 2; 3 untouched
+
+    # a near-dup of batch 0's group must STILL be rejected post-compaction
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            [(99, bytearray(encode_pnm(synth_image_array(1))), "image/pnm")],
+            columns=["doc_id", "media", "media_type"],
+        ),
+        schema,
+    )
+    w(dup, 4)
+    ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert 99 not in ids and ids == {0, 10, 20, 30}
