@@ -1,0 +1,146 @@
+"""Model-based property test for the snapshot table format: random
+operation sequences (append / overwrite / COW delete / merge-on-read
+delete / merge upsert / compact / checkpointed stats / vacuum) applied
+both to a real snapshot table AND to a trivial in-memory dict model;
+after every step the table's full read must equal the model, and
+stats-backed predicate scans must equal brute-force filters.
+
+This is the natural extension of the concurrent-writer race test (the
+repo's best bug-finder): the race test stresses one operation's
+atomicity, this stresses the FORMAT'S algebra — especially the round-6
+two-level stats log, whose sidecar carrying/pruning and file-list-from-
+stats-keys derivation must stay coherent across every DML interleaving.
+Seeds are fixed, so failures replay deterministically.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_spark.sources import snapshot as snap
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, k % 3) for k, v in rows.items()],
+        "id long, val long, bucket long",
+    )
+
+
+def _read_state(spark, path):
+    df = snap.read_snapshot(spark, path)
+    return {r["id"]: r["val"] for r in df.collect()}
+
+
+def _apply_random_op(spark, path, model, rng, next_id):
+    """One random operation on both the table and the model; returns
+    the op label (for failure diagnostics) and the next fresh id."""
+    op = rng.choice(
+        ["append", "append", "overwrite", "delete_cow", "delete_mor",
+         "merge", "compact", "vacuum"]
+    )
+    if op == "append" or (op == "overwrite" and not model):
+        n = rng.randint(1, 6)
+        fresh = {next_id + i: rng.randint(0, 99) for i in range(n)}
+        snap.write_snapshot(
+            _rows_df(spark, fresh), path,
+            mode="append" if snap.is_snapshot_table(spark, path) else "overwrite",
+        )
+        model.update(fresh)
+        return f"append({n})", next_id + n
+    if op == "overwrite":
+        n = rng.randint(1, 6)
+        fresh = {next_id + i: rng.randint(0, 99) for i in range(n)}
+        snap.write_snapshot(_rows_df(spark, fresh), path, mode="overwrite")
+        model.clear()
+        model.update(fresh)
+        return f"overwrite({n})", next_id + n
+    if not model:
+        return "noop", next_id
+    if op == "delete_cow":
+        cut = rng.choice(sorted(model))
+        snap.delete_from_snapshot(spark, path, [("id", "<=", cut)])
+        for k in [k for k in model if k <= cut]:
+            del model[k]
+        return f"delete_cow(<={cut})", next_id
+    if op == "delete_mor":
+        cut = rng.choice(sorted(model))
+        snap.delete_from_snapshot(
+            spark, path, [("id", ">=", cut)], mode="merge_on_read"
+        )
+        for k in [k for k in model if k >= cut]:
+            del model[k]
+        return f"delete_mor(>={cut})", next_id
+    if op == "merge":
+        # update half the surviving ids, insert two fresh ones
+        upd = {k: rng.randint(100, 199) for k in sorted(model)[::2]}
+        ins = {next_id: rng.randint(100, 199), next_id + 1: rng.randint(100, 199)}
+        src = {**upd, **ins}
+        snap.merge_snapshot(spark, path, _rows_df(spark, src), key_cols=["id"])
+        model.update(src)
+        return f"merge({len(upd)}u+{len(ins)}i)", next_id + 2
+    if op == "compact":
+        snap.compact_snapshot(spark, path)
+        return "compact", next_id
+    snap.vacuum_snapshots(spark, path, keep_last=2)
+    return "vacuum", next_id
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_random_op_sequences_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"model_{seed}")
+    model: dict[int, int] = {}
+    next_id = 0
+    trace = []
+    for step in range(12):
+        label, next_id = _apply_random_op(spark, path, model, rng, next_id)
+        trace.append(label)
+        if not snap.is_snapshot_table(spark, path):
+            continue
+        got = _read_state(spark, path)
+        assert got == model, f"seed={seed} step={step} trace={trace}"
+        # stats-backed predicate scan == brute-force filter of the model
+        if model:
+            cut = rng.choice(sorted(model))
+            scan = {
+                r["id"]: r["val"]
+                for r in snap.read_snapshot(
+                    spark, path, where=[("id", ">=", cut)]
+                ).collect()
+            }
+            want = {k: v for k, v in model.items() if k >= cut}
+            assert scan == want, f"seed={seed} step={step} where>={cut} trace={trace}"
+
+
+def test_long_append_chain_with_interleaved_dml_and_checkpoints(spark, tmp_path):
+    """A chain long enough to cross multiple stats checkpoints, with
+    deletes and a compact in the middle: the two-level log must keep
+    every read and every pruned scan exact."""
+    path = str(tmp_path / "chain")
+    model: dict[int, int] = {}
+    for i in range(20):  # > _STATS_CHECKPOINT_EVERY appends
+        fresh = {i * 10 + j: i for j in range(3)}
+        snap.write_snapshot(
+            _rows_df(spark, fresh), path,
+            mode="append" if i else "overwrite",
+        )
+        model.update(fresh)
+        if i == 9:
+            snap.delete_from_snapshot(spark, path, [("id", "<", 30)])
+            model = {k: v for k, v in model.items() if k >= 30}
+        if i == 14:
+            snap.compact_snapshot(spark, path)
+    assert _read_state(spark, path) == model
+    m = snap._load_manifest(spark, path, snap._resolve_version(spark, path, None))
+    assert m["stats"] == {} and any("ckpt" in r for r in m.get("stats_refs", []))
+    files, stats = snap._manifest_files(spark, path, m)
+    assert set(files) <= set(stats)  # file list derivable from stats keys
+    scan = {
+        r["id"]: r["val"]
+        for r in snap.read_snapshot(spark, path, where=[("id", ">=", 150)]).collect()
+    }
+    assert scan == {k: v for k, v in model.items() if k >= 150}
