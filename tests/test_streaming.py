@@ -1020,3 +1020,52 @@ def test_media_signature_index_compaction(spark, tmp_path):
     w(dup, 4)
     ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
     assert 99 not in ids and ids == {0, 10, 20, 30}
+
+
+def test_incremental_media_dedup_via_streaming_query(spark, tmp_path):
+    """The media dedup writer under a REAL Structured Streaming query
+    (file source, maxFilesPerTrigger=1 -> several micro-batches):
+    planted near-identical images across source files collapse to one
+    survivor per group in the target."""
+    import pandas as pd
+
+    from azure_etl_spark.operators.codecs import encode_pnm
+    from azure_etl_spark.operators.imagehash import synth_image_array
+    from azure_etl_spark.streaming.sinks import incremental_media_dedup_writer
+
+    bronze = os.path.join(str(tmp_path), "media_bronze")
+    schema = "doc_id long, media binary, media_type string"
+    # 3 source files; group 0 members spread across ALL of them
+    for part, members in enumerate([(0, 40), (1, 44), (2, 48)]):
+        rows = [
+            (m, bytearray(encode_pnm(synth_image_array(m))), "image/pnm")
+            for m in members
+        ]
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "media", "media_type"]),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(bronze)
+
+    target = os.path.join(str(tmp_path), "media_silver")
+    index = os.path.join(str(tmp_path), "media_index")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_media_dedup_writer(target, index)
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_md"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    # exactly one survivor from group {0,1,2} regardless of batch order;
+    # the unique-group images (40, 44, 48) all survive
+    assert {40, 44, 48} <= ids
+    assert len(ids & {0, 1, 2}) == 1
+    assert len(ids) == 4
