@@ -133,6 +133,18 @@ COMMENTARY = {
         "cross join; per-occurrence cost is the join back + in-row "
         "array_sort/flatten reassembly."
     ),
+    "audio_fp_near_dup": (
+        "Perceptual audio near-dup (round 6): same plan family as the "
+        "image variant — one Arrow MapInPandas decode+fingerprint pass, "
+        "lineage-cut (id, hash) projection, pigeonhole chunk equi-join, "
+        "bit_count verify. Samples never reach an Exchange."
+    ),
+    "video_fp_near_dup": (
+        "Perceptual video near-dup (round 6): frame-stream decode + "
+        "integer-mean pooling + dhash in the single Arrow pass; the "
+        "pair stage is identical to stills — clip bytes stay in the "
+        "map task that decoded them."
+    ),
     "logreg_hashed_ngram_quality": (
         "Hashing-trick quality classifier (round 6). Feature extraction "
         "is in-row HOFs (grams array -> bucket array -> filtered counts) "
