@@ -150,7 +150,14 @@ class CurationPipeline:
             pairs_m = media_near_dup_pairs(
                 media.join(kept.select("doc_id"), "doc_id")
             )
-            kept = resolve_duplicate_clusters(kept, pairs_m)
+            # curation-grade keep policy: within a media near-dup
+            # cluster keep the member whose TEXT scores best (ties ->
+            # lowest id) — near-identical media usually differ in the
+            # attached caption/transcript quality, which is what the
+            # training corpus actually keeps
+            kept = resolve_duplicate_clusters(
+                kept, pairs_m, keep_by=quality_score("text")
+            )
             self.stage_counts["media_dedup"] = kept.count()
 
         if embeddings is not None:

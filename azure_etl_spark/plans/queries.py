@@ -1913,25 +1913,30 @@ def _embedding_near_dup_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
     end-to-end — an exact contract for an approximate op. Recall vs
     exact brute force is separately asserted in
     tests/test_dedup_similarity.py on the planted twins."""
+    # pair IDS are derived first (vector lists pruned from the bucket
+    # self-join entirely) and the 64-double vectors are fetched by two
+    # id joins against the MATERIALIZED corpus afterwards: dragging the
+    # lists through the bucket join made DuckDB's runtime super-linear
+    # in candidate count (the sf0.1 parity run went from >400 s to 2 s)
     sig_parts = []
     for t in range(n_tables):
         sig = _lsh_sig_sql(t, n_planes, 64, "v")
-        sig_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM corpus")
+        sig_parts.append(f"SELECT {t} AS t, vec_id, {sig} AS sig FROM corpus")
     return f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pert AS (SELECT vec_id + 1000000 AS vec_id,
                     list_concat([v[1] + 0.25], v[2:]) AS v
              FROM base),
-    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-    sigs AS ({' UNION ALL '.join(sig_parts)}),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             any_value(a.v) AS va, any_value(b.v) AS vb
+    corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    sigs AS MATERIALIZED ({' UNION ALL '.join(sig_parts)}),
+    pair_ids AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
-                             AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id),
+                             AND a.vec_id < b.vec_id),
     scored AS (
-      SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cs FROM pairs)
+      SELECT id_a, id_b, list_cosine_similarity(ca.v, cb.v) AS cs
+      FROM pair_ids JOIN corpus ca ON ca.vec_id = id_a
+                    JOIN corpus cb ON cb.vec_id = id_b)
     SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
     FROM scored WHERE cs >= 0.9
     """
@@ -1944,34 +1949,41 @@ def _contrastive_triplets_oracle(
     mining (same CTEs as _embedding_near_dup_oracle), the table-0
     bucket-scoped negative candidates, and the deterministic
     md5(anchor:candidate) draw."""
+    # ids-first restructure (see _embedding_near_dup_oracle): vector
+    # lists never ride the bucket joins; cosines are computed after
+    # two id joins against the materialized corpus
     sig_parts = []
     for t in range(n_tables):
         sig = _lsh_sig_sql(t, n_planes, 64, "v")
-        sig_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM corpus")
+        sig_parts.append(f"SELECT {t} AS t, vec_id, {sig} AS sig FROM corpus")
     sig0 = _lsh_sig_sql(0, n_planes, 64, "v")
     return f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pert AS (SELECT vec_id + 1000000 AS vec_id,
                     list_concat([v[1] + 0.25], v[2:]) AS v
              FROM base),
-    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-    sigs AS ({' UNION ALL '.join(sig_parts)}),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             any_value(a.v) AS va, any_value(b.v) AS vb
+    corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    sigs AS MATERIALIZED ({' UNION ALL '.join(sig_parts)}),
+    pair_ids AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
-                             AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id),
+                             AND a.vec_id < b.vec_id),
     pos AS (
-      SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cs FROM pairs),
-    s0 AS (SELECT vec_id, v, {sig0} AS sig FROM corpus),
+      SELECT id_a, id_b, list_cosine_similarity(ca.v, cb.v) AS cs
+      FROM pair_ids JOIN corpus ca ON ca.vec_id = id_a
+                    JOIN corpus cb ON cb.vec_id = id_b),
+    s0 AS MATERIALIZED (SELECT vec_id, {sig0} AS sig FROM corpus),
+    cand_ids AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id
+      FROM s0 a JOIN s0 c ON a.sig = c.sig AND a.vec_id <> c.vec_id),
     cand AS (
-      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
-             list_cosine_similarity(a.v, c.v) AS nsim,
-             md5(CAST(a.vec_id AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR))
-               AS draw
-      FROM s0 a JOIN s0 c ON a.sig = c.sig AND a.vec_id <> c.vec_id
-      WHERE list_cosine_similarity(a.v, c.v) < {neg_thr}),
+      SELECT anchor_id, negative_id,
+             list_cosine_similarity(ca.v, cc.v) AS nsim,
+             md5(CAST(anchor_id AS VARCHAR) || ':' ||
+                 CAST(negative_id AS VARCHAR)) AS draw
+      FROM cand_ids JOIN corpus ca ON ca.vec_id = anchor_id
+                    JOIN corpus cc ON cc.vec_id = negative_id
+      WHERE list_cosine_similarity(ca.v, cc.v) < {neg_thr}),
     neg AS (
       SELECT anchor_id, negative_id, nsim FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
@@ -2070,19 +2082,22 @@ def _embedding_near_dup_multiprobe_oracle(n_planes: int = 8, n_tables: int = 4) 
     ``n_planes`` Hamming-1 neighbors (the same deterministic probe set
     operators/similarity._probe_signatures builds), so the oracle
     value-checks the probe expansion end-to-end too."""
+    # same ids-first restructure as _embedding_near_dup_oracle: lists
+    # never ride the probe expansion or the bucket join (sf0.1 parity:
+    # >400 s / OOM under the old shape, 2 s now)
     sig_parts = []
     for t in range(n_tables):
         sig = _lsh_sig_sql(t, n_planes, 64, "v")
-        sig_parts.append(f"SELECT {t} AS t, vec_id, v, {sig} AS sig FROM corpus")
+        sig_parts.append(f"SELECT {t} AS t, vec_id, {sig} AS sig FROM corpus")
     return f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pert AS (SELECT vec_id + 1000000 AS vec_id,
                     list_concat([v[1] + 0.25], v[2:]) AS v
              FROM base),
-    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM pert),
     sigs AS MATERIALIZED ({' UNION ALL '.join(sig_parts)}),
     probes AS (
-      SELECT t, vec_id, v,
+      SELECT t, vec_id,
              unnest(list_prepend(sig, list_transform(
                generate_series(1, {n_planes}),
                i -> substr(sig, 1, CAST(i - 1 AS INT)) ||
@@ -2090,14 +2105,14 @@ def _embedding_near_dup_multiprobe_oracle(n_planes: int = 8, n_tables: int = 4) 
                           THEN '0' ELSE '1' END) ||
                     substr(sig, CAST(i + 1 AS INT))))) AS sig
       FROM sigs),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             any_value(a.v) AS va, any_value(b.v) AS vb
+    pair_ids AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM probes a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
-                               AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id),
+                               AND a.vec_id < b.vec_id),
     scored AS (
-      SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cs FROM pairs)
+      SELECT id_a, id_b, list_cosine_similarity(ca.v, cb.v) AS cs
+      FROM pair_ids JOIN corpus ca ON ca.vec_id = id_a
+                    JOIN corpus cb ON cb.vec_id = id_b)
     SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
     FROM scored WHERE cs >= 0.9
     """
