@@ -117,6 +117,45 @@ def synth_audio_array(doc_id: int) -> np.ndarray:
     return s.astype(np.int16)
 
 
+def synth_samples_with_fingerprint(target: int) -> np.ndarray:
+    """ADVERSARIAL fixture: int16 samples whose
+    :func:`audio_fingerprint64` equals an arbitrary ``target`` (signed
+    int64) — e.g. a specific image's dhash, for planting the
+    cross-modality collision that modality-scoped pair joins must
+    survive. Construction: walk the target bits into a valid
+    difference-of-differences grid D (D[0]=0; D[t]=D[t-1]±1 per bit),
+    integrate to per-cell energies E around a constant offset, then
+    realize each small non-negative energy as a sum of four squares
+    (Lagrange) — the four int16 samples of that (frame, band) cell."""
+
+    def four_squares(n: int) -> tuple:
+        for a in range(int(n**0.5) + 1):
+            for b in range(int((n - a * a) ** 0.5) + 1):
+                for c in range(int((n - a * a - b * b) ** 0.5) + 1):
+                    d2 = n - a * a - b * b - c * c
+                    d = int(d2**0.5)
+                    if d * d == d2:
+                        return a, b, c, d
+        raise ValueError(n)
+
+    tu = int(np.uint64(np.int64(target)))
+    bits = np.array([(tu >> i) & 1 for i in range(64)]).reshape(8, 8)
+    D = np.zeros((AF_FRAMES, AF_BANDS - 1), dtype=np.int64)
+    for t in range(1, AF_FRAMES):
+        D[t] = D[t - 1] + np.where(bits[t - 1] == 1, 1, -1)
+    E = np.zeros((AF_FRAMES, AF_BANDS), dtype=np.int64)
+    E[:, -1] = 100  # offset keeps every energy non-negative (|D| <= 8)
+    for b in range(AF_BANDS - 2, -1, -1):
+        E[:, b] = E[:, b + 1] + D[:, b]
+    s = np.zeros(AF_N, dtype=np.int16)
+    for t in range(AF_FRAMES):
+        for b in range(AF_BANDS):
+            sq = four_squares(int(E[t, b]))
+            for k in range(AF_K):
+                s[t * (AF_BANDS * AF_K) + k * AF_BANDS + b] = sq[k]
+    return s
+
+
 def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL 16-bit PCM WAV payload generated from the id —
     the audio twin of ``imagehash.attach_synth_pnm``: bytes genuinely

@@ -130,24 +130,39 @@ def hash64_near_dup_pairs(
     id_col: str,
     hash_col: str,
     max_hamming: int = 3,
+    scope_cols: tuple = (),
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature column via the 4-chunk
     pigeonhole candidate join (``operators/dedup.simhash_near_dup_pairs``
     generalized to a precomputed hash). Returns (id_a, id_b, hamming),
-    complete for hamming <= 3 by construction."""
+    complete for hamming <= 3 by construction.
+
+    ``scope_cols`` names extra columns of ``df`` that become part of
+    the candidate equi-join key: a pair is only emitted when both rows
+    agree on every scope column. The canonical use is
+    ``scope_cols=("media_type",)`` over a mixed-modality table — an
+    audio fingerprint that happens to land within hamming <= 3 of an
+    image dhash must NOT pair ("a WAV cannot near-dup a PNM",
+    plans/corpus_pipeline.media_near_dup_pairs), and putting the scope
+    in the join key enforces that in ONE join instead of a per-modality
+    loop."""
     if max_hamming > 3:
         raise ValueError("4-chunk bucketing guarantees recall only for hamming <= 3")
+    scope = list(scope_cols)
     # cut lineage on the (id, hash) projection BEFORE the self-join:
     # a self-join re-evaluates its input lineage per side, and here the
     # lineage is the Arrow decode+hash pass over the image bytes — the
     # dominant cost at scale. The checkpointed projection is 16 bytes a
     # row; the decode then runs exactly once.
     sig = df.select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("sig")
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("sig"),
+        *[F.col(c) for c in scope],
     ).localCheckpoint(eager=False)
     chunked = sig.select(
         "id",
         "sig",
+        *scope,
         F.explode(
             F.array(
                 *[
@@ -161,15 +176,15 @@ def hash64_near_dup_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("id", "sig", "ch.cidx", "ch.cval")
+    ).select("id", "sig", *scope, "ch.cidx", "ch.cval")
     a = chunked.select(
-        "cidx", "cval", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+        "cidx", "cval", *scope, F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
     b = chunked.select(
-        "cidx", "cval", F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+        "cidx", "cval", *scope, F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
     )
     return (
-        a.join(b, ["cidx", "cval"])
+        a.join(b, ["cidx", "cval", *scope])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
@@ -179,6 +194,39 @@ def hash64_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_luminance_sum(
+    df: DataFrame, media_col: str = "media", out_col: str = "lum"
+) -> DataFrame:
+    """Add the INTEGER sum of all decoded pixel intensities (uint8,
+    summed in int64 — exact, no division, so a SQL oracle replays it
+    bit-for-bit). A deterministic stand-in "quality" score for media
+    near-dup canonical selection (brighter/denser member wins):
+    production swaps in any scorer with the same (payload -> number)
+    shape. Same Arrow ``mapInPandas`` pass + PNM honesty gate as
+    :func:`image_perceptual_hash`."""
+    from azure_etl_spark.operators.codecs import decode_pnm
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, {out_col} bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(d: bytes) -> int:
+            if d[:2] not in (b"P5", b"P6"):
+                raise NotImplementedError(
+                    f"luminance of magic {d[:2]!r} requires PIL; not in container"
+                )
+            return int(decode_pnm(d).astype(np.int64).sum())
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[media_col].map(lambda d: one(bytes(d)))
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
 
 
 # --------------------------------------------------------------------------

@@ -89,6 +89,37 @@ def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
+def media_near_dup_keep_best(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    keep_by: "F.Column | None" = None,
+) -> DataFrame:
+    """Resolve media near-dup GROUPS to their best member — the media
+    twin of the text side's quality-aware canonical keep
+    (``operators/dedup.resolve_duplicate_clusters``, round-7; VERDICT
+    r6 #2). Pairs come from :func:`media_near_dup_pairs` (per-modality
+    perceptual hash + pigeonhole chunk join), components from the same
+    Pregel min-label propagation the text path uses, and the surviving
+    representative is the argmax of ``keep_by`` (ties to lowest id) —
+    NOT the lowest id, which over-drops chains (a~b, b~c, a!~c under
+    keep-min loses both b and c even though c is no dup of a; the
+    component resolution keeps one member per CHAIN instead).
+
+    ``keep_by`` defaults to payload byte size (``length(media)`` — the
+    highest-resolution/least-truncated copy); pass any score column
+    over ``media``'s columns (e.g. ``image_luminance_sum``'s output)
+    for a content-aware choice. Cost beyond pair mining: component
+    rounds over pair ids only + one argmax over cluster members —
+    payloads never shuffle.
+    """
+    from azure_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = media_near_dup_pairs(media, id_col=id_col)
+    if keep_by is None:
+        keep_by = F.length(F.col("media"))
+    return resolve_duplicate_clusters(media, pairs, id_col=id_col, keep_by=keep_by)
+
+
 @dataclass
 class CurationPipeline:
     """Curation funnel over a (doc_id, text, lang, ...) corpus."""

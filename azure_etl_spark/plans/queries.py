@@ -7693,6 +7693,7 @@ def q_image_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "image_dhash_near_dup",
+    bench=True,
     oracle=f"""
     WITH {_image_hash_ctes("dhash")}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -7720,6 +7721,71 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash64_near_dup_pairs(hashed, "doc_id", "__ph", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "media_near_dup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_image_hash_ctes("dhash")},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+          + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3)) <= 3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    fullgrid AS (SELECT y.y AS y, x.x AS x
+                 FROM generate_series(0, 15) y(y), generate_series(0, 23) x(x)),
+    lum AS (
+      SELECT i.doc_id,
+             CAST(SUM((((g.x * 31 + g.y * 17 + (i.doc_id - i.doc_id % 4) * 101 + 7)
+                   * (g.x + g.y * 3 + ((i.doc_id - i.doc_id % 4) % 89) + 1)) % 251
+                  + CASE WHEN g.y = i.doc_id % 16 AND g.x = i.doc_id % 24
+                         THEN i.doc_id % 4 ELSE 0 END) % 256) AS BIGINT) AS lum
+      FROM ids i, fullgrid g GROUP BY i.doc_id),
+    members AS (SELECT l.doc_id, l.lum, c.component
+                FROM lum l JOIN comp c ON l.doc_id = c.id),
+    winners AS (
+      SELECT component, doc_id AS winner FROM (
+        SELECT component, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY component
+                   ORDER BY lum DESC, doc_id ASC) AS rn
+        FROM members) x WHERE rn = 1),
+    losers AS (SELECT m.doc_id FROM members m JOIN winners w
+               ON m.component = w.component AND m.doc_id <> w.winner)
+    SELECT l.doc_id, l.lum FROM lum l
+    WHERE l.doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY doc_id
+    """,
+    description="Media near-dup CLUSTER resolution keeping the BEST "
+    "member per group (round-7; VERDICT r6 #2): dhash pigeonhole pairs "
+    "-> Pregel min-label connected components -> argmax of an integer "
+    "luminance-sum score (ties to lowest id) — the media twin of "
+    "dedup_keep_best_quality, replacing keep-min-id, which over-drops "
+    "chains (a~b, b~c, a!~c would lose BOTH b and c). Score is the "
+    "exact int64 pixel sum, so the oracle replays it from the texture "
+    "formula; components via recursive-CTE reachability.",
+)
+def q_media_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.imagehash import (
+        attach_synth_pnm,
+        image_luminance_sum,
+    )
+    from azure_etl_spark.plans.corpus_pipeline import media_near_dup_keep_best
+
+    docs = _td(spark, sf_dir).select("doc_id")
+    media = image_luminance_sum(
+        attach_synth_pnm(docs).withColumn("media_type", F.lit("image/pnm")),
+        "media",
+        "lum",
+    )
+    kept = media_near_dup_keep_best(media, keep_by=F.col("lum"))
+    return kept.select("doc_id", "lum").orderBy("doc_id")
 
 
 # --------------------------------------------- unigram-LM tokenizer (r6)
@@ -8122,6 +8188,7 @@ def q_audio_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "audio_fp_near_dup",
+    bench=True,
     oracle=f"""
     WITH {_audio_fp_ctes()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -8313,6 +8380,7 @@ def q_video_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "video_fp_near_dup",
+    bench=True,
     oracle=f"""
     WITH {_video_fp_ctes()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -1782,13 +1782,27 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+def vacuum_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 2, min_age_s: float = 60.0
+) -> list[int]:
     """Drop manifests and data dirs of all but the ``keep_last`` newest
     versions, plus orphan data dirs no retained manifest references
     (crashed or race-losing writers). Returns removed version numbers.
 
     Data dirs still referenced by a retained manifest are kept even if
     their own version's manifest is dropped (append chains share dirs).
+
+    Unreferenced debris (stats sidecars, orphan data dirs, orphan
+    delete-key dirs) is only reclaimed once older than ``min_age_s`` on
+    the FILESYSTEM'S clock (:func:`_fs_now_ms`, the same guard as
+    :func:`repair_snapshot_log`): an in-flight writer stages its data
+    dir and stats sidecar BEFORE committing its manifest, so a
+    zero-age vacuum racing that window would delete the sidecar and
+    leave the subsequently committed manifest with a dangling
+    stats_ref. A live writer publishes within milliseconds; anything
+    unreferenced after a minute is a genuine orphan. Pass
+    ``min_age_s=0.0`` only when no concurrent writer can exist
+    (tests, single-writer maintenance windows).
     """
     versions = _list_versions(spark, path)
     if len(versions) <= keep_last:
@@ -1815,25 +1829,36 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> list
     removed = [v for v in versions if v not in keep]
     for v in removed:
         fs.delete(_jpath(jvm, path, MANIFEST_DIR, f"v{v}.json"), False)
+    now_ms = _fs_now_ms(spark, path, fs, jvm) if min_age_s > 0 else 0.0
+
+    def _aged(st) -> bool:
+        if min_age_s <= 0:
+            return True
+        return now_ms - float(st.getModificationTime()) >= min_age_s * 1000.0
+
     # stats sidecars no retained manifest references (dropped versions,
     # race losers, pre-checkpoint debris)
     mdir = _jpath(jvm, path, MANIFEST_DIR)
     if fs.exists(mdir):
         for st in fs.listStatus(mdir):
             name = st.getPath().getName()
-            if name.startswith(_STATS_REF_PREFIX) and name not in referenced_refs:
+            if (
+                name.startswith(_STATS_REF_PREFIX)
+                and name not in referenced_refs
+                and _aged(st)
+            ):
                 fs.delete(st.getPath(), False)
     ddir = _jpath(jvm, path, DATA_DIR)
     if fs.exists(ddir):
         for st in fs.listStatus(ddir):
             rel = f"{DATA_DIR}/{st.getPath().getName()}"
-            if rel not in referenced:
+            if rel not in referenced and _aged(st):
                 fs.delete(st.getPath(), True)
     deldir = _jpath(jvm, path, DELETES_DIR)
     if fs.exists(deldir):
         for st in fs.listStatus(deldir):
             rel = f"{DELETES_DIR}/{st.getPath().getName()}"
-            if rel not in referenced_deletes:
+            if rel not in referenced_deletes and _aged(st):
                 fs.delete(st.getPath(), True)
     return removed
 

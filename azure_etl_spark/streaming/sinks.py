@@ -240,7 +240,13 @@ def incremental_media_dedup_writer(
     closure is unnecessary at hamming <= 3 granularity because the
     keep-min rule reapplies per batch deterministically); (4) overwrite
     the batch's own ``batch_id=N`` dirs in BOTH the media target and
-    the signature index.
+    the signature index. BOTH pair joins are scoped by ``media_type``
+    (the scope column rides the chunk equi-join key): signatures only
+    ever compare within a modality, so a WAV whose fingerprint lands
+    within hamming <= 3 of a PNM's dhash still keeps both items. Rows
+    whose media_type has no hasher pass through to the target
+    unharmed (and never enter the pair/index stages) — matching
+    ``perceptual_hash_mixed``'s unknown-types-are-ignored contract.
 
     Replay-safe exactly like the text digest writer: the index read
     excludes the current batch, so a re-delivered batch dedups against
@@ -275,8 +281,15 @@ def incremental_media_dedup_writer(
 
     def write(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
+        # LEFT join: rows whose media_type has no perceptual hasher
+        # keep a null __ph and pass straight through to the target
+        # (perceptual_hash_mixed's contract — unknown types are
+        # ignored, not failed, and certainly not silently dropped);
+        # they are excluded from the pair and index stages below.
         hashed = df.join(
-            perceptual_hash_mixed(df, id_col=id_col), [id_col, "media_type"]
+            perceptual_hash_mixed(df, id_col=id_col),
+            [id_col, "media_type"],
+            "left",
         )
         prior = [b for b in _list_batch_ids(spark, index_root) if b != batch_id]
         if prior:  # errors reading an index that EXISTS must propagate
@@ -297,7 +310,10 @@ def incremental_media_dedup_writer(
                 F.col("cval").alias("__cval"),
             )
             cand = _chunks(
-                hashed.select(id_col, "media_type", "__ph"), "__ph"
+                hashed.filter(F.col("__ph").isNotNull()).select(
+                    id_col, "media_type", "__ph"
+                ),
+                "__ph",
             ).join(
                 idx,
                 (F.col("media_type") == F.col("__mt"))
@@ -313,12 +329,20 @@ def incremental_media_dedup_writer(
                 .dropDuplicates()
             )
             hashed = hashed.join(dup_ids, id_col, "left_anti")
-        # within-batch: keep the min id among near-dup pairs
+        # within-batch: keep the min id among near-dup pairs — scoped
+        # by media_type exactly like the cross-batch join above (the
+        # scope rides the chunk equi-join key), so a WAV fingerprint
+        # colliding with a PNM dhash can never pair
         from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
 
         pairs = hash64_near_dup_pairs(
-            hashed.select(F.col(id_col), F.col("__ph")), id_col, "__ph",
+            hashed.filter(F.col("__ph").isNotNull()).select(
+                F.col(id_col), F.col("media_type"), F.col("__ph")
+            ),
+            id_col,
+            "__ph",
             max_hamming=max_hamming,
+            scope_cols=("media_type",),
         )
         hashed = hashed.join(
             pairs.select(F.col("id_b").alias(id_col)).dropDuplicates(),
@@ -329,7 +353,7 @@ def incremental_media_dedup_writer(
         fresh.drop("__ph").write.mode("overwrite").format("parquet").save(
             os.path.join(target_root, f"batch_id={batch_id}")
         )
-        fresh.select(
+        fresh.filter(F.col("__ph").isNotNull()).select(
             "media_type", F.col("__ph").alias("__sig")
         ).write.mode("overwrite").format("parquet").save(
             os.path.join(index_root, f"batch_id={batch_id}")

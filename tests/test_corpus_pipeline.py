@@ -157,3 +157,54 @@ def test_funnel_multimodal_media_dedup_stage(spark, sf_dir):
     assert c["media_dedup"] < c["near_dedup"]
     removed = c["near_dedup"] - c["media_dedup"]
     assert removed >= 20  # ~3 of every 4 media-grouped survivors drop
+
+
+def test_media_keep_best_chain_keeps_exactly_one_best(spark):
+    """Chain fixture (VERDICT r6 #2): dhash chain a~b (ham 2), b~c
+    (ham 2), a!~c (ham 4). Keep-min-id would drop BOTH b and c (each
+    pairs with a lower id) even though c is no dup of a; component
+    resolution keeps exactly ONE member per chain — and with keep_by,
+    the BEST one, not the first."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.codecs import encode_pnm
+    from azure_etl_spark.operators.imagehash import dhash64
+    from azure_etl_spark.plans.corpus_pipeline import media_near_dup_keep_best
+
+    def img_with_bits(bits64: int) -> np.ndarray:
+        """9x8 grayscale whose dhash is exactly bits64: walk each row
+        left-to-right, stepping down iff the bit is set (g[y,x] >
+        g[y,x+1] <=> bit y*8+x)."""
+        g = np.zeros((8, 9), dtype=np.uint8)
+        for y in range(8):
+            g[y, 0] = 128
+            for x in range(8):
+                bit = (bits64 >> (y * 8 + x)) & 1
+                g[y, x + 1] = g[y, x] - 1 if bit else g[y, x] + 1
+        return g
+
+    base = 0x0123456789ABCDEF
+    h_a = base
+    h_b = base ^ 0b11  # ham(a,b)=2
+    h_c = base ^ 0b1111  # ham(b,c)=2, ham(a,c)=4 > 3
+    for h in (h_a, h_b, h_c):
+        assert dhash64(img_with_bits(h)) == h  # the fixture is exact
+
+    rows = [
+        (1, bytearray(encode_pnm(img_with_bits(h_a))), "image/pnm", 10),
+        (2, bytearray(encode_pnm(img_with_bits(h_b))), "image/pnm", 30),
+        (3, bytearray(encode_pnm(img_with_bits(h_c))), "image/pnm", 20),
+        (9, bytearray(encode_pnm(img_with_bits(0)))  , "image/pnm", 1),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media", "media_type", "res"]),
+        "doc_id long, media binary, media_type string, res int",
+    )
+    kept = media_near_dup_keep_best(media, keep_by=F.col("res"))
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # exactly one survivor from the chain {1,2,3}: the highest-res
+    # member (id 2) — keep-min-id would have produced {1} and dropped
+    # a non-duplicate-of-1 (id 3) with it
+    assert ids == {2, 9}

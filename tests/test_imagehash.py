@@ -219,3 +219,31 @@ def test_dhash128_planted_recall_and_collision_resistance(spark):
         if ham <= 3:
             want[(a, b)] = ham
     assert pairs == want and len(pairs) == (n // SYNTH_GROUP) * 6
+
+
+def test_hash64_pairs_scope_cols_partition_the_join(spark):
+    """scope_cols puts extra columns in the candidate equi-join key:
+    identical signatures in DIFFERENT scope groups never pair, while
+    pairing within a group is unchanged (the one-join equivalent of
+    media_near_dup_pairs' per-modality loop)."""
+    rows = [
+        (1, "image/pnm", 0x1234),
+        (2, "image/pnm", 0x1234),  # same sig, same scope -> pair
+        (3, "audio/wav", 0x1234),  # same sig, other scope -> NO pair
+        (4, "audio/wav", 0x1235),  # hamming 1 from id 3 within scope
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, sig long")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hash64_near_dup_pairs(
+            df, "doc_id", "sig", scope_cols=("media_type",)
+        ).collect()
+    }
+    assert pairs == {(1, 2), (3, 4)}
+    # without the scope the cross-group identical sigs DO pair — the
+    # scope column is what carries the invariant
+    unscoped = {
+        (r["id_a"], r["id_b"])
+        for r in hash64_near_dup_pairs(df, "doc_id", "sig").collect()
+    }
+    assert (1, 3) in unscoped and (2, 3) in unscoped

@@ -106,7 +106,7 @@ def test_vacuum_drops_old_versions_keeps_shared_dirs(spark, tmp_path):
     write_snapshot(_df(spark, "v0", n=4), path)
     write_snapshot(_df(spark, "v1", n=3), path)
     write_snapshot(_df(spark, "v2", n=2), path, mode="append")  # shares v1's dir
-    removed = vacuum_snapshots(spark, path, keep_last=2)
+    removed = vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)
     assert removed == [0]
     with pytest.raises(SnapshotVersionError):
         read_snapshot(spark, path, version=0)
@@ -311,7 +311,7 @@ def test_vacuum_keeps_dirs_referenced_by_cow_files(spark, tmp_path):
     path = str(tmp_path / "tbl")
     _three_file_table(spark, path)
     delete_from_snapshot(spark, path, [("id", "between", (150, 250))])
-    removed = vacuum_snapshots(spark, path, keep_last=1)
+    removed = vacuum_snapshots(spark, path, keep_last=1, min_age_s=0.0)
     assert removed == [0, 1, 2]
     # data/v0 (untouched file carried by the delete manifest) survives
     out = read_snapshot(spark, path)
@@ -793,7 +793,7 @@ def test_mor_materialized_by_compact_and_cow(spark, tmp_path):
     assert snapshot_changes(spark, path, from_version=5).count() == 0
 
     # vacuum to the post-compaction tail: the orphaned key file goes
-    vacuum_snapshots(spark, path, keep_last=1)
+    vacuum_snapshots(spark, path, keep_last=1, min_age_s=0.0)
     assert _vdirs(path, "deletes", 4) == []
 
 
@@ -803,7 +803,7 @@ def test_mor_vacuum_keeps_referenced_key_files(spark, tmp_path):
     keys = spark.createDataFrame([(7,), (8,)], "id long")
     delete_keys_from_snapshot(spark, path, keys, ["id"])  # v3
     write_snapshot(_keyed(spark, 300, 310, "d"), path, mode="append")  # v4
-    vacuum_snapshots(spark, path, keep_last=2)  # keeps v3, v4 — both use the keys
+    vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)  # keeps v3, v4 — both use the keys
     assert len(_vdirs(path, "deletes", 3)) == 1
     assert read_snapshot(spark, path).count() == 308
 
@@ -1528,7 +1528,7 @@ def test_stats_checkpoint_prunes_dropped_files_and_vacuum_reclaims(
     files, stats = snap._manifest_files(spark, path, m)
     assert set(files) <= set(stats)
 
-    vacuum_snapshots(spark, path, keep_last=1)
+    vacuum_snapshots(spark, path, keep_last=1, min_age_s=0.0)
     kept = _load_manifest(spark, path, 6)
     on_disk = {
         n for n in os.listdir(os.path.join(path, "_manifest"))
@@ -1574,3 +1574,38 @@ def test_legacy_inline_stats_manifest_still_works(spark, tmp_path):
     files, stats = snap._manifest_files(spark, path, m1)
     assert set(files) <= set(stats)
     assert read_snapshot(spark, path).count() == 25
+
+
+def test_vacuum_age_guard_protects_inflight_writer_debris(spark, tmp_path):
+    """ADVICE r6: an in-flight writer stages its stats sidecar and data
+    dir BEFORE committing its manifest; a concurrent vacuum must not
+    reclaim that fresh-but-unreferenced debris (it would leave the
+    committed manifest with a dangling stats_ref). The default
+    ``min_age_s`` keeps anything younger than the guard on the
+    FILESYSTEM's clock; ``min_age_s=0.0`` restores immediate reclaim
+    for single-writer maintenance."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, "v0", n=4), path)
+    write_snapshot(_df(spark, "v1", n=3), path)
+
+    # simulate the in-flight writer's staged-but-uncommitted state
+    mdir = os.path.join(path, "_manifest")
+    orphan_sidecar = os.path.join(mdir, "stats-v99-deadbeef.json")
+    with open(orphan_sidecar, "w") as f:
+        f.write("{}")
+    orphan_dir = os.path.join(path, "data", "v99-deadbeef")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+
+    vacuum_snapshots(spark, path, keep_last=2)  # default age guard
+    assert os.path.exists(orphan_sidecar)  # fresh debris survives
+    assert os.path.exists(orphan_dir)
+    # the table itself is untouched either way
+    assert read_snapshot(spark, path).count() == 3
+
+    vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)
+    assert not os.path.exists(orphan_sidecar)  # explicit opt-out reclaims
+    assert not os.path.exists(orphan_dir)

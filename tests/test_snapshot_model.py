@@ -85,7 +85,7 @@ def _apply_random_op(spark, path, model, rng, next_id):
     if op == "compact":
         snap.compact_snapshot(spark, path)
         return "compact", next_id
-    snap.vacuum_snapshots(spark, path, keep_last=2)
+    snap.vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)
     return "vacuum", next_id
 
 
