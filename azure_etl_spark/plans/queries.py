@@ -3192,7 +3192,7 @@ def _bpe_round_ctes(n_merges: int) -> list[str]:
         # With the guard, b.pat is NULL, replace() yields NULL, and
         # COALESCE carries the word through unchanged — mirroring the
         # engine's early-stop exactly.
-        ctes.append(f"""w{r} AS (
+        ctes.append(f"""w{r} AS MATERIALIZED (
       SELECT COALESCE(replace(s, b.pat, b.rep), s) AS s, cnt
       FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)""")
     return ctes
@@ -7995,6 +7995,201 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_uni_tokens").alias("n_tokens"),
         F.concat_ws(" ", "uni_tokens").alias("tok_str"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------- WordPiece tokenizer (r7)
+
+
+_WP_N_MERGES = 8
+
+
+def _wp_round_ctes(n_merges: int) -> list[str]:
+    """CTE chain replaying wordpiece_train (operators/wordpiece.py):
+    w0 = sentinel symbol strings with ## continuation markers, then per
+    round r: symbol counts y{r}, pair counts c{r}, the likelihood-ratio
+    argmax b{r} (score = pair/(n_lhs*n_rhs) in DOUBLE — identical ops
+    both engines — desc, RS-joined pair key asc), and the guarded
+    greedy leftmost merge w{r} (same exhausted-vocab LEFT JOIN +
+    COALESCE guard as the BPE chain)."""
+    from azure_etl_spark.operators.tokenize import DSEP, PSEP, SEP
+
+    ctes = [
+        _bpe_word_cte(),
+        f"""w0 AS (
+      SELECT '{SEP}' || array_to_string(
+               CASE WHEN length(word) = 1 THEN [word]
+                    ELSE list_prepend(word[1:1],
+                           list_transform(string_split(word[2:], ''),
+                                          c -> '##' || c)) END,
+               '{DSEP}') || '{SEP}' AS s,
+             cnt
+      FROM wf)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""y{r} AS MATERIALIZED (
+      SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(substring(s, 2, length(s) - 2), '{DSEP}')) AS sym,
+               cnt
+        FROM w{r - 1}) t GROUP BY sym)""")
+        ctes.append(f"""p{r} AS (
+      SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                    i -> struct_pack(lhs := arr[i], rhs := arr[i + 1]))) AS pr, cnt
+      FROM (SELECT string_split(substring(s, 2, length(s) - 2), '{DSEP}') AS arr, cnt
+            FROM w{r - 1}) t)""")
+        ctes.append(f"""c{r} AS (
+      SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM p{r} GROUP BY 1, 2)""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+      SELECT lhs, rhs, lhs || substring(rhs, 3) AS merged, pair_count,
+             CAST(pair_count AS DOUBLE) / (CAST(sl.n AS DOUBLE) * CAST(sr.n AS DOUBLE))
+               AS score,
+             '{SEP}' || lhs || '{DSEP}' || rhs || '{SEP}' AS pat,
+             '{SEP}' || lhs || substring(rhs, 3) || '{SEP}' AS rep
+      FROM c{r} JOIN y{r} sl ON sl.sym = c{r}.lhs JOIN y{r} sr ON sr.sym = c{r}.rhs
+      ORDER BY score DESC, lhs || '{PSEP}' || rhs ASC LIMIT 1)""")
+        ctes.append(f"""w{r} AS (
+      SELECT COALESCE(replace(s, b.pat, b.rep), s) AS s, cnt
+      FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)""")
+    return ctes
+
+
+def _wp_train_oracle() -> str:
+    n = _WP_N_MERGES
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, merged, pair_count, score FROM b{r}"
+        for r in range(1, n + 1)
+    )
+    return f"""
+    WITH {', '.join(_wp_round_ctes(n))}
+    SELECT rank, lhs, rhs, merged, pair_count, score FROM ({union}) u ORDER BY rank
+    """
+
+
+def _wp_encode_oracle() -> str:
+    from azure_etl_spark.operators.tokenize import DSEP
+    from azure_etl_spark.operators.wordpiece import WP_WORD_MAX
+
+    n = _WP_N_MERGES
+    ctes = _wp_round_ctes(n)
+    # grow-only vocab: initial alphabet + one merged piece per round,
+    # MATERIALIZED because every match step probes it
+    merged_union = " UNION SELECT merged FROM ".join(
+        ["v0"] + [f"b{r}" for r in range(1, n + 1)]
+    )
+    ctes.append(f"""v0 AS (
+      SELECT DISTINCT unnest(string_split(substring(s, 2, length(s) - 2), '{DSEP}'))
+               AS merged
+      FROM w0)""")
+    ctes.append(
+        f"vl AS MATERIALIZED (SELECT list(merged) AS v FROM "
+        f"(SELECT merged FROM {merged_union}) u)"
+    )
+    ctes.append(r"""dwords AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                             ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                             x -> regexp_matches(x, '^[a-z]+$')),
+                 (x, i) -> struct_pack(w := x, pos := i))) AS s
+        FROM documents) t)""")
+    ctes.append(
+        f"dshort AS (SELECT DISTINCT w AS word FROM dwords "
+        f"WHERE length(w) <= {WP_WORD_MAX})"
+    )
+    # greedy longest-match fold, unrolled: per step the inner select
+    # computes done + the longest matching k (CASE tries long -> short),
+    # the outer advances (p, tk, fail) — each CTE references the
+    # previous exactly once, so the chain stays linear
+    ctes.append("""g0 AS (
+      SELECT word, v, 1 AS p, CAST([] AS VARCHAR[]) AS tk, FALSE AS fail
+      FROM dshort CROSS JOIN vl)""")
+    for t in range(1, WP_WORD_MAX + 1):
+        cases = " ".join(
+            f"WHEN p + {k - 1} <= length(word) AND list_contains(v, "
+            f"CASE WHEN p = 1 THEN substring(word, p, {k}) "
+            f"ELSE '##' || substring(word, p, {k}) END) THEN {k}"
+            for k in range(WP_WORD_MAX, 0, -1)
+        )
+        ctes.append(f"""g{t} AS (
+      SELECT word, v,
+             CASE WHEN done OR k = 0 THEN p ELSE p + k END AS p,
+             CASE WHEN done OR k = 0 THEN tk
+                  ELSE list_append(tk, CASE WHEN p = 1 THEN substring(word, p, k)
+                                       ELSE '##' || substring(word, p, k) END) END AS tk,
+             CASE WHEN done THEN fail WHEN k = 0 THEN TRUE ELSE fail END AS fail
+      FROM (SELECT *, (fail OR p > length(word)) AS done,
+                   (CASE WHEN fail OR p > length(word) THEN 0 {cases}
+                         ELSE 0 END) AS k
+            FROM g{t - 1}) s)""")
+    ctes.append(f"""seg AS (
+      SELECT word, CASE WHEN fail THEN ['[UNK]'] ELSE tk END AS toks
+      FROM g{WP_WORD_MAX})""")
+    ctes.append(f"""enc AS (
+      SELECT d.doc_id, d.pos,
+             CASE WHEN length(d.w) > {WP_WORD_MAX} THEN ['[UNK]'] ELSE s.toks END
+               AS toks
+      FROM dwords d LEFT JOIN seg s ON d.w = s.word)""")
+    ctes.append("""docagg AS (
+      SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
+      FROM enc GROUP BY doc_id)""")
+    return (
+        f"WITH {', '.join(ctes)}\n"
+        "SELECT d.doc_id, CAST(COALESCE(len(a.toks), 0) AS INT) AS n_wp_tokens, "
+        "COALESCE(array_to_string(a.toks, ' '), '') AS tok_str "
+        "FROM documents d LEFT JOIN docagg a ON d.doc_id = a.doc_id "
+        "ORDER BY d.doc_id"
+    )
+
+
+@query(
+    "wordpiece_train",
+    oracle=_wp_train_oracle,
+    description="WordPiece tokenizer training (Schuster & Nakajima "
+    "2012 / BERT): same one-shuffle word-frequency scan and per-round "
+    "1-row argmax as BPE, but the merge maximizes the likelihood-ratio "
+    "score pair/(n_lhs*n_rhs) and non-initial symbols carry the ## "
+    "continuation marker (merging strips it from the rhs). Completes "
+    "the production tokenizer family (BPE, unigram-LM, WordPiece). "
+    "Oracle unrolls all 8 rounds with the identical double-precision "
+    "score argmax.",
+)
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.wordpiece import wordpiece_train, word_frequencies
+
+    merges, _ = wordpiece_train(word_frequencies(_td(spark, sf_dir)), _WP_N_MERGES)
+    return merges.orderBy("rank")
+
+
+@query(
+    "wordpiece_encode_docs",
+    oracle=_wp_encode_oracle,
+    description="Encode the corpus with the trained WordPiece vocab "
+    "via greedy longest-match-first (the published algorithm, unlike "
+    "BPE's merge replay): per word an aggregate FOLD consumes the "
+    "longest vocab piece at each position (## form when non-initial), "
+    "falling to [UNK] when nothing matches or the word exceeds the "
+    "length cap. Only DISTINCT words run the fold; the vocab rides as "
+    "a broadcast map. Oracle replays train + the unrolled match loop "
+    "end-to-end.",
+)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.wordpiece import (
+        word_frequencies,
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = _td(spark, sf_dir)
+    words = word_frequencies(docs)
+    _, rounds = wordpiece_train(words, _WP_N_MERGES)
+    enc = wordpiece_encode(docs, wordpiece_vocab(words, rounds))
+    return enc.select(
+        "doc_id",
+        "n_wp_tokens",
+        F.concat_ws(" ", "wp_tokens").alias("tok_str"),
     ).orderBy("doc_id")
 
 

@@ -247,3 +247,59 @@ def test_hash64_pairs_scope_cols_partition_the_join(spark):
         for r in hash64_near_dup_pairs(df, "doc_id", "sig").collect()
     }
     assert (1, 3) in unscoped and (2, 3) in unscoped
+
+
+def test_bucket_cap_triggers_and_reports_overflow(spark):
+    """Adversarial hot bucket (VERDICT r6 #5): many rows with the SAME
+    signature blow up the pigeonhole self-join quadratically; with
+    bucket_cap only the cap's lowest ids pair, and the overflow report
+    names every capped bucket with its true occupancy and an id sample
+    — nothing is dropped silently."""
+    from azure_etl_spark.operators.imagehash import (
+        hash64_near_dup_pairs_with_overflow,
+    )
+
+    hot = [(i, 0x42) for i in range(40)]  # one signature, 40 rows
+    cold = [(100, 0x1111_0000), (101, 0x1111_0001)]  # normal near-pair
+    df = spark.createDataFrame(hot + cold, "doc_id long, sig long")
+    pairs, overflow = hash64_near_dup_pairs_with_overflow(
+        df, "doc_id", "sig", bucket_cap=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # cold pair unaffected
+    assert (100, 101) in got
+    # hot bucket pairs only among the 8 lowest ids: C(8,2) = 28 pairs
+    hot_pairs = {p for p in got if p[0] < 100 and p[1] < 100}
+    assert hot_pairs == {(a, b) for a in range(8) for b in range(8) if a < b}
+    rep = overflow.collect()
+    # the constant signature fills one bucket per chunk position -> 4
+    # capped-bucket rows; the zero-valued chunks of the cold sigs land
+    # in two of them (40 hot + 2 cold occupants)
+    assert len(rep) == 4
+    assert sorted(r["n_rows"] for r in rep) == [40, 40, 42, 42]
+    for r in rep:
+        assert r["sample_ids"] == [8, 9, 10, 11, 12]  # first overflowed ids
+
+
+def test_bucket_cap_keeps_pairs_reachable_via_cold_chunk(spark):
+    """A pair sharing BOTH a hot and a cold chunk must survive the cap
+    on the hot bucket (pigeonhole completeness degrades only for pairs
+    whose ONLY shared chunk is capped)."""
+    from azure_etl_spark.operators.imagehash import (
+        hash64_near_dup_pairs_with_overflow,
+    )
+
+    # chunk 0 (low 16 bits) = 0x7 for everyone -> hot; rows 50/51 also
+    # share the distinctive chunk 3 -> still pair after chunk-0 caps
+    rows = [(i, (i << 16) | 0x7) for i in range(30)]
+    rows += [(50, (0xABC << 48) | 0x7), (51, (0xABC << 48) | (1 << 16) | 0x7)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    pairs, overflow = hash64_near_dup_pairs_with_overflow(
+        df, "doc_id", "sig", bucket_cap=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (50, 51) in got  # found via the un-capped chunk-3 bucket
+    # capped: the shared chunk-0 bucket plus the all-zero high chunks
+    # of the small ints; the distinctive chunk-3 bucket is NOT capped
+    capped = {(r["cidx"], r["cval"]) for r in overflow.collect()}
+    assert (0, 0x7) in capped and (3, 0xABC) not in capped

@@ -123,6 +123,49 @@ def main() -> None:
                 "pairs_128": pairs128,
             }
         )
+
+    # ---- adversarial skew probe (round 7): 10% of the corpus is ONE
+    # constant signature (blank-image attack). The uncapped pair join
+    # is quadratic in the hot bucket (C(0.1n, 2) verified pairs nobody
+    # wants materialized); the capped variant stays bounded and
+    # REPORTS the bucket + occupancy instead of silently degrading.
+    from azure_etl_spark.operators.imagehash import (
+        hash64_near_dup_pairs_with_overflow,
+    )
+
+    out["skew_points"] = []
+    for mult in (1, 4, 8):
+        n = base_n * mult
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 == 0, F.lit(0x5A5A_5A5A_5A5A_5A5A))
+            .otherwise(F.xxhash64(F.col("id")))
+            .alias("sig"),
+        ).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        n_unc = hash64_near_dup_pairs(base, "doc_id", "sig").count()
+        t_unc = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pairs_c, overflow = hash64_near_dup_pairs_with_overflow(
+            base, "doc_id", "sig", bucket_cap=256
+        )
+        n_cap = pairs_c.count()
+        rep = overflow.count()
+        t_cap = time.perf_counter() - t0
+
+        out["skew_points"].append(
+            {
+                "n": n,
+                "hot_rows": n // 10,
+                "uncapped_pairs": n_unc,
+                "uncapped_sec": round(t_unc, 3),
+                "capped_pairs": n_cap,
+                "capped_sec": round(t_cap, 3),
+                "overflow_buckets": rep,
+            }
+        )
     print(json.dumps(out))
 
 
