@@ -44,6 +44,19 @@ _DDL = [
                                   AS DOUBLE)
                              / CAST(length(t) AS DOUBLE) * 4.0, 1.0) END) * 0.2,
          6)""",
+    # 64-bit signature hamming distance (dhash/simhash/audio fp) —
+    # bit_count(xor) under codegen, the same verify the pair joins run
+    """CREATE OR REPLACE TEMPORARY FUNCTION eng_hamming(a BIGINT, b BIGINT)
+       RETURNS INT
+       RETURN cast(bit_count(a ^ b) AS INT)""",
+    # cosine similarity of two double vectors (NULL on zero-norm), the
+    # scalar behind the ANN operators — aggregate/zip_with, no UDF
+    """CREATE OR REPLACE TEMPORARY FUNCTION eng_cosine(a ARRAY<DOUBLE>,
+                                                       b ARRAY<DOUBLE>)
+       RETURNS DOUBLE
+       RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)
+              / (sqrt(aggregate(a, 0.0D, (s, v) -> s + v * v))
+                 * sqrt(aggregate(b, 0.0D, (s, v) -> s + v * v)))""",
 ]
 
 
@@ -51,3 +64,64 @@ def register_sql_functions(spark: SparkSession) -> None:
     """Install the ``eng_*`` SQL functions into the current session."""
     for ddl in _DDL:
         spark.sql(ddl)
+
+
+# ---------------------------------------------------------------- similarity
+
+_SIMILARITY_KINDS = ("minhash", "image_dhash", "hash64", "media")
+
+
+def register_similarity_join(
+    spark: SparkSession,
+    out_view: str,
+    source,
+    kind: str = "minhash",
+    **kw,
+) -> "DataFrame":
+    """SQL-visible near-dup/similarity surface (round 7; VERDICT r6 #7
+    and SURVEY.md §4): run one of the engine's pair-mining operators
+    over a registered view (or DataFrame) and publish the result as a
+    temp view, so ``spark.sql`` users can reach the dedup/ANN stack —
+    Spark has no Python API for user table functions over arbitrary
+    DataFrames, so the supported recipe is exactly this
+    operator -> ``createOrReplaceTempView`` bridge, plus the
+    ``eng_hamming``/``eng_cosine`` scalars for ad-hoc verification.
+
+    kinds: ``minhash`` (text LSH near-dups; kwargs forwarded to
+    ``minhash_near_dup_pairs``), ``image_dhash`` (perceptual-hash PNM
+    payloads then chunk-join), ``hash64`` (precomputed 64-bit
+    signature column: kwargs ``id_col``/``hash_col``, optional
+    ``scope_cols``), ``media`` (mixed-modality table, per-modality
+    pairs). Returns the pair DataFrame (id_a, id_b, ...) it registered.
+    """
+    from pyspark.sql import DataFrame
+
+    df = spark.table(source) if isinstance(source, str) else source
+    if kind == "minhash":
+        from azure_etl_spark.operators.dedup import minhash_near_dup_pairs
+
+        pairs = minhash_near_dup_pairs(df, **kw)
+    elif kind == "image_dhash":
+        from azure_etl_spark.operators.imagehash import (
+            hash64_near_dup_pairs,
+            image_perceptual_hash,
+        )
+
+        id_col = kw.pop("id_col", "doc_id")
+        media_col = kw.pop("media_col", "media")
+        hashed = image_perceptual_hash(
+            df.select(id_col, media_col), media_col, "__ph"
+        )
+        pairs = hash64_near_dup_pairs(hashed, id_col, "__ph", **kw)
+    elif kind == "hash64":
+        from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
+
+        pairs = hash64_near_dup_pairs(df, **kw)
+    elif kind == "media":
+        from azure_etl_spark.plans.corpus_pipeline import media_near_dup_pairs
+
+        pairs = media_near_dup_pairs(df, **kw)
+    else:
+        raise ValueError(f"kind must be one of {_SIMILARITY_KINDS}, got {kind!r}")
+    pairs.createOrReplaceTempView(out_view)
+    return pairs

@@ -153,6 +153,30 @@ COMMENTARY = {
         "learned weights into a codegen sigmoid. Feature width is fixed "
         "by the bucket count, so the plan is corpus-size-independent."
     ),
+    "media_near_dup_keep_best": (
+        "Quality-aware media canonical keep (round 7). The pair stage is "
+        "the lineage-cut chunk join (pixels never shuffle); component "
+        "resolution loops tiny (id, component) label frames with "
+        "localCheckpoint truncating lineage per round, so the plan below "
+        "stays constant-size however many Pregel rounds ran; the winner "
+        "argmax is two aggregates over cluster MEMBERS only. Corpus rows "
+        "appear once: the final left_anti against losers."
+    ),
+    "wordpiece_train": (
+        "WordPiece training (round 7). Per round: one explode over the "
+        "Heaps-law word table, a map-side-combined pair count, two "
+        "BROADCAST joins stamping symbol counts (the likelihood-ratio "
+        "denominator — no shuffle of the pair table), and a 1-row min_by "
+        "argmax. The corpus itself is scanned exactly once, in the "
+        "word_frequencies CTE at the bottom of the plan."
+    ),
+    "wordpiece_encode_docs": (
+        "WordPiece encode (round 7). The greedy longest-match loop is an "
+        "aggregate FOLD over a broadcast vocab map — look for a single "
+        "projection stage per distinct word, no iterative joins, no "
+        "BatchEvalPython; per-occurrence cost is the join from distinct "
+        "segmentations back to (doc, pos)."
+    ),
 }
 
 

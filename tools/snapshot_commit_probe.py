@@ -16,7 +16,15 @@ Reported: median commit time + manifest size for the first vs last
 quartile of the chain, and per-decile rows.
 
     python tools/snapshot_commit_probe.py [n_batches] [files_per_batch]
+                                          [vacuum_every]
                                           # default 64 4 (=256 files)
+
+``vacuum_every`` > 0 interleaves ``vacuum_snapshots(keep_last=16)``
+every that many commits (round 7; VERDICT r6 #6) — the two-level
+stats log must hold commit latency flat through 200+-commit chains
+WITH vacuum churn: each vacuum rewrites nothing, only deletes dropped
+manifests + unreferenced sidecars, so the live stats-resolution chain
+(checkpoint + recent sidecars) stays bounded.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ from azure_etl_spark.sources import snapshot as snap  # noqa: E402
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     files_per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    vacuum_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     spark = get_session(app_name="snapshot-commit-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,6 +57,7 @@ def main() -> None:
         .repartition(files_per_batch)
     )
     rows = []
+    n_vacuums = 0
     for i in range(n_batches):
         t0 = time.perf_counter()
         v = snap.write_snapshot(batch, path, mode="append")
@@ -62,6 +72,13 @@ def main() -> None:
         nfiles = (i + 1) * files_per_batch
         rows.append({"commit": i, "files": nfiles, "sec": dt, "manifest_bytes": msize,
                      "refs": len(m.get("stats_refs", []))})
+        if vacuum_every and (i + 1) % vacuum_every == 0:
+            # min_age_s=0: single-writer maintenance window (the
+            # concurrent-writer safety of the default guard is
+            # snapshot_race_probe.py's job); keep_last=16 keeps the
+            # retained append chain sharing all data dirs
+            snap.vacuum_snapshots(spark, path, keep_last=16, min_age_s=0.0)
+            n_vacuums += 1
 
     deciles = [rows[int(len(rows) * q / 10)] for q in range(10)] + [rows[-1]]
     q = max(1, len(rows) // 4)
@@ -71,6 +88,8 @@ def main() -> None:
         "metric": "snapshot_commit_latency",
         "n_batches": n_batches,
         "files_per_batch": files_per_batch,
+        "vacuum_every": vacuum_every,
+        "n_vacuums": n_vacuums,
         "final_files": rows[-1]["files"],
         "first_quartile_median_sec": round(statistics.median(first), 4),
         "last_quartile_median_sec": round(statistics.median(last), 4),

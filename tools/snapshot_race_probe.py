@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Stress the snapshot format's optimistic-concurrency commit path
+with CONCURRENT VACUUM (round 7; VERDICT r6 #6): the concurrent-writer
+race test is the repo's best bug-finder, and round 7 added the vacuum
+age guard specifically so a maintenance vacuum can run while writers
+are mid-commit — this probe runs that exact mix repeatedly.
+
+Per run: 4 writer threads race ``appends_per_writer`` appends each
+through the optimistic protocol while a maintenance thread loops
+``vacuum_snapshots(keep_last=5)`` (DEFAULT age guard — the point under
+test: fresh in-flight sidecars/data dirs must survive) and a reader
+thread re-reads the live table. Invariants checked per run: no thread
+errors, every commit landed (contiguous versions), the final table
+holds every writer's rows exactly once, and the final read resolves
+all stats refs (no dangling sidecar).
+
+    python tools/snapshot_race_probe.py [n_runs] [appends_per_writer]
+                                        # default 6 3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from azure_etl_spark.session import get_session  # noqa: E402
+from azure_etl_spark.sources import snapshot as snap  # noqa: E402
+
+N_WRITERS = 4
+ROWS_PER_APPEND = 10
+
+
+def _keyed(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") % 7).alias("val")
+    )
+
+
+def one_run(spark, run: int) -> dict:
+    tmp = tempfile.mkdtemp(prefix=f"race_probe_{run}_")
+    path = os.path.join(tmp, "tbl")
+    appends = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    snap.write_snapshot(_keyed(spark, 0, 10, "seed"), path)
+    errors: list = []
+    stop = threading.Event()
+    vacuums = [0]
+
+    def writer(w: int) -> None:
+        try:
+            for j in range(appends):
+                lo = 1000 * (w + 1) + 100 * j
+                snap.write_snapshot(
+                    _keyed(spark, lo, lo + ROWS_PER_APPEND, f"w{w}"),
+                    path,
+                    mode="append",
+                    max_retries=60,
+                )
+        except Exception as e:
+            errors.append(("writer", w, repr(e)))
+
+    def vacuumer() -> None:
+        # DEFAULT min_age_s: in-flight debris younger than the guard
+        # must survive; dropped-version manifests are still reclaimed
+        while not stop.is_set():
+            try:
+                snap.vacuum_snapshots(spark, path, keep_last=5)
+                vacuums[0] += 1
+            except Exception as e:
+                errors.append(("vacuum", -1, repr(e)))
+            time.sleep(0.05)
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                snap.read_snapshot(spark, path).count()
+            except Exception as e:
+                if not snap._is_transient_read_error(e):
+                    errors.append(("reader", -1, repr(e)))
+            time.sleep(0.02)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)]
+    aux = [threading.Thread(target=vacuumer), threading.Thread(target=reader)]
+    for t in aux + threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    for t in aux:
+        t.join()
+
+    n_commits = 1 + N_WRITERS * appends
+    versions = snap._list_versions(spark, path)
+    out = snap.read_snapshot(spark, path)  # resolves stats refs too
+    n_rows = out.count()
+    n_distinct = out.select("id").distinct().count()
+    expected_rows = 10 + N_WRITERS * appends * ROWS_PER_APPEND
+    ok = (
+        not errors
+        and versions[-1] == n_commits - 1
+        and n_rows == expected_rows
+        and n_distinct == expected_rows
+    )
+    res = {
+        "run": run,
+        "ok": ok,
+        "commits": n_commits,
+        "final_version": versions[-1],
+        "rows": n_rows,
+        "expected_rows": expected_rows,
+        "vacuum_passes": vacuums[0],
+        "errors": errors[:5],
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+def main() -> None:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_session(app_name="snapshot-race-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    runs = [one_run(spark, r) for r in range(n_runs)]
+    print(
+        json.dumps(
+            {
+                "metric": "snapshot_race_with_vacuum",
+                "n_runs": n_runs,
+                "all_ok": all(r["ok"] for r in runs),
+                "runs": runs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
