@@ -223,6 +223,7 @@ def incremental_media_dedup_writer(
     id_col: str = "doc_id",
     media_col: str = "media",
     max_hamming: int = 3,
+    bucket_cap: int = 1024,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function for streaming MEDIA ingest with
     cross-batch perceptual near-dup dedup — the multimodal sibling of
@@ -238,7 +239,15 @@ def incremental_media_dedup_writer(
     modality, ``bit_count(xor)`` verify); (3) drop within-batch
     near-dups (keep the min id per connected pair group — transitive
     closure is unnecessary at hamming <= 3 granularity because the
-    keep-min rule reapplies per batch deterministically); (4) overwrite
+    keep-min rule reapplies per batch deterministically); identical
+    signatures are collapsed FIRST by a linear keep-min aggregate (the
+    doctrine of ``hash64_near_dup_pairs_with_overflow``: a hot bucket
+    of identical sigs needs no pair mining), and the residual pair
+    join is CAPPED at ``bucket_cap`` rows per (modality, chunk) bucket
+    with the overflow report written to
+    ``{index_root}/_overflow/batch_id=N`` (overwrite — replay-safe;
+    the underscore prefix keeps it out of ``_list_batch_ids`` and
+    Spark partition discovery); (4) overwrite
     the batch's own ``batch_id=N`` dirs in BOTH the media target and
     the signature index. BOTH pair joins are scoped by ``media_type``
     (the scope column rides the chunk equi-join key): signatures only
@@ -329,13 +338,37 @@ def incremental_media_dedup_writer(
                 .dropDuplicates()
             )
             hashed = hashed.join(dup_ids, id_col, "left_anti")
-        # within-batch: keep the min id among near-dup pairs — scoped
-        # by media_type exactly like the cross-batch join above (the
-        # scope rides the chunk equi-join key), so a WAV fingerprint
-        # colliding with a PNM dhash can never pair
-        from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
+        # within-batch stage, hardened against adversarial bucket skew
+        # (round 7): FIRST collapse identical signatures linearly —
+        # groupBy(media_type, sig) keep-min-id IS their dedup, no pair
+        # mining needed, and it is exactly what the pair join's
+        # keep-min rule would decide for hamming-0 groups (identical
+        # sigs are interchangeable w.r.t. every other signature, so
+        # dropping non-min members early changes nothing downstream).
+        # This makes the classic hot bucket (10% blank images, one
+        # signature) cost one linear aggregate instead of a quadratic
+        # self-join. THEN run the CAPPED pigeonhole pair join over the
+        # now-distinct-per-modality signatures — scoped by media_type
+        # exactly like the cross-batch join above, so a WAV fingerprint
+        # colliding with a PNM dhash can never pair — and publish the
+        # overflow report (no-silent-caps rule) under the index's
+        # _overflow/ dir, overwrite-per-batch like every other write
+        # here so replays stay idempotent.
+        from azure_etl_spark.operators.imagehash import (
+            hash64_near_dup_pairs_with_overflow,
+        )
+        from pyspark.sql import Window
 
-        pairs = hash64_near_dup_pairs(
+        sig_rank = Window.partitionBy("media_type", "__ph").orderBy(id_col)
+        exact_losers = (
+            hashed.filter(F.col("__ph").isNotNull())
+            .select(id_col, "media_type", "__ph")
+            .withColumn("__rn", F.row_number().over(sig_rank))
+            .filter(F.col("__rn") > 1)
+            .select(id_col)
+        )
+        hashed = hashed.join(exact_losers, id_col, "left_anti")
+        pairs, overflow = hash64_near_dup_pairs_with_overflow(
             hashed.filter(F.col("__ph").isNotNull()).select(
                 F.col(id_col), F.col("media_type"), F.col("__ph")
             ),
@@ -343,6 +376,10 @@ def incremental_media_dedup_writer(
             "__ph",
             max_hamming=max_hamming,
             scope_cols=("media_type",),
+            bucket_cap=bucket_cap,
+        )
+        overflow.write.mode("overwrite").format("parquet").save(
+            os.path.join(index_root, "_overflow", f"batch_id={batch_id}")
         )
         hashed = hashed.join(
             pairs.select(F.col("id_b").alias(id_col)).dropDuplicates(),
