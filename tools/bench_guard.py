@@ -52,6 +52,13 @@ REFERENCE: dict[str, float] = {
     "pipeline_medallion": 3.033,
     # added round 5 (BENCH_LOCAL_r05.json clean-run value)
     "dedup_duplicate_spans_docs": 1.152,
+    # added round 7 (BENCH_LOCAL_r07.json clean-run values): the
+    # multimodal near-dup trio joined the headline set per VERDICT r6
+    # #3 so the perceptual-hash + pigeonhole-join path has regression
+    # protection
+    "image_dhash_near_dup": 0.390,
+    "audio_fp_near_dup": 0.371,
+    "video_fp_near_dup": 0.369,
 }
 
 # BENCH_LOCAL_r06_sf1.json "queries" (10x-replicated sf1 fixture
@@ -83,6 +90,10 @@ SF1_REFERENCE: dict[str, float] = {
     "cohort_weekly_retention": 0.362,
     "pipeline_medallion": 4.787,
     "dedup_duplicate_spans_docs": 3.251,
+    # added round 7 (BENCH_LOCAL_r07_sf1.json clean-run values)
+    "image_dhash_near_dup": 1.079,
+    "audio_fp_near_dup": 0.925,
+    "video_fp_near_dup": 0.638,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
