@@ -234,9 +234,18 @@ def incremental_media_dedup_writer(
     one Arrow pass); (2) read the cumulative SIGNATURE index (Hive
     ``batch_id=N`` layout holding (media_type, signature) — 64-bit
     rows, never payloads) EXCLUDING the current batch id, and drop
-    batch items within ``max_hamming`` of any indexed signature via the
-    pigeonhole chunk join (batch chunks x index chunks equi-join per
-    modality, ``bit_count(xor)`` verify); (3) drop within-batch
+    batch items within ``max_hamming`` of any indexed signature in two
+    stages (round 7): first a LINEAR exact (modality, signature)
+    equi-join — an already-indexed signature can never be admitted,
+    cap-independent, and the adversarial hot bucket (one constant
+    signature flooding batches) resolves here without chunk
+    candidates — then the pigeonhole chunk join for residual
+    near-misses (batch chunks x index chunks equi-join per modality,
+    ``bit_count(xor)`` verify) with the INDEX side capped at
+    ``bucket_cap`` rows per (modality, chunk) bucket and capped
+    buckets reported to ``_overflow_index/batch_id=N`` (a capped
+    row's near-misses may be admitted — best-effort recall, never
+    silent); (3) drop within-batch
     near-dups (keep the min id per connected pair group — transitive
     closure is unnecessary at hamming <= 3 granularity because the
     keep-min rule reapplies per batch deterministically); identical
@@ -300,6 +309,27 @@ def incremental_media_dedup_writer(
             [id_col, "media_type"],
             "left",
         )
+        # within-batch exact collapse runs FIRST (round 7): identical
+        # signatures keep the min id via one linear aggregate —
+        # exactly what the pair join's keep-min rule would decide for
+        # hamming-0 groups (identical sigs are interchangeable w.r.t.
+        # every other signature, so dropping non-min members early
+        # changes nothing downstream) — and it shrinks BOTH the
+        # cross-batch joins and the within-batch pair join before
+        # they run. The classic hot bucket (10% blank images, one
+        # signature) costs one aggregate here instead of a quadratic
+        # self-join there.
+        from pyspark.sql import Window
+
+        sig_rank = Window.partitionBy("media_type", "__ph").orderBy(id_col)
+        exact_losers = (
+            hashed.filter(F.col("__ph").isNotNull())
+            .select(id_col, "media_type", "__ph")
+            .withColumn("__rn", F.row_number().over(sig_rank))
+            .filter(F.col("__rn") > 1)
+            .select(id_col)
+        )
+        hashed = hashed.join(exact_losers, id_col, "left_anti")
         prior = [b for b in _list_batch_ids(spark, index_root) if b != batch_id]
         if prior:  # errors reading an index that EXISTS must propagate
             seen = (
@@ -312,11 +342,61 @@ def incremental_media_dedup_writer(
             )
             # index side fully renamed so the equi-join keys are
             # unambiguous
-            idx = _chunks(seen, "__sig").select(
-                F.col("media_type").alias("__mt"),
-                F.col("__sig"),
+            seen_r = seen.select(
+                F.col("media_type").alias("__mt"), F.col("__sig")
+            )
+            # cross-batch stage 1 (LINEAR, cap-independent): an exact
+            # signature match is a plain (modality, sig) equi-join —
+            # an item whose signature is ALREADY indexed can never be
+            # admitted, no matter how starved the capped chunk join
+            # below is. This is also where the adversarial hot bucket
+            # (one constant signature indexed + flooding the batch)
+            # resolves: one equi-join row per batch item, no chunk
+            # candidates at all.
+            exact_dups = (
+                hashed.filter(F.col("__ph").isNotNull())
+                .select(id_col, "media_type", "__ph")
+                .join(
+                    seen_r,
+                    (F.col("media_type") == F.col("__mt"))
+                    & (F.col("__ph") == F.col("__sig")),
+                    "left_semi",
+                )
+                .select(id_col)
+            )
+            hashed = hashed.join(exact_dups, id_col, "left_anti")
+            # cross-batch stage 2: residual NEAR-miss chunk join
+            # (hamming 1..max), index side capped per (modality,
+            # chunk) bucket — one hot chunk value on both sides would
+            # otherwise make candidates |batch bucket| x |index
+            # bucket|. Capping the index side bounds candidates at
+            # |batch chunks| x bucket_cap; a capped row's near-misses
+            # may be ADMITTED (best-effort recall, exact dups never
+            # are — stage 1), and the capped buckets are REPORTED to
+            # _overflow_index/batch_id=N (no silent caps).
+            from pyspark.sql import Window as W
+
+            idx_rank = W.partitionBy("__mt", "__cidx", "__cval").orderBy(
+                "__sig"
+            )
+            idx_all = _chunks(seen_r, "__sig").select(
+                "__mt",
+                "__sig",
                 F.col("cidx").alias("__cidx"),
                 F.col("cval").alias("__cval"),
+            ).withColumn("__rn", F.row_number().over(idx_rank))
+            idx = idx_all.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+            idx_overflow = (
+                idx_all.filter(F.col("__rn") > bucket_cap)
+                .groupBy(
+                    F.col("__mt").alias("media_type"),
+                    F.col("__cidx").alias("cidx"),
+                    F.col("__cval").alias("cval"),
+                )
+                .agg((F.count("*") + F.lit(bucket_cap)).alias("n_rows"))
+            )
+            idx_overflow.write.mode("overwrite").format("parquet").save(
+                os.path.join(index_root, "_overflow_index", f"batch_id={batch_id}")
             )
             cand = _chunks(
                 hashed.filter(F.col("__ph").isNotNull()).select(
@@ -338,36 +418,18 @@ def incremental_media_dedup_writer(
                 .dropDuplicates()
             )
             hashed = hashed.join(dup_ids, id_col, "left_anti")
-        # within-batch stage, hardened against adversarial bucket skew
-        # (round 7): FIRST collapse identical signatures linearly —
-        # groupBy(media_type, sig) keep-min-id IS their dedup, no pair
-        # mining needed, and it is exactly what the pair join's
-        # keep-min rule would decide for hamming-0 groups (identical
-        # sigs are interchangeable w.r.t. every other signature, so
-        # dropping non-min members early changes nothing downstream).
-        # This makes the classic hot bucket (10% blank images, one
-        # signature) cost one linear aggregate instead of a quadratic
-        # self-join. THEN run the CAPPED pigeonhole pair join over the
-        # now-distinct-per-modality signatures — scoped by media_type
-        # exactly like the cross-batch join above, so a WAV fingerprint
-        # colliding with a PNM dhash can never pair — and publish the
-        # overflow report (no-silent-caps rule) under the index's
-        # _overflow/ dir, overwrite-per-batch like every other write
-        # here so replays stay idempotent.
+        # within-batch near-dup stage: the CAPPED pigeonhole pair join
+        # over the (already exact-collapsed) per-modality signatures —
+        # scoped by media_type exactly like the cross-batch join
+        # above, so a WAV fingerprint colliding with a PNM dhash can
+        # never pair — with the overflow report published under the
+        # index's _overflow/ dir (no-silent-caps rule),
+        # overwrite-per-batch like every other write here so replays
+        # stay idempotent.
         from azure_etl_spark.operators.imagehash import (
             hash64_near_dup_pairs_with_overflow,
         )
-        from pyspark.sql import Window
 
-        sig_rank = Window.partitionBy("media_type", "__ph").orderBy(id_col)
-        exact_losers = (
-            hashed.filter(F.col("__ph").isNotNull())
-            .select(id_col, "media_type", "__ph")
-            .withColumn("__rn", F.row_number().over(sig_rank))
-            .filter(F.col("__rn") > 1)
-            .select(id_col)
-        )
-        hashed = hashed.join(exact_losers, id_col, "left_anti")
         pairs, overflow = hash64_near_dup_pairs_with_overflow(
             hashed.filter(F.col("__ph").isNotNull()).select(
                 F.col(id_col), F.col("media_type"), F.col("__ph")

@@ -1260,3 +1260,92 @@ def test_media_dedup_hot_bucket_cap_and_linear_path(spark, tmp_path):
         os.path.join(index2, "_overflow", "batch_id=0")
     )
     assert over_def.count() == 0
+
+
+def test_media_dedup_cross_batch_exact_stage_cap_independent(spark, tmp_path):
+    """Cross-batch hardening (round 7): the exact (modality, signature)
+    equi-join stage guarantees an already-indexed signature is NEVER
+    admitted, even with the chunk join fully starved (bucket_cap=0);
+    near-MISSES are then best-effort under the cap, with the capped
+    index buckets reported to _overflow_index/batch_id=N. The default
+    cap recovers full near-miss recall with an empty report."""
+    import numpy as np
+    import pandas as pd
+
+    from azure_etl_spark.operators.codecs import encode_pnm
+    from azure_etl_spark.streaming.sinks import incremental_media_dedup_writer
+
+    def bits_img(k):
+        # same construction as the hot-bucket test: dhash ==
+        # 0xffffffffffff0000 | k (chunks 1-3 all-ones = hot, chunk 0 = k)
+        g = np.zeros((8, 9), dtype=np.uint8)
+        for y in range(2, 8):
+            g[y] = np.arange(9)[::-1] * 10 + 50
+        for y in range(2):
+            g[y, 0] = 128
+            for x in range(8):
+                bit = (k >> (y * 8 + x)) & 1
+                g[y, x + 1] = g[y, x] - 1 if bit else g[y, x] + 1
+        return bytearray(encode_pnm(g))
+
+    schema = "doc_id long, media binary, media_type string"
+    # batch 0: four MUTUALLY DISTANT sigs (pairwise hamming 8 in chunk
+    # 0) -> all survive and are indexed; chunks 1-3 are hot index
+    # buckets with 4 distinct sigs each
+    ks = [0x000F, 0x00F0, 0x0F00, 0xF000]
+    b0 = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, bits_img(k), "image/pnm") for i, k in enumerate(ks)],
+            columns=["doc_id", "media", "media_type"],
+        ),
+        schema,
+    )
+    # batch 1: an EXACT copy of k=0x00F0 (must always be dropped) and
+    # a hamming-1 near-miss of k=0x0F00 (admitted when the chunk join
+    # is starved, deduped under the default cap)
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (100, bits_img(0x00F0), "image/pnm"),
+                (101, bits_img(0x0F01), "image/pnm"),
+            ],
+            columns=["doc_id", "media", "media_type"],
+        ),
+        schema,
+    )
+
+    # --- starved chunk join: cap=0
+    target = os.path.join(str(tmp_path), "xb_t")
+    index = os.path.join(str(tmp_path), "xb_i")
+    w = incremental_media_dedup_writer(target, index, bucket_cap=0)
+    w(b0, 0)
+    assert {r["doc_id"] for r in spark.read.parquet(target).collect()} == {
+        0, 1, 2, 3,
+    }
+    w(b1, 1)
+    ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert 100 not in ids  # exact dup dropped by the LINEAR stage
+    assert 101 in ids  # near-miss admitted: chunk join starved, and REPORTED
+    over_idx = spark.read.parquet(
+        os.path.join(index, "_overflow_index", "batch_id=1")
+    )
+    assert set(over_idx.columns) == {"media_type", "cidx", "cval", "n_rows"}
+    assert over_idx.count() > 0
+    # replay converges and overwrites its own report
+    w(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(target).collect()} == ids
+
+    # --- default cap: near-miss deduped too, report empty
+    target2 = os.path.join(str(tmp_path), "xb2_t")
+    index2 = os.path.join(str(tmp_path), "xb2_i")
+    w2 = incremental_media_dedup_writer(target2, index2)
+    w2(b0, 0)
+    w2(b1, 1)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(target2).collect()}
+    assert ids2 == {0, 1, 2, 3}
+    assert (
+        spark.read.parquet(
+            os.path.join(index2, "_overflow_index", "batch_id=1")
+        ).count()
+        == 0
+    )
