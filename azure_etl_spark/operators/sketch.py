@@ -1,0 +1,256 @@
+"""Mergeable frequency/membership sketches as plain DataFrames:
+a Bloom filter bit-table and a count-min sketch counter-table
+(Cormode & Muthukrishnan 2005), plus the semi-join reduction the
+Bloom table exists for — pruning a huge fact table against a dim
+key-set BEFORE the shuffle.
+
+Engine extension (the reference has no sketches; SURVEY.md §2 engine
+adds — same family as the HLL rollup `hll_sketch_rollup_users`).
+Spark's own runtime bloom-filter join (`spark.sql.optimizer.runtime.
+bloomFilter.*`) injects the same reduction automatically in SOME
+plans; this operator is the deterministic, composable version: the
+sketch is a first-class DataFrame you can persist, merge across
+shards/days, and reuse across queries — none of which the optimizer's
+transient runtime filter can do. `bloom_filter_agg` itself is not a
+SQL-exposed function in Spark 4, so the bit-table is built from
+public primitives (`bit_or` over shifted bits).
+
+Design — both sketches are TABLES, not opaque binaries:
+
+- Bloom: ``(word: long, bits: long)`` rows — bit ``p`` of the filter
+  lives at ``bits[p % 64]`` of the row with ``word == p // 64``. At
+  most ``num_bits / 64`` rows regardless of input size. Merge across
+  shards = union + ``bit_or`` per word. Membership probes are k
+  BROADCAST joins (the bit-table is tiny) — the fact side never
+  shuffles to be pruned.
+- Count-min: ``(r: int, b: long, cnt: long)`` rows — depth x width
+  counters, absent row == 0. Merge = union + sum per (r, b). Point
+  estimate = min over the depth rows (classic CMS upper bound:
+  ``est >= true``, within ``e*N`` at depth ``ln(1/delta)``).
+
+Hashing: row ``r``'s hash of value ``v`` is the first 8 hex digits of
+``md5("{r}:" || v)`` as a base-16 integer — the repo's standard
+oracle-replayable bucket hash (see operators/quality.py
+hashed_ngram_features and the simhash chunk oracles): Spark computes
+it as ``conv(substring(md5(..), 1, 8), 16, 10)`` and DuckDB replays
+it digit-by-digit with ``instr``, bit-for-bit.
+
+Scale: building either sketch is one map pass + one aggregate whose
+output is bounded by the sketch size (num_bits/64 or depth*width
+rows), never by the data. Pruning k=3 probes on a 100 TB fact is 3
+map-side broadcast joins + a filter — rows that cannot match never
+reach the join Exchange, which is the whole point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_hash(c: Column, salt: int) -> Column:
+    """First-8-hex-digits md5 bucket hash of ``"{salt}:" || value`` as
+    BIGINT in [0, 2^32) — identical integer in Spark (conv) and DuckDB
+    (digit-by-digit instr)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _shl1(nbits: Column) -> Column:
+    """``1L << nbits`` with a COLUMN shift amount (PySpark's
+    ``F.shiftleft`` only accepts a literal)."""
+    return F.call_function("shiftleft", F.lit(1).cast("bigint"), nbits)
+
+
+# --------------------------------------------------------------- Bloom
+
+
+def bloom_table(
+    df: DataFrame, col: str | Column, num_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Build the Bloom filter of ``col``'s values as a ``(word, bits)``
+    bit-table: ``k`` salted-md5 positions per value, ``bit_or``-folded
+    into 64-bit words. At most ``num_bits // 64`` rows. No false
+    negatives ever; false-positive rate ~``(1 - e^{-kn/m})^k``.
+
+    Mergeable: :func:`bloom_merge` unions shard tables word-wise, and
+    ``bloom(A ∪ B) == merge(bloom(A), bloom(B))`` exactly.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    c = F.col(col) if isinstance(col, str) else col
+    pos = df.select(
+        F.explode(
+            F.array(*[(_row_hash(c, r) % num_bits).alias(f"p{r}") for r in range(k)])
+        ).alias("pos")
+    )
+    return (
+        pos.groupBy((F.col("pos") / 64).cast("bigint").alias("word"))
+        .agg(
+            F.bit_or(
+                _shl1((F.col("pos") % 64).cast("int"))
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """Union Bloom bit-tables built with the SAME (num_bits, k):
+    word-wise ``bit_or``. The caller owns parameter consistency (the
+    table carries no metadata — it is just bits)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_prune(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str | Column,
+    num_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Keep only rows whose ``col`` MIGHT be in the Bloom filter —
+    k broadcast joins against the bit-table + a bit test each; a
+    missing word row means those bits are 0 (fail). Guarantees: every
+    row whose key IS in the built set passes (no false negatives);
+    rows that pass despite not matching are the documented Bloom false
+    positives, removed by whatever exact join/filter follows.
+
+    The input never shuffles: each probe is a map-side
+    BroadcastHashJoin, so at 100 TB the non-matching bulk dies before
+    any Exchange.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = df
+    for r in range(k):
+        pos = _row_hash(c, r) % num_bits
+        bl = bloom.select(
+            (F.col("word")).alias(f"__bw{r}"), F.col("bits").alias(f"__bb{r}")
+        )
+        mask = _shl1((pos % 64).cast("int"))
+        out = (
+            out.withColumn(f"__bw{r}", (pos / 64).cast("bigint"))
+            .join(F.broadcast(bl), f"__bw{r}", "left")
+            # missing word row -> bits NULL -> coalesce to 0 -> fail
+            .filter(F.coalesce(F.col(f"__bb{r}").bitwiseAND(mask), F.lit(0)) != 0)
+            .drop(f"__bw{r}", f"__bb{r}")
+        )
+    return out
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 1 << 16,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact`` to ``dim`` with a Bloom semi-join reduction:
+    build the bit-table over ``dim``'s keys, prune ``fact`` map-side,
+    then run the real join. Because Bloom has no false negatives, the
+    result is IDENTICAL to the plain join for ``inner``/``left_semi``
+    (false positives are removed by the join itself) — which is also
+    the correctness oracle.
+
+    Use when dim's key set is too large for a broadcast HASH join but
+    its BITS are not (10^8 keys fit 10 bits/key ≈ 125 MB): fact rows
+    that cannot match never enter the shuffle.
+    """
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            "bloom pruning preserves semantics only for inner/semi joins"
+        )
+    bloom = bloom_table(dim.select(dim_key), dim_key, num_bits=num_bits, k=k)
+    pruned = bloom_prune(fact, bloom, fact_key, num_bits=num_bits, k=k)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+# ----------------------------------------------------------- count-min
+
+
+def cms_table(
+    df: DataFrame, col: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of ``col``'s value frequencies as a
+    ``(r, b, cnt)`` counter-table: ``depth`` salted hash rows x
+    ``width`` buckets, built by one explode + one aggregate whose
+    output is bounded at depth*width rows (absent row == counter 0).
+
+    Mergeable: :func:`cms_merge` sums shard tables pointwise, and
+    ``cms(A ∪ B) == merge(cms(A), cms(B))`` exactly — build per
+    shard/day/partition, merge cheap, estimate anywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    rb = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (_row_hash(c, r) % width).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rb.groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Union CMS counter-tables built with the SAME (depth, width):
+    pointwise sum per (r, b)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes``' values: min over the
+    ``depth`` counters each value hashes to (absent counter == 0).
+    Classic CMS guarantee: ``est >= true count`` always, and
+    ``est <= true + e*N`` with probability ``1 - delta`` at
+    ``width = ceil(e/ε)``, ``depth = ceil(ln 1/delta)``.
+
+    The probe side explodes ``depth`` rows per value and joins the
+    counter-table — broadcastable (<= depth*width rows), so
+    estimating is map-side too.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    name = col if isinstance(col, str) else "value"
+    probed = probes.select(c.alias(name)).dropDuplicates().select(
+        name,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (_row_hash(F.col(name), r) % width).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(name, "rb.r", "rb.b")
+    return (
+        probed.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(name)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

@@ -8603,6 +8603,111 @@ def q_video_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- mergeable sketches (r7)
+
+
+def _md5_bucket_sql(expr: str, width: int) -> str:
+    """DuckDB replay of operators/sketch._row_hash % width: the first
+    8 hex digits of md5(expr) as a base-16 integer, digit-by-digit
+    (identical to Spark's conv(substring(md5(..),1,8),16,10))."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(({digits}) % {width})"
+
+
+@query(
+    "bloom_pruned_join_orders",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.o_totalprice) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="Bloom semi-join reduction (operators/sketch.py): the "
+    "dim key-set (BUILDING customers) folds into a (word, bits) "
+    "bit-table, the fact side is pruned by k=3 map-side broadcast "
+    "probes BEFORE its shuffle, then the exact join removes Bloom "
+    "false positives — so the result is provably identical to the "
+    "plain join (the oracle). The deterministic, persistable sibling "
+    "of Spark's transient runtime bloom filter: at 100 TB the "
+    "non-matching fact bulk dies before any Exchange.",
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sketch import bloom_pruned_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    j = bloom_pruned_join(o, c, "o_custkey", "c_custkey", num_bits=1 << 14, k=3)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "cms_word_freq_docs",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM w GROUP BY 1),
+    top AS MATERIALIZED (
+      SELECT word, n_exact FROM cnt ORDER BY n_exact DESC, word LIMIT 12),
+    rr AS (SELECT unnest([0, 1, 2]) AS r),
+    counters AS MATERIALIZED (
+      SELECT r, {_md5_bucket_sql("CAST(r AS VARCHAR) || ':' || word", 256)} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w CROSS JOIN rr GROUP BY 1, 2),
+    probes AS (
+      SELECT t.word, t.n_exact, rr.r,
+             {_md5_bucket_sql("CAST(rr.r AS VARCHAR) || ':' || t.word", 256)} AS b
+      FROM top t CROSS JOIN rr)
+    SELECT p.word, ANY_VALUE(p.n_exact) AS n_exact,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN counters c ON p.r = c.r AND p.b = c.b
+    GROUP BY p.word ORDER BY p.word
+    """,
+    description="Count-min sketch word frequencies (operators/"
+    "sketch.py, Cormode & Muthukrishnan 2005): depth 3 x width 256 "
+    "counter-table built in one explode + one bounded aggregate, "
+    "point estimates = min over the depth counters for the exact "
+    "top-12 words. est >= exact always; collisions inflate both "
+    "engines identically because the salted-md5 bucket hash is "
+    "replayed digit-by-digit in the oracle. The table is mergeable "
+    "(union + sum) — build per shard/day, merge cheap.",
+)
+def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import cms_estimate, cms_table
+
+    docs = _td(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    sketch = cms_table(words, "word", depth=3, width=256)
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "word")
+        .limit(12)
+    )
+    est = cms_estimate(sketch, top.select("word"), "word", depth=3, width=256)
+    return top.join(est, "word").select("word", "n_exact", "est").orderBy("word")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -1,0 +1,140 @@
+"""operators/sketch.py: Bloom bit-table + count-min counter-table —
+the membership/frequency guarantees, exact mergeability, join-
+equivalence of the Bloom-pruned join, and the map-side plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_spark.operators.sketch import (
+    bloom_merge,
+    bloom_prune,
+    bloom_pruned_join,
+    bloom_table,
+    cms_estimate,
+    cms_merge,
+    cms_table,
+)
+from azure_etl_spark.sources.files import load_table
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    dim = spark.range(0, 500).select((F.col("id") * 13 + 1).alias("k"))
+    fact = spark.range(0, 20000).select((F.col("id") % 10000).alias("fk"))
+    bl = bloom_table(dim, "k", num_bits=1 << 14, k=3)
+    pruned = bloom_prune(fact, bl, "fk", num_bits=1 << 14, k=3)
+    # every true member passes — the Bloom contract
+    members = fact.join(dim, fact.fk == dim.k, "left_semi")
+    assert pruned.join(members, "fk", "left_semi").count() == members.count()
+    # false positives exist but are a small fraction of non-members
+    # (m/n = 32 bits/key, k=3 -> theoretical fpp << 1%)
+    n_member_rows = members.count()
+    fp_rows = pruned.count() - n_member_rows
+    non_member_rows = fact.count() - n_member_rows
+    assert fp_rows / non_member_rows < 0.05
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    got = (
+        bloom_pruned_join(o, c, "o_custkey", "c_custkey", num_bits=1 << 13, k=3)
+        .select("o_orderkey", "c_custkey")
+        .collect()
+    )
+    want = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_custkey")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+    with pytest.raises(ValueError):
+        bloom_pruned_join(o, c, "o_custkey", "c_custkey", how="left")
+
+
+def test_bloom_merge_equals_whole_build(spark):
+    dim = spark.range(0, 300).select((F.col("id") * 3).alias("k"))
+    whole = {
+        (r["word"], r["bits"])
+        for r in bloom_table(dim, "k", num_bits=2048, k=3).collect()
+    }
+    a, b = dim.filter("k < 450"), dim.filter("k >= 450")
+    merged = bloom_merge(
+        bloom_table(a, "k", num_bits=2048, k=3),
+        bloom_table(b, "k", num_bits=2048, k=3),
+    )
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == whole
+
+
+def test_bloom_prune_is_map_side_only(spark):
+    """The pruning stage must be k BroadcastHashJoins + filters — the
+    pruned side never shuffles (the whole point at 100 TB)."""
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    bl = bloom_table(dim, "k", num_bits=4096, k=3)
+    pruned = bloom_prune(fact, bl, "fk", num_bits=4096, k=3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_cms_overestimates_never_under(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [f"w{rng.randrange(50)}" for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    sketch = cms_table(df, "w", depth=3, width=64)
+    est = {
+        r["w"]: r["est"]
+        for r in cms_estimate(sketch, df, "w", depth=3, width=64).collect()
+    }
+    from collections import Counter
+
+    true = Counter(vals)
+    assert set(est) == set(true)
+    for v, t in true.items():
+        assert est[v] >= t  # the one-sided CMS guarantee
+    # total overestimate is bounded: each of the 3 rows spreads 3000
+    # increments over 64 buckets, expected collision mass ~n/width
+    avg_err = sum(est[v] - true[v] for v in true) / len(true)
+    assert avg_err <= 3 * 3000 / 64
+
+
+def test_cms_exact_when_width_dominates(spark):
+    df = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "w string"
+    )
+    sketch = cms_table(df, "w", depth=4, width=4096)
+    est = {
+        r["w"]: r["est"]
+        for r in cms_estimate(sketch, df, "w", depth=4, width=4096).collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 2}
+
+
+def test_cms_merge_equals_whole_build(spark):
+    df = spark.createDataFrame(
+        [(f"w{i % 17}",) for i in range(400)], "w string"
+    )
+    whole = {
+        (r["r"], r["b"], r["cnt"])
+        for r in cms_table(df, "w", depth=3, width=32).collect()
+    }
+    a = df.filter(F.crc32("w") % 2 == 0)
+    b = df.filter(F.crc32("w") % 2 == 1)
+    merged = cms_merge(
+        cms_table(a, "w", depth=3, width=32),
+        cms_table(b, "w", depth=3, width=32),
+    )
+    assert {(r["r"], r["b"], r["cnt"]) for r in merged.collect()} == whole
+
+
+def test_cms_table_bounded_rows(spark):
+    """The counter-table never exceeds depth*width rows no matter the
+    input size — the sketch's whole memory contract."""
+    df = spark.range(0, 20000).select(F.col("id").cast("string").alias("w"))
+    assert cms_table(df, "w", depth=4, width=128).count() <= 4 * 128
