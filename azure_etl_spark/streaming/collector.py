@@ -253,3 +253,75 @@ def distinct_sketch_fold(
         )
 
     return fold
+
+
+def streaming_cms(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming frequency-sketch gold table via the mergeable
+    count-min counter-table (operators/sketch.py): per micro-batch,
+    sketch the batch's values and SUM the counters into the persisted
+    gold table — the frequency analogue of
+    :func:`streaming_distinct_sketch`'s HLL fold.
+
+    Exact per-value counts at corpus scale need an unbounded keyed
+    state; the CMS table is depth*width rows FOREVER, and point
+    estimates (min over depth rows) carry the one-sided
+    ``est >= true`` guarantee at any time during the stream. Unlike
+    HLL union, counter SUM is not idempotent — replay safety comes
+    from the snapshot format's txn ledger (a re-delivered batch id's
+    double-counted frame is never committed), same contract as
+    :func:`medallion_fold`.
+    """
+    fold = cms_fold(gold_path, col, depth=depth, width=width)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def cms_fold(
+    gold_path: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    app_id: str | None = None,
+):
+    """The ``foreachBatch`` callable behind :func:`streaming_cms` —
+    the durability contract of :func:`distinct_sketch_fold` (explicit
+    FS probe via is_snapshot_table, atomic snapshot publish,
+    txn-idempotent replays), with the replay guarantee carrying the
+    WHOLE correctness burden here: summing counters twice would
+    silently inflate every estimate, so the double-counted frame a
+    redelivered batch computes must die at the txn ledger, and the
+    test replays a batch to prove it does."""
+    from azure_etl_spark.operators.sketch import cms_merge, cms_table
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_cms:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = cms_table(batch_df, col, depth=depth, width=width)
+        if is_snapshot_table(spark, gold_path):
+            merged = cms_merge(
+                read_snapshot(spark, gold_path).select("r", "b", "cnt"),
+                batch_sk,
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold

@@ -1349,3 +1349,68 @@ def test_media_dedup_cross_batch_exact_stage_cap_independent(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_streaming_cms_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_path):
+    """Count-min counters folded across micro-batches (round 7): the
+    final gold counter-table is IDENTICAL to a single whole-corpus
+    build (merge = pointwise sum is exact, not approximate — only the
+    estimates are approximate), estimates carry the one-sided
+    est >= true guarantee, and a re-delivered batch id's double-counted
+    frame dies at the snapshot txn ledger."""
+    from azure_etl_spark.operators.sketch import cms_estimate, cms_table
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import cms_fold, streaming_cms
+
+    src = load_table(spark, sf_dir, "events").select("event_type")
+    bronze = os.path.join(str(tmp_path), "bronze_cms")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_cms")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_cms(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_cms"),
+            col="event_type", depth=3, width=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["r"], r["b"], r["cnt"])
+        for r in read_snapshot(spark, gold).select("r", "b", "cnt").collect()
+    }
+    whole = {
+        (r["r"], r["b"], r["cnt"])
+        for r in cms_table(src, "event_type", depth=3, width=64).collect()
+    }
+    assert got == whole  # incremental fold == one-shot build, exactly
+
+    est = {
+        r["event_type"]: r["est"]
+        for r in cms_estimate(
+            read_snapshot(spark, gold).select("r", "b", "cnt"),
+            src, "event_type", depth=3, width=64,
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in src.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for k, t in exact.items():
+        assert est[k] >= t
+
+    # replay: refold an arbitrary batch id the ledger has seen — the
+    # double-counted frame must not commit
+    fold = cms_fold(gold, "event_type", depth=3, width=64)
+    fold(spark.read.parquet(bronze), 0)
+    after = {
+        (r["r"], r["b"], r["cnt"])
+        for r in read_snapshot(spark, gold).select("r", "b", "cnt").collect()
+    }
+    assert after == whole

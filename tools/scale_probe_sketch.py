@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Scale probe for operators/sketch.py: measure the Bloom semi-join
+reduction (rows entering the join Exchange with vs without pruning)
+and the count-min table's bounded size as the input grows.
+
+Usage: python tools/scale_probe_sketch.py [n1 n2 ...]
+Prints one table row per fact size; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+from azure_etl_spark.operators.sketch import (  # noqa: E402
+    bloom_prune,
+    bloom_table,
+    cms_table,
+)
+from azure_etl_spark.session import session_builder  # noqa: E402
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [10**5, 10**6, 4 * 10**6]
+    spark = (
+        session_builder(
+            app_name="sketch-probe", master="local[8]", shuffle_partitions=16
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # the regime the reduction exists for: dim NOT broadcastable, the
+    # equi-join must shuffle — forced here so the toy-scale timings
+    # reflect it (with a 10k-row dim Spark would broadcast and the
+    # prune would only add overhead; at 10^8+ dim keys it cannot)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    n_dim = 10_000
+    dim = (
+        spark.range(0, n_dim)
+        .select((F.col("id") * 997).alias("k"))
+        .localCheckpoint()
+    )
+    bloom = bloom_table(dim, "k", num_bits=1 << 17, k=3).localCheckpoint()
+
+    print(
+        f"{'fact rows':>12} {'match rows':>11} {'pruned rows':>12} "
+        f"{'FP rows':>8} {'prune s':>8} {'plain-join s':>12} "
+        f"{'pruned-join s':>13} {'cms rows':>9}"
+    )
+    for n in sizes:
+        # 1% of fact keys match the dim (the selective-join regime the
+        # reduction exists for)
+        fact = (
+            spark.range(0, n)
+            .select(
+                F.when(F.col("id") % 100 == 0, (F.col("id") / 100).cast("bigint") % n_dim * 997)
+                .otherwise(-F.col("id") - 1)
+                .alias("fk"),
+                F.col("id").alias("payload"),
+            )
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        pruned = bloom_prune(fact, bloom, "fk", num_bits=1 << 17, k=3)
+        pn = pruned.count()
+        t_prune = time.time() - t0
+        match = fact.join(dim, fact.fk == dim.k, "left_semi").count()
+        t0 = time.time()
+        fact.join(dim, fact.fk == dim.k).count()
+        t_plain = time.time() - t0
+        t0 = time.time()
+        pruned.join(dim, pruned.fk == dim.k).count()
+        t_pruned_join = time.time() - t0
+        cms_rows = cms_table(fact, "fk", depth=4, width=1024).count()
+        print(
+            f"{n:>12} {match:>11} {pn:>12} {pn - match:>8} "
+            f"{t_prune:>8.2f} {t_plain:>12.2f} {t_pruned_join:>13.2f} "
+            f"{cms_rows:>9}"
+        )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
