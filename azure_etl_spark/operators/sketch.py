@@ -254,3 +254,50 @@ def cms_estimate(
         .groupBy(name)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def cms_total(sketch: DataFrame) -> DataFrame:
+    """Total item count ``N`` recovered from the sketch itself: every
+    item increments exactly one bucket of row 0, so the sum of row 0's
+    counters IS the stream length. One-row DataFrame ``(n: long)`` —
+    no second pass over the data, works after any number of merges."""
+    return sketch.filter(F.col("r") == 0).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
+
+
+def cms_heavy_hitters(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str | Column,
+    phi_num: int,
+    phi_den: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Values whose estimated frequency is at least ``phi_num/phi_den``
+    of the stream length ``N`` (recovered from the sketch, not the
+    data): ``est * phi_den >= N * phi_num`` — the threshold compare is
+    pure BIGINT arithmetic, so Spark and a SQL oracle agree bit-for-bit
+    (no float phi).
+
+    Guarantee (one-sided, from ``est >= true``): every TRUE
+    phi-heavy-hitter among the candidates is returned — misses are
+    impossible; extras are values the CMS collision error lifted over
+    the bar, bounded by the classic ``e*N/width`` term. Candidate
+    values not present in the stream get ``est`` = their collision
+    floor, so feed candidates from the data (or a superset — harmless).
+
+    Scale: the probe side is |distinct candidates| x depth rows against
+    a broadcast counter-table, then one integer filter — no shuffle of
+    anything data-sized; the sketch + threshold carry the whole
+    decision.
+    """
+    name = col if isinstance(col, str) else "value"
+    est = cms_estimate(sketch, candidates, col, depth=depth, width=width)
+    n = cms_total(sketch)
+    return (
+        est.crossJoin(F.broadcast(n))
+        .filter(F.col("est") * F.lit(phi_den) >= F.col("n") * F.lit(phi_num))
+        .select(name, "est", "n")
+    )

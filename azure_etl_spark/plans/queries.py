@@ -8708,6 +8708,56 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "word").select("word", "n_exact", "est").orderBy("word")
 
 
+@query(
+    "cms_heavy_hitters_docs",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+    rr AS (SELECT unnest([0, 1, 2]) AS r),
+    counters AS MATERIALIZED (
+      SELECT r, {_md5_bucket_sql("CAST(r AS VARCHAR) || ':' || word", 256)} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w CROSS JOIN rr GROUP BY 1, 2),
+    cand AS MATERIALIZED (SELECT DISTINCT word FROM w),
+    probes AS (
+      SELECT c.word, rr.r,
+             {_md5_bucket_sql("CAST(rr.r AS VARCHAR) || ':' || c.word", 256)} AS b
+      FROM cand c CROSS JOIN rr),
+    est AS (
+      SELECT p.word, CAST(MIN(COALESCE(ct.cnt, 0)) AS BIGINT) AS est
+      FROM probes p LEFT JOIN counters ct ON p.r = ct.r AND p.b = ct.b
+      GROUP BY 1)
+    SELECT e.word, e.est, tot.n
+    FROM est e CROSS JOIN tot
+    WHERE e.est * 100 >= tot.n * 1
+    ORDER BY e.word
+    """,
+    description="phi-heavy hitters from the count-min sketch alone "
+    "(operators/sketch.cms_heavy_hitters): words whose estimated "
+    "share of the stream is >= 1/100, with the stream length N "
+    "recovered from the sketch's own row-0 counters and the threshold "
+    "compared in pure BIGINT (est*100 >= N*1 — no float phi, so both "
+    "engines agree bit-for-bit). One-sided guarantee from est >= "
+    "true: every TRUE 1%-heavy word is returned, always; extras are "
+    "bounded CMS collision error. The probe side is |vocab| x depth "
+    "rows against a broadcast counter-table — nothing data-sized "
+    "shuffles to make the decision.",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import cms_heavy_hitters, cms_table
+
+    docs = _td(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    sketch = cms_table(words, "word", depth=3, width=256)
+    return cms_heavy_hitters(
+        sketch, words, "word", 1, 100, depth=3, width=256
+    ).orderBy("word")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

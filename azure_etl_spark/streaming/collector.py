@@ -325,3 +325,96 @@ def cms_fold(
         )
 
     return fold
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    col: str,
+    phi_num: int,
+    phi_den: int,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming phi-heavy hitters with BOUNDED state forever: gold is
+    two snapshot tables — ``<gold_path>/cms`` (the depth*width
+    counter-table, :func:`streaming_cms`'s fold) and ``<gold_path>/hh``
+    (current heavy-hitter candidates with their estimates).
+
+    The exact stream top-k needs unbounded keyed state (every distinct
+    value's count); this keeps depth*width counters + <= ~phi_den/
+    phi_num surviving candidates. Guarantee (provable from est >= true
+    and counters only growing): every value whose TRUE total count ends
+    >= (phi_num/phi_den)*N is in the final hh table — at its last
+    arrival its estimate already covers its whole history, so it enters
+    candidacy, and since its estimate never decreases while the bar
+    phi*N ends BELOW its true count, no later re-filter can evict it.
+    Extras are CMS collision error, one-sided.
+    """
+    fold = heavy_hitters_fold(
+        gold_path, col, phi_num, phi_den, depth=depth, width=width
+    )
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def heavy_hitters_fold(
+    gold_path: str,
+    col: str,
+    phi_num: int,
+    phi_den: int,
+    depth: int = 4,
+    width: int = 1024,
+    app_id: str | None = None,
+):
+    """The ``foreachBatch`` callable behind
+    :func:`streaming_heavy_hitters`. Two txn-guarded commits per batch,
+    cms first then hh, each idempotent under replay; the hh stage
+    re-READS the committed cms table rather than reusing the lazy
+    merge plan, so a replayed batch (cms commit skipped by the ledger)
+    computes candidates from the true counters, never a double-counted
+    frame — the crash-between-the-two-commits case recomputes hh from
+    exactly the state the first attempt persisted."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.sketch import cms_heavy_hitters
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = gold_path.rstrip("/")
+    cms_path, hh_path = f"{base}/cms", f"{base}/hh"
+    cms = cms_fold(
+        cms_path, col, depth=depth, width=width,
+        app_id=app_id or f"streaming_hh:{base}",
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cms(batch_df, batch_id)
+        merged = read_snapshot(spark, cms_path).select("r", "b", "cnt")
+        batch_vals = batch_df.select(F.col(col).alias(col)).dropDuplicates()
+        if is_snapshot_table(spark, hh_path):
+            cand = (
+                read_snapshot(spark, hh_path)
+                .select(col)
+                .unionByName(batch_vals)
+                .dropDuplicates()
+            )
+        else:
+            cand = batch_vals
+        hh = cms_heavy_hitters(
+            merged, cand, col, phi_num, phi_den, depth=depth, width=width
+        )
+        write_snapshot(
+            hh, hh_path, mode="overwrite",
+            txn_app_id=(app_id or f"streaming_hh:{base}") + ":hh",
+            txn_version=batch_id,
+        )
+
+    return fold

@@ -138,3 +138,43 @@ def test_cms_table_bounded_rows(spark):
     input size — the sketch's whole memory contract."""
     df = spark.range(0, 20000).select(F.col("id").cast("string").alias("w"))
     assert cms_table(df, "w", depth=4, width=128).count() <= 4 * 128
+
+
+def test_cms_total_recovers_stream_length(spark):
+    from azure_etl_spark.operators.sketch import cms_total
+
+    df = spark.range(0, 3777).select((F.col("id") % 97).alias("v"))
+    sk = cms_table(df, "v", depth=3, width=64)
+    assert cms_total(sk).collect()[0]["n"] == 3777
+
+
+def test_cms_heavy_hitters_superset_of_true(spark):
+    """The one-sided guarantee: every TRUE phi-heavy value is
+    returned (est >= true makes misses impossible); returned extras
+    carry est >= the integer threshold. Planted skew: value 0 is 30%
+    of the stream, 1..4 are ~5% each, the rest is a uniform tail."""
+    from azure_etl_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .when(F.col("id") % 10 < 5, (F.col("id") % 4 + 1).cast("bigint"))
+        .otherwise(F.col("id") % 500 + 10)
+        .alias("v")
+    )
+    exact = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    hh = cms_heavy_hitters(
+        cms_table(df, "v", depth=3, width=256), df, "v", 4, 100,
+        depth=3, width=256,
+    ).collect()
+    got = {r["v"] for r in hh}
+    true_heavy = {v for v, n in exact.items() if n * 100 >= n_total * 4}
+    assert true_heavy  # the fixture plants some
+    assert true_heavy <= got  # never miss a true heavy hitter
+    for r in hh:  # every survivor cleared the integer bar, n is N
+        assert r["est"] * 100 >= r["n"] * 4
+        assert r["n"] == n_total
+        assert r["est"] >= exact.get(r["v"], 0)  # est >= true

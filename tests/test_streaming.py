@@ -1414,3 +1414,141 @@ def test_streaming_cms_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_pat
         for r in read_snapshot(spark, gold).select("r", "b", "cnt").collect()
     }
     assert after == whole
+
+
+def test_streaming_heavy_hitters_guarantee_and_replay(spark, sf_dir, tmp_path):
+    """Bounded-state streaming phi-heavy hitters (round 7): after the
+    stream drains, the hh gold table contains EVERY value whose true
+    whole-corpus count >= phi*N (the one-sided CMS guarantee carried
+    across fold boundaries: at a value's last arrival its estimate
+    covers its whole history, and neither the estimate nor its margin
+    over the final bar can decay), and a re-delivered batch id leaves
+    both gold tables bit-identical."""
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import (
+        heavy_hitters_fold,
+        streaming_heavy_hitters,
+    )
+
+    src = load_table(spark, sf_dir, "events").select("event_type")
+    bronze = os.path.join(str(tmp_path), "bronze_hh")
+    src.repartition(5).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_hh")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_heavy_hitters(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_hh"),
+            col="event_type", phi_num=5, phi_den=100, depth=3, width=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in src.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    true_heavy = {v for v, n in exact.items() if n * 100 >= n_total * 5}
+    assert true_heavy  # fixture has dominant event types
+
+    hh_rows = read_snapshot(spark, gold + "/hh").select(
+        "event_type", "est", "n"
+    ).collect()
+    got = {r["event_type"] for r in hh_rows}
+    assert true_heavy <= got
+    for r in hh_rows:
+        assert r["n"] == n_total  # N recovered from the sketch == stream length
+        assert r["est"] >= exact.get(r["event_type"], 0)
+    # bounded state: candidates, not the full keyed count table
+    assert len(hh_rows) <= len(exact)
+
+    before_cms = {
+        (r["r"], r["b"], r["cnt"])
+        for r in read_snapshot(spark, gold + "/cms").select("r", "b", "cnt").collect()
+    }
+    # replay batch 0: both commits must die at their txn ledgers
+    fold = heavy_hitters_fold(gold, "event_type", 5, 100, depth=3, width=64)
+    fold(spark.read.parquet(bronze), 0)
+    after_cms = {
+        (r["r"], r["b"], r["cnt"])
+        for r in read_snapshot(spark, gold + "/cms").select("r", "b", "cnt").collect()
+    }
+    assert after_cms == before_cms
+    assert {
+        r["event_type"]
+        for r in read_snapshot(spark, gold + "/hh").select("event_type").collect()
+    } == got
+
+
+def test_heavy_hitters_fold_crash_between_commits_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The two-commit fold's crash window: batch 1's cms commit lands,
+    then the process dies before the hh commit. The replay must (a) let
+    the cms commit die at the txn ledger instead of double-counting,
+    and (b) recompute hh from the COMMITTED counters — ending
+    bit-identical to a never-crashed run."""
+    import azure_etl_spark.sources.snapshot as snap
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import heavy_hitters_fold
+
+    src = load_table(spark, sf_dir, "events").select("event_type")
+    batches = [
+        src.filter(F.crc32(F.col("event_type").cast("binary")) % 2 == i)
+        .localCheckpoint()
+        for i in (0, 1)
+    ]
+
+    # the never-crashed reference run
+    ref_gold = os.path.join(str(tmp_path), "gold_ref")
+    ref_fold = heavy_hitters_fold(ref_gold, "event_type", 5, 100, depth=3, width=64)
+    for i, b in enumerate(batches):
+        ref_fold(b, i)
+    want_hh = {
+        (r["event_type"], r["est"], r["n"])
+        for r in read_snapshot(spark, ref_gold + "/hh").collect()
+    }
+
+    # the crashing run: batch 1's hh write dies AFTER the cms commit.
+    # The fold factory binds write_snapshot into its closure at
+    # creation, so the dying wrapper must be installed BEFORE the fold
+    # is built; it fires exactly once (the replay must reach the real
+    # writer).
+    real_write = snap.write_snapshot
+    fired = []
+
+    def dying_write(df, path, *a, **kw):
+        if not fired and path.endswith("/hh") and kw.get("txn_version") == 1:
+            fired.append(True)
+            raise RuntimeError("simulated crash before hh commit")
+        return real_write(df, path, *a, **kw)
+
+    monkeypatch.setattr(snap, "write_snapshot", dying_write)
+    gold = os.path.join(str(tmp_path), "gold_crash")
+    fold = heavy_hitters_fold(gold, "event_type", 5, 100, depth=3, width=64)
+    fold(batches[0], 0)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fold(batches[1], 1)
+
+    # replay of batch 1 (post-restart redelivery)
+    fold(batches[1], 1)
+    got_hh = {
+        (r["event_type"], r["est"], r["n"])
+        for r in read_snapshot(spark, gold + "/hh").collect()
+    }
+    assert got_hh == want_hh
+    got_cms = {
+        (r["r"], r["b"], r["cnt"])
+        for r in read_snapshot(spark, gold + "/cms").select("r", "b", "cnt").collect()
+    }
+    want_cms = {
+        (r["r"], r["b"], r["cnt"])
+        for r in read_snapshot(spark, ref_gold + "/cms").select("r", "b", "cnt").collect()
+    }
+    assert got_cms == want_cms

@@ -177,6 +177,25 @@ COMMENTARY = {
         "BatchEvalPython; per-occurrence cost is the join from distinct "
         "segmentations back to (doc, pos)."
     ),
+    "bloom_pruned_join_orders": (
+        "Bloom semi-join reduction (round 7). The dim's key bits fold "
+        "into a bounded (word, bits) table; each of the k=3 probes is a "
+        "map-side BroadcastHashJoin + bit-test FILTER on the fact scan "
+        "side — the fact's non-matching bulk dies BEFORE the first "
+        "Exchange, and the exact join above removes the Bloom false "
+        "positives, so the result is provably the plain join. The "
+        "deterministic, persistable sibling of Spark's transient "
+        "runtime bloom filter."
+    ),
+    "cms_heavy_hitters_docs": (
+        "Count-min heavy hitters (round 7). The corpus is scanned once "
+        "to build the bounded counter-table and once for distinct "
+        "candidates; the decision itself is |vocab| x depth probe rows "
+        "against a BROADCAST sketch, a BroadcastNestedLoopJoin with the "
+        "1-row stream-length frame, and a pure-BIGINT filter — nothing "
+        "data-sized shuffles to decide, and est >= true means a true "
+        "phi-heavy hitter can never be missed."
+    ),
 }
 
 
