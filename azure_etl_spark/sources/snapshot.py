@@ -1292,6 +1292,46 @@ def snapshot_changes(
     return out
 
 
+def _rebase_over_appends(
+    spark: SparkSession, path: str, parent: dict, tip_version: int, operation: str
+) -> dict:
+    """The log advanced past the snapshot a DML computed against. If
+    every intervening commit is a pure same-schema APPEND, the DML
+    rebases: op-before-append is a valid serialization (the op read
+    version N; rows appended after it are simply untouched — Delta's
+    WriteSerializable), so the appended dirs/files carry verbatim into
+    the DML's manifest. Anything else — a concurrent COW/metadata
+    commit rewrote or re-described files the DML's plan may also cover,
+    or the schema evolved under it — raises
+    :class:`SnapshotConflictError`; recompute on the current version.
+    Returns the tip manifest to graft carried state from."""
+    for v in range(parent["version"] + 1, tip_version + 1):
+        try:
+            m = _load_manifest(spark, path, v)
+        except SnapshotVersionError:
+            # a concurrent vacuum reclaimed the intervening manifest —
+            # the append-only proof is unobtainable, so conflict (the
+            # caller recomputes on the current tip, same as any other
+            # unprovable interleaving)
+            raise SnapshotConflictError(
+                f"intervening manifest v{v} at {path} was vacuumed while "
+                f"{operation!r} (computed at v{parent['version']}) was in "
+                "flight; recompute on the current version"
+            )
+        if m.get("mode") != "append":
+            raise SnapshotConflictError(
+                f"concurrent {m.get('operation', m.get('mode'))!r} commit v{v} at "
+                f"{path} conflicts with {operation!r} computed at "
+                f"v{parent['version']}; recompute on the current version"
+            )
+        if "columns" in parent and m.get("columns") != parent.get("columns"):
+            raise SnapshotConflictError(
+                f"schema evolved at v{v} under {operation!r} computed at "
+                f"v{parent['version']} at {path}; recompute on the current version"
+            )
+    return _load_manifest(spark, path, tip_version)
+
+
 def _commit_cow(
     spark: SparkSession,
     path: str,
@@ -1304,24 +1344,41 @@ def _commit_cow(
     """Shared copy-on-write commit: write ``rewrite_df`` (if any rows) to
     a fresh data dir, then commit a manifest listing the untouched files
     plus the new dir. Retries the manifest-create race like
-    write_snapshot (data dirs are version-named, so a retry rewrites)."""
+    write_snapshot — and because ``keep_files`` was computed against
+    ``parent``, any log movement since (first attempt OR retry) goes
+    through :func:`_rebase_over_appends`: appended dirs/files carry
+    into the new manifest, non-append interleavings raise instead of
+    silently dropping the other writer's commit."""
     root = path.rstrip("/")
     partition_by = parent.get("partition_by", [])
     if rewrite_df is not None:
         # an UPDATE/MERGE rewrite can introduce violations; DELETE can't
         # but the check is one aggregate over the touched rows only
         _validate_constraints(rewrite_df, parent.get("constraints"))
+    parent_dirs = set(parent.get("data_dirs", []))
+    parent_files = set(parent.get("data_files", []))
     for _ in range(max_retries):
         versions = _list_versions(spark, path)
-        version = (versions[-1] + 1) if versions else 0
+        tip_v = versions[-1] if versions else -1
+        base = (
+            parent
+            if tip_v == parent["version"]
+            else _rebase_over_appends(spark, path, parent, tip_v, operation)
+        )
+        extra_dirs = [d for d in base.get("data_dirs", []) if d not in parent_dirs]
+        extra_files = [
+            f for f in base.get("data_files", []) if f not in parent_files
+        ]
+        version = tip_v + 1
         data_rel = f"{DATA_DIR}/v{version}-{uuid.uuid4().hex[:8]}"
         dirs: list[str] = []
-        # carry the parent's stats refs verbatim: entries for files this
-        # commit drops are inert (lookups key on listed files) and the
-        # next checkpoint prunes them — the commit itself stays O(own
-        # files), never O(table files)
-        stats = dict(parent.get("stats", {}))
-        stats_refs = list(parent.get("stats_refs", []))
+        # carry the BASE's stats refs verbatim (parent's plus any
+        # rebased appends'): entries for files this commit drops are
+        # inert (lookups key on listed files) and the next checkpoint
+        # prunes them — the commit itself stays O(commit), never
+        # O(table files)
+        stats = dict(base.get("stats", {}))
+        stats_refs = list(base.get("stats_refs", []))
         if rewrite_df is not None:
             writer = rewrite_df.write.mode("overwrite")
             if partition_by:
@@ -1341,15 +1398,21 @@ def _commit_cow(
             "version": version,
             "mode": "overwrite",
             "operation": operation,
-            "data_dirs": dirs,
-            "data_files": sorted(keep_files),
+            # rebased appends' dirs ride along untouched (the DML never
+            # read them; they stay uncompacted/unmerged, exactly as if
+            # the append happened after the DML)
+            "data_dirs": dirs + extra_dirs,
+            "data_files": sorted(keep_files + extra_files),
             "partition_by": partition_by,
             "committed_at_unix": time.time(),
             "stats": stats,
             "stats_refs": stats_refs,
-            "txns": dict(parent.get("txns", {})),
+            # the BASE's txn ledger: dropping a rebased append's txn
+            # entry would let a streaming replay double-commit
+            "txns": dict(base.get("txns", {})),
             # rewritten files materialized their merge-on-read deletes;
-            # entries narrow to the files carried verbatim
+            # entries narrow to the files carried verbatim (appends add
+            # no delete entries, so the parent's set is the full set)
             "deletes": _carry_deletes(parent, keep_files),
             **({"bloom": parent["bloom"]} if "bloom" in parent else {}),
             # COW ops never change the table schema or its constraints
@@ -1375,32 +1438,55 @@ def _commit_metadata(
     mutate,
     operation: str,
     max_retries: int = 5,
+    on_log_advance: str = "conflict",
 ) -> int:
     """Commit a new version that reuses the parent's data references —
     no data IO, just a manifest describing the same (or logically
     narrowed) rows. ``mutate(manifest, version)`` edits the draft in
     place before the atomic manifest-create; it re-runs on each
-    optimistic-concurrency retry against the fresh version number."""
+    optimistic-concurrency retry against the fresh version number.
+
+    ``on_log_advance`` decides what happens when the log moved past
+    ``parent`` (a concurrent commit landed since the caller resolved
+    its snapshot): ``"rebase"`` — carry intervening pure appends via
+    :func:`_rebase_over_appends` (sound for ops that only annotate or
+    narrow the files they actually resolved, e.g. merge-on-read delete
+    entries); ``"conflict"`` — raise (ops whose validity depends on
+    the WHOLE table at commit time, e.g. ``set_constraints``' full-data
+    validation); ``"ignore"`` — legacy claim-the-next-version (RESTORE,
+    whose very point is to override the tip)."""
+    if on_log_advance not in ("rebase", "conflict", "ignore"):
+        raise ValueError(f"bad on_log_advance {on_log_advance!r}")
     for _ in range(max_retries):
         versions = _list_versions(spark, path)
-        version = (versions[-1] + 1) if versions else 0
+        tip_v = versions[-1] if versions else -1
+        base = parent
+        if on_log_advance != "ignore" and tip_v != parent["version"]:
+            if on_log_advance == "conflict":
+                raise SnapshotConflictError(
+                    f"log advanced to v{tip_v} under {operation!r} computed at "
+                    f"v{parent['version']} at {path}; recompute on the current "
+                    "version"
+                )
+            base = _rebase_over_appends(spark, path, parent, tip_v, operation)
+        version = tip_v + 1
         manifest = {
             "version": version,
             "mode": "overwrite",
             "operation": operation,
-            "data_dirs": list(parent["data_dirs"]),
-            "data_files": list(parent.get("data_files", [])),
-            "partition_by": parent.get("partition_by", []),
+            "data_dirs": list(base["data_dirs"]),
+            "data_files": list(base.get("data_files", [])),
+            "partition_by": base.get("partition_by", []),
             "committed_at_unix": time.time(),
-            "stats": dict(parent.get("stats", {})),
-            "stats_refs": list(parent.get("stats_refs", [])),
-            "txns": dict(parent.get("txns", {})),
-            "deletes": [dict(e) for e in parent.get("deletes", [])],
-            **({"bloom": parent["bloom"]} if "bloom" in parent else {}),
-            **({"columns": parent["columns"]} if "columns" in parent else {}),
+            "stats": dict(base.get("stats", {})),
+            "stats_refs": list(base.get("stats_refs", [])),
+            "txns": dict(base.get("txns", {})),
+            "deletes": [dict(e) for e in base.get("deletes", [])],
+            **({"bloom": base["bloom"]} if "bloom" in base else {}),
+            **({"columns": base["columns"]} if "columns" in base else {}),
             **(
-                {"constraints": parent["constraints"]}
-                if "constraints" in parent
+                {"constraints": base["constraints"]}
+                if "constraints" in base
                 else {}
             ),
         }
@@ -1454,7 +1540,9 @@ def delete_from_snapshot(
                 {"id": v, "predicate": _json_safe_predicate(where), "files": touched}
             )
 
-        new_version = _commit_metadata(spark, path, parent, mutate, "delete_mor")
+        new_version = _commit_metadata(
+            spark, path, parent, mutate, "delete_mor", on_log_advance="rebase"
+        )
         return {
             "version": new_version,
             "files_kept": len(keep) + len(touched),
@@ -1518,7 +1606,9 @@ def delete_keys_from_snapshot(
              "files": touched}
         )
 
-    new_version = _commit_metadata(spark, path, parent, mutate, "delete_keys")
+    new_version = _commit_metadata(
+        spark, path, parent, mutate, "delete_keys", on_log_advance="rebase"
+    )
     return {
         "version": new_version,
         "files_covered": len(touched),
@@ -1728,7 +1818,9 @@ def drop_snapshot_constraints(
     def mutate(manifest: dict, v: int) -> None:
         manifest["constraints"] = cons
 
-    return _commit_metadata(spark, path, parent, mutate, "drop_constraints")
+    return _commit_metadata(
+        spark, path, parent, mutate, "drop_constraints", on_log_advance="rebase"
+    )
 
 
 def restore_snapshot(spark: SparkSession, path: str, to_version: int) -> dict:
@@ -1755,7 +1847,9 @@ def restore_snapshot(spark: SparkSession, path: str, to_version: int) -> dict:
         elif "constraints" in manifest:
             del manifest["constraints"]
 
-    new_version = _commit_metadata(spark, path, target, mutate, "restore")
+    new_version = _commit_metadata(
+        spark, path, target, mutate, "restore", on_log_advance="ignore"
+    )
     return {"version": new_version, "restored_to": to_version}
 
 

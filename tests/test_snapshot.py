@@ -1609,3 +1609,122 @@ def test_vacuum_age_guard_protects_inflight_writer_debris(spark, tmp_path):
     vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)
     assert not os.path.exists(orphan_sidecar)  # explicit opt-out reclaims
     assert not os.path.exists(orphan_dir)
+
+
+# ---- DML vs concurrent-append isolation (round 7): a COW/metadata
+# commit computed at snapshot N must never silently drop commits that
+# landed after N — pure appends rebase (op-before-append is a valid
+# WriteSerializable order), anything else conflicts.
+
+
+def _keyed(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(tag).alias("tag"))
+
+
+def test_merge_rebases_over_interleaved_append(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import merge_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    merge_snapshot(spark, path, _keyed(spark, 0, 5, "merged"), ["id"], version=0)
+    out = read_snapshot(spark, path)
+    assert out.count() == 20  # nothing lost
+    assert out.filter(F.col("tag") == "appended").count() == 10
+    assert out.filter(F.col("tag") == "merged").count() == 5
+
+
+def test_cow_delete_rebases_and_txn_ledger_survives(spark, tmp_path):
+    """The rebased manifest must carry the APPEND's txn entry — losing
+    it would let a streaming replay double-commit."""
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(
+        _keyed(spark, 100, 110, "appended"), path, mode="append",
+        txn_app_id="stream", txn_version=7,
+    )
+    delete_from_snapshot(spark, path, [("id", "<", 3)], version=0)
+    out = read_snapshot(spark, path)
+    assert out.count() == 17
+    assert out.filter(F.col("tag") == "appended").count() == 10
+    # replay of the appended batch must still be recognized as durable
+    assert (
+        write_snapshot(
+            _keyed(spark, 100, 110, "appended"), path, mode="append",
+            txn_app_id="stream", txn_version=7,
+        )
+        == -1
+    )
+    assert read_snapshot(spark, path).count() == 17
+
+
+def test_mor_delete_rebases_over_interleaved_append(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    delete_from_snapshot(
+        spark, path, [("id", "<", 3)], version=0, mode="merge_on_read"
+    )
+    out = read_snapshot(spark, path)
+    assert out.count() == 17
+    assert out.filter(F.col("tag") == "appended").count() == 10
+
+
+def test_compact_rebases_over_interleaved_append(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import compact_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    compact_snapshot(spark, path, version=0)
+    out = read_snapshot(spark, path)
+    assert out.count() == 20
+    assert out.filter(F.col("tag") == "appended").count() == 10
+
+
+def test_cow_conflicts_with_interleaved_cow(spark, tmp_path):
+    """Two DMLs whose plans may cover the same files cannot rebase —
+    the second must raise, not resurrect the first's deleted rows."""
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    delete_from_snapshot(spark, path, [("id", "<", 2)])  # v1, COW
+    with pytest.raises(SnapshotConflictError, match="recompute"):
+        delete_from_snapshot(spark, path, [("id", ">", 7)], version=0)
+    # the table is untouched by the failed attempt
+    assert read_snapshot(spark, path).count() == 8
+
+
+def test_metadata_commit_conflicts_on_log_advance(spark, tmp_path):
+    """The 'conflict' policy (set_constraints' path: it validated the
+    parent snapshot's data, rows appended since were never validated):
+    a metadata commit built on a stale parent must raise, not claim
+    the next version over the interleaved append."""
+    from azure_etl_spark.sources.snapshot import _commit_metadata
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    stale_parent = _load_manifest(spark, path, 0)
+    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    with pytest.raises(SnapshotConflictError, match="recompute"):
+        _commit_metadata(
+            spark, path, stale_parent, lambda m, v: None, "set_constraints"
+        )
+
+
+def test_cow_conflicts_when_schema_evolved_under_it(spark, tmp_path):
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(
+        _keyed(spark, 100, 110, "appended").withColumn("extra", F.lit(1)),
+        path, mode="append", merge_schema=True,
+    )
+    with pytest.raises(SnapshotConflictError, match="schema evolved"):
+        delete_from_snapshot(spark, path, [("id", "<", 3)], version=0)

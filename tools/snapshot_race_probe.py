@@ -14,8 +14,13 @@ errors, every commit landed (contiguous versions), the final table
 holds every writer's rows exactly once, and the final read resolves
 all stats refs (no dangling sidecar).
 
-    python tools/snapshot_race_probe.py [n_runs] [appends_per_writer]
-                                        # default 6 3
+    python tools/snapshot_race_probe.py [n_runs] [appends_per_writer] [dml]
+                                        # default 6 3; pass "dml" to add
+                                        # looping OPTIMIZE + MERGE threads
+                                        # (round-7 rebase-over-appends path:
+                                        # a DML racing an append must carry
+                                        # the appended files, or conflict and
+                                        # retry — never drop them)
 """
 
 from __future__ import annotations
@@ -87,8 +92,46 @@ def one_run(spark, run: int) -> dict:
                     errors.append(("reader", -1, repr(e)))
             time.sleep(0.02)
 
+    dml = len(sys.argv) > 3 and sys.argv[3] == "dml"
+    dml_stats = {"compacts": 0, "merges": 0, "conflicts": 0}
+
+    def compactor() -> None:
+        # content-neutral DML: every compact racing an append must
+        # rebase (appended dirs carried) or conflict-and-retry; a
+        # dropped append shows up as missing rows at the end
+        while not stop.is_set():
+            try:
+                snap.compact_snapshot(spark, path)
+                dml_stats["compacts"] += 1
+            except (snap.SnapshotConflictError, snap.SnapshotVersionError):
+                # conflict-class: the tip moved (or the pinned version
+                # was vacuumed) under the op — recompute next loop
+                dml_stats["conflicts"] += 1
+            except Exception as e:
+                errors.append(("compact", -1, repr(e)))
+            time.sleep(0.03)
+
+    def merger() -> None:
+        # count-neutral DML: upserts the 10 seed keys with a new tag —
+        # updates only, so expected_rows is untouched
+        i = 0
+        while not stop.is_set():
+            try:
+                snap.merge_snapshot(
+                    spark, path, _keyed(spark, 0, 10, f"m{i}"), ["id"]
+                )
+                dml_stats["merges"] += 1
+                i += 1
+            except (snap.SnapshotConflictError, snap.SnapshotVersionError):
+                dml_stats["conflicts"] += 1
+            except Exception as e:
+                errors.append(("merge", -1, repr(e)))
+            time.sleep(0.04)
+
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)]
     aux = [threading.Thread(target=vacuumer), threading.Thread(target=reader)]
+    if dml:
+        aux += [threading.Thread(target=compactor), threading.Thread(target=merger)]
     for t in aux + threads:
         t.start()
     for t in threads:
@@ -105,7 +148,9 @@ def one_run(spark, run: int) -> dict:
     expected_rows = 10 + N_WRITERS * appends * ROWS_PER_APPEND
     ok = (
         not errors
-        and versions[-1] == n_commits - 1
+        # with DML threads the version count also includes their
+        # commits; the row invariants below are the lost-update check
+        and (versions[-1] >= n_commits - 1 if dml else versions[-1] == n_commits - 1)
         and n_rows == expected_rows
         and n_distinct == expected_rows
     )
@@ -117,6 +162,7 @@ def one_run(spark, run: int) -> dict:
         "rows": n_rows,
         "expected_rows": expected_rows,
         "vacuum_passes": vacuums[0],
+        **({"dml": dml_stats} if dml else {}),
         "errors": errors[:5],
     }
     shutil.rmtree(tmp, ignore_errors=True)
