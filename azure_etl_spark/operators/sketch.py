@@ -301,3 +301,86 @@ def cms_heavy_hitters(
         .filter(F.col("est") * F.lit(phi_den) >= F.col("n") * F.lit(phi_num))
         .select(name, "est", "n")
     )
+
+
+# ------------------------------------------------- log-histogram (quantiles)
+
+
+def loghist_table(df: DataFrame, col: str | Column) -> DataFrame:
+    """Quantile summary of a NON-NEGATIVE integer column as a
+    ``(b, cnt)`` log-histogram: bucket ``b`` = bit-length of the value
+    (``length(bin(v))``; 0 and 1 share bucket 1), so bucket ``b``
+    covers ``[2^(b-1), 2^b - 1]`` and the whole table is at most 63
+    rows whatever the data. The deterministic, persistable, mergeable
+    sibling of ``percentile_approx`` — same motivation as
+    :func:`cms_table` vs ``approx_count_distinct``: build per
+    shard/day, merge = pointwise sum (exact), estimate anywhere.
+
+    A negative value fails the job (``raise_error`` folded into the
+    bucket expression) rather than silently corrupting the bucket
+    order — scale non-positive domains into >= 0 first.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("bigint")
+    bucket = F.when(v >= 0, F.length(F.bin(v)).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(F.lit("loghist_table: negative value "), v.cast("string"))
+        ).cast("int")
+    )
+    return df.select(bucket.alias("b")).groupBy("b").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def loghist_merge(*tables: DataFrame) -> DataFrame:
+    """Union log-histograms: pointwise sum per bucket — exact, so
+    per-shard build + merge == one whole-corpus build."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("b").agg(F.sum("cnt").alias("cnt"))
+
+
+def loghist_quantiles(
+    sketch: DataFrame, quantiles: list[tuple[int, int]]
+) -> DataFrame:
+    """Quantile estimates from the log-histogram: for each
+    ``(q_num, q_den)`` ratio, the answer is the upper bound
+    ``2^b - 1`` of the first bucket whose cumulative count reaches
+    ``ceil(q * N)`` — found with the integer compare
+    ``cum * q_den >= N * q_num`` (no float q, so a SQL oracle agrees
+    bit-for-bit). Guarantee: ``true_quantile <= est < 2 * true + 1``
+    (the bucket brackets the true value within a factor of 2 — the
+    price of a 63-row summary; tighten by bucketing a scaled column).
+
+    The whole computation is over the <= 63-row sketch: one window
+    cumulative sum, a broadcast join against the quantile list, one
+    min per ratio. Nothing data-sized moves.
+    """
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    cum = sketch.select(
+        "b",
+        F.sum("cnt")
+        .over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    n = sketch.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame(
+        [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
+    )
+    picked = (
+        qs.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") * F.col("q_den") >= F.col("n") * F.col("q_num"),
+        )
+        .groupBy("q_num", "q_den")
+        .agg(F.min("b").alias("b"))
+    )
+    return picked.select(
+        "q_num",
+        "q_den",
+        (_shl1(F.col("b")) - F.lit(1)).cast("bigint").alias("est"),
+    )

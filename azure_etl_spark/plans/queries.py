@@ -8758,6 +8758,46 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
+@query(
+    "loghist_quantiles_orders",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders),
+    h AS (SELECT CAST(length(bin(v)) AS INT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    c AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM h),
+    q(q_num, q_den) AS (VALUES (50, 100), (90, 100), (99, 100)),
+    pick AS (
+      SELECT q.q_num, q.q_den, MIN(c.b) AS b
+      FROM q CROSS JOIN tot JOIN c ON c.cum * q.q_den >= tot.n * q.q_num
+      GROUP BY 1, 2)
+    SELECT q_num, q_den, CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS est
+    FROM pick ORDER BY q_num
+    """,
+    description="Order-price quantiles from the 63-row log-histogram "
+    "(operators/sketch.loghist_table): bucket = bit-length of the "
+    "cent-scaled price, the p50/p90/p99 answer is the first bucket "
+    "whose cumulative count reaches ceil(q*N) via the pure-BIGINT "
+    "compare cum*q_den >= N*q_num. Deterministic, persistable, "
+    "mergeable (pointwise sum — per-shard build == whole build, "
+    "exactly) where percentile_approx is an opaque one-shot "
+    "aggregate; guarantee true <= est < 2*true + 1. The decision "
+    "runs entirely over the bounded sketch — nothing data-sized "
+    "shuffles.",
+)
+def q_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sketch import loghist_quantiles, loghist_table
+
+    cents = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    h = loghist_table(cents, "v")
+    return loghist_quantiles(h, [(50, 100), (90, 100), (99, 100)]).orderBy(
+        "q_num"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

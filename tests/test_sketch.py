@@ -178,3 +178,43 @@ def test_cms_heavy_hitters_superset_of_true(spark):
         assert r["est"] * 100 >= r["n"] * 4
         assert r["n"] == n_total
         assert r["est"] >= exact.get(r["v"], 0)  # est >= true
+
+
+def test_loghist_merge_equals_whole_build_and_bounded(spark):
+    from azure_etl_spark.operators.sketch import loghist_merge, loghist_table
+
+    df = spark.range(0, 20000).select((F.col("id") * 7 % 100000).alias("v"))
+    whole = loghist_table(df, "v")
+    assert whole.count() <= 63  # bounded whatever the data
+    halves = [df.filter(F.col("id") % 2 == i) for i in (0, 1)]
+    merged = loghist_merge(*[loghist_table(h, "v") for h in halves])
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_loghist_quantiles_bracket_true_within_2x(spark, sf_dir):
+    from azure_etl_spark.operators.sketch import loghist_quantiles, loghist_table
+
+    cents = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    h = loghist_table(cents, "v")
+    got = {
+        r["q_num"]: r["est"]
+        for r in loghist_quantiles(h, [(50, 100), (90, 100), (99, 100)]).collect()
+    }
+    exact = cents.selectExpr(
+        "percentile(v, array(0.5, 0.9, 0.99)) as p"
+    ).collect()[0]["p"]
+    for q, t in zip((50, 90, 99), exact):
+        assert got[q] >= t  # bucket upper bound never undershoots
+        assert got[q] < 2 * t + 1  # and brackets within one bucket
+
+
+def test_loghist_rejects_negative_values(spark):
+    from azure_etl_spark.operators.sketch import loghist_table
+
+    df = spark.range(0, 10).select((F.col("id") - 5).alias("v"))
+    with pytest.raises(Exception, match="negative value"):
+        loghist_table(df, "v").collect()

@@ -196,6 +196,14 @@ COMMENTARY = {
         "data-sized shuffles to decide, and est >= true means a true "
         "phi-heavy hitter can never be missed."
     ),
+    "loghist_quantiles_orders": (
+        "Log-histogram quantiles (round 7). One map pass computes each "
+        "price's bit-length, one bounded aggregate builds the <= 63-row "
+        "histogram; everything above it (cumulative window, quantile "
+        "join, shiftleft upper bound) runs over sketch-sized frames — "
+        "the single data-sized Exchange in the plan is the histogram "
+        "groupBy, whose shuffle carries at most 63 rows per task."
+    ),
 }
 
 
