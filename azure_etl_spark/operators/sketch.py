@@ -1,8 +1,10 @@
-"""Mergeable frequency/membership sketches as plain DataFrames:
-a Bloom filter bit-table and a count-min sketch counter-table
-(Cormode & Muthukrishnan 2005), plus the semi-join reduction the
-Bloom table exists for — pruning a huge fact table against a dim
-key-set BEFORE the shuffle.
+"""Mergeable sketches as plain DataFrames: a Bloom filter bit-table
+(membership), a count-min counter-table (frequency; Cormode &
+Muthukrishnan 2005), a log-histogram (quantiles), and a KMV k-minimum-
+values table (distinct count + theta-style set overlap; Bar-Yossef et
+al. 2002, Beyer et al. 2007) — plus the semi-join reduction the Bloom
+table exists for: pruning a huge fact table against a dim key-set
+BEFORE the shuffle.
 
 Engine extension (the reference has no sketches; SURVEY.md §2 engine
 adds — same family as the HLL rollup `hll_sketch_rollup_users`).
@@ -339,6 +341,129 @@ def loghist_merge(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("b").agg(F.sum("cnt").alias("cnt"))
+
+
+def kmv_table(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
+    """Distinct-count summary of ``col`` as a KMV (k-minimum-values)
+    sketch (Bar-Yossef et al. 2002; Beyer et al. 2007): the ``k``
+    smallest DISTINCT 32-bit salted-md5 hashes of the values, as a
+    one-column ``(hv: bigint)`` table with at most ``k`` rows.
+
+    The deterministic, oracle-replayable sibling of Spark's opaque
+    ``hll_sketch_agg`` binary (see ``hll_sketch_rollup_users``): the
+    same bucket hash every sketch here uses, so a SQL engine replays
+    the exact same ``k`` hashes digit-by-digit and the integer
+    estimate matches bit-for-bit.
+
+    Mergeable EXACTLY: every member of the union's k-min set is within
+    its own shard's k-min set, so
+    ``kmv(A ∪ B) == merge(kmv(A), kmv(B))`` — build per shard/day,
+    merge cheap, estimate anywhere (:func:`kmv_merge`).
+
+    Scale: the hash projection is map-side; the distinct's partial
+    HashAggregate collapses duplicates before the Exchange, so the
+    shuffle carries 8-byte distinct hashes only; the top-k is a
+    TakeOrderedAndProject (per-partition k-min, then a k*partitions
+    merge) — nothing data-sized is sorted globally.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select(_row_hash(c, 0).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(*tables: DataFrame, k: int = 256) -> DataFrame:
+    """Union KMV sketches built with the SAME ``k``: distinct hashes,
+    keep the ``k`` smallest. Exact — equals the whole-corpus build."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch as a one-row
+    ``(n_seen, kth, est)`` DataFrame, in pure BIGINT arithmetic so a
+    SQL oracle agrees bit-for-bit:
+
+    - ``n_seen < k``  →  the sketch holds EVERY distinct hash, so the
+      answer is exact: ``est = n_seen``.
+    - otherwise       →  the classic unbiased KMV estimator
+      ``est = (k-1) * 2^32 div kth`` where ``kth`` is the k-th
+      smallest hash (the sketch's max) — the k-1 points before it are
+      uniform on [0, kth), so spacing ~ kth/(k-1). Relative error
+      ~ 1/sqrt(k-2) (6.3% at k=256, 3.1% at k=1024).
+
+    32-bit hash collisions conflate values (negligible under ~10^8
+    distincts — the birthday term n²/2³³); widen the hash before going
+    past that.
+    """
+    agg = sketch.agg(
+        F.count("*").cast("bigint").alias("n_seen"),
+        F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias("kth"),
+    )
+    # `div` (integral division), NOT `/` + cast: bigint `/` is double
+    # true-division whose rounding can cross an integer boundary — the
+    # oracle's `//` would then disagree by one.
+    ratio = F.expr(
+        f"cast({(k - 1) * (1 << 32)} as bigint)"
+        " div greatest(kth, cast(1 as bigint))"
+    )
+    return agg.select(
+        "n_seen",
+        "kth",
+        F.when(F.col("n_seen") < k, F.col("n_seen"))
+        .otherwise(ratio)
+        .cast("bigint")
+        .alias("est"),
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch-style set-overlap estimate from two KMV sketches
+    built with the same ``k`` (the KMV synopsis *is* a theta sketch
+    with theta = kth hash): one row
+    ``(matches, k_used, union_est, inter_est)``.
+
+    The merged sketch's ``k_used`` smallest union hashes are a uniform
+    sample of A ∪ B; ``matches`` of them lie in BOTH input sketches,
+    so ``|A ∩ B| ≈ matches/k_used * |A ∪ B|`` — computed as the pure
+    BIGINT ``(matches * union_est) div k_used`` (oracle-exact, no
+    float Jaccard). Standard error ~ sqrt(J(1-J)/k).
+
+    Everything joins over <= k-row frames — broadcast both ways,
+    nothing data-sized moves.
+    """
+    x = kmv_merge(a, b, k=k)
+    in_both = (
+        x.join(F.broadcast(a), "hv", "left_semi")
+        .join(F.broadcast(b), "hv", "left_semi")
+    )
+    est = kmv_distinct_estimate(x, k=k).select(
+        F.col("n_seen").alias("k_used"), F.col("est").alias("union_est")
+    )
+    m = in_both.agg(F.count("*").cast("bigint").alias("matches"))
+    return (
+        m.crossJoin(F.broadcast(est))
+        .select(
+            "matches",
+            "k_used",
+            "union_est",
+            F.expr(
+                "(matches * union_est)"
+                " div greatest(k_used, cast(1 as bigint))"
+            )
+            .cast("bigint")
+            .alias("inter_est"),
+        )
+    )
 
 
 def loghist_quantiles(

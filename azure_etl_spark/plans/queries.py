@@ -8798,6 +8798,107 @@ def q_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_HV_SQL = _md5_bucket_sql("'0:' || word", 1 << 32)
+
+
+@query(
+    "kmv_distinct_words_docs",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT DISTINCT unnest({_WORDS_SQL}) AS word FROM documents),
+    hv AS MATERIALIZED (SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM w),
+    km AS MATERIALIZED (SELECT hv FROM hv ORDER BY hv LIMIT 256),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   CAST(COALESCE(MAX(hv), 0) AS BIGINT) AS kth FROM km),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM w)
+    SELECT ex.n_exact, agg.n_seen, agg.kth,
+           CAST(CASE WHEN agg.n_seen < 256 THEN agg.n_seen
+                ELSE (CAST(255 AS BIGINT) * 4294967296)
+                     // GREATEST(agg.kth, 1) END AS BIGINT) AS est
+    FROM ex CROSS JOIN agg
+    """,
+    description="Distinct vocabulary size from the KMV k-minimum-"
+    "values sketch (operators/sketch.kmv_table; Bar-Yossef et al. "
+    "2002, Beyer et al. 2007): the 256 smallest distinct 32-bit "
+    "salted-md5 word hashes, estimate = (k-1)*2^32 div kth in pure "
+    "BIGINT — the oracle replays the same hashes digit-by-digit and "
+    "the same integral division, so est matches bit-for-bit (the "
+    "deterministic, persistable, EXACTLY-mergeable sibling of the "
+    "opaque hll_sketch_agg binary in hll_sketch_rollup_users). The "
+    "distinct's partial aggregate dedupes map-side; the top-k is a "
+    "TakeOrderedAndProject — the shuffle carries 8-byte distinct "
+    "hashes, never words.",
+)
+def q_kmv_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import kmv_distinct_estimate, kmv_table
+
+    words = _td(spark, sf_dir).select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    sk = kmv_table(words, "word", k=256)
+    est = kmv_distinct_estimate(sk, k=256)
+    exact = words.agg(F.countDistinct("word").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact", "n_seen", "kth", "est"
+    )
+
+
+@query(
+    "kmv_lang_overlap_docs",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT lang, unnest({_WORDS_SQL}) AS word FROM documents
+      WHERE lang IN ('en', 'fr')),
+    ha AS MATERIALIZED (
+      SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM base WHERE lang = 'en'),
+    hb AS MATERIALIZED (
+      SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM base WHERE lang = 'fr'),
+    ka AS MATERIALIZED (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+    kb AS MATERIALIZED (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+    kx AS MATERIALIZED (
+      SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      ORDER BY hv LIMIT 256),
+    uagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                    CAST(COALESCE(MAX(hv), 0) AS BIGINT) AS kth FROM kx),
+    uest AS (SELECT k_used,
+                    CAST(CASE WHEN k_used < 256 THEN k_used
+                         ELSE (CAST(255 AS BIGINT) * 4294967296)
+                              // GREATEST(kth, 1) END AS BIGINT) AS union_est
+             FROM uagg),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matches FROM kx
+          WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb))
+    SELECT m.matches, u.k_used, u.union_est,
+           CAST((m.matches * u.union_est)
+                // GREATEST(u.k_used, 1) AS BIGINT) AS inter_est
+    FROM m CROSS JOIN uest AS u
+    """,
+    description="English/French shared-vocabulary estimate from two "
+    "KMV sketches (operators/sketch.kmv_intersect_estimate) — the "
+    "theta-sketch set-operation pattern: the merged sketch's k_used "
+    "smallest union hashes are a uniform sample of A ∪ B, matches of "
+    "them lie in both inputs, |A ∩ B| ≈ matches * union_est div "
+    "k_used in pure BIGINT (no float Jaccard — both engines agree "
+    "bit-for-bit). Every frame in the decision is <= k rows and "
+    "broadcast; per-language sketches can be persisted per shard/day "
+    "and merged exactly before comparing.",
+)
+def q_kmv_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import kmv_intersect_estimate, kmv_table
+
+    docs = _td(spark, sf_dir)
+
+    def words(lang: str) -> DataFrame:
+        return docs.filter(F.col("lang") == lang).select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("word")
+        )
+
+    a = kmv_table(words("en"), "word", k=256)
+    b = kmv_table(words("fr"), "word", k=256)
+    return kmv_intersect_estimate(a, b, k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -327,6 +327,69 @@ def cms_fold(
     return fold
 
 
+def streaming_kmv(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    col: str,
+    k: int = 256,
+):
+    """Streaming distinct-count gold table via the mergeable KMV
+    k-minimum-values table (operators/sketch.py): per micro-batch,
+    hash the batch's values and fold the k smallest distinct hashes
+    into the persisted <= k-row gold table — the deterministic,
+    oracle-replayable alternative to :func:`streaming_distinct_sketch`'s
+    opaque HLL binaries (same bounded-state-forever shape, but the
+    gold table is queryable BIGINT rows any engine can read, and the
+    estimate is pure integer arithmetic).
+
+    KMV union is a monoid AND idempotent (set-union + k-min, like HLL
+    and unlike CMS counter sums), so a re-delivered batch cannot
+    corrupt the sketch even in principle; the txn ledger still skips
+    replayed writes for the shared durability contract.
+    """
+    fold = kmv_fold(gold_path, col, k=k)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def kmv_fold(
+    gold_path: str,
+    col: str,
+    k: int = 256,
+    app_id: str | None = None,
+):
+    """The ``foreachBatch`` callable behind :func:`streaming_kmv` —
+    durability contract of :func:`medallion_fold` (explicit FS probe,
+    atomic snapshot publish, txn-idempotent replays)."""
+    from azure_etl_spark.operators.sketch import kmv_merge, kmv_table
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_kmv:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kmv_table(batch_df, col, k=k)
+        if is_snapshot_table(spark, gold_path):
+            merged = kmv_merge(
+                read_snapshot(spark, gold_path).select("hv"), batch_sk, k=k
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
 def streaming_heavy_hitters(
     stream: DataFrame,
     gold_path: str,

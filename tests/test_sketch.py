@@ -218,3 +218,74 @@ def test_loghist_rejects_negative_values(spark):
     df = spark.range(0, 10).select((F.col("id") - 5).alias("v"))
     with pytest.raises(Exception, match="negative value"):
         loghist_table(df, "v").collect()
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_exact_below_k(spark):
+    from azure_etl_spark.operators.sketch import kmv_distinct_estimate, kmv_table
+
+    # 100 distinct values repeated 50x each, k=256 -> the sketch holds
+    # every distinct hash and the estimate is EXACT by the n_seen < k rule
+    df = spark.range(0, 5000).select((F.col("id") % 100).alias("v"))
+    sk = kmv_table(df, "v", k=256)
+    row = kmv_distinct_estimate(sk, k=256).collect()[0]
+    assert row["n_seen"] == 100
+    assert row["est"] == 100
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from azure_etl_spark.operators.sketch import kmv_distinct_estimate, kmv_table
+
+    # 20_000 distinct values, k=256: relative stderr ~ 1/sqrt(k-2) = 6.3%;
+    # assert within 4 sigma (25%) — deterministic (fixed hash), so this
+    # is a regression pin, not a flaky statistical test
+    n = 20_000
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    sk = kmv_table(df, "v", k=256)
+    row = kmv_distinct_estimate(sk, k=256).collect()[0]
+    assert row["n_seen"] == 256
+    assert abs(row["est"] - n) < 0.25 * n
+
+
+def test_kmv_merge_equals_whole_build(spark):
+    from azure_etl_spark.operators.sketch import kmv_merge, kmv_table
+
+    # exact mergeability: every member of the union's k-min set is in
+    # its own shard's k-min set, so merge(kmv(A), kmv(B)) == kmv(A u B)
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 6000).select(F.col("id").alias("v"))  # overlap
+    merged = kmv_merge(
+        kmv_table(a, "v", k=128), kmv_table(b, "v", k=128), k=128
+    )
+    whole = kmv_table(a.unionByName(b), "v", k=128)
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in whole.collect()
+    )
+
+
+def test_kmv_intersect_estimates_overlap(spark):
+    from azure_etl_spark.operators.sketch import kmv_intersect_estimate, kmv_table
+
+    # |A| = |B| = 6000, |A n B| = 2000, |A u B| = 10_000, J = 0.2
+    a = spark.range(0, 6000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 10_000).select(F.col("id").alias("v"))
+    row = kmv_intersect_estimate(
+        kmv_table(a, "v", k=256), kmv_table(b, "v", k=256), k=256
+    ).collect()[0]
+    assert row["k_used"] == 256
+    # J stderr ~ sqrt(J(1-J)/k) = 2.5%abs -> matches/k in [0.1, 0.3]
+    assert 0.10 <= row["matches"] / row["k_used"] <= 0.30
+    assert abs(row["inter_est"] - 2000) < 0.5 * 2000
+    assert abs(row["union_est"] - 10_000) < 0.25 * 10_000
+
+
+def test_kmv_build_plan_is_take_ordered(spark):
+    from azure_etl_spark.operators.sketch import kmv_table
+
+    # the top-k must be a TakeOrderedAndProject (per-partition k-min +
+    # bounded merge), never a global Sort of the distinct hashes
+    df = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    plan = kmv_table(df, "v", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

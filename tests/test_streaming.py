@@ -1552,3 +1552,52 @@ def test_heavy_hitters_fold_crash_between_commits_recovers(
         for r in read_snapshot(spark, ref_gold + "/cms").select("r", "b", "cnt").collect()
     }
     assert got_cms == want_cms
+
+
+def test_streaming_kmv_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_path):
+    """KMV k-min hashes folded across micro-batches (round 7): the
+    final gold table is IDENTICAL to a single whole-corpus build
+    (set-union + k-min is exact AND idempotent), the integer distinct
+    estimate lands within the k=64 error bound of the true count, and
+    a re-delivered batch id leaves gold bit-identical."""
+    from azure_etl_spark.operators.sketch import kmv_distinct_estimate, kmv_table
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import kmv_fold, streaming_kmv
+
+    src = load_table(spark, sf_dir, "events").select("event_id")
+    bronze = os.path.join(str(tmp_path), "bronze_kmv")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_kmv")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_kmv(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_kmv"),
+            col="event_id", k=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(r["hv"] for r in read_snapshot(spark, gold).collect())
+    whole = sorted(
+        r["hv"] for r in kmv_table(src, "event_id", k=64).collect()
+    )
+    assert got == whole  # incremental fold == one-shot build, exactly
+
+    est = kmv_distinct_estimate(
+        read_snapshot(spark, gold).select("hv"), k=64
+    ).collect()[0]["est"]
+    n_true = src.distinct().count()
+    # k=64 -> stderr ~ 1/sqrt(62) = 12.7%; 4 sigma, deterministic pin
+    assert abs(est - n_true) < 0.5 * n_true
+
+    # replay an already-ledgered batch id — gold must not change
+    fold = kmv_fold(gold, "event_id", k=64)
+    fold(spark.read.parquet(bronze), 0)
+    after = sorted(r["hv"] for r in read_snapshot(spark, gold).collect())
+    assert after == whole

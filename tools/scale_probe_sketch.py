@@ -82,6 +82,30 @@ def main() -> None:
             f"{cms_rows:>9}"
         )
 
+    # KMV distinct-count: error stays inside the 1/sqrt(k-2) band and
+    # the sketch stays k rows as distinct n grows 40x
+    print()
+    print(
+        f"{'distinct n':>12} {'k':>6} {'n_seen':>7} {'est':>12} "
+        f"{'rel err %':>9} {'build s':>8}"
+    )
+    from azure_etl_spark.operators.sketch import (  # noqa: E402
+        kmv_distinct_estimate,
+        kmv_table,
+    )
+
+    for n in sizes:
+        df = spark.range(0, n).select(F.col("id").alias("v"))
+        for k in (256, 1024):
+            t0 = time.time()
+            row = kmv_distinct_estimate(kmv_table(df, "v", k=k), k=k).collect()[0]
+            t_build = time.time() - t0
+            rel = 100.0 * abs(row["est"] - n) / n
+            print(
+                f"{n:>12} {k:>6} {row['n_seen']:>7} {row['est']:>12} "
+                f"{rel:>9.2f} {t_build:>8.2f}"
+            )
+
     spark.stop()
 
 
