@@ -28,3 +28,34 @@ def test_every_query_documented_in_readme():
     # TPC-H shapes are documented as a range (`tpch_q1ish`...`tpch_q22ish`)
     undocumented = [n for n in undocumented if not n.startswith("tpch_q")]
     assert not undocumented, f"README matrix missing: {undocumented}"
+
+
+def test_no_shadowed_top_level_definitions():
+    """A module-level def/class reusing an earlier name silently
+    shadows it for EVERY caller in the file (Python binds at call
+    time) — this exact bug broke test_snapshot's single-file fixtures
+    when a second `_keyed` helper landed 1400 lines below the first.
+    Lint all source and test modules so it cannot recur."""
+    import ast
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = []
+    for pat in ("tests/*.py", "azure_etl_spark/**/*.py", "tools/*.py"):
+        for path in glob.glob(os.path.join(root, pat), recursive=True):
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            seen: dict[str, int] = {}
+            for node in tree.body:
+                if isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                ):
+                    if node.name in seen:
+                        offenders.append(
+                            f"{os.path.relpath(path, root)}:{node.lineno} "
+                            f"redefines {node.name!r} (first at "
+                            f"line {seen[node.name]})"
+                        )
+                    seen[node.name] = node.lineno
+    assert not offenders, "\n".join(offenders)

@@ -548,3 +548,40 @@ def test_semantic_dedup_matches_python_reference(spark, data):
     for i in vecs:
         assert got[i][0] == assign[i], (i, got[i], assign[i])
         assert got[i][1] == (i not in dropped), i
+
+
+@given(
+    values=st.lists(st.integers(0, 10_000), min_size=1, max_size=120),
+    cuts=st.lists(st.integers(0, 119), min_size=0, max_size=3),
+    k=st.sampled_from([4, 16, 64]),
+)
+@SET
+def test_kmv_shard_merge_invariance(spark, values, cuts, k):
+    """KMV mergeability is EXACT under ANY sharding: splitting the
+    value list at arbitrary cut points, sketching each shard, and
+    merging must equal the whole-corpus sketch — and a reference
+    k-min over the same md5 hashes (computed in pandas) must agree."""
+    import hashlib
+
+    from azure_etl_spark.operators.sketch import kmv_merge, kmv_table
+
+    bounds = sorted({0, len(values), *[c for c in cuts if c < len(values)]})
+    shards = [
+        values[a:b] for a, b in zip(bounds, bounds[1:]) if values[a:b]
+    ] or [values]
+
+    def sk(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        return kmv_table(df, "v", k=k)
+
+    merged = kmv_merge(*[sk(s) for s in shards], k=k)
+    whole = sk(values)
+    got = sorted(r["hv"] for r in merged.collect())
+    want = sorted(r["hv"] for r in whole.collect())
+    assert got == want
+
+    # independent reference: same salted-md5 first-8-hex-digit hash
+    ref = sorted(
+        {int(hashlib.md5(f"0:{v}".encode()).hexdigest()[:8], 16) for v in values}
+    )[:k]
+    assert want == ref

@@ -1617,7 +1617,7 @@ def test_vacuum_age_guard_protects_inflight_writer_debris(spark, tmp_path):
 # WriteSerializable order), anything else conflicts.
 
 
-def _keyed(spark, lo, hi, tag):
+def _ids_tagged(spark, lo, hi, tag):
     return spark.range(lo, hi).select(F.col("id"), F.lit(tag).alias("tag"))
 
 
@@ -1625,9 +1625,9 @@ def test_merge_rebases_over_interleaved_append(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import merge_snapshot
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
-    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
-    merge_snapshot(spark, path, _keyed(spark, 0, 5, "merged"), ["id"], version=0)
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 100, 110, "appended"), path, mode="append")
+    merge_snapshot(spark, path, _ids_tagged(spark, 0, 5, "merged"), ["id"], version=0)
     out = read_snapshot(spark, path)
     assert out.count() == 20  # nothing lost
     assert out.filter(F.col("tag") == "appended").count() == 10
@@ -1640,9 +1640,9 @@ def test_cow_delete_rebases_and_txn_ledger_survives(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import delete_from_snapshot
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
     write_snapshot(
-        _keyed(spark, 100, 110, "appended"), path, mode="append",
+        _ids_tagged(spark, 100, 110, "appended"), path, mode="append",
         txn_app_id="stream", txn_version=7,
     )
     delete_from_snapshot(spark, path, [("id", "<", 3)], version=0)
@@ -1652,7 +1652,7 @@ def test_cow_delete_rebases_and_txn_ledger_survives(spark, tmp_path):
     # replay of the appended batch must still be recognized as durable
     assert (
         write_snapshot(
-            _keyed(spark, 100, 110, "appended"), path, mode="append",
+            _ids_tagged(spark, 100, 110, "appended"), path, mode="append",
             txn_app_id="stream", txn_version=7,
         )
         == -1
@@ -1664,8 +1664,8 @@ def test_mor_delete_rebases_over_interleaved_append(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import delete_from_snapshot
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
-    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 100, 110, "appended"), path, mode="append")
     delete_from_snapshot(
         spark, path, [("id", "<", 3)], version=0, mode="merge_on_read"
     )
@@ -1678,8 +1678,8 @@ def test_compact_rebases_over_interleaved_append(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import compact_snapshot
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
-    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 100, 110, "appended"), path, mode="append")
     compact_snapshot(spark, path, version=0)
     out = read_snapshot(spark, path)
     assert out.count() == 20
@@ -1692,7 +1692,7 @@ def test_cow_conflicts_with_interleaved_cow(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import delete_from_snapshot
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
     delete_from_snapshot(spark, path, [("id", "<", 2)])  # v1, COW
     with pytest.raises(SnapshotConflictError, match="recompute"):
         delete_from_snapshot(spark, path, [("id", ">", 7)], version=0)
@@ -1708,9 +1708,9 @@ def test_metadata_commit_conflicts_on_log_advance(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import _commit_metadata
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
     stale_parent = _load_manifest(spark, path, 0)
-    write_snapshot(_keyed(spark, 100, 110, "appended"), path, mode="append")
+    write_snapshot(_ids_tagged(spark, 100, 110, "appended"), path, mode="append")
     with pytest.raises(SnapshotConflictError, match="recompute"):
         _commit_metadata(
             spark, path, stale_parent, lambda m, v: None, "set_constraints"
@@ -1721,9 +1721,9 @@ def test_cow_conflicts_when_schema_evolved_under_it(spark, tmp_path):
     from azure_etl_spark.sources.snapshot import delete_from_snapshot
 
     path = str(tmp_path / "t")
-    write_snapshot(_keyed(spark, 0, 10, "seed"), path)  # v0
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
     write_snapshot(
-        _keyed(spark, 100, 110, "appended").withColumn("extra", F.lit(1)),
+        _ids_tagged(spark, 100, 110, "appended").withColumn("extra", F.lit(1)),
         path, mode="append", merge_schema=True,
     )
     with pytest.raises(SnapshotConflictError, match="schema evolved"):
