@@ -50,12 +50,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_hash(c: Column, salt: int) -> Column:
-    """First-8-hex-digits md5 bucket hash of ``"{salt}:" || value`` as
-    BIGINT in [0, 2^32) — identical integer in Spark (conv) and DuckDB
-    (digit-by-digit instr)."""
+def _row_hash(c: Column, salt: int, bits: int = 32) -> Column:
+    """First-``bits/4``-hex-digits md5 bucket hash of
+    ``"{salt}:" || value`` as BIGINT in [0, 2^bits) — identical
+    integer in Spark (conv) and DuckDB (digit-by-digit instr)."""
+    if bits % 4 or not 4 <= bits <= 60:
+        raise ValueError(f"hash bits must be a multiple of 4 in [4, 60], got {bits}")
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8),
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, bits // 4
+        ),
         16,
         10,
     ).cast("bigint")
@@ -343,11 +347,21 @@ def loghist_merge(*tables: DataFrame) -> DataFrame:
     return out.groupBy("b").agg(F.sum("cnt").alias("cnt"))
 
 
-def kmv_table(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
+def kmv_table(
+    df: DataFrame, col: str | Column, k: int = 256, bits: int = 32
+) -> DataFrame:
     """Distinct-count summary of ``col`` as a KMV (k-minimum-values)
     sketch (Bar-Yossef et al. 2002; Beyer et al. 2007): the ``k``
-    smallest DISTINCT 32-bit salted-md5 hashes of the values, as a
-    one-column ``(hv: bigint)`` table with at most ``k`` rows.
+    smallest DISTINCT ``bits``-bit salted-md5 hashes of the values, as
+    a one-column ``(hv: bigint)`` table with at most ``k`` rows.
+
+    ``bits`` picks the hash width: 32 (default) is fine to ~10^8
+    distincts (conflation term n²/2³³ stays under the estimator
+    noise); 48 is the 100 TB scale path — collision-free in practice
+    to ~10^10 distincts, still pure BIGINT end-to-end (measured
+    head-to-head in SCALE.md / tools/scale_probe_sketch.py). Pass the
+    SAME bits to :func:`kmv_distinct_estimate` /
+    :func:`kmv_intersect_estimate`.
 
     The deterministic, oracle-replayable sibling of Spark's opaque
     ``hll_sketch_agg`` binary (see ``hll_sketch_rollup_users``): the
@@ -368,7 +382,7 @@ def kmv_table(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     """
     c = F.col(col) if isinstance(col, str) else col
     return (
-        df.select(_row_hash(c, 0).alias("hv"))
+        df.select(_row_hash(c, 0, bits=bits).alias("hv"))
         .distinct()
         .orderBy("hv")
         .limit(k)
@@ -385,7 +399,7 @@ def kmv_merge(*tables: DataFrame, k: int = 256) -> DataFrame:
 
 
 def kmv_distinct_estimate(
-    sketch: DataFrame, k: int = 256
+    sketch: DataFrame, k: int = 256, bits: int = 32
 ) -> DataFrame:
     """Distinct-count estimate from a KMV sketch as a one-row
     ``(n_seen, kth, est)`` DataFrame, in pure BIGINT arithmetic so a
@@ -394,15 +408,20 @@ def kmv_distinct_estimate(
     - ``n_seen < k``  →  the sketch holds EVERY distinct hash, so the
       answer is exact: ``est = n_seen``.
     - otherwise       →  the classic unbiased KMV estimator
-      ``est = (k-1) * 2^32 div kth`` where ``kth`` is the k-th
+      ``est = (k-1) * 2^bits div kth`` where ``kth`` is the k-th
       smallest hash (the sketch's max) — the k-1 points before it are
       uniform on [0, kth), so spacing ~ kth/(k-1). Relative error
       ~ 1/sqrt(k-2) (6.3% at k=256, 3.1% at k=1024).
 
-    32-bit hash collisions conflate values (negligible under ~10^8
-    distincts — the birthday term n²/2³³); widen the hash before going
-    past that.
+    ``bits`` must match the build (32 default; 48 = the large-n scale
+    path, see :func:`kmv_table`). The estimator constant
+    ``(k-1) * 2^bits`` must fit a signed 64-bit int — at bits=48 that
+    caps k at 2^15, far above any useful accuracy point.
     """
+    if (k - 1) * (1 << bits) >= 1 << 63:
+        raise ValueError(
+            f"(k-1)*2^{bits} overflows BIGINT; lower k (max {(1 << 63) // (1 << bits)})"
+        )
     agg = sketch.agg(
         F.count("*").cast("bigint").alias("n_seen"),
         F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias("kth"),
@@ -411,7 +430,7 @@ def kmv_distinct_estimate(
     # true-division whose rounding can cross an integer boundary — the
     # oracle's `//` would then disagree by one.
     ratio = F.expr(
-        f"cast({(k - 1) * (1 << 32)} as bigint)"
+        f"cast({(k - 1) * (1 << bits)} as bigint)"
         " div greatest(kth, cast(1 as bigint))"
     )
     return agg.select(
@@ -425,7 +444,7 @@ def kmv_distinct_estimate(
 
 
 def kmv_intersect_estimate(
-    a: DataFrame, b: DataFrame, k: int = 256
+    a: DataFrame, b: DataFrame, k: int = 256, bits: int = 32
 ) -> DataFrame:
     """Theta-sketch-style set-overlap estimate from two KMV sketches
     built with the same ``k`` (the KMV synopsis *is* a theta sketch
@@ -446,7 +465,7 @@ def kmv_intersect_estimate(
         x.join(F.broadcast(a), "hv", "left_semi")
         .join(F.broadcast(b), "hv", "left_semi")
     )
-    est = kmv_distinct_estimate(x, k=k).select(
+    est = kmv_distinct_estimate(x, k=k, bits=bits).select(
         F.col("n_seen").alias("k_used"), F.col("est").alias("union_est")
     )
     m = in_both.agg(F.count("*").cast("bigint").alias("matches"))

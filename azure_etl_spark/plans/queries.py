@@ -8801,6 +8801,18 @@ def q_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_HV_SQL = _md5_bucket_sql("'0:' || word", 1 << 32)
 
 
+def _md5_hv_sql(expr: str, ndigits: int) -> str:
+    """DuckDB replay of operators/sketch._row_hash at ``4*ndigits``
+    bits: the first ``ndigits`` hex digits of md5(expr) as a base-16
+    BIGINT, digit-by-digit."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (ndigits - 1 - j)}"
+        for j in range(ndigits)
+    )
+    return f"({digits})"
+
+
 @query(
     "kmv_distinct_words_docs",
     oracle=f"""
@@ -8838,6 +8850,47 @@ def q_kmv_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_table(words, "word", k=256)
     est = kmv_distinct_estimate(sk, k=256)
+    exact = words.agg(F.countDistinct("word").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact", "n_seen", "kth", "est"
+    )
+
+
+@query(
+    "kmv48_distinct_words_docs",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT DISTINCT unnest({_WORDS_SQL}) AS word FROM documents),
+    hv AS MATERIALIZED (
+      SELECT DISTINCT {_md5_hv_sql("'0:' || word", 12)} AS hv FROM w),
+    km AS MATERIALIZED (SELECT hv FROM hv ORDER BY hv LIMIT 256),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   CAST(COALESCE(MAX(hv), 0) AS BIGINT) AS kth FROM km),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM w)
+    SELECT ex.n_exact, agg.n_seen, agg.kth,
+           CAST(CASE WHEN agg.n_seen < 256 THEN agg.n_seen
+                ELSE (CAST(255 AS BIGINT) * {1 << 48})
+                     // GREATEST(agg.kth, 1) END AS BIGINT) AS est
+    FROM ex CROSS JOIN agg
+    """,
+    description="The KMV sketch's large-n scale path: 48-bit hashes "
+    "(first 12 md5 hex digits), collision-free in practice to ~10^10 "
+    "distincts where 32 bits start conflating values at ~10^8 "
+    "(birthday term n^2/2^33 — measured head-to-head in SCALE.md), "
+    "still pure BIGINT end-to-end: estimate (k-1)*2^48 div kth, "
+    "replayed digit-by-digit by the oracle. Same bounded plan shape "
+    "as kmv_distinct_words_docs — the mirror of the 128-bit dhash "
+    "escape hatch for the image pigeonhole join.",
+)
+def q_kmv48_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import kmv_distinct_estimate, kmv_table
+
+    words = _td(spark, sf_dir).select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    sk = kmv_table(words, "word", k=256, bits=48)
+    est = kmv_distinct_estimate(sk, k=256, bits=48)
     exact = words.agg(F.countDistinct("word").cast("bigint").alias("n_exact"))
     return exact.crossJoin(F.broadcast(est)).select(
         "n_exact", "n_seen", "kth", "est"

@@ -289,3 +289,36 @@ def test_kmv_build_plan_is_take_ordered(spark):
     df = spark.range(0, 10_000).select(F.col("id").alias("v"))
     plan = kmv_table(df, "v", k=64)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv48_scale_path_accuracy_and_overflow_guard(spark):
+    from azure_etl_spark.operators.sketch import kmv_distinct_estimate, kmv_table
+
+    n = 20_000
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    row = kmv_distinct_estimate(
+        kmv_table(df, "v", k=256, bits=48), k=256, bits=48
+    ).collect()[0]
+    assert row["n_seen"] == 256
+    assert abs(row["est"] - n) < 0.25 * n  # same 4-sigma pin as 32-bit
+
+    # the estimator constant must fit BIGINT — the guard refuses k
+    # values that would silently wrap
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        kmv_distinct_estimate(kmv_table(df, "v", k=256, bits=48), k=1 << 20, bits=48)
+
+
+def test_kmv_wider_hash_eliminates_conflation(spark):
+    """The honest reason bits=48 exists: at large distinct n the
+    32-bit hash conflates ~n^2/2^33 value pairs (count measured, not
+    asserted from theory alone) while 48 bits conflate none at any
+    locally reachable n — so the 32-bit sketch's input is already
+    biased low before the estimator runs."""
+    from azure_etl_spark.operators.sketch import _row_hash
+
+    n = 500_000  # expected 32-bit conflation n^2/2^33 ~ 29, 48-bit ~ 0.0000004
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    d32 = df.select(_row_hash(F.col("v"), 0, bits=32).alias("h")).distinct().count()
+    d48 = df.select(_row_hash(F.col("v"), 0, bits=48).alias("h")).distinct().count()
+    assert d48 == n  # collision-free
+    assert 5 <= n - d32 <= 120  # birthday math is real at 32 bits

@@ -204,6 +204,23 @@ COMMENTARY = {
         "the single data-sized Exchange in the plan is the histogram "
         "groupBy, whose shuffle carries at most 63 rows per task."
     ),
+    "kmv_distinct_words_docs": (
+        "KMV distinct-count sketch (round 7). The word hash is a map-"
+        "side project; the distinct's PARTIAL HashAggregate collapses "
+        "duplicate hashes before the Exchange (the shuffle carries "
+        "8-byte distinct hashes, never words), and the k-min is a "
+        "TakeOrderedAndProject — per-task heaps + a k*tasks driver "
+        "merge, no global Sort. The estimate is integral arithmetic "
+        "over a 1-row frame, replayed bit-for-bit by the oracle."
+    ),
+    "kmv_lang_overlap_docs": (
+        "Theta-style set overlap from two KMV sketches (round 7). Each "
+        "language's sketch builds independently (same bounded shape as "
+        "kmv_distinct_words_docs); the merge, the two left_semi "
+        "membership probes, and the BIGINT intersection estimate all "
+        "run over <= k-row BROADCAST frames — the corpus is scanned "
+        "once per side and nothing data-sized ever joins."
+    ),
 }
 
 

@@ -106,6 +106,19 @@ def main() -> None:
                 f"{rel:>9.2f} {t_build:>8.2f}"
             )
 
+    # hash-width honesty: values CONFLATED by the hash before the
+    # estimator even runs (n - distinct hashes); the 32-bit birthday
+    # term n^2/2^33 is measurable at local sizes, 48-bit is zero
+    from azure_etl_spark.operators.sketch import _row_hash  # noqa: E402
+
+    print()
+    print(f"{'distinct n':>12} {'conflated@32':>13} {'theory':>8} {'conflated@48':>13}")
+    for n in sizes:
+        df = spark.range(0, n).select(F.col("id").alias("v"))
+        d32 = df.select(_row_hash(F.col("v"), 0, bits=32).alias("h")).distinct().count()
+        d48 = df.select(_row_hash(F.col("v"), 0, bits=48).alias("h")).distinct().count()
+        print(f"{n:>12} {n - d32:>13} {n * n // 2**33:>8} {n - d48:>13}")
+
     spark.stop()
 
 
