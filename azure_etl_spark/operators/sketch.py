@@ -485,6 +485,112 @@ def kmv_intersect_estimate(
     )
 
 
+def kmv_grouped_table(
+    df: DataFrame,
+    key: str,
+    col: str | Column,
+    k: int = 256,
+    bits: int = 32,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-key KMV sketches as a ``(key, hv)`` table — at most ``k``
+    rows per key: the rollup form of :func:`kmv_table`, the
+    deterministic/replayable twin of ``hll_sketch_agg`` partials in
+    ``hll_sketch_rollup_users``. Build per shard/day, persist as a
+    plain table ANY engine can read, merge per key with
+    :func:`kmv_grouped_merge` (exact), estimate per key with
+    :func:`kmv_grouped_estimate`.
+
+    Scale: ``dropDuplicates`` partial-aggregates (key, hash) map-side,
+    so the one Exchange carries fixed-width distinct pairs; the k-min
+    per key is a rank window, never a per-key ``collect_set`` (which
+    would buffer a key's ENTIRE distinct set on one executor — the
+    thing this sketch exists to avoid). The window still SORTS each
+    key in a single task (disk-backed, but one thread), so a hot key
+    with 10^9 distincts serializes on that task: pass ``salt_buckets``
+    (e.g. 64) for the skew path — stage 1 ranks within
+    ``(key, hv % S)`` so the hot key's distinct hashes split across
+    ``S`` independent sort tasks, keeping <= k per bucket; stage 2
+    ranks the <= S*k survivors per key. Output is IDENTICAL to the
+    unsalted build: any hash among a key's k smallest overall has
+    fewer than k smaller hashes in the WHOLE key, hence fewer than k
+    in its own bucket — stage 1 can never drop a final survivor
+    (property-tested; wall-clock measured in SCALE.md /
+    tools/scale_probe_sketch.py).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = df.select(
+        F.col(key), _row_hash(c, 0, bits=bits).alias("hv")
+    ).dropDuplicates([key, "hv"])
+    if salt_buckets is not None and salt_buckets > 1:
+        wb = Window.partitionBy(
+            key, F.pmod(F.col("hv"), F.lit(salt_buckets))
+        ).orderBy("hv")
+        pairs = (
+            pairs.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") <= k)
+            .drop("__bn")
+        )
+    w = Window.partitionBy(key).orderBy("hv")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_grouped_merge(*tables: DataFrame, key: str, k: int = 256) -> DataFrame:
+    """Union per-key KMV tables built with the SAME (k, bits): distinct
+    per (key, hv), keep each key's k smallest. Exact — equals the
+    whole-corpus build per key (same argument as :func:`kmv_merge`,
+    applied keywise)."""
+    from pyspark.sql import Window
+
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    w = Window.partitionBy(key).orderBy("hv")
+    return (
+        out.dropDuplicates([key, "hv"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_grouped_estimate(
+    sketch: DataFrame, key: str, k: int = 256, bits: int = 32
+) -> DataFrame:
+    """Per-key distinct estimates from a grouped KMV table: one row
+    ``(key, n_seen, kth, est)`` per key, same pure-BIGINT rule as
+    :func:`kmv_distinct_estimate` (exact below k, ``(k-1)*2^bits div
+    kth`` at k). The aggregate is over <= k rows per key — sketch-
+    sized, whatever the data was."""
+    if (k - 1) * (1 << bits) >= 1 << 63:
+        raise ValueError(
+            f"(k-1)*2^{bits} overflows BIGINT; lower k (max {(1 << 63) // (1 << bits)})"
+        )
+    agg = sketch.groupBy(key).agg(
+        F.count("*").cast("bigint").alias("n_seen"),
+        F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias("kth"),
+    )
+    ratio = F.expr(
+        f"cast({(k - 1) * (1 << bits)} as bigint)"
+        " div greatest(kth, cast(1 as bigint))"
+    )
+    return agg.select(
+        key,
+        "n_seen",
+        "kth",
+        F.when(F.col("n_seen") < k, F.col("n_seen"))
+        .otherwise(ratio)
+        .cast("bigint")
+        .alias("est"),
+    )
+
+
 def loghist_quantiles(
     sketch: DataFrame, quantiles: list[tuple[int, int]]
 ) -> DataFrame:

@@ -8898,6 +8898,62 @@ def q_kmv48_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_grouped_lang_vocab",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT DISTINCT lang, unnest({_WORDS_SQL}) AS word FROM documents),
+    hv AS MATERIALIZED (
+      SELECT DISTINCT lang, {_KMV_HV_SQL} AS hv FROM w),
+    km AS MATERIALIZED (
+      SELECT lang, hv FROM (
+        SELECT lang, hv,
+               row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        FROM hv) WHERE rn <= 256),
+    agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   CAST(COALESCE(MAX(hv), 0) AS BIGINT) AS kth
+            FROM km GROUP BY 1),
+    ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact FROM w GROUP BY 1)
+    SELECT ex.lang, ex.n_exact, agg.n_seen, agg.kth,
+           CAST(CASE WHEN agg.n_seen < 256 THEN agg.n_seen
+                ELSE (CAST(255 AS BIGINT) * 4294967296)
+                     // GREATEST(agg.kth, 1) END AS BIGINT) AS est
+    FROM ex JOIN agg ON ex.lang = agg.lang
+    ORDER BY ex.lang
+    """,
+    description="Per-language vocabulary estimates from GROUPED KMV "
+    "sketches (operators/sketch.kmv_grouped_table): the rollup form — "
+    "per-key k-min hash tables a user can persist per shard/day as "
+    "plain rows and merge EXACTLY per key, the deterministic twin of "
+    "hll_sketch_rollup_users' opaque binaries. dropDuplicates "
+    "partial-aggregates (key, hash) map-side so the one Exchange "
+    "carries fixed-width pairs; the k-min is a rank window over the "
+    "same key partitioning (no per-key collect_set — a hot key's "
+    "distinct set never buffers on one executor); per-key estimates "
+    "run over <= k rows/key in pure BIGINT, replayed bit-for-bit.",
+)
+def q_kmv_grouped_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import (
+        kmv_grouped_estimate,
+        kmv_grouped_table,
+    )
+
+    words = _td(spark, sf_dir).select(
+        "lang", F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    sk = kmv_grouped_table(words, "lang", "word", k=256)
+    est = kmv_grouped_estimate(sk, "lang", k=256)
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("word").cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(est, "lang")
+        .select("lang", "n_exact", "n_seen", "kth", "est")
+        .orderBy("lang")
+    )
+
+
+@query(
     "kmv_lang_overlap_docs",
     oracle=f"""
     WITH base AS MATERIALIZED (

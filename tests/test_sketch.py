@@ -322,3 +322,79 @@ def test_kmv_wider_hash_eliminates_conflation(spark):
     d48 = df.select(_row_hash(F.col("v"), 0, bits=48).alias("h")).distinct().count()
     assert d48 == n  # collision-free
     assert 5 <= n - d32 <= 120  # birthday math is real at 32 bits
+
+
+def test_kmv_grouped_merge_equals_whole_and_estimates(spark):
+    from azure_etl_spark.operators.sketch import (
+        kmv_grouped_estimate,
+        kmv_grouped_merge,
+        kmv_grouped_table,
+    )
+
+    # two keys with very different distinct counts; k=64 so key "big"
+    # takes the estimator path and key "small" stays exact
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 200 == 0, "small").otherwise("big").alias("g"),
+            F.col("id").alias("v"),
+        )
+
+    whole = kmv_grouped_table(mk(0, 8000), "g", "v", k=64)
+    merged = kmv_grouped_merge(
+        kmv_grouped_table(mk(0, 3000), "g", "v", k=64),
+        kmv_grouped_table(mk(3000, 8000), "g", "v", k=64),
+        key="g",
+        k=64,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    est = {
+        r["g"]: r for r in kmv_grouped_estimate(whole, "g", k=64).collect()
+    }
+    assert est["small"]["n_seen"] < 64
+    assert est["small"]["est"] == 40  # exact below k
+    assert est["big"]["n_seen"] == 64
+    assert abs(est["big"]["est"] - 7960) < 0.5 * 7960  # 4 sigma at k=64
+
+
+def test_kmv_grouped_plan_single_exchange_no_collect_set(spark):
+    from azure_etl_spark.operators.sketch import kmv_grouped_table
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    plan = (
+        kmv_grouped_table(df, "g", "v", k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # dedup partials + ONE key-partitioned exchange feeding the rank
+    # window; never an unbounded per-key buffer aggregate
+    assert "collect_set" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # dedup + window share key
+
+
+def test_kmv_grouped_salted_equals_unsalted(spark):
+    from azure_etl_spark.operators.sketch import kmv_grouped_table
+
+    # skewed: key "hot" carries 20x the distincts of "cold"; several
+    # bucket counts land both above and below k so both stage-1 paths
+    # (bucket saturated / bucket exact) are exercised
+    df = spark.range(0, 8400).select(
+        F.when(F.col("id") % 21 == 0, "cold").otherwise("hot").alias("g"),
+        F.col("id").alias("v"),
+    )
+    plain = kmv_grouped_table(df, "g", "v", k=64)
+    salted = kmv_grouped_table(df, "g", "v", k=64, salt_buckets=7)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # degenerate salt values fall back to the single-window path
+    for s in (None, 1):
+        same = kmv_grouped_table(df, "g", "v", k=64, salt_buckets=s)
+        assert sorted(map(tuple, same.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
