@@ -390,6 +390,83 @@ def kmv_fold(
     return fold
 
 
+def streaming_kmv_grouped(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    key: str,
+    col: str,
+    k: int = 256,
+    salt_buckets: int | None = None,
+):
+    """Streaming PER-KEY distinct-count gold table via the grouped KMV
+    rollup (operators/sketch.kmv_grouped_table): per micro-batch,
+    sketch the batch per key and fold each key's k smallest distinct
+    hashes into the persisted ``(key, hv)`` gold table — "distinct
+    users per event type, forever" in <= k rows per key, where exact
+    streaming distinct-per-key needs unbounded keyed state.
+
+    Same idempotent-monoid safety as :func:`streaming_kmv` (set-union
+    + per-key k-min: a re-delivered batch cannot corrupt the sketch
+    even in principle; the txn ledger skips replays anyway). A key
+    never seen again keeps its sketch verbatim; new keys appear with
+    their first batch. ``salt_buckets`` passes through to the batch
+    build for hot-key corpora (see kmv_grouped_table).
+    """
+    fold = kmv_grouped_fold(gold_path, key, col, k=k, salt_buckets=salt_buckets)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def kmv_grouped_fold(
+    gold_path: str,
+    key: str,
+    col: str,
+    k: int = 256,
+    salt_buckets: int | None = None,
+    app_id: str | None = None,
+):
+    """The ``foreachBatch`` callable behind :func:`streaming_kmv_grouped`
+    — durability contract of :func:`medallion_fold` (explicit FS probe,
+    atomic snapshot publish, txn-idempotent replays). The merge input
+    is <= k rows per key on BOTH sides, so the fold's cost is
+    sketch-sized regardless of stream volume."""
+    from azure_etl_spark.operators.sketch import (
+        kmv_grouped_merge,
+        kmv_grouped_table,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_kmv_grouped:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kmv_grouped_table(
+            batch_df, key, col, k=k, salt_buckets=salt_buckets
+        )
+        if is_snapshot_table(spark, gold_path):
+            merged = kmv_grouped_merge(
+                read_snapshot(spark, gold_path).select(key, "hv"),
+                batch_sk,
+                key=key,
+                k=k,
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
 def streaming_heavy_hitters(
     stream: DataFrame,
     gold_path: str,

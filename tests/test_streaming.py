@@ -1601,3 +1601,83 @@ def test_streaming_kmv_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_pat
     fold(spark.read.parquet(bronze), 0)
     after = sorted(r["hv"] for r in read_snapshot(spark, gold).collect())
     assert after == whole
+
+
+def test_streaming_kmv_grouped_fold_matches_whole_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Grouped KMV folded across micro-batches (round 7): the final
+    per-key gold table is IDENTICAL to a single whole-corpus build
+    (set-union + per-key k-min is exact AND idempotent), per-key
+    estimates match the batch operator's, and a re-delivered batch id
+    leaves gold bit-identical."""
+    from azure_etl_spark.operators.sketch import (
+        kmv_grouped_estimate,
+        kmv_grouped_table,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import (
+        kmv_grouped_fold,
+        streaming_kmv_grouped,
+    )
+
+    src = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bronze = os.path.join(str(tmp_path), "bronze_gkmv")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_gkmv")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_kmv_grouped(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_gkmv"),
+            key="event_type", col="user_id", k=16,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["event_type"], r["hv"])
+        for r in read_snapshot(spark, gold).collect()
+    )
+    whole = sorted(
+        (r["event_type"], r["hv"])
+        for r in kmv_grouped_table(src, "event_type", "user_id", k=16).collect()
+    )
+    assert got == whole  # incremental fold == one-shot build, exactly
+
+    # per-key estimates off the folded gold match the batch operator's
+    est_gold = sorted(
+        map(
+            tuple,
+            kmv_grouped_estimate(
+                read_snapshot(spark, gold).select("event_type", "hv"),
+                "event_type",
+                k=16,
+            ).collect(),
+        )
+    )
+    est_whole = sorted(
+        map(
+            tuple,
+            kmv_grouped_estimate(
+                kmv_grouped_table(src, "event_type", "user_id", k=16),
+                "event_type",
+                k=16,
+            ).collect(),
+        )
+    )
+    assert est_gold == est_whole
+
+    # replay an already-ledgered batch id — gold must not change
+    fold = kmv_grouped_fold(gold, "event_type", "user_id", k=16)
+    fold(spark.read.parquet(bronze), 0)
+    after = sorted(
+        (r["event_type"], r["hv"])
+        for r in read_snapshot(spark, gold).collect()
+    )
+    assert after == whole

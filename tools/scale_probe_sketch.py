@@ -119,6 +119,42 @@ def main() -> None:
         d48 = df.select(_row_hash(F.col("v"), 0, bits=48).alias("h")).distinct().count()
         print(f"{n:>12} {n - d32:>13} {n * n // 2**33:>8} {n - d48:>13}")
 
+    # grouped KMV hot-key skew: ONE key holds ~all distincts, so the
+    # unsalted rank window sorts that key's whole distinct set in a
+    # single task; salt_buckets splits it across S sorts with provably
+    # identical output (kmv_grouped_table docstring). Times the build
+    # + a full count at growing hot-key sizes.
+    from azure_etl_spark.operators.sketch import kmv_grouped_table  # noqa: E402
+
+    print()
+    print(
+        f"{'hot-key n':>12} {'unsalted s':>11} {'salted(64) s':>13} "
+        f"{'rows equal':>10}"
+    )
+    for n in sizes:
+        skewed = (
+            spark.range(0, n)
+            .select(
+                F.when(F.col("id") % 1000 == 0, F.concat(F.lit("cold"), F.col("id") % 7))
+                .otherwise(F.lit("hot"))
+                .alias("g"),
+                F.col("id").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        plain = kmv_grouped_table(skewed, "g", "v", k=1024)
+        plain_rows = sorted(map(tuple, plain.collect()))
+        t_plain = time.time() - t0
+        t0 = time.time()
+        salted = kmv_grouped_table(skewed, "g", "v", k=1024, salt_buckets=64)
+        salted_rows = sorted(map(tuple, salted.collect()))
+        t_salted = time.time() - t0
+        print(
+            f"{n:>12} {t_plain:>11.2f} {t_salted:>13.2f} "
+            f"{str(plain_rows == salted_rows):>10}"
+        )
+
     spark.stop()
 
 
