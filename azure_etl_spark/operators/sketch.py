@@ -347,6 +347,53 @@ def loghist_merge(*tables: DataFrame) -> DataFrame:
     return out.groupBy("b").agg(F.sum("cnt").alias("cnt"))
 
 
+def loghist_bucket(
+    df: DataFrame,
+    col: str | Column,
+    quantiles: list[tuple[int, int]],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Quantile bucketing WITHOUT a global sort — the scale path the
+    ``ntile_deciles_orders`` description promises: exact ntile needs a
+    total order (one task sorts the whole input; see the plan lint's
+    GLOBAL_WINDOW_ALLOWED note), while this derives cutpoints from the
+    <= 63-row log-histogram and assigns each row's bucket with a pure
+    expression against the broadcast cutpoint array. Plan shape: one
+    63-row aggregate + a BroadcastNestedLoopJoin of ONE row — the data
+    never shuffles, never sorts, and bucketing composes with
+    per-shard sketch merges (:func:`loghist_merge`), which ntile
+    can't.
+
+    Bucket rule: ``1 + #distinct cutpoints strictly below v`` — rows
+    equal to a cutpoint fall in the LOWER bucket; duplicate cutpoint
+    estimates (coarse buckets at low quantile spread) are deduped so
+    bucket ids stay dense. Same factor-of-2 coarseness contract as
+    :func:`loghist_quantiles`: bucket POPULATIONS are approximate
+    (boundaries are bucket upper bounds), bucket MEMBERSHIP is exact
+    and deterministic given the sketch — replayable bit-for-bit by a
+    SQL oracle, unlike ntile-by-percentile_approx whose sketch is
+    opaque and engine-specific.
+
+    ``col`` must be the same non-negative BIGINT-castable expression a
+    :func:`loghist_table` build would see.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("bigint")
+    cut = loghist_quantiles(loghist_table(df, col), quantiles)
+    cuts = cut.agg(F.array_sort(F.collect_set("est")).alias("__cuts"))
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            bucket_col,
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("__cuts"), lambda x: x < v))
+            ).cast("int"),
+        )
+        .drop("__cuts")
+    )
+
+
 def kmv_table(
     df: DataFrame, col: str | Column, k: int = 256, bits: int = 32
 ) -> DataFrame:

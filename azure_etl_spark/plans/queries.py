@@ -8798,6 +8798,62 @@ def q_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "loghist_bucket_orders",
+    oracle="""
+    WITH v AS (SELECT o_totalprice, CAST(o_totalprice * 100 AS BIGINT) AS v
+               FROM orders),
+    h AS (SELECT CAST(length(bin(v)) AS INT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    c AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM h),
+    q(q_num, q_den) AS (VALUES (25, 100), (50, 100), (75, 100)),
+    pick AS (
+      SELECT q.q_num, MIN(c.b) AS b
+      FROM q CROSS JOIN tot JOIN c ON c.cum * q.q_den >= tot.n * q.q_num
+      GROUP BY 1),
+    cuts AS (SELECT list_sort(list(DISTINCT (CAST(1 AS BIGINT) << b) - 1))
+               AS cuts FROM pick),
+    bucketed AS (
+      SELECT v.o_totalprice,
+             1 + len(list_filter(cuts.cuts, c -> c < v.v)) AS bucket
+      FROM v CROSS JOIN cuts)
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS lo,
+           CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS hi
+    FROM bucketed GROUP BY 1 ORDER BY 1
+    """,
+    description="Quantile bucketing WITHOUT a global sort "
+    "(operators/sketch.loghist_bucket) — the scale path "
+    "ntile_deciles_orders' description promises: quartile cutpoints "
+    "come from the 63-row log-histogram (pure-BIGINT pick, replayed "
+    "bit-for-bit) and each order's bucket is 1 + #cutpoints strictly "
+    "below its cent price, a pure expression against the broadcast "
+    "one-row cutpoint array. The orders table never shuffles, never "
+    "sorts, and never crosses a single-task window — the plan lint's "
+    "one data-sized GLOBAL_WINDOW_ALLOWED entry, answered. Bucket "
+    "populations inherit the sketch's factor-of-2 coarseness; "
+    "membership is exact and engine-independent.",
+)
+def q_loghist_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sketch import loghist_bucket
+
+    cents = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    b = loghist_bucket(cents, "v", [(25, 100), (50, 100), (75, 100)])
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("decimal(18,2)").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _KMV_HV_SQL = _md5_bucket_sql("'0:' || word", 1 << 32)
 
 

