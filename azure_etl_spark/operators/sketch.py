@@ -681,3 +681,92 @@ def loghist_quantiles(
         "q_den",
         (_shl1(F.col("b")) - F.lit(1)).cast("bigint").alias("est"),
     )
+
+
+def loghist_grouped_table(
+    df: DataFrame, key: str, col: str | Column
+) -> DataFrame:
+    """Per-key log-histograms as a ``(key, b, cnt)`` table — at most 63
+    rows per key whatever the data: the rollup form of
+    :func:`loghist_table`, completing the grouped sketch family next to
+    :func:`kmv_grouped_table` (distinct) and the HLL rollup
+    (``hll_sketch_rollup_users``). The curation use-case is per-domain
+    length distributions: build per shard/day, merge exactly with
+    :func:`loghist_grouped_merge` (pointwise sum per key), answer
+    per-key quantiles anywhere with :func:`loghist_grouped_quantiles`.
+
+    Scale: ONE groupBy shuffle whose partial HashAggregate collapses to
+    <= 63 rows per key map-side — hot keys cost the same as cold ones
+    (the histogram is the skew guard; contrast the grouped-KMV window,
+    which needs the salted path for hot keys).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("bigint")
+    bucket = F.when(v >= 0, F.length(F.bin(v)).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("loghist_grouped_table: negative value "),
+                v.cast("string"),
+            )
+        ).cast("int")
+    )
+    return (
+        df.select(F.col(key), bucket.alias("b"))
+        .groupBy(key, "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def loghist_grouped_merge(*tables: DataFrame, key: str) -> DataFrame:
+    """Union per-key log-histograms: pointwise sum per (key, bucket) —
+    exact, so per-shard build + merge == one whole-corpus build."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(key, "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def loghist_grouped_quantiles(
+    sketch: DataFrame, key: str, quantiles: list[tuple[int, int]]
+) -> DataFrame:
+    """Per-key quantile estimates from a grouped log-histogram: one row
+    ``(key, q_num, q_den, est)`` per key x ratio, same pure-BIGINT
+    first-bucket-reaching-ceil(q*N) rule (and the same
+    ``true <= est < 2*true + 1`` bracket) as :func:`loghist_quantiles`.
+    The cumulative window partitions BY KEY over <= 63 rows per key —
+    sketch-sized, never the single-task global window the plan lint
+    bans.
+    """
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    cum = sketch.select(
+        key,
+        "b",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy(key)
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    n = sketch.groupBy(key).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
+    qs = spark.createDataFrame(
+        [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
+    )
+    picked = (
+        cum.crossJoin(F.broadcast(qs))
+        .join(n, key)
+        .filter(F.col("cum") * F.col("q_den") >= F.col("n") * F.col("q_num"))
+        .groupBy(key, "q_num", "q_den")
+        .agg(F.min("b").alias("b"))
+    )
+    return picked.select(
+        key,
+        "q_num",
+        "q_den",
+        (_shl1(F.col("b")) - F.lit(1)).cast("bigint").alias("est"),
+    )

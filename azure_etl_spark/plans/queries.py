@@ -113,6 +113,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "hash_sample_orders": ("total",),
     "jdbc_roundtrip_gold": ("min_value_by_crypto", "max_value_by_crypto"),
     "join_revenue_per_nation": ("revenue",),
+    "loghist_bucket_orders": ("lo", "hi"),
     "ntile_deciles_orders": ("lo", "hi"),
     "null_handling_customers": ("total_bal",),
     "orc_roundtrip_gold": ("min_value_by_crypto", "max_value_by_crypto"),
@@ -8851,6 +8852,117 @@ def q_loghist_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "loghist_grouped_len_by_lang",
+    oracle=f"""
+    WITH d AS (SELECT lang, CAST(len({_WORDS_SQL}) AS BIGINT) AS n
+               FROM documents),
+    h AS (SELECT lang, CAST(length(bin(n)) AS INT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+    c AS (SELECT lang, b, SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum
+          FROM h),
+    q(q_num, q_den) AS (VALUES (50, 100), (90, 100), (99, 100)),
+    pick AS (
+      SELECT c.lang, q.q_num, q.q_den, MIN(c.b) AS b
+      FROM q CROSS JOIN c
+      JOIN tot ON tot.lang = c.lang AND c.cum * q.q_den >= tot.n * q.q_num
+      GROUP BY 1, 2, 3)
+    SELECT lang, q_num, q_den,
+           CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS est
+    FROM pick ORDER BY lang, q_num
+    """,
+    description="Per-language document-length quantiles from GROUPED "
+    "log-histograms (operators/sketch.loghist_grouped_table): the "
+    "rollup form — <= 63 rows PER KEY whatever the corpus, exactly "
+    "mergeable per (key, bucket), completing the grouped sketch "
+    "family (HLL rollup, grouped KMV, now grouped quantiles). The one "
+    "shuffle's partial aggregate collapses to <= 63 rows/key map-side, "
+    "so hot domains cost the same as cold ones; the cumulative window "
+    "partitions BY KEY over sketch-sized frames. Per-domain length "
+    "quantiles are the standard curation signal for length filters.",
+)
+def q_loghist_grouped_len_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import (
+        loghist_grouped_quantiles,
+        loghist_grouped_table,
+    )
+
+    d = _td(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(normalized_text("text"), " ")).alias("n_words"),
+    )
+    sk = loghist_grouped_table(d, "lang", "n_words")
+    return loghist_grouped_quantiles(
+        sk, "lang", [(50, 100), (90, 100), (99, 100)]
+    ).orderBy("lang", "q_num")
+
+
+@query(
+    "loghist_tail_share_by_lang",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, CAST(len({_WORDS_SQL}) AS BIGINT) AS n
+               FROM documents),
+    h AS (SELECT lang, CAST(length(bin(n)) AS INT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+    c AS (SELECT lang, b, SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum
+          FROM h),
+    pick AS (
+      SELECT c.lang, MIN(c.b) AS b
+      FROM c JOIN tot ON tot.lang = c.lang AND c.cum * 100 >= tot.n * 90
+      GROUP BY 1),
+    cut AS (SELECT lang, CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS p90_est
+            FROM pick)
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE d.n > cut.p90_est) AS BIGINT)
+             AS n_above,
+           cut.p90_est
+    FROM d JOIN cut ON d.lang = cut.lang
+    GROUP BY d.lang, cut.p90_est
+    ORDER BY d.lang
+    """,
+    description="Sketch-driven length-tail audit — the composition the "
+    "grouped histogram exists for: per-language p90 length cutpoints "
+    "come from the <= 63-row/key sketch, then ONE broadcast join "
+    "(#langs rows) flags each document's tail membership map-side and "
+    "aggregates the share. The corpus is scanned once, shuffles only "
+    "for the final per-lang count, and never sorts — the per-domain "
+    "'drop/inspect the freak-length tail' curation filter at 100 TB. "
+    "Deterministic given the sketch; replayed bit-for-bit in SQL.",
+)
+def q_loghist_tail_share_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import (
+        loghist_grouped_quantiles,
+        loghist_grouped_table,
+    )
+
+    d = _td(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(normalized_text("text"), " ")).alias("n_words"),
+    )
+    cut = loghist_grouped_quantiles(
+        loghist_grouped_table(d, "lang", "n_words"), "lang", [(90, 100)]
+    ).select("lang", F.col("est").alias("p90_est"))
+    return (
+        d.join(F.broadcast(cut), "lang")
+        .groupBy("lang", "p90_est")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if(F.col("n_words") > F.col("p90_est"))
+            .cast("bigint")
+            .alias("n_above"),
+        )
+        .select("lang", "n_docs", "n_above", "p90_est")
+        .orderBy("lang")
     )
 
 

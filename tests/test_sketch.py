@@ -443,3 +443,50 @@ def test_loghist_bucket_no_sort_no_window_on_data(spark, sf_dir):
     # no SinglePartition exchange under the fact scan
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_loghist_grouped_merge_and_bracket(spark):
+    from azure_etl_spark.operators.sketch import (
+        loghist_grouped_merge,
+        loghist_grouped_quantiles,
+        loghist_grouped_table,
+    )
+
+    # two keys with different scales: "a" uniform 0..999, "b" 0..99999
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+            F.when(F.col("id") % 2 == 0, F.col("id") % 1000)
+            .otherwise(F.col("id") % 100000)
+            .alias("v"),
+        )
+
+    whole = loghist_grouped_table(mk(0, 20000), "g", "v")
+    merged = loghist_grouped_merge(
+        loghist_grouped_table(mk(0, 7000), "g", "v"),
+        loghist_grouped_table(mk(7000, 20000), "g", "v"),
+        key="g",
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # bounded: <= 63 rows per key by construction
+    per_key = {r["g"]: r["c"] for r in whole.groupBy("g").agg(
+        F.count("*").alias("c")).collect()}
+    assert all(c <= 63 for c in per_key.values())
+
+    # per-key bracket: true <= est < 2*true + 1 for p50/p90 on each key
+    qs = [(50, 100), (90, 100)]
+    est = {
+        (r["g"], r["q_num"]): r["est"]
+        for r in loghist_grouped_quantiles(whole, "g", qs).collect()
+    }
+    rows = mk(0, 20000).collect()
+    import math
+
+    for g in ("a", "b"):
+        vals = sorted(r["v"] for r in rows if r["g"] == g)
+        for q_num, q_den in qs:
+            true = vals[math.ceil(q_num / q_den * len(vals)) - 1]
+            e = est[(g, q_num)]
+            assert true <= e < 2 * true + 1, (g, q_num, true, e)
