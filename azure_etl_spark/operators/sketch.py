@@ -532,6 +532,46 @@ def kmv_intersect_estimate(
     )
 
 
+def kmv_diff_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256, bits: int = 32
+) -> DataFrame:
+    """Theta-sketch-style set-DIFFERENCE estimate ``|A \\ B|`` from two
+    KMV sketches built with the same ``k`` — completing the set algebra
+    next to :func:`kmv_intersect_estimate` (the union estimate is the
+    merged sketch's own :func:`kmv_distinct_estimate`): one row
+    ``(in_a_only, k_used, union_est, diff_est)``.
+
+    Same sampling argument: the merged sketch's ``k_used`` smallest
+    union hashes are a uniform sample of A ∪ B; ``in_a_only`` of them
+    lie in A's sketch but not B's, so ``|A \\ B| ≈ in_a_only/k_used *
+    |A ∪ B|`` — computed as pure BIGINT ``(in_a_only * union_est) div
+    k_used``. Everything joins over <= k-row broadcast frames.
+    """
+    x = kmv_merge(a, b, k=k)
+    a_only = (
+        x.join(F.broadcast(a), "hv", "left_semi")
+        .join(F.broadcast(b), "hv", "left_anti")
+    )
+    est = kmv_distinct_estimate(x, k=k, bits=bits).select(
+        F.col("n_seen").alias("k_used"), F.col("est").alias("union_est")
+    )
+    m = a_only.agg(F.count("*").cast("bigint").alias("in_a_only"))
+    return (
+        m.crossJoin(F.broadcast(est))
+        .select(
+            "in_a_only",
+            "k_used",
+            "union_est",
+            F.expr(
+                "(in_a_only * union_est)"
+                " div greatest(k_used, cast(1 as bigint))"
+            )
+            .cast("bigint")
+            .alias("diff_est"),
+        )
+    )
+
+
 def kmv_grouped_table(
     df: DataFrame,
     key: str,
@@ -646,7 +686,9 @@ def loghist_quantiles(
     ``2^b - 1`` of the first bucket whose cumulative count reaches
     ``ceil(q * N)`` — found with the integer compare
     ``cum * q_den >= N * q_num`` (no float q, so a SQL oracle agrees
-    bit-for-bit). Guarantee: ``true_quantile <= est < 2 * true + 1``
+    bit-for-bit). Guarantee: ``true_quantile <= est < 2 * true + 1`` for
+    ``true >= 1``, and ``est <= 1`` at ``true == 0`` (0 and 1 share
+    bucket 1 — property-tested edge)
     (the bucket brackets the true value within a factor of 2 — the
     price of a 63-row summary; tighten by bucketing a scaled column).
 
@@ -732,7 +774,8 @@ def loghist_grouped_quantiles(
     """Per-key quantile estimates from a grouped log-histogram: one row
     ``(key, q_num, q_den, est)`` per key x ratio, same pure-BIGINT
     first-bucket-reaching-ceil(q*N) rule (and the same
-    ``true <= est < 2*true + 1`` bracket) as :func:`loghist_quantiles`.
+    ``true <= est < 2*true + 1``-for-``true >= 1`` bracket, ``est <= 1``
+    at zero) as :func:`loghist_quantiles`.
     The cumulative window partitions BY KEY over <= 63 rows per key —
     sketch-sized, never the single-task global window the plan lint
     bans.

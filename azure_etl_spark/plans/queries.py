@@ -9122,6 +9122,60 @@ def q_kmv_grouped_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_lang_diff_docs",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT lang, unnest({_WORDS_SQL}) AS word FROM documents
+      WHERE lang IN ('en', 'fr')),
+    ha AS MATERIALIZED (
+      SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM base WHERE lang = 'en'),
+    hb AS MATERIALIZED (
+      SELECT DISTINCT {_KMV_HV_SQL} AS hv FROM base WHERE lang = 'fr'),
+    ka AS MATERIALIZED (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+    kb AS MATERIALIZED (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+    kx AS MATERIALIZED (
+      SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      ORDER BY hv LIMIT 256),
+    uagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                    CAST(COALESCE(MAX(hv), 0) AS BIGINT) AS kth FROM kx),
+    uest AS (SELECT k_used,
+                    CAST(CASE WHEN k_used < 256 THEN k_used
+                         ELSE (CAST(255 AS BIGINT) * 4294967296)
+                              // GREATEST(kth, 1) END AS BIGINT) AS union_est
+             FROM uagg),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS in_a_only FROM kx
+          WHERE hv IN (SELECT hv FROM ka)
+            AND hv NOT IN (SELECT hv FROM kb))
+    SELECT m.in_a_only, u.k_used, u.union_est,
+           CAST((m.in_a_only * u.union_est)
+                // GREATEST(u.k_used, 1) AS BIGINT) AS diff_est
+    FROM m CROSS JOIN uest AS u
+    """,
+    description="English-vocabulary-not-in-French estimate from two "
+    "KMV sketches (operators/sketch.kmv_diff_estimate) — the theta "
+    "a-not-b, completing the sketch set algebra (distinct/union, "
+    "intersection, now difference): in_a_only of the merged sketch's "
+    "k_used union-sample hashes lie in A's sketch but not B's, so "
+    "|A \\\\ B| = in_a_only * union_est div k_used in pure BIGINT. "
+    "Every frame in the decision is <= k rows and broadcast.",
+)
+def q_kmv_lang_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import kmv_diff_estimate, kmv_table
+
+    base = _td(spark, sf_dir).filter(F.col("lang").isin("en", "fr"))
+
+    def words(lang: str):
+        return base.filter(F.col("lang") == lang).select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("word")
+        )
+
+    ka = kmv_table(words("en"), "word", k=256)
+    kb = kmv_table(words("fr"), "word", k=256)
+    return kmv_diff_estimate(ka, kb, k=256)
+
+
+@query(
     "kmv_lang_overlap_docs",
     oracle=f"""
     WITH base AS MATERIALIZED (

@@ -390,6 +390,122 @@ def kmv_fold(
     return fold
 
 
+def streaming_loghist(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    col: str,
+):
+    """Streaming quantile-summary gold table via the mergeable
+    log-histogram (operators/sketch.py): per micro-batch, histogram the
+    batch's values and SUM the bucket counters into the persisted
+    <= 63-row gold table — quantile estimates of the ENTIRE stream so
+    far, any time, where exact streaming quantiles need the whole
+    history. Counter sums are NOT idempotent (same contract as
+    :func:`streaming_cms`): replay safety rides on the snapshot txn
+    ledger, proven by the batch-replay test.
+    """
+    fold = loghist_fold(gold_path, col)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def loghist_fold(gold_path: str, col: str, app_id: str | None = None):
+    """The ``foreachBatch`` callable behind :func:`streaming_loghist` —
+    durability contract of :func:`medallion_fold` (explicit FS probe,
+    atomic snapshot publish, txn-idempotent replays)."""
+    from azure_etl_spark.operators.sketch import loghist_merge, loghist_table
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_loghist:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = loghist_table(batch_df, col)
+        if is_snapshot_table(spark, gold_path):
+            merged = loghist_merge(
+                read_snapshot(spark, gold_path).select("b", "cnt"), batch_sk
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
+def streaming_bloom(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    col: str,
+    num_bits: int = 1 << 16,
+    k: int = 3,
+):
+    """Streaming membership-filter gold table via the mergeable Bloom
+    bit-table (operators/sketch.py): per micro-batch, OR the batch's
+    bits into the persisted <= num_bits/64-row gold table — a
+    "have we EVER seen this key" filter over the whole stream in fixed
+    state, no false negatives at any point. Downstream batch jobs
+    prune with :func:`azure_etl_spark.operators.sketch.bloom_prune`
+    against the live gold table.
+
+    Bit-OR is a monoid AND idempotent (like KMV/HLL, unlike CMS and
+    loghist counter sums), so a re-delivered batch cannot corrupt the
+    filter even in principle; the txn ledger still skips replays for
+    the shared durability contract.
+    """
+    fold = bloom_fold(gold_path, col, num_bits=num_bits, k=k)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def bloom_fold(
+    gold_path: str,
+    col: str,
+    num_bits: int = 1 << 16,
+    k: int = 3,
+    app_id: str | None = None,
+):
+    """The ``foreachBatch`` callable behind :func:`streaming_bloom` —
+    durability contract of :func:`medallion_fold`."""
+    from azure_etl_spark.operators.sketch import bloom_merge, bloom_table
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_bloom:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = bloom_table(batch_df, col, num_bits=num_bits, k=k)
+        if is_snapshot_table(spark, gold_path):
+            merged = bloom_merge(
+                read_snapshot(spark, gold_path).select("word", "bits"),
+                batch_sk,
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
 def streaming_kmv_grouped(
     stream: DataFrame,
     gold_path: str,

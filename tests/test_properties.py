@@ -585,3 +585,102 @@ def test_kmv_shard_merge_invariance(spark, values, cuts, k):
         {int(hashlib.md5(f"0:{v}".encode()).hexdigest()[:8], 16) for v in values}
     )[:k]
     assert want == ref
+
+
+@given(
+    values=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=120,
+    ),
+    cuts=st.lists(st.integers(0, 119), min_size=0, max_size=3),
+    k=st.sampled_from([4, 16]),
+    salt=st.sampled_from([None, 3]),
+)
+@SET
+def test_kmv_grouped_shard_merge_invariance(spark, values, cuts, k, salt):
+    """Grouped-KMV mergeability is EXACT per key under ANY sharding,
+    the salted build agrees with the unsalted one, and a reference
+    per-key k-min over the same md5 hashes (plain Python) agrees."""
+    import hashlib
+
+    from azure_etl_spark.operators.sketch import (
+        kmv_grouped_merge,
+        kmv_grouped_table,
+    )
+
+    bounds = sorted({0, len(values), *[c for c in cuts if c < len(values)]})
+    shards = [
+        values[a:b] for a, b in zip(bounds, bounds[1:]) if values[a:b]
+    ] or [values]
+
+    def sk(vals):
+        df = spark.createDataFrame(vals, "g int, v long")
+        return kmv_grouped_table(df, "g", "v", k=k, salt_buckets=salt)
+
+    merged = kmv_grouped_merge(*[sk(s) for s in shards], key="g", k=k)
+    whole = sk(values)
+    got = sorted((r["g"], r["hv"]) for r in merged.collect())
+    want = sorted((r["g"], r["hv"]) for r in whole.collect())
+    assert got == want
+
+    ref = []
+    for g in {g for g, _ in values}:
+        hs = sorted(
+            {
+                int(hashlib.md5(f"0:{v}".encode()).hexdigest()[:8], 16)
+                for gg, v in values
+                if gg == g
+            }
+        )[:k]
+        ref += [(g, h) for h in hs]
+    assert want == sorted(ref)
+
+
+@given(
+    values=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=120,
+    ),
+    cuts=st.lists(st.integers(0, 119), min_size=0, max_size=3),
+)
+@SET
+def test_loghist_grouped_shard_merge_and_quantile_bracket(spark, values, cuts):
+    """Grouped log-histograms merge exactly per (key, bucket) under any
+    sharding, and every per-key quantile estimate lands in the
+    documented true <= est < 2*true + 1 bracket."""
+    import math
+
+    from azure_etl_spark.operators.sketch import (
+        loghist_grouped_merge,
+        loghist_grouped_quantiles,
+        loghist_grouped_table,
+    )
+
+    bounds = sorted({0, len(values), *[c for c in cuts if c < len(values)]})
+    shards = [
+        values[a:b] for a, b in zip(bounds, bounds[1:]) if values[a:b]
+    ] or [values]
+
+    def sk(vals):
+        df = spark.createDataFrame(vals, "g int, v long")
+        return loghist_grouped_table(df, "g", "v")
+
+    merged = loghist_grouped_merge(*[sk(s) for s in shards], key="g")
+    whole = sk(values)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    qs = [(50, 100), (99, 100)]
+    est = {
+        (r["g"], r["q_num"]): r["est"]
+        for r in loghist_grouped_quantiles(whole, "g", qs).collect()
+    }
+    for g in {g for g, _ in values}:
+        vals = sorted(v for gg, v in values if gg == g)
+        for q_num, q_den in qs:
+            true = vals[math.ceil(q_num / q_den * len(vals)) - 1]
+            e = est[(g, q_num)]
+            assert true <= e <= max(1, 2 * true), (g, q_num, true, e)

@@ -490,3 +490,37 @@ def test_loghist_grouped_merge_and_bracket(spark):
             true = vals[math.ceil(q_num / q_den * len(vals)) - 1]
             e = est[(g, q_num)]
             assert true <= e < 2 * true + 1, (g, q_num, true, e)
+
+
+def test_kmv_diff_estimates_a_not_b(spark):
+    from azure_etl_spark.operators.sketch import kmv_diff_estimate, kmv_table
+
+    # |A| = 6000, |B| = 6000, |A \ B| = 4000, |A u B| = 10_000
+    a = spark.range(0, 6000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 10_000).select(F.col("id").alias("v"))
+    ka, kb = kmv_table(a, "v", k=256), kmv_table(b, "v", k=256)
+    row = kmv_diff_estimate(ka, kb, k=256).collect()[0]
+    assert row["k_used"] == 256
+    # share stderr ~ sqrt(0.4*0.6/256) = 3.1%abs -> 4 sigma bracket
+    assert 0.28 <= row["in_a_only"] / row["k_used"] <= 0.52
+    assert abs(row["diff_est"] - 4000) < 0.5 * 4000
+    # identities on the same sample: diff(A,B) + diff(B,A) + inter
+    # partition the k_used union sample exactly
+    from azure_etl_spark.operators.sketch import kmv_intersect_estimate
+
+    rev = kmv_diff_estimate(kb, ka, k=256).collect()[0]
+    inter = kmv_intersect_estimate(ka, kb, k=256).collect()[0]
+    assert (
+        row["in_a_only"] + rev["in_a_only"] + inter["matches"]
+        == row["k_used"]
+    )
+
+    # disjoint sets: everything in A's half of the sample is A-only
+    c = spark.range(20_000, 26_000).select(F.col("id").alias("v"))
+    d_row = kmv_diff_estimate(ka, kmv_table(c, "v", k=256), k=256).collect()[0]
+    inter_cd = kmv_intersect_estimate(
+        ka, kmv_table(c, "v", k=256), k=256
+    ).collect()[0]
+    assert inter_cd["matches"] == 0
+    assert d_row["in_a_only"] + 0 <= d_row["k_used"]
+    assert abs(d_row["diff_est"] - 6000) < 0.5 * 6000

@@ -1681,3 +1681,112 @@ def test_streaming_kmv_grouped_fold_matches_whole_and_replay_safe(
         for r in read_snapshot(spark, gold).collect()
     )
     assert after == whole
+
+
+def test_streaming_loghist_fold_matches_whole_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Log-histogram folded across micro-batches (round 7): gold ==
+    one-shot whole-corpus build (pointwise counter sums are exact),
+    quantile estimates off gold match the batch operator's, and a
+    re-delivered batch id leaves gold bit-identical (counter sums are
+    NOT idempotent — replay safety IS the txn ledger, so this is the
+    assertion that matters)."""
+    from azure_etl_spark.operators.sketch import (
+        loghist_quantiles,
+        loghist_table,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import loghist_fold, streaming_loghist
+
+    src = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    bronze = os.path.join(str(tmp_path), "bronze_lh")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_lh")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_loghist(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_lh"), col="v"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_snapshot(spark, gold).select("b", "cnt").collect()))
+    whole = sorted(map(tuple, loghist_table(src, "v").collect()))
+    assert got == whole
+
+    qs = [(50, 100), (99, 100)]
+    est_gold = sorted(map(tuple, loghist_quantiles(
+        read_snapshot(spark, gold).select("b", "cnt"), qs).collect()))
+    est_whole = sorted(map(tuple, loghist_quantiles(
+        loghist_table(src, "v"), qs).collect()))
+    assert est_gold == est_whole
+
+    # replay an already-ledgered batch id — counters must NOT double
+    fold = loghist_fold(gold, "v")
+    fold(spark.read.parquet(bronze), 0)
+    after = sorted(map(tuple, read_snapshot(spark, gold).select("b", "cnt").collect()))
+    assert after == whole
+
+
+def test_streaming_bloom_fold_matches_whole_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Bloom bits folded across micro-batches (round 7): gold ==
+    one-shot build (bit-OR is exact and idempotent), a batch-pruned
+    probe off gold keeps every true member, and a re-delivered batch
+    id leaves gold bit-identical."""
+    from azure_etl_spark.operators.sketch import bloom_prune, bloom_table
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import bloom_fold, streaming_bloom
+
+    src = load_table(spark, sf_dir, "customer").select("c_custkey")
+    bronze = os.path.join(str(tmp_path), "bronze_bl")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_bl")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_bloom(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_bl"),
+            col="c_custkey", num_bits=1 << 12, k=3,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_snapshot(spark, gold).select("word", "bits").collect()))
+    whole = sorted(map(tuple, bloom_table(src, "c_custkey", num_bits=1 << 12, k=3).collect()))
+    assert got == whole
+
+    # no false negatives: every real key survives pruning against gold
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    members = orders.join(
+        src, orders.o_custkey == src.c_custkey, "left_semi"
+    )
+    pruned = bloom_prune(
+        orders,
+        read_snapshot(spark, gold).select("word", "bits"),
+        "o_custkey",
+        num_bits=1 << 12,
+        k=3,
+    )
+    assert pruned.join(members, "o_custkey", "left_semi").count() == members.count()
+
+    # replay an already-ledgered batch id — gold must not change
+    fold = bloom_fold(gold, "c_custkey", num_bits=1 << 12, k=3)
+    fold(spark.read.parquet(bronze), 0)
+    after = sorted(map(tuple, read_snapshot(spark, gold).select("word", "bits").collect()))
+    assert after == whole
