@@ -239,6 +239,16 @@ COMMENTARY = {
         "expression — the orders table never shuffles pre-agg, never "
         "sorts, never crosses a single-task window."
     ),
+    "loghist_tail_share_by_lang": (
+        "Grouped-loghist composition (round 7): per-language p90 "
+        "length cutpoints from the <= 63-row/key rollup (its cumsum "
+        "window partitions BY KEY over sketch-sized frames), then one "
+        "BROADCAST join (#langs rows) flags tail membership map-side. "
+        "The corpus is scanned once, shuffles only for the final "
+        "per-lang count, and the partial aggregate of the histogram "
+        "build collapses to <= 63 rows/key map-side — hot domains "
+        "cost the same as cold ones."
+    ),
 }
 
 
