@@ -262,6 +262,42 @@ def cms_estimate(
     )
 
 
+def cms_join_size_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join OUTPUT-CARDINALITY estimate from two CMS counter-tables
+    built with the SAME (depth, width) over the two join keys — the
+    classic sketch inner-product estimator (AGMS / Cormode &
+    Muthukrishnan 2005 §4.2): the true join size is
+    ``sum_v count_a(v) * count_b(v)``, and each hash row's bucket-wise
+    inner product ``sum_b cnt_a[r,b] * cnt_b[r,b]`` OVERCOUNTS it only
+    by colliding cross terms — so ``min over rows >= true`` always,
+    within ``e * N_a * N_b`` at ``width = ceil(e/ε)`` with probability
+    ``1 - delta`` at ``depth = ceil(ln 1/delta)``.
+
+    One row ``(est: bigint)``, computed from two <= depth*width-row
+    frames: the planner-style "how badly does this join blow up"
+    question answered BEFORE committing a 100 TB shuffle, from sketches
+    that were built per shard/day and merged (:func:`cms_merge`) — the
+    whole decision never touches the data. Pure BIGINT products, so a
+    SQL oracle replays the estimate bit-for-bit.
+    """
+    pa = a.select("r", "b", F.col("cnt").alias("__ca"))
+    pb = b.select("r", "b", F.col("cnt").alias("__cb"))
+    ip = pa.join(pb, ["r", "b"]).groupBy("r").agg(
+        F.sum(F.col("__ca") * F.col("__cb")).cast("bigint").alias("ip")
+    )
+    # a hash row with NO shared buckets has inner product 0 (and then
+    # the true join size must be 0, since every row's ip >= true) — an
+    # inner join would drop that row and the min would overestimate;
+    # rebuild the row axis from both sketches and default missing to 0
+    rows = pa.select("r").union(pb.select("r")).distinct()
+    per_row = rows.join(ip, "r", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).cast("bigint").alias("ip")
+    )
+    return per_row.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("bigint").alias("est")
+    )
+
+
 def cms_total(sketch: DataFrame) -> DataFrame:
     """Total item count ``N`` recovered from the sketch itself: every
     item increments exactly one bucket of row 0, so the sum of row 0's

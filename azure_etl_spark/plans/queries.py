@@ -8620,6 +8620,56 @@ def _md5_bucket_sql(expr: str, width: int) -> str:
 
 
 @query(
+    "cms_join_size_orders_customer",
+    oracle=f"""
+    WITH rr AS (SELECT unnest([0, 1, 2]) AS r),
+    ca AS MATERIALIZED (
+      SELECT r,
+             {_md5_bucket_sql("CAST(r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)", 512)} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders CROSS JOIN rr GROUP BY 1, 2),
+    cb AS MATERIALIZED (
+      SELECT r,
+             {_md5_bucket_sql("CAST(r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)", 512)} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer CROSS JOIN rr GROUP BY 1, 2),
+    ip AS (SELECT ca.r, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+           FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY 1),
+    rows_axis AS (SELECT DISTINCT r FROM (SELECT r FROM ca UNION ALL SELECT r FROM cb)),
+    per_row AS (SELECT COALESCE(ip.ip, 0) AS ip
+                FROM rows_axis LEFT JOIN ip ON rows_axis.r = ip.r),
+    est AS (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS est FROM per_row),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT ex.n_exact, est.est FROM ex CROSS JOIN est
+    """,
+    description="Equi-join output-cardinality estimate from two CMS "
+    "counter-tables (operators/sketch.cms_join_size_estimate — the "
+    "classic AGMS/CMS inner-product estimator): true join size = "
+    "sum_v cnt_a(v)*cnt_b(v); each hash row's bucket-wise inner "
+    "product overcounts it only by colliding cross terms, so min over "
+    "rows >= true always. The planner-style 'how badly does this join "
+    "blow up' answer computed from two <= depth*width-row persisted "
+    "sketches BEFORE committing a 100 TB shuffle — the decision never "
+    "touches the data. Pure BIGINT; the oracle replays the salted-md5 "
+    "buckets digit-by-digit and the exact join size rides along to "
+    "exhibit the one-sided guarantee.",
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sketch import cms_join_size_estimate, cms_table
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sa = cms_table(o, "o_custkey", depth=3, width=512)
+    sb = cms_table(c, "c_custkey", depth=3, width=512)
+    est = cms_join_size_estimate(sa, sb)
+    exact = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select("n_exact", "est")
+
+
+@query(
     "bloom_pruned_join_orders",
     oracle="""
     SELECT o.o_orderpriority,

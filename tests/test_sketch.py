@@ -524,3 +524,45 @@ def test_kmv_diff_estimates_a_not_b(spark):
     assert inter_cd["matches"] == 0
     assert d_row["in_a_only"] + 0 <= d_row["k_used"]
     assert abs(d_row["diff_est"] - 6000) < 0.5 * 6000
+
+
+def test_cms_join_size_one_sided_and_accurate(spark):
+    from azure_etl_spark.operators.sketch import (
+        cms_join_size_estimate,
+        cms_table,
+    )
+
+    # skewed fact (zipf-ish repeats) x dim with 1 row per key: the
+    # true join size is the fact's matching-row count
+    fact = spark.range(0, 30_000).select(
+        (F.col("id") % (F.col("id") % 97 + 1)).alias("k")
+    )
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    true = fact.join(dim, "k").count()
+    est = cms_join_size_estimate(
+        cms_table(fact, "k", depth=4, width=1024),
+        cms_table(dim, "k", depth=4, width=1024),
+    ).collect()[0]["est"]
+    assert est >= true  # the one-sided guarantee, always
+    # error bound ~ e/width * Na*Nb = 2.72/1024 * 30000*50 ~ 4000;
+    # with min-over-4-rows the typical error is far smaller
+    assert est - true <= 2.72 / 1024 * 30_000 * 50
+
+    # disjoint key ranges: every shared bucket is pure collision; the
+    # estimate must stay within the same additive bound of zero
+    a = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b = spark.range(100_000, 105_000).select(F.col("id").alias("k"))
+    est0 = cms_join_size_estimate(
+        cms_table(a, "k", depth=4, width=1024),
+        cms_table(b, "k", depth=4, width=1024),
+    ).collect()[0]["est"]
+    assert 0 <= est0 <= 2.72 / 1024 * 5000 * 5000
+
+    # no shared buckets at all (tiny disjoint sets): est is exactly 0
+    tiny_a = spark.range(0, 1).select(F.col("id").alias("k"))
+    tiny_b = spark.range(7, 8).select(F.col("id").alias("k"))
+    ez = cms_join_size_estimate(
+        cms_table(tiny_a, "k", depth=4, width=1 << 14),
+        cms_table(tiny_b, "k", depth=4, width=1 << 14),
+    ).collect()[0]["est"]
+    assert ez == 0
