@@ -8739,6 +8739,7 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines identically because the salted-md5 bucket hash is "
     "replayed digit-by-digit in the oracle. The table is mergeable "
     "(union + sum) — build per shard/day, merge cheap.",
+    bench=True,
 )
 def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.dedup import normalized_text
@@ -8886,6 +8887,7 @@ def q_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one data-sized GLOBAL_WINDOW_ALLOWED entry, answered. Bucket "
     "populations inherit the sketch's factor-of-2 coarseness; "
     "membership is exact and engine-independent.",
+    bench=True,
 )
 def q_loghist_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.sketch import loghist_bucket
@@ -9058,6 +9060,7 @@ def _md5_hv_sql(expr: str, ndigits: int) -> str:
     "distinct's partial aggregate dedupes map-side; the top-k is a "
     "TakeOrderedAndProject — the shuffle carries 8-byte distinct "
     "hashes, never words.",
+    bench=True,
 )
 def q_kmv_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_etl_spark.operators.dedup import normalized_text

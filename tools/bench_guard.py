@@ -59,6 +59,12 @@ REFERENCE: dict[str, float] = {
     "image_dhash_near_dup": 0.390,
     "audio_fp_near_dup": 0.371,
     "video_fp_near_dup": 0.369,
+    # added late round 7 (BENCH_LOCAL_r07.json final clean-run values):
+    # the mergeable-sketch family joined the headline set so the
+    # sketch-build + bounded-aggregate path has regression protection
+    "kmv_distinct_words_docs": 0.525,
+    "cms_word_freq_docs": 0.551,
+    "loghist_bucket_orders": 0.851,
 }
 
 # BENCH_LOCAL_r06_sf1.json "queries" (10x-replicated sf1 fixture
@@ -94,6 +100,12 @@ SF1_REFERENCE: dict[str, float] = {
     "image_dhash_near_dup": 1.079,
     "audio_fp_near_dup": 0.925,
     "video_fp_near_dup": 0.638,
+    # added late round 7 (BENCH_LOCAL_r07_sf1.json final clean-run
+    # values) — ~flat vs their sf0.1 numbers at 10x data: the sketch
+    # aggregates are bounded by sketch size, not input size
+    "kmv_distinct_words_docs": 0.726,
+    "cms_word_freq_docs": 1.049,
+    "loghist_bucket_orders": 0.869,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
