@@ -583,6 +583,69 @@ def kmv_grouped_fold(
     return fold
 
 
+def streaming_loghist_grouped(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    key: str,
+    col: str,
+):
+    """Streaming PER-KEY quantile-summary gold table via the grouped
+    log-histogram (operators/sketch.loghist_grouped_table): per
+    micro-batch, histogram the batch per key and SUM the (key, bucket)
+    counters into the persisted <= 63-rows-per-key gold table —
+    "per-domain length quantiles over the whole stream, any time" in
+    bounded state, the streaming twin of loghist_grouped_len_by_lang.
+    Completes the grouped-rollup fold symmetry next to
+    :func:`streaming_kmv_grouped`. Counter sums are NOT idempotent
+    (same contract as :func:`streaming_cms`/:func:`streaming_loghist`):
+    replay safety rides on the snapshot txn ledger.
+    """
+    fold = loghist_grouped_fold(gold_path, key, col)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def loghist_grouped_fold(
+    gold_path: str, key: str, col: str, app_id: str | None = None
+):
+    """The ``foreachBatch`` callable behind
+    :func:`streaming_loghist_grouped` — durability contract of
+    :func:`medallion_fold` (explicit FS probe, atomic snapshot publish,
+    txn-idempotent replays)."""
+    from azure_etl_spark.operators.sketch import (
+        loghist_grouped_merge,
+        loghist_grouped_table,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_loghist_grouped:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = loghist_grouped_table(batch_df, key, col)
+        if is_snapshot_table(spark, gold_path):
+            merged = loghist_grouped_merge(
+                read_snapshot(spark, gold_path).select(key, "b", "cnt"),
+                batch_sk,
+                key=key,
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
 def streaming_heavy_hitters(
     stream: DataFrame,
     gold_path: str,

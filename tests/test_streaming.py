@@ -1790,3 +1790,65 @@ def test_streaming_bloom_fold_matches_whole_and_replay_safe(
     fold(spark.read.parquet(bronze), 0)
     after = sorted(map(tuple, read_snapshot(spark, gold).select("word", "bits").collect()))
     assert after == whole
+
+
+def test_streaming_loghist_grouped_fold_matches_whole_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Grouped log-histogram folded across micro-batches (round 7):
+    per-key gold == one-shot whole-corpus build, per-key quantile
+    estimates off gold match the batch operator's, and a re-delivered
+    batch id leaves gold bit-identical (counter sums are NOT
+    idempotent — the replay assertion carries the correctness)."""
+    from azure_etl_spark.operators.sketch import (
+        loghist_grouped_quantiles,
+        loghist_grouped_table,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import (
+        loghist_grouped_fold,
+        streaming_loghist_grouped,
+    )
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") * 100).cast("bigint").alias("v")
+    )
+    bronze = os.path.join(str(tmp_path), "bronze_glh")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_glh")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_loghist_grouped(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_glh"),
+            key="event_type", col="v",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_snapshot(spark, gold)
+                     .select("event_type", "b", "cnt").collect()))
+    whole = sorted(map(tuple, loghist_grouped_table(
+        src, "event_type", "v").collect()))
+    assert got == whole
+
+    qs = [(50, 100), (99, 100)]
+    est_gold = sorted(map(tuple, loghist_grouped_quantiles(
+        read_snapshot(spark, gold).select("event_type", "b", "cnt"),
+        "event_type", qs).collect()))
+    est_whole = sorted(map(tuple, loghist_grouped_quantiles(
+        loghist_grouped_table(src, "event_type", "v"),
+        "event_type", qs).collect()))
+    assert est_gold == est_whole
+
+    # replay an already-ledgered batch id — counters must NOT double
+    fold = loghist_grouped_fold(gold, "event_type", "v")
+    fold(spark.read.parquet(bronze), 0)
+    after = sorted(map(tuple, read_snapshot(spark, gold)
+                       .select("event_type", "b", "cnt").collect()))
+    assert after == whole
