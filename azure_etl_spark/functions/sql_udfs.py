@@ -51,12 +51,14 @@ _DDL = [
        RETURN cast(bit_count(a ^ b) AS INT)""",
     # cosine similarity of two double vectors (NULL on zero-norm), the
     # scalar behind the ANN operators — aggregate/zip_with, no UDF
+    # nullif guards the zero-norm vector: under Spark 4's default ANSI
+    # mode a bare /0 raises DIVIDE_BY_ZERO instead of returning NULL
     """CREATE OR REPLACE TEMPORARY FUNCTION eng_cosine(a ARRAY<DOUBLE>,
                                                        b ARRAY<DOUBLE>)
        RETURNS DOUBLE
        RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)
-              / (sqrt(aggregate(a, 0.0D, (s, v) -> s + v * v))
-                 * sqrt(aggregate(b, 0.0D, (s, v) -> s + v * v)))""",
+              / nullif(sqrt(aggregate(a, 0.0D, (s, v) -> s + v * v))
+                       * sqrt(aggregate(b, 0.0D, (s, v) -> s + v * v)), 0.0D)""",
 ]
 
 

@@ -71,6 +71,20 @@ def _shl1(nbits: Column) -> Column:
     return F.call_function("shiftleft", F.lit(1).cast("bigint"), nbits)
 
 
+def _bucket_upper(b: Column) -> Column:
+    """Upper bound ``2^b - 1`` of log-histogram bucket ``b``, with the
+    top bucket (b >= 63, i.e. any value >= 2^62) pinned to
+    ``Long.MAX_VALUE``: ``shiftleft(1L, 63)`` wraps to ``Long.MIN`` and
+    the ``- 1`` then raises ARITHMETIC_OVERFLOW under Spark 4's default
+    ANSI mode (and DuckDB's ``(1::BIGINT << 63) - 1`` errors the same
+    way) — the oracles special-case identically."""
+    return (
+        F.when(b >= 63, F.lit((1 << 63) - 1))
+        .otherwise(_shl1(b) - F.lit(1))
+        .cast("bigint")
+    )
+
+
 # --------------------------------------------------------------- Bloom
 
 
@@ -241,24 +255,28 @@ def cms_estimate(
     """
     c = F.col(col) if isinstance(col, str) else col
     name = col if isinstance(col, str) else "value"
-    probed = probes.select(c.alias(name)).dropDuplicates().select(
-        name,
+    # probe under a reserved internal name: a probed column literally
+    # named 'r'/'b'/'cnt' would collide with the sketch's own columns
+    # in the join/groupBy (ADVICE r7) — rename back only on output
+    probed = probes.select(c.alias("__cms_v")).dropDuplicates().select(
+        "__cms_v",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        (_row_hash(F.col(name), r) % width).alias("b"),
+                        (_row_hash(F.col("__cms_v"), r) % width).alias("b"),
                     )
                     for r in range(depth)
                 ]
             )
         ).alias("rb"),
-    ).select(name, "rb.r", "rb.b")
+    ).select("__cms_v", "rb.r", "rb.b")
     return (
         probed.join(F.broadcast(sketch), ["r", "b"], "left")
-        .groupBy(name)
+        .groupBy("__cms_v")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+        .withColumnRenamed("__cms_v", name)
     )
 
 
@@ -757,7 +775,7 @@ def loghist_quantiles(
     return picked.select(
         "q_num",
         "q_den",
-        (_shl1(F.col("b")) - F.lit(1)).cast("bigint").alias("est"),
+        _bucket_upper(F.col("b")).alias("est"),
     )
 
 
@@ -847,5 +865,5 @@ def loghist_grouped_quantiles(
         key,
         "q_num",
         "q_den",
-        (_shl1(F.col("b")) - F.lit(1)).cast("bigint").alias("est"),
+        _bucket_upper(F.col("b")).alias("est"),
     )

@@ -8824,7 +8824,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.q_num, q.q_den, MIN(c.b) AS b
       FROM q CROSS JOIN tot JOIN c ON c.cum * q.q_den >= tot.n * q.q_num
       GROUP BY 1, 2)
-    SELECT q_num, q_den, CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS est
+    SELECT q_num, q_den, CAST(CASE WHEN b >= 63 THEN 9223372036854775807 ELSE (CAST(1 AS BIGINT) << b) - 1 END AS BIGINT) AS est
     FROM pick ORDER BY q_num
     """,
     description="Order-price quantiles from the 63-row log-histogram "
@@ -8865,7 +8865,7 @@ def q_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.q_num, MIN(c.b) AS b
       FROM q CROSS JOIN tot JOIN c ON c.cum * q.q_den >= tot.n * q.q_num
       GROUP BY 1),
-    cuts AS (SELECT list_sort(list(DISTINCT (CAST(1 AS BIGINT) << b) - 1))
+    cuts AS (SELECT list_sort(list(DISTINCT CASE WHEN b >= 63 THEN 9223372036854775807 ELSE (CAST(1 AS BIGINT) << b) - 1 END))
                AS cuts FROM pick),
     bucketed AS (
       SELECT v.o_totalprice,
@@ -8925,7 +8925,7 @@ def q_loghist_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot ON tot.lang = c.lang AND c.cum * q.q_den >= tot.n * q.q_num
       GROUP BY 1, 2, 3)
     SELECT lang, q_num, q_den,
-           CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS est
+           CAST(CASE WHEN b >= 63 THEN 9223372036854775807 ELSE (CAST(1 AS BIGINT) << b) - 1 END AS BIGINT) AS est
     FROM pick ORDER BY lang, q_num
     """,
     description="Per-language document-length quantiles from GROUPED "
@@ -8970,7 +8970,7 @@ def q_loghist_grouped_len_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT c.lang, MIN(c.b) AS b
       FROM c JOIN tot ON tot.lang = c.lang AND c.cum * 100 >= tot.n * 90
       GROUP BY 1),
-    cut AS (SELECT lang, CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS p90_est
+    cut AS (SELECT lang, CAST(CASE WHEN b >= 63 THEN 9223372036854775807 ELSE (CAST(1 AS BIGINT) << b) - 1 END AS BIGINT) AS p90_est
             FROM pick)
     SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) FILTER (WHERE d.n > cut.p90_est) AS BIGINT)

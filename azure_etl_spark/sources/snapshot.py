@@ -1324,10 +1324,21 @@ def _rebase_over_appends(
                 f"{path} conflicts with {operation!r} computed at "
                 f"v{parent['version']}; recompute on the current version"
             )
-        if "columns" in parent and m.get("columns") != parent.get("columns"):
+        if "columns" in parent:
+            if m.get("columns") != parent.get("columns"):
+                raise SnapshotConflictError(
+                    f"schema evolved at v{v} under {operation!r} computed at "
+                    f"v{parent['version']} at {path}; recompute on the current version"
+                )
+        elif "columns" in m:
+            # legacy parent manifest predates column recording: there is
+            # no recorded parent schema to prove the intervening append
+            # didn't extend it — conflict rather than rebase silently
+            # under a possible schema drift (ADVICE r7)
             raise SnapshotConflictError(
-                f"schema evolved at v{v} under {operation!r} computed at "
-                f"v{parent['version']} at {path}; recompute on the current version"
+                f"cannot prove schema stability: parent v{parent['version']} "
+                f"at {path} predates column recording but commit v{v} records "
+                f"columns; recompute {operation!r} on the current version"
             )
     return _load_manifest(spark, path, tip_version)
 

