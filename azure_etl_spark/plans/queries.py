@@ -9283,6 +9283,62 @@ def q_kmv_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersect_estimate(a, b, k=256)
 
 
+@query(
+    "kll_quantiles_orders",
+    oracle=f"""
+    WITH hv AS MATERIALIZED (
+      SELECT CAST(o_totalprice * 100 AS BIGINT) AS v,
+             {_md5_hv_sql("'kll:' || CAST(o_orderkey AS VARCHAR)", 12)} AS h
+      FROM orders),
+    pw AS MATERIALIZED (
+      SELECT v, CASE WHEN h = 0 THEN (CAST(1 AS BIGINT) << 48)
+                     ELSE h & (-h) END AS p
+      FROM hv),
+    lv AS (SELECT unnest(generate_series(0, 48)) AS l),
+    cnts AS (SELECT l, (SELECT COUNT(*) FROM pw
+                        WHERE pw.p >= (CAST(1 AS BIGINT) << lv.l)) AS c
+             FROM lv),
+    meta AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pw) AS n,
+                    (SELECT MIN(l) FROM cnts WHERE c <= 1024) AS lvl),
+    surv AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, p) AS rank
+             FROM pw, meta WHERE pw.p >= (CAST(1 AS BIGINT) << meta.lvl)),
+    q(q_num, q_den) AS (VALUES (50, 100), (90, 100), (99, 100))
+    SELECT q.q_num, q.q_den, CAST(MIN(surv.v) AS BIGINT) AS est
+    FROM surv, meta, q
+    WHERE surv.rank * (CAST(1 AS BIGINT) << meta.lvl) * q.q_den
+          >= meta.n * q.q_num
+    GROUP BY 1, 2 ORDER BY q_num
+    """,
+    description="Order-price p50/p90/p99 from the deterministic "
+    "KLL-style level sample (operators/sketch.kll_table, round 8): "
+    "row r survives to level L iff its salted-md5 key hash has L "
+    "trailing zero bits — KLL's per-level coin flips with the coins "
+    "replaced by hash bits, so the oracle replays the sample, the "
+    "level selection, and the pure-BIGINT weighted-rank estimate "
+    "bit-for-bit. <= 1024 survivor rows whatever the data; ~1.6% rank "
+    "error at q=0.5 vs loghist_quantiles_orders' factor-of-2 bracket; "
+    "EXACTLY mergeable per shard (merge == whole-build identity, "
+    "tests/test_sketch.py). Build = one pass of 49 conditional "
+    "partial counts + one broadcast-filtered pass — no sort, no "
+    "global window over data.",
+    bench=True,
+)
+def q_kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.sketch import kll_quantiles, kll_table
+
+    # fan out the single-row-group fixture scan: the md5 level hash is
+    # the query's only per-row work and must not serialize on one core
+    # (same reason _td does this for the documents table)
+    o = ensure_min_partitions(
+        _t(spark, sf_dir, "orders").select(
+            (F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            F.col("o_orderkey"),
+        )
+    )
+    sk = kll_table(o, "v", "o_orderkey", k=1024)
+    return kll_quantiles(sk, [(50, 100), (90, 100), (99, 100)]).orderBy("q_num")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -108,7 +108,9 @@ DELETES_DIR = "deletes"  # parquet key files for merge-on-read equality deletes
 
 # data dirs are attempt-unique (data/vN-token); bare data/vN accepted
 # for tables written before the suffix existed
-_DATA_V_RE = re.compile(rf"^({DATA_DIR}/v\d+(?:-[0-9a-f]+)?)/")
+# committed dirs are data/vN-hex; write-audit-publish stages land in
+# data/stage-hex until published (round 8) — both resolve as base dirs
+_DATA_V_RE = re.compile(rf"^({DATA_DIR}/(?:v\d+|stage)(?:-[0-9a-f]+)?)/")
 
 # Atomic types whose min/max order DuckDB, Spark, and JSON agree on;
 # stats are collected only for these (arrays/maps/binary are skipped —
@@ -1930,6 +1932,12 @@ def vacuum_snapshots(
         )
         # stats sidecars / checkpoints a retained manifest still loads
         referenced_refs.update(m.get("stats_refs", []))
+    # write-audit-publish stages (round 8): a staged-but-unpublished
+    # commit's data dirs and stats refs are live — the stage is
+    # reclaimed explicitly via discard_staged_commit, never by vacuum
+    for staged in _list_staged(spark, path):
+        referenced.update(staged.get("data_dirs", []))
+        referenced_refs.update(staged.get("stats_refs", []))
     fs, jvm = _fs(spark, path)
     removed = [v for v in versions if v not in keep]
     for v in removed:
@@ -2108,3 +2116,274 @@ def convert_to_snapshot(
             f"data is intact under {data_rel} — recover manually"
         )
     return 0
+
+
+# ---------------------------------------------- write-audit-publish (round 8)
+
+_STAGED_PREFIX = "staged-"
+
+
+def _staged_name(stage_id: str) -> str:
+    return f"{_STAGED_PREFIX}{stage_id}.json"
+
+
+def _list_staged(spark: SparkSession, path: str) -> list[dict]:
+    """All pending staged-commit manifests (empty if none) — read by
+    vacuum to keep staged data dirs/stats alive until an explicit
+    publish or discard resolves them."""
+    fs, jvm = _fs(spark, path)
+    mdir = _jpath(jvm, path, MANIFEST_DIR)
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith(_STAGED_PREFIX) and name.endswith(".json"):
+            try:
+                raw = _read_small_file(jvm, fs, st.getPath())
+                out.append(json.loads(raw.decode("utf-8")))
+            except Exception:
+                # the marker vanished between list and read (a racing
+                # publish adopted it / a racing discard dropped it) or
+                # is mid-write: skip — published dirs are now
+                # manifest-referenced, discarded dirs are gone, and a
+                # mid-write stage's fresh dirs ride the vacuum age
+                # guard (markers are write-once, so an unreadable one
+                # is always one of those three)
+                continue
+    return out
+
+
+def _load_staged(spark: SparkSession, path: str, stage_id: str) -> dict:
+    fs, jvm = _fs(spark, path)
+    mpath = _jpath(jvm, path, MANIFEST_DIR, _staged_name(stage_id))
+    if not fs.exists(mpath):
+        raise SnapshotVersionError(
+            f"no staged commit {stage_id!r} at {path} (published or discarded?)"
+        )
+    return json.loads(_read_small_file(jvm, fs, mpath).decode("utf-8"))
+
+
+def stage_snapshot_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    collect_stats: bool = True,
+) -> str:
+    """Write-audit-publish stage 1 (the Iceberg WAP / Delta-branch
+    operational pattern, round 8): land ``df``'s files and stats under
+    the table WITHOUT committing a version — readers cannot see them
+    (``_list_versions`` only resolves ``vN.json`` manifests; the staged
+    marker is a ``staged-<id>.json`` sidecar). Returns the ``stage_id``
+    handle for :func:`read_staged_snapshot` (audit),
+    :func:`publish_staged_commit` (atomically make it version N+1) and
+    :func:`discard_staged_commit` (drop it as if it never happened).
+
+    The staged data dir is ``data/stage-<id>`` — attempt-unique, kept
+    alive by vacuum via the staged marker (reclaim is an EXPLICIT
+    discard, never an age-out), and adopted verbatim by publish: the
+    data is written ONCE; audit and publish are manifest-sized
+    operations (O(1) in table data — the whole point at 100 TB, where
+    re-writing a validated batch would double the ingest cost).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"stage mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
+    stage_id = uuid.uuid4().hex[:12]
+    data_rel = f"{DATA_DIR}/stage-{stage_id}"
+    root = path.rstrip("/")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{root}/{data_rel}")
+    stats_refs: list[str] = []
+    if collect_stats:
+        # honor the table's bloom config so published files keep
+        # equality-skipping parity with directly-written ones
+        versions = _list_versions(spark, path)
+        bloom_cfg = (
+            _load_manifest(spark, path, versions[-1]).get("bloom")
+            if versions
+            else None
+        )
+        new_stats = _collect_file_stats(spark, root, data_rel, bloom=bloom_cfg)
+        if new_stats:
+            stats_refs = [_write_stats_ref(spark, path, new_stats)]
+    staged = {
+        "stage_id": stage_id,
+        "mode": mode,
+        "data_dirs": [data_rel],
+        "partition_by": list(partition_by or []),
+        "stats_refs": stats_refs,
+        "columns": list(df.columns),
+        "staged_at_unix": time.time(),
+    }
+    _write_ref_bytes(
+        spark,
+        path,
+        _staged_name(stage_id),
+        json.dumps(staged, sort_keys=True).encode("utf-8"),
+    )
+    return stage_id
+
+
+def read_staged_snapshot(
+    spark: SparkSession, path: str, stage_id: str
+) -> DataFrame:
+    """The AUDIT view: the table exactly as it would read if the staged
+    commit published right now — staged rows alone for an ``overwrite``
+    stage (or a first commit), current table plus staged rows for an
+    ``append`` stage. Run expectations against this frame; readers of
+    :func:`read_snapshot` still see nothing."""
+    staged = _load_staged(spark, path, stage_id)
+    root = path.rstrip("/")
+    new = spark.read.parquet(*[f"{root}/{d}" for d in staged["data_dirs"]])
+    if staged["mode"] == "overwrite" or not _list_versions(spark, path):
+        return new
+    return read_snapshot(spark, path).unionByName(new, allowMissingColumns=True)
+
+
+def publish_staged_commit(
+    spark: SparkSession,
+    path: str,
+    stage_id: str,
+    expectations: dict | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Write-audit-publish stage 3: atomically commit the staged files
+    as the next table version — the staged data dir is adopted verbatim
+    (no rewrite), so publish is O(manifest).
+
+    ``expectations`` (name -> boolean Column, the
+    operators/quality.split_expectations rules) are the AUDIT gate: any
+    violating row in the as-if-published view raises
+    :class:`SnapshotConstraintError` with per-rule counts and leaves
+    the stage INTACT for inspection (discard or fix-and-restage —
+    readers never saw anything either way). Table constraints recorded
+    in the manifest are enforced on the staged rows regardless, exactly
+    as :func:`write_snapshot` enforces them on direct writes.
+
+    Publishing runs the same optimistic-concurrency loop as
+    :func:`write_snapshot`: the parent re-resolves inside the retry,
+    txn ledger replays return -1, appends re-check schema drift against
+    the CURRENT tip each attempt — a staged append can race direct
+    writers and other publishers safely (probed by
+    tools/snapshot_race_probe.py's stage+publish writer)."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    staged = _load_staged(spark, path, stage_id)
+    mode = staged["mode"]
+    root = path.rstrip("/")
+    if expectations:
+        from azure_etl_spark.operators.quality import flag_expectations
+
+        viol = (
+            flag_expectations(
+                read_staged_snapshot(spark, path, stage_id), expectations
+            )
+            .select(F.explode("__violations").alias("rule"))
+            .groupBy("rule")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if viol:
+            counts = {r["rule"]: r["n"] for r in viol}
+            raise SnapshotConstraintError(
+                f"audit failed for staged commit {stage_id} at {path}: "
+                f"violations per rule {counts}; stage left intact "
+                "(discard_staged_commit to drop it)"
+            )
+    staged_df = spark.read.parquet(*[f"{root}/{d}" for d in staged["data_dirs"]])
+    validated = False
+    for _ in range(max_retries):
+        versions = _list_versions(spark, path)
+        parent = _load_manifest(spark, path, versions[-1]) if versions else None
+        txns = dict(parent.get("txns", {})) if parent else {}
+        if txn_app_id is not None and txns.get(txn_app_id, -1) >= txn_version:
+            return -1  # replayed publish: already durable
+        if not validated and parent is not None:
+            _validate_constraints(staged_df, parent.get("constraints"))
+            validated = True
+        if mode == "append" and parent is not None and "columns" in parent:
+            drift = set(staged["columns"]) ^ set(parent["columns"])
+            if drift:
+                raise ValueError(
+                    f"staged append schema drift {sorted(drift)} vs table "
+                    f"columns {parent['columns']}"
+                )
+        version = (versions[-1] + 1) if versions else 0
+        dirs = list(staged["data_dirs"])
+        carried_files: list[str] = []
+        stats: dict[str, dict] = {}
+        stats_refs = list(staged.get("stats_refs", []))
+        deletes: list[dict] = []
+        if mode == "append" and parent is not None:
+            dirs = parent["data_dirs"] + dirs
+            carried_files = list(parent.get("data_files", []))
+            stats = dict(parent.get("stats", {}))
+            stats_refs = parent.get("stats_refs", []) + stats_refs
+            deletes = [dict(e) for e in parent.get("deletes", [])]
+        if txn_app_id is not None:
+            txns[txn_app_id] = txn_version
+        columns = list(staged["columns"])
+        if mode == "append" and parent is not None and "columns" in parent:
+            columns = parent["columns"]
+        partition_by = staged.get("partition_by", [])
+        if mode == "append" and parent is not None:
+            partition_by = parent.get("partition_by", [])
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "operation": "wap_publish",
+            "data_dirs": dirs,
+            "data_files": carried_files,
+            "partition_by": partition_by,
+            "committed_at_unix": time.time(),
+            "stats": stats,
+            "stats_refs": stats_refs,
+            "txns": txns,
+            "deletes": deletes,
+            "columns": columns,
+            **(
+                {"bloom": parent["bloom"]}
+                if parent is not None and parent.get("bloom")
+                else {}
+            ),
+            **(
+                {"constraints": parent["constraints"]}
+                if parent is not None and "constraints" in parent
+                else {}
+            ),
+        }
+        _maybe_checkpoint_stats(spark, path, manifest)
+        if _try_commit_manifest(spark, path, version, manifest):
+            # the staged marker's job is done; its dirs are now
+            # manifest-referenced (marker removal is non-critical: a
+            # crash here leaves a stale marker whose dirs vacuum keeps
+            # anyway, and a re-publish of it would conflict on txns or
+            # produce a duplicate append the caller's txn ids prevent)
+            fs, jvm = _fs(spark, path)
+            fs.delete(_jpath(jvm, path, MANIFEST_DIR, _staged_name(stage_id)), False)
+            return version
+    raise SnapshotConflictError(
+        f"lost the manifest-create race {max_retries} times publishing "
+        f"stage {stage_id} at {path}"
+    )
+
+
+def discard_staged_commit(spark: SparkSession, path: str, stage_id: str) -> None:
+    """Drop a staged commit as if it never happened: its data dirs,
+    stats sidecars, and the staged marker. Readers never saw any of it
+    (that is the WAP contract); the marker goes LAST so a crash
+    mid-discard leaves debris that is still explicitly discardable,
+    never a marker pointing at deleted data adopted by a publish."""
+    staged = _load_staged(spark, path, stage_id)
+    fs, jvm = _fs(spark, path)
+    for d in staged.get("data_dirs", []):
+        fs.delete(_jpath(jvm, path, d), True)
+    for ref in staged.get("stats_refs", []):
+        fs.delete(_jpath(jvm, path, MANIFEST_DIR, ref), False)
+    fs.delete(_jpath(jvm, path, MANIFEST_DIR, _staged_name(stage_id)), False)

@@ -442,6 +442,65 @@ def loghist_fold(gold_path: str, col: str, app_id: str | None = None):
     return fold
 
 
+def streaming_kll(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    col: str,
+    key: str,
+    k: int = 1024,
+):
+    """Streaming rank-sketch gold table via the deterministic KLL-style
+    level sample (operators/sketch.kll_table, round 8): per
+    micro-batch, sample the batch and :func:`kll_merge` it into the
+    persisted <= k-row gold table — p50/p90/p99 of the ENTIRE stream so
+    far, any time, at ~1/sqrt(k) rank error where the loghist fold
+    brackets within 2x. State stays <= k rows forever (the merge
+    re-raises the level as the stream grows). The merged ``n`` is a
+    batch-count SUM — NOT idempotent — so replay safety rides on the
+    snapshot txn ledger exactly like :func:`streaming_cms` /
+    :func:`streaming_loghist` (proven by the shared replay test)."""
+    fold = kll_fold(gold_path, col, key, k=k)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def kll_fold(
+    gold_path: str, col: str, key: str, k: int = 1024, app_id: str | None = None
+):
+    """The ``foreachBatch`` callable behind :func:`streaming_kll` —
+    durability contract of :func:`medallion_fold` (explicit FS probe,
+    atomic snapshot publish, txn-idempotent replays)."""
+    from azure_etl_spark.operators.sketch import kll_merge, kll_table
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_kll:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kll_table(batch_df, col, key, k=k)
+        if is_snapshot_table(spark, gold_path):
+            merged = kll_merge(
+                read_snapshot(spark, gold_path).select("v", "p", "n", "lvl"),
+                batch_sk,
+                k=k,
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
 def streaming_bloom(
     stream: DataFrame,
     gold_path: str,

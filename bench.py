@@ -26,6 +26,26 @@ from azure_etl_spark.plans.queries import QUERIES  # noqa: E402
 from azure_etl_spark.session import session_builder  # noqa: E402
 
 
+# Load-calibration kernel (VERDICT r7 #2): a fixed, deterministic,
+# CPU-bound query — 32M codegen'd multiply+mod rows across 32
+# partitions, no IO, no data dependence — timed before each headline
+# query. Its time series IS the box's load profile during the run:
+# tools/bench_guard.py divides each query's ratio by the run's load
+# index (median kernel time / quiet-box reference) so a uniformly
+# loaded sandbox reads as "uniform drift", not 29 fake regressions,
+# while a single-query plan regression (which can't move the kernel)
+# still flags.
+CALIB_ROWS = 32_000_000
+
+
+def _calib_kernel_sec(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(0, CALIB_ROWS, 1, 32).selectExpr(
+        "sum((id * 2654435761) % 1000003) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -40,6 +60,9 @@ def main() -> None:
 
     # warm the JVM/codegen paths outside the measurement
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for _ in range(2):  # warm the calibration kernel's codegen too
+        _calib_kernel_sec(spark)
+    kernel_sec: list[float] = []
 
     # per-query JIT/codegen warmup at the smallest fixture: each query's
     # generated code and planner paths are exercised on sf0.001 before
@@ -59,6 +82,7 @@ def main() -> None:
                 spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
+        kernel_sec.append(round(_calib_kernel_sec(spark), 3))
         df = spec.fn(spark, sf_dir)
         # min of three timed runs: per-run noise on this sandbox is
         # +/-30% per query (measured round 4), so one-off GC pauses /
@@ -93,13 +117,16 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         raw = crypto_view(spark, sf_dir)
+        kernel_sec.append(round(_calib_kernel_sec(spark), 3))
         t0 = time.perf_counter()
         MedallionPipeline(root=root, as_of=dt.date(2024, 1, 15)).run(spark, raw)
         timings["pipeline_medallion"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    kernel_sec.append(round(_calib_kernel_sec(spark), 3))  # closing sample
 
     total = round(sum(timings.values()), 3)
+    kmed = sorted(kernel_sec)[len(kernel_sec) // 2]
     print(
         json.dumps(
             {
@@ -108,6 +135,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load": {
+                    "kernel_rows": CALIB_ROWS,
+                    "kernel_sec": kernel_sec,
+                    "kernel_median_sec": round(kmed, 3),
+                },
             }
         )
     )

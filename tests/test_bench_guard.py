@@ -1,0 +1,105 @@
+"""Guard-logic tests for tools/bench_guard.py (VERDICT r7 #2): a
+uniformly loaded box must read as "uniform drift, 0 real flags", while
+a planted single-query regression (the injected-sleep scenario — one
+query slowed, calibration kernel untouched) must still flag, with or
+without load on top."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from bench_guard import (  # noqa: E402
+    KERNEL_REF_ROWS,
+    KERNEL_REF_SEC,
+    REFERENCE,
+    evaluate,
+)
+
+
+def _line(scale: float = 1.0, load: float | None = None, bump: dict | None = None):
+    """Synthesize a bench JSON dict: every reference query at
+    ``scale``x its reference time, optional calibration block at
+    ``load``x the quiet kernel, plus per-query overrides."""
+    q = {name: round(ref * scale, 4) for name, ref in REFERENCE.items()}
+    for name, sec in (bump or {}).items():
+        q[name] = sec
+    data = {"metric": "bench_headline_total", "queries": q, "sf": 0.1,
+            "value": round(sum(q.values()), 3)}
+    if load is not None:
+        data["load"] = {
+            "kernel_rows": KERNEL_REF_ROWS,
+            "kernel_sec": [round(KERNEL_REF_SEC * load, 4)] * 30,
+            "kernel_median_sec": round(KERNEL_REF_SEC * load, 4),
+        }
+    return data
+
+
+def test_clean_run_no_flags():
+    r = evaluate(_line(scale=1.0, load=1.0))
+    assert r["offenders"] == []
+    assert r["load_index"] == 1.0
+    assert abs(r["median_ratio"] - 1.0) < 0.01
+
+
+def test_uniform_load_is_drift_not_regressions():
+    """The BENCH_r07 failure mode: everything 2.2x slower because the
+    box was busy. The kernel says so; the guard must report zero real
+    flags and a ~2.2x load index."""
+    r = evaluate(_line(scale=2.2, load=2.2))
+    assert r["offenders"] == [], r["offenders"]
+    assert 2.0 < r["load_index"] < 2.5
+    assert r["median_ratio"] < 1.1  # normalized back to ~1x
+
+
+def test_planted_regression_survives_load_normalization():
+    """One query slowed 8x (injected sleep) on a 2.2x-loaded box: the
+    kernel normalizes the uniform part away but the planted query's
+    normalized ratio stays ~3.6x — exactly one flag."""
+    victim = "dedup_distinct"
+    r = evaluate(
+        _line(scale=2.2, load=2.2, bump={victim: REFERENCE[victim] * 8})
+    )
+    assert [o[0] for o in r["offenders"]] == [victim]
+    name, ref, cur, raw, norm = r["offenders"][0]
+    assert raw > 7 and 3 < norm < 4.5
+
+
+def test_planted_regression_without_load_block_still_flags():
+    """Pre-r8 bench lines carry no calibration — raw-ratio behavior is
+    preserved (load_index defaults to 1)."""
+    victim = "tpch_q1ish"
+    r = evaluate(_line(scale=1.0, bump={victim: REFERENCE[victim] * 4}))
+    assert r["load_index"] == 1.0
+    assert [o[0] for o in r["offenders"]] == [victim]
+
+
+def test_quieter_than_reference_box_never_shrinks_times():
+    """load index clamps at 1.0: a fast box must not mask a real
+    regression by dividing it down."""
+    victim = "minhash_near_dup"
+    r = evaluate(_line(scale=1.0, load=0.5, bump={victim: REFERENCE[victim] * 3}))
+    assert r["load_index"] == 1.0
+    assert [o[0] for o in r["offenders"]] == [victim]
+
+
+def test_mismatched_kernel_rows_ignored():
+    """A bench line whose kernel was built with different CALIB_ROWS is
+    not comparable to KERNEL_REF_SEC — fall back to raw ratios."""
+    data = _line(scale=1.0, load=3.0)
+    data["load"]["kernel_rows"] = 1
+
+    r = evaluate(data)
+    assert r["load_index"] == 1.0
+
+
+def test_calibration_kernel_runs_and_is_subsecond(spark):
+    import bench
+
+    sec = bench._calib_kernel_sec(spark)
+    assert 0 < sec < 5

@@ -554,3 +554,34 @@ def test_mmr_select_diversifies(spark, sf_dir):
     assert rows[0]["doc_id"] == top_rel["doc_id"]
     scores = [r["mmr_score"] for r in rows[1:]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_minhash_signature_positions_track_jaccard(spark):
+    """Round-8 regression pin for the arity-2 transform-lambda bug: a
+    2-parameter lambda is called by F.transform as (element, INDEX),
+    which silently replaced every hash seed with the array index and
+    collapsed the K 'independent' hash functions into one — signatures
+    became K copies of a single min, so two docs at jaccard ~0.78
+    matched either 64/64 positions or 0/64. Real MinHash must match
+    ~jaccard of the positions: strictly between, and the signature must
+    not be K copies of one value."""
+    from azure_etl_spark.operators.dedup import with_minhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "on the quiet village green"
+    )
+    edits = [base.replace("lazy", "sleepy"), base.replace("rain", "snow")]
+    df = spark.createDataFrame(
+        [(0, base), (1, edits[0]), (2, edits[1])], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["minhash"]
+        for r in with_minhash(df, "text", 64, 2).collect()
+    }
+    assert len(set(rows[0])) > 32  # not K copies of one min
+    for other in (1, 2):
+        eq = sum(a == b for a, b in zip(rows[0], rows[other]))
+        # true jaccard is 14/18 ~ 0.78 -> E[eq] ~ 50/64; binomial
+        # 5-sigma bounds keep this deterministic-in-practice wide
+        assert 30 < eq < 64, f"doc {other}: {eq}/64 positions match"

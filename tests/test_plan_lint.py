@@ -39,6 +39,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "hybrid_rrf_docs": "windows run over top-50 rank lists",
     # the log2 histogram is <= 63 rows by construction
     "loghist_quantiles_orders": "window input = <=63-row loghist sketch",
+    # the KLL level sample is <= k=1024 rows by construction (the rank
+    # window orders SURVIVORS, never data — kll_table filters first)
+    "kll_quantiles_orders": "window input = <=1024-row KLL level sample",
     # same cumsum window over the <=63-row sketch; the DATA side is
     # bucketed map-side against the broadcast cutpoint array
     "loghist_bucket_orders": "window input = <=63-row loghist sketch",

@@ -1852,3 +1852,142 @@ def test_streaming_loghist_grouped_fold_matches_whole_and_replay_safe(
     after = sorted(map(tuple, read_snapshot(spark, gold)
                        .select("event_type", "b", "cnt").collect()))
     assert after == whole
+
+
+# ---- streaming cross-batch TEXT near-dup (round 8, VERDICT r7 #1):
+# the text twin of incremental_media_dedup_writer — a lightly-edited
+# duplicate of an already-ingested document must be dropped against
+# the cumulative MinHash signature index, not sail through like it did
+# past the exact-digest writer.
+
+_ND_BASE = (
+    "the quick brown fox jumps over the lazy dog while rain falls "
+    "on the quiet village green"
+)
+_ND_EDIT1 = _ND_BASE.replace("lazy", "sleepy")   # j ~ 0.78 vs base
+_ND_EDIT2 = _ND_BASE.replace("rain", "snow")     # j ~ 0.78 vs base
+_ND_UNIQ1 = (
+    "seventeen green turtles paddle across a warm shallow lagoon "
+    "under bright southern stars at midnight hour"
+)
+_ND_UNIQ2 = (
+    "an entirely different report about quarterly metrics and "
+    "pipeline throughput written for the data team review"
+)
+
+
+def test_incremental_text_near_dup_across_batches(spark, tmp_path):
+    """Streaming text ingest with cross-batch NEAR-dup dedup: within
+    a batch, exact copies and light edits collapse to the min id;
+    later batches drop docs near-identical (exact Jaccard >= 3/5 on
+    bigram sets) to ANY indexed signature — via the signature index
+    alone, text never re-read; unique docs flow through; a replayed
+    batch id converges to the same state."""
+    from azure_etl_spark.streaming.sinks import incremental_text_near_dup_writer
+
+    target = os.path.join(str(tmp_path), "txt_t")
+    index = os.path.join(str(tmp_path), "txt_i")
+    w = incremental_text_near_dup_writer(target, index)
+
+    b0 = spark.createDataFrame(
+        [
+            (0, _ND_BASE),
+            (1, _ND_EDIT1),  # within-batch near-dup of 0
+            (2, _ND_BASE),   # within-batch EXACT dup of 0
+            (10, _ND_UNIQ1),
+        ],
+        "doc_id long, text string",
+    )
+    w(b0, 0)
+    ids0 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert ids0 == {0, 10}
+
+    b1 = spark.createDataFrame(
+        [
+            (100, _ND_EDIT2),  # cross-batch NEAR-dup of indexed doc 0
+            (101, _ND_UNIQ2),  # fresh
+            (102, _ND_UNIQ1),  # cross-batch EXACT dup of indexed doc 10
+        ],
+        "doc_id long, text string",
+    )
+    w(b1, 1)
+    ids1 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert ids1 == {0, 10, 101}
+
+    # crash-redelivery of batch 1: index read excludes batch_id=1, so
+    # the replay dedups against exactly the same seen set and
+    # overwrites its own directories — state unchanged
+    w(b1, 1)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert ids2 == ids1
+    # the signature index holds digests + signatures only, never text
+    idx_cols = set(spark.read.parquet(index).columns)
+    assert idx_cols == {"__h", "__sig", "__grams", "batch_id"}
+    # and the target carries no helper columns
+    assert set(spark.read.parquet(target).columns) == {
+        "doc_id", "text", "batch_id"
+    }
+
+
+def test_streaming_kll_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_path):
+    """KLL level sample folded across micro-batches (round 8): the
+    final gold table is IDENTICAL to a single whole-corpus build
+    (survivor sets are pure functions of the key hashes, so fold ==
+    build exactly — the merge identity, streamed), quantile estimates
+    match the batch path bit-for-bit, and a re-delivered batch id
+    leaves gold unchanged (n is a count SUM, so replay safety is the
+    snapshot txn ledger's job)."""
+    from azure_etl_spark.operators.sketch import kll_quantiles, kll_table
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import kll_fold, streaming_kll
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("bigint").alias("v")
+    ).filter(F.col("v") >= 0)
+    bronze = os.path.join(str(tmp_path), "bronze_kll")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_kll")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_kll(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_kll"),
+            col="v", key="event_id", k=128,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    whole_sk = kll_table(src, "v", "event_id", k=128)
+    whole = sorted(tuple(r) for r in whole_sk.collect())
+    got = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, gold).select("v", "p", "n", "lvl").collect()
+    )
+    assert got == whole  # incremental fold == one-shot build, exactly
+
+    q_gold = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in kll_quantiles(
+            read_snapshot(spark, gold).select("v", "p", "n", "lvl"),
+            [(50, 100), (95, 100)],
+        ).collect()
+    }
+    q_whole = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in kll_quantiles(whole_sk, [(50, 100), (95, 100)]).collect()
+    }
+    assert q_gold == q_whole
+
+    # replay an already-ledgered batch id — gold must not change
+    fold = kll_fold(gold, "v", "event_id", k=128)
+    fold(spark.read.parquet(bronze), 0)
+    after = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, gold).select("v", "p", "n", "lvl").collect()
+    )
+    assert after == whole

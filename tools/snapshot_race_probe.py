@@ -128,8 +128,58 @@ def one_run(spark, run: int) -> dict:
                 errors.append(("merge", -1, repr(e)))
             time.sleep(0.04)
 
+    # write-audit-publish writer (round 8, VERDICT r7 #5): stages land
+    # invisibly, good stages publish through the same optimistic loop
+    # the appenders race, bad stages are blocked by the audit and
+    # discarded WHILE vacuum loops (staged dirs must survive vacuum
+    # until their explicit discard)
+    wap_stats = {"published": 0, "blocked": 0, "discarded": 0, "conflicts": 0}
+    WAP_ROWS = 5
+
+    def wap_writer() -> None:
+        i = 0
+        rules = {"id_not_null": F.col("id").isNotNull()}
+        while not stop.is_set():
+            lo = 100_000 + WAP_ROWS * i
+            try:
+                if i % 3 == 2:
+                    bad = _keyed(spark, lo, lo + WAP_ROWS, "wapbad").withColumn(
+                        "id",
+                        F.when(F.col("id") == lo, F.lit(None)).otherwise(
+                            F.col("id")
+                        ),
+                    )
+                    sid = snap.stage_snapshot_commit(bad, path)
+                    try:
+                        snap.publish_staged_commit(
+                            spark, path, sid, expectations=rules
+                        )
+                        errors.append(("wap", i, "bad stage published"))
+                    except snap.SnapshotConstraintError:
+                        wap_stats["blocked"] += 1
+                    snap.discard_staged_commit(spark, path, sid)
+                    wap_stats["discarded"] += 1
+                else:
+                    sid = snap.stage_snapshot_commit(
+                        _keyed(spark, lo, lo + WAP_ROWS, "wap"), path
+                    )
+                    snap.publish_staged_commit(
+                        spark, path, sid, expectations=rules, max_retries=60
+                    )
+                    wap_stats["published"] += 1
+            except (snap.SnapshotConflictError, snap.SnapshotVersionError):
+                wap_stats["conflicts"] += 1
+            except Exception as e:
+                errors.append(("wap", i, repr(e)))
+            i += 1
+            time.sleep(0.03)
+
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)]
-    aux = [threading.Thread(target=vacuumer), threading.Thread(target=reader)]
+    aux = [
+        threading.Thread(target=vacuumer),
+        threading.Thread(target=reader),
+        threading.Thread(target=wap_writer),
+    ]
     if dml:
         aux += [threading.Thread(target=compactor), threading.Thread(target=merger)]
     for t in aux + threads:
@@ -145,12 +195,17 @@ def one_run(spark, run: int) -> dict:
     out = snap.read_snapshot(spark, path)  # resolves stats refs too
     n_rows = out.count()
     n_distinct = out.select("id").distinct().count()
-    expected_rows = 10 + N_WRITERS * appends * ROWS_PER_APPEND
+    expected_rows = (
+        10
+        + N_WRITERS * appends * ROWS_PER_APPEND
+        + wap_stats["published"] * WAP_ROWS  # unique ids per publish
+    )
     ok = (
         not errors
-        # with DML threads the version count also includes their
-        # commits; the row invariants below are the lost-update check
-        and (versions[-1] >= n_commits - 1 if dml else versions[-1] == n_commits - 1)
+        # WAP publishes (and DML commits when enabled) add versions on
+        # top of the appends; the row invariants below are the
+        # lost-update check
+        and versions[-1] >= n_commits - 1
         and n_rows == expected_rows
         and n_distinct == expected_rows
     )
@@ -162,6 +217,7 @@ def one_run(spark, run: int) -> dict:
         "rows": n_rows,
         "expected_rows": expected_rows,
         "vacuum_passes": vacuums[0],
+        "wap": wap_stats,
         **({"dml": dml_stats} if dml else {}),
         "errors": errors[:5],
     }
