@@ -180,3 +180,117 @@ def bpe_encode(
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
         .drop("__syms", "__ms")
     )
+
+
+# --------------------------------------- byte-fallback encode (round 8)
+
+MARK = "▁"  # ▁ — SentencePiece word-boundary marker token
+
+
+def _byte_tokens(w) -> "F.Column":
+    """UTF-8 bytes of a word as ``<0xHH>`` tokens (uppercase hex).
+    Guarded for the empty string: ``sequence(1, 0)`` DESCENDS in
+    Spark, so an unguarded empty word would emit two bogus tokens."""
+    hexs = F.hex(F.encode(w, "UTF-8"))
+    return F.when(
+        F.length(hexs) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), (F.length(hexs) / 2).cast("int")),
+            lambda i: F.concat(
+                F.lit("<0x"), F.substring(hexs, i * 2 - 1, F.lit(2)), F.lit(">")
+            ),
+        )
+    )
+
+
+def bpe_encode_bytes(
+    df: DataFrame, rounds: list[DataFrame], text_col: str = "text"
+) -> DataFrame:
+    """Byte-fallback BPE encode (VERDICT r7 #8 — the GPT-2 contract:
+    no token is ever UNK and no input is ever dropped): every word of
+    the raw, case-preserved whitespace tokenization is emitted —
+    ``^[a-z]+$`` words through the learned merges exactly like
+    :func:`bpe_encode`, everything else (digits, punctuation, casing,
+    any Unicode) as its UTF-8 bytes, one ``<0xHH>`` token per byte.
+    Each word is preceded by the ``▁`` word-boundary marker token, so
+    the flat stream is LOSSLESS: :func:`bpe_decode_bytes` reassembles
+    the exact whitespace-normalized input (``" ".join(text.split())``
+    — property-tested on arbitrary UTF-8; a literal ``▁`` character in
+    the input is not ``[a-z]+`` so it byte-encodes, never colliding
+    with the marker token).
+
+    Adds ``bpe_tokens`` (array<string>), ``n_bpe_tokens`` and
+    ``n_byte_tokens``. Same plan shape as :func:`bpe_encode`: the
+    merge list is one broadcast row, all work is per-row JVM
+    expressions — zero shuffles, one corpus pass.
+    """
+    from azure_etl_spark.operators.text import tokens
+
+    # leading non-space whitespace survives trim() and split() then
+    # yields an empty first token — drop empties (an empty "word" has
+    # no bytes and must not emit a boundary marker)
+    words = F.filter(tokens(F.col(text_col)), lambda w: F.length(w) > 0)
+
+    def encode_word(w):
+        if rounds:
+            folded = F.aggregate(
+                F.col("__ms"),
+                symbolize(w),
+                lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+            )
+        else:
+            folded = symbolize(w)
+        return F.concat(
+            F.array(F.lit(MARK)),
+            F.when(w.rlike("^[a-z]+$"), _symbols(folded)).otherwise(
+                _byte_tokens(w)
+            ),
+        )
+
+    if rounds:
+        merged = rounds[0].select("rank", "pat", "rep")
+        for b in rounds[1:]:
+            merged = merged.unionByName(b.select("rank", "pat", "rep"))
+        ms = merged.agg(
+            F.array_sort(F.collect_list(F.struct("rank", "pat", "rep"))).alias(
+                "__ms"
+            )
+        )
+        out = df.join(F.broadcast(ms))
+    else:
+        out = df.withColumn("__ms", F.array())
+    toks = F.flatten(F.transform(words, encode_word))
+    return (
+        out.withColumn("bpe_tokens", toks)
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+        .withColumn(
+            "n_byte_tokens",
+            F.size(
+                F.filter(
+                    F.col("bpe_tokens"),
+                    lambda t: t.rlike("^<0x[0-9A-F]{2}>$"),
+                )
+            ),
+        )
+        .drop("__ms")
+    )
+
+
+def bpe_decode_bytes(tokens_col) -> "F.Column":
+    """Inverse of :func:`bpe_encode_bytes` as a pure expression: each
+    token maps to a hex piece (``▁`` -> 20, ``<0xHH>`` -> HH, any
+    other token -> hex of its UTF-8 bytes), the pieces concatenate
+    into one byte string, and ONE UTF-8 decode reassembles the text —
+    multi-byte characters split across ``<0xHH>`` tokens come back
+    intact because assembly happens at the byte level, not per token.
+    The leading marker's space is stripped; result ==
+    ``" ".join(input.split())``."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    piece = lambda t: (  # noqa: E731
+        F.when(t == MARK, F.lit("20"))
+        .when(t.rlike("^<0x[0-9A-F]{2}>$"), F.substring(t, 4, 2))
+        .otherwise(F.hex(F.encode(t, "UTF-8")))
+    )
+    assembled = F.decode(F.unhex(F.concat_ws("", F.transform(c, piece))), "UTF-8")
+    return F.regexp_replace(assembled, "^ ", "")

@@ -2954,8 +2954,12 @@ def _sq_dist_sql(va: str, vb: str, dim: int) -> str:
     )
 
 
-def _kmeans_ctes(k_clusters: int, max_iter: int, dim: int) -> list[str]:
+def _kmeans_ctes(
+    k_clusters: int, max_iter: int, dim: int, where: str = ""
+) -> list[str]:
     """CTE chain replaying the deterministic kmeans_fit in SQL.
+    ``where`` optionally restricts the training vectors (the
+    incremental-index oracle trains on a subset and assigns the rest).
 
     kmeans_fit is fully deterministic (k-lowest-id init, fixed iteration
     count, lexicographic (distance, cid) argmin tie-break), so the fixed
@@ -2963,7 +2967,9 @@ def _kmeans_ctes(k_clusters: int, max_iter: int, dim: int) -> list[str]:
     under c{n-1}, c{n} = per-(cluster, dim) means of a{n}. Shared by the
     IVF, IVFPQ and semantic-dedup oracles."""
     ctes = [
-        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        + (f" WHERE {where}" if where else "")
+        + ")",
         f"""c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
              v AS centroid
@@ -9337,6 +9343,141 @@ def q_kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kll_table(o, "v", "o_orderkey", k=1024)
     return kll_quantiles(sk, [(50, 100), (90, 100), (99, 100)]).orderBy("q_num")
+
+
+def _ivf_append_oracle(
+    k_clusters: int = 8, max_iter: int = 3, dim: int = 64
+) -> str:
+    """Replays the incremental-index append: train the deterministic
+    k-means on vec_id < 40 (the persisted centroids), then assign every
+    NEW vector (vec_id >= 40) by the same (distance, cid) argmin —
+    assignment is a pure function of the frozen centroids, which is
+    exactly what makes the append map-side and oracle-checkable."""
+    ctes = _kmeans_ctes(k_clusters, max_iter, dim, where="vec_id < 40")
+    ctes.append(
+        "newv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id >= 40)"
+    )
+    d = _sq_dist_sql("n.v", "c.centroid", dim)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT vec_id, cid, ROUND(d, 6) AS dist FROM (
+      SELECT n.vec_id, c.cid, {d} AS d,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {d} ASC, c.cid ASC) AS rn
+      FROM newv n CROSS JOIN c{max_iter} c) x
+    WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+@query(
+    "ivf_append_assign",
+    oracle=_ivf_append_oracle,
+    description="Incremental ANN index maintenance (round 8, VERDICT "
+    "r7 #6): new embedding batches join the FROZEN coarse quantizer "
+    "instead of triggering a refit — operators/similarity.ivf_assign "
+    "is one broadcast join of the k-row centroid table + a grouped "
+    "(distance, cid) argmin, deterministic given the centroids, so "
+    "the oracle trains the same k-means on the vec_id<40 subset and "
+    "replays the assignment of the rest exactly. The persisted form "
+    "(ivf_index_build/append on snapshot tables) appends (id, cid) + "
+    "a drift-stats row per batch; ivf_index_drift reads the stats "
+    "alone to say when the frozen quantizer went stale (refit "
+    "signal). At 100 TB: append cost is map-side assignment of the "
+    "new batch only — vectors never reshuffle, the index tables are "
+    "the only writes.",
+)
+def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import ivf_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") < 40)
+    new = e.filter(F.col("vec_id") >= 40)
+    _a, cents = kmeans_fit(train, k=8, max_iter=3)
+    out = ivf_assign(new, cents)
+    return out.select(
+        "vec_id", "cid", F.round("dist", 6).alias("dist")
+    ).orderBy("vec_id")
+
+
+def _bpe_encode_bytes_oracle() -> str:
+    """Replays bpe_encode_bytes: the same unrolled-merge CTE chain on
+    per-word structs (symbol string for ^[a-z]+$ words, NULL for OOV),
+    then byte-fallback hex tokens + the ▁ boundary marker per word —
+    case-preserved words, nothing dropped, no UNK."""
+    from azure_etl_spark.operators.tokenize import DSEP, SEP
+
+    n = _BPE_N_MERGES
+    ctes = _bpe_round_ctes(n)
+    ctes.append(rf"""e0 AS (
+      SELECT doc_id, list_transform(words, w -> struct_pack(
+               w := w,
+               s := CASE WHEN regexp_matches(w, '^[a-z]+$')
+                    THEN '{SEP}' || array_to_string(string_split(w, ''), '{DSEP}') || '{SEP}'
+                    ELSE NULL END)) AS ent
+      FROM (SELECT doc_id,
+                   list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), '\s+') END,
+                               w -> length(w) > 0) AS words
+            FROM documents) t)""")
+    for r in range(1, n + 1):
+        # same exhausted-vocabulary guard as w{r} (ADVICE r5)
+        ctes.append(f"""e{r} AS (
+      SELECT doc_id, list_transform(ent, x -> struct_pack(
+               w := x.w,
+               s := CASE WHEN x.s IS NULL THEN NULL
+                    ELSE COALESCE(replace(x.s, b.pat, b.rep), x.s) END)) AS ent
+      FROM e{r - 1} LEFT JOIN b{r} b ON TRUE)""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(toks,
+                t -> regexp_matches(t, '^<0x[0-9A-F]{{2}}>$'))) AS INT)
+             AS n_byte_tokens,
+           array_to_string(toks, ' ') AS tok_str
+    FROM (SELECT doc_id, flatten(list_transform(ent, x ->
+            list_concat(['▁'], CASE WHEN x.s IS NOT NULL
+              THEN string_split(substring(x.s, 2, length(x.s) - 2), '{DSEP}')
+              ELSE list_transform(generate_series(1, length(hex(encode(x.w))) // 2),
+                   i -> '<0x' || substring(hex(encode(x.w)), i * 2 - 1, 2) || '>')
+            END))) AS toks
+          FROM e{n}) f
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "bpe_encode_bytes_docs",
+    oracle=_bpe_encode_bytes_oracle,
+    description="Byte-fallback BPE encode (round 8, VERDICT r7 #8 — "
+    "the GPT-2 no-UNK contract): every case-preserved word is emitted "
+    "— in-vocabulary words through the learned merges exactly like "
+    "bpe_encode_docs, everything else as <0xHH> UTF-8 byte tokens — "
+    "each word preceded by the ▁ boundary marker, making the flat "
+    "stream LOSSLESS (bpe_decode_bytes reassembles the whitespace-"
+    "normalized input byte-exactly; property-tested on arbitrary "
+    "UTF-8 incl. the marker character itself, which byte-encodes and "
+    "so never collides). Same plan as bpe_encode_docs: one broadcast "
+    "merge list, one corpus pass, zero shuffles; the oracle unrolls "
+    "the merges over per-word structs and replays the byte fallback "
+    "hex-for-hex.",
+)
+def q_bpe_encode_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.tokenize import (
+        bpe_encode_bytes,
+        bpe_train,
+        word_frequencies,
+    )
+
+    d = _td(spark, sf_dir)
+    _, rounds = bpe_train(word_frequencies(d), _BPE_N_MERGES)
+    enc = bpe_encode_bytes(d, rounds)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_byte_tokens",
+        F.array_join("bpe_tokens", " ").alias("tok_str"),
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

