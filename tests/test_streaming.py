@@ -1991,3 +1991,31 @@ def test_streaming_kll_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_pat
         for r in read_snapshot(spark, gold).select("v", "p", "n", "lvl").collect()
     )
     assert after == whole
+
+
+def test_text_near_dup_index_compaction(spark, tmp_path):
+    """The text signature index compacts with the same machinery as the
+    digest/media indexes (cols override incl. the array-typed gram
+    column): absorbed batch dirs merge, the latest stays untouched, and
+    cross-batch near-dup rejection still works afterwards."""
+    from azure_etl_spark.streaming.sinks import (
+        compact_digest_index,
+        incremental_text_near_dup_writer,
+    )
+
+    target = os.path.join(str(tmp_path), "tt")
+    index = os.path.join(str(tmp_path), "ti")
+    w = incremental_text_near_dup_writer(target, index)
+    texts = [_ND_BASE, _ND_UNIQ1, _ND_UNIQ2,
+             "completely fresh words about gardens rivers and mountain trails today"]
+    for b, t in enumerate(texts):
+        w(spark.createDataFrame([(b * 10, t)], "doc_id long, text string"), b)
+    absorbed = compact_digest_index(
+        spark, index, cols=("__h", "__sig", "__grams")
+    )
+    assert absorbed == 2  # batches 0,1 absorbed into 2; 3 untouched
+
+    # a near-dup of batch 0's doc must STILL be rejected post-compaction
+    w(spark.createDataFrame([(99, _ND_EDIT2)], "doc_id long, text string"), 4)
+    ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert 99 not in ids and ids == {0, 10, 20, 30}
