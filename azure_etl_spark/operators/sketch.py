@@ -1121,3 +1121,39 @@ def kll_grouped_quantiles(
         .groupBy(key, "q_num", "q_den")
         .agg(F.min("v").cast("bigint").alias("est"))
     )
+
+
+def kll_grouped_merge(
+    *tables: DataFrame, key: str, k: int = 256, bits: int = _KLL_BITS
+) -> DataFrame:
+    """Union per-key KLL level samples built with the SAME (row key, k,
+    bits): pool survivors per key, re-pick each key's level (>= every
+    input's level for that key, pooled survivor count <= k), re-filter
+    — per-key ``merge == whole-build`` EXACT identity by the same
+    argument as :func:`kll_merge`, and both merge inputs are <= k rows
+    per key, so the fold is sketch-sized whatever the stream volume."""
+    tagged = [
+        t.select(key, "v", "p", "n", "lvl", F.lit(i).alias("__t"))
+        for i, t in enumerate(tables)
+    ]
+    pool = tagged[0]
+    for t in tagged[1:]:
+        pool = pool.unionByName(t)
+    per_sketch = pool.groupBy(key, "__t").agg(
+        F.max("n").alias("n"), F.max("lvl").alias("lvl")
+    )
+    meta_in = per_sketch.groupBy(key).agg(
+        F.sum("n").cast("bigint").alias("n"), F.max("lvl").alias("maxlvl")
+    )
+    pooled = _kll_meta(pool.select(key, "p"), k, group_cols=(key,)).select(
+        key, F.col("lvl").alias("plvl")
+    )
+    meta = meta_in.join(pooled, key).select(
+        key, "n", F.greatest(F.col("plvl"), F.col("maxlvl")).alias("lvl")
+    )
+    return (
+        pool.select(key, "v", "p")
+        .join(F.broadcast(meta), key)
+        .filter(F.col("p") >= _shl1(F.col("lvl")))
+        .select(key, "v", "p", "n", "lvl")
+    )

@@ -9541,6 +9541,67 @@ def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, path).select(*cols)
 
 
+@query(
+    "kll_grouped_len_by_lang",
+    oracle=f"""
+    WITH d AS (SELECT lang, CAST(len({_WORDS_SQL}) AS BIGINT) AS v,
+                      {_md5_hv_sql("'kll:' || CAST(doc_id AS VARCHAR)", 12)} AS h
+               FROM documents),
+    pw AS MATERIALIZED (
+      SELECT lang, v, CASE WHEN h = 0 THEN (CAST(1 AS BIGINT) << 48)
+                           ELSE h & (-h) END AS p
+      FROM d),
+    hist AS (SELECT lang, CAST(length(bin(p)) - 1 AS INT) AS l,
+                    COUNT(*) AS cnt
+             FROM pw GROUP BY 1, 2),
+    sc AS (SELECT lang, l, cnt,
+                  SUM(cnt) OVER (PARTITION BY lang ORDER BY l DESC) AS s
+           FROM hist),
+    meta AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+                    CAST(COALESCE(MAX(CASE WHEN s > 256 THEN l + 1 END), 0)
+                         AS INT) AS lvl
+             FROM sc GROUP BY lang),
+    surv AS (SELECT pw.lang, v,
+                    ROW_NUMBER() OVER (PARTITION BY pw.lang ORDER BY v, p)
+                      AS rank
+             FROM pw JOIN meta ON meta.lang = pw.lang
+             WHERE pw.p >= (CAST(1 AS BIGINT) << meta.lvl)),
+    q(q_num, q_den) AS (VALUES (50, 100), (95, 100))
+    SELECT s.lang AS lang, q.q_num, q.q_den, CAST(MIN(s.v) AS BIGINT) AS est
+    FROM surv s JOIN meta m ON m.lang = s.lang CROSS JOIN q
+    WHERE s.rank * (CAST(1 AS BIGINT) << m.lvl) * q.q_den >= m.n * q.q_num
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+    description="Per-language document-length p50/p95 from GROUPED "
+    "KLL level samples (operators/sketch.kll_grouped_table, round 8): "
+    "<= k=256 survivor rows PER KEY whatever the corpus, the rank "
+    "member of the grouped sketch family next to grouped KMV "
+    "(distinct) and grouped loghist (2x-bracket quantiles) — a few "
+    "percent rank error where the loghist rollup brackets within 2x. "
+    "One groupBy computes the per-key level histogram (<= 49 rows/key "
+    "map-side), survivors filter against the broadcast thresholds, "
+    "and the rank window partitions BY KEY over sketch-sized frames. "
+    "Oracle replays hash levels, per-key level selection, and the "
+    "pure-BIGINT weighted rank bit-for-bit.",
+)
+def q_kll_grouped_len_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.dedup import normalized_text
+    from azure_etl_spark.operators.sketch import (
+        kll_grouped_quantiles,
+        kll_grouped_table,
+    )
+
+    d = _td(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(normalized_text("text"), " ")).alias("n_words"),
+        "doc_id",
+    )
+    sk = kll_grouped_table(d, "lang", "n_words", "doc_id", k=256)
+    return kll_grouped_quantiles(sk, "lang", [(50, 100), (95, 100)]).orderBy(
+        "lang", "q_num"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

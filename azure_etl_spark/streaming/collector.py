@@ -501,6 +501,70 @@ def kll_fold(
     return fold
 
 
+def streaming_kll_grouped(
+    stream: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    key: str,
+    col: str,
+    row_key: str,
+    k: int = 256,
+):
+    """Per-key streaming rank sketch: the grouped twin of
+    :func:`streaming_kll` — <= k rows of state PER KEY forever, p50/p95
+    per key of the entire stream so far. Same txn-ledger replay safety
+    (the per-key ``n`` is a count sum)."""
+    fold = kll_grouped_fold(gold_path, key, col, row_key, k=k)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def kll_grouped_fold(
+    gold_path: str,
+    key: str,
+    col: str,
+    row_key: str,
+    k: int = 256,
+    app_id: str | None = None,
+):
+    """The ``foreachBatch`` callable behind :func:`streaming_kll_grouped`
+    — durability contract of :func:`medallion_fold`. Both merge inputs
+    are <= k rows per key, so the fold is sketch-sized regardless of
+    stream volume."""
+    from azure_etl_spark.operators.sketch import (
+        kll_grouped_merge,
+        kll_grouped_table,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    txn_app = app_id or f"streaming_kll_grouped:{gold_path.rstrip('/')}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kll_grouped_table(batch_df, key, col, row_key, k=k)
+        if is_snapshot_table(spark, gold_path):
+            merged = kll_grouped_merge(
+                read_snapshot(spark, gold_path).select(key, "v", "p", "n", "lvl"),
+                batch_sk,
+                key=key,
+                k=k,
+            )
+        else:
+            merged = batch_sk
+        write_snapshot(
+            merged, gold_path, mode="overwrite",
+            txn_app_id=txn_app, txn_version=batch_id,
+        )
+
+    return fold
+
+
 def streaming_bloom(
     stream: DataFrame,
     gold_path: str,

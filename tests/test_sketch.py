@@ -727,3 +727,23 @@ def test_kll_duplicate_values_sampled_per_row(spark):
     assert 0.85 < frac < 0.95
     p50 = kll_quantiles(sk, [(50, 100)]).collect()[0]["est"]
     assert p50 == 7
+
+
+def test_kll_grouped_merge_equals_whole_build(spark):
+    from azure_etl_spark.operators.sketch import (
+        kll_grouped_merge,
+        kll_grouped_table,
+    )
+
+    df = _kll_fixture(spark).withColumn("grp", F.col("k") % 3)
+    whole = {
+        tuple(r) for r in kll_grouped_table(df, "grp", "val", "k", k=128).collect()
+    }
+    shards = [
+        kll_grouped_table(df.filter((F.col("k") % 2) == i), "grp", "val", "k", k=128)
+        for i in range(2)
+    ]
+    merged = {
+        tuple(r) for r in kll_grouped_merge(*shards, key="grp", k=128).collect()
+    }
+    assert merged == whole

@@ -2019,3 +2019,60 @@ def test_text_near_dup_index_compaction(spark, tmp_path):
     w(spark.createDataFrame([(99, _ND_EDIT2)], "doc_id long, text string"), 4)
     ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
     assert 99 not in ids and ids == {0, 10, 20, 30}
+
+
+def test_streaming_kll_grouped_fold_matches_whole_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Grouped KLL folded across micro-batches: final per-key gold ==
+    one-shot whole build exactly; replayed batch id leaves gold
+    unchanged (txn ledger)."""
+    from azure_etl_spark.operators.sketch import kll_grouped_table
+    from azure_etl_spark.sources.snapshot import read_snapshot
+    from azure_etl_spark.streaming.collector import (
+        kll_grouped_fold,
+        streaming_kll_grouped,
+    )
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("bigint").alias("v")
+    ).filter(F.col("v") >= 0).withColumn("grp", F.col("user_id") % 3)
+    bronze = os.path.join(str(tmp_path), "bronze_kllg")
+    src.repartition(4).write.mode("overwrite").parquet(bronze)
+    gold = os.path.join(str(tmp_path), "gold_kllg")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        streaming_kll_grouped(
+            stream, gold, os.path.join(str(tmp_path), "ckpt_kllg"),
+            key="grp", col="v", row_key="event_id", k=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    whole = sorted(
+        tuple(r)
+        for r in kll_grouped_table(src, "grp", "v", "event_id", k=64).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, gold)
+        .select("grp", "v", "p", "n", "lvl")
+        .collect()
+    )
+    assert got == whole
+
+    fold = kll_grouped_fold(gold, "grp", "v", "event_id", k=64)
+    fold(spark.read.parquet(bronze), 0)  # replay: ledgered, no change
+    after = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, gold)
+        .select("grp", "v", "p", "n", "lvl")
+        .collect()
+    )
+    assert after == whole

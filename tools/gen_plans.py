@@ -249,6 +249,33 @@ COMMENTARY = {
         "build collapses to <= 63 rows/key map-side — hot domains "
         "cost the same as cold ones."
     ),
+    "kll_quantiles_orders": (
+        "Deterministic KLL-style rank sketch (round 8). Two column "
+        "scans: the first feeds a <= 49-row level HISTOGRAM (the "
+        "partial HashAggregate collapses map-side; its suffix-cumsum "
+        "window orders <= 49 rows), the second filters survivors "
+        "against the broadcast 1-row (n, lvl) threshold. The rank "
+        "window orders <= k=1024 SURVIVORS, never data — the whole "
+        "quantile answer moves <= k rows however large the input. "
+        "No sort of the data, no global window over it."
+    ),
+    "bpe_encode_bytes_docs": (
+        "Byte-fallback BPE encode (round 8). The merge list is ONE "
+        "broadcast row (BroadcastNestedLoopJoin of a 1-row frame); "
+        "every token decision — merge fold, [a-z]+ eligibility, "
+        "<0xHH> byte fallback, the ▁ boundary marker — is a per-row "
+        "codegen expression. The corpus is scanned once and never "
+        "shuffles; the only exchange is the final orderBy for the "
+        "deterministic driver compare."
+    ),
+    "kll_grouped_len_by_lang": (
+        "Grouped KLL rollup (round 8): per-key level histograms "
+        "(<= 49 rows/key map-side), per-key thresholds broadcast back, "
+        "survivors filtered, and the rank window partitions BY KEY "
+        "over <= k=256 rows/key. Hot languages cost one histogram row "
+        "more, never a blown bucket — the level rises with the key's "
+        "row count."
+    ),
 }
 
 
