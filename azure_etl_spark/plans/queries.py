@@ -9602,6 +9602,103 @@ def q_kll_grouped_len_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_append_oracle(
+    m: int = 4, k_codes: int = 16, max_iter: int = 3, dim: int = 64
+) -> str:
+    """Replays pq_index_append: train the m deterministic sub-space
+    k-means on vec_id < 40 (the persisted codebooks), then encode every
+    NEW vector (vec_id >= 40) by the same per-subspace (distance, cid)
+    argmin and sum the quantization error — encoding against frozen
+    codebooks is a pure function, which is what makes the append
+    map-side and oracle-checkable."""
+    sub_len = dim // m
+
+    def dist(va: str, vb: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_len}),"
+            f" i -> ({va}[i] - {vb}[i]) ** 2))"
+        )
+
+    ctes = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id < 40)",
+        "newv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id >= 40)",
+    ]
+    for s in range(m):
+        lo, hi = s * sub_len + 1, (s + 1) * sub_len
+        ctes.append(f"sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs)")
+        ctes.append(f"nsv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM newv)")
+        ctes.append(f"""c0_{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM sv{s} ORDER BY vec_id LIMIT {k_codes}))""")
+        for n in range(1, max_iter + 1):
+            ctes.append(f"""a{n}_{s} AS (
+      SELECT id, cid, v FROM (
+        SELECT e.vec_id AS id, c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid')} ASC, c.cid ASC) AS rn
+        FROM sv{s} e CROSS JOIN c{n - 1}_{s} c) x WHERE rn = 1)""")
+            ctes.append(f"""c{n}_{s} AS (
+      SELECT cid, list(mv ORDER BY pos) AS centroid
+      FROM (SELECT cid, pos, AVG(val) AS mv
+            FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS val FROM a{n}_{s}) u
+            GROUP BY cid, pos) g
+      GROUP BY cid)""")
+        ctes.append(f"""encN{s} AS (
+      SELECT vec_id, cid AS code, d FROM (
+        SELECT e.vec_id, c.cid, {dist('e.v', 'c.centroid')} AS d,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist('e.v', 'c.centroid')} ASC, c.cid ASC) AS rn
+        FROM nsv{s} e CROSS JOIN c{max_iter}_{s} c) x WHERE rn = 1)""")
+    joins = " ".join(
+        f"JOIN encN{s} n{s} USING (vec_id)" for s in range(1, m)
+    )
+    codes = " || ',' || ".join(f"CAST(n{s}.code AS VARCHAR)" for s in range(m))
+    qerr = " + ".join(f"n{s}.d" for s in range(m))
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT vec_id, {codes} AS codes_str, ROUND({qerr}, 4) AS qerr
+    FROM encN0 n0 {joins}
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "pq_append_codes",
+    oracle=_pq_append_oracle,
+    description="Incremental PQ index maintenance — the codebook half "
+    "of VERDICT r7 #6 (operators/similarity.pq_index_build/append): "
+    "new embedding batches encode against the FROZEN persisted "
+    "codebooks (one broadcast of m x k_codes centroids + a grouped "
+    "per-subspace argmin — no refit, vectors never reshuffle) and the "
+    "64x-compressed codes table appends; the per-batch quantization "
+    "error feeds pq_index_drift, the refit signal. Oracle trains the "
+    "same m sub-space k-means on vec_id<40 and replays the frozen "
+    "encode of the rest exactly.",
+)
+def q_pq_append_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.similarity import (
+        pq_encode_with_error,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") < 40)
+    new = e.filter(F.col("vec_id") >= 40)
+    cb = pq_train(train, m=4, k_codes=16, max_iter=3, dim=64)
+    enc = pq_encode_with_error(new, cb, m=4, dim=64)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+        F.round("qerr", 4).alias("qerr"),
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

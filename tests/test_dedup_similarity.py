@@ -676,3 +676,43 @@ def test_ivf_index_drift_signal(spark, tmp_path):
     d2 = ivf_index_drift(spark, path).collect()[0]
     assert d2["drift_ratio"] > 3.0, d2
     assert d2["n_train"] == 60 and d2["n_appended"] == 80
+
+
+def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
+    """PQ half of VERDICT r7 #6: appending encodes against the FROZEN
+    codebooks exactly as a direct pq_encode against them would, the
+    persisted codes table accumulates, and out-of-distribution appends
+    push the drift ratio up."""
+    from azure_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_index_append,
+        pq_index_build,
+        pq_index_drift,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    all_vecs = _planted_clusters(spark)  # dim=16
+    train = all_vecs.filter(F.col("vec_id") % 30 < 15)
+    newer = all_vecs.filter(F.col("vec_id") % 30 >= 15)
+    path = str(tmp_path / "pq")
+    pq_index_build(train, path, m=4, k_codes=8, max_iter=2, dim=16)
+    appended = pq_index_append(newer, path, batch="b1", m=4, dim=16)
+    # frozen-codebook determinism: append codes == direct encode codes
+    cb = read_snapshot(spark, f"{path}/codebooks")
+    direct = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(newer, cb, m=4, dim=16).collect()
+    }
+    got = {r["vec_id"]: r["codes"] for r in appended.collect()}
+    assert got == direct
+    # the codes table holds train + appended
+    assert read_snapshot(spark, f"{path}/codes").count() == 120
+    d1 = pq_index_drift(spark, path).collect()[0]
+    assert 0.2 < d1["drift_ratio"] < 3.0, d1
+    far = spark.createDataFrame(
+        [(10_000 + i, [7.0] * 16) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    pq_index_append(far, path, batch="ood", m=4, dim=16)
+    d2 = pq_index_drift(spark, path).collect()[0]
+    assert d2["drift_ratio"] > d1["drift_ratio"] * 2, (d1, d2)

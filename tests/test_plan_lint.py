@@ -23,6 +23,7 @@ SKIP = {
     "jdbc_roundtrip_gold",
     "ivf_topk",
     "ivf_append_assign",  # builder fits k-means (localCheckpoint side work)
+    "pq_append_codes",  # builder fits per-subspace k-means (same)
 }
 
 LINTABLE = sorted(n for n in QUERIES if n not in SKIP)
