@@ -50,7 +50,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_hash(c: Column, salt: int, bits: int = 32) -> Column:
+def _row_hash(c: Column, salt: int | str, bits: int = 32) -> Column:
     """First-``bits/4``-hex-digits md5 bucket hash of
     ``"{salt}:" || value`` as BIGINT in [0, 2^bits) — identical
     integer in Spark (conv) and DuckDB (digit-by-digit instr)."""
@@ -1156,4 +1156,43 @@ def kll_grouped_merge(
         .join(F.broadcast(meta), key)
         .filter(F.col("p") >= _shl1(F.col("lvl")))
         .select(key, "v", "p", "n", "lvl")
+    )
+
+
+def kll_bucket(
+    df: DataFrame,
+    col: str | Column,
+    key: str | Column,
+    quantiles: list[tuple[int, int]],
+    bucket_col: str = "bucket",
+    k: int = 1024,
+) -> DataFrame:
+    """Quantile bucketing WITHOUT a global sort at KLL precision — the
+    upgrade of :func:`loghist_bucket` (round 8): cutpoints come from
+    the <= k-row KLL level sample (~1/sqrt(k) rank error, vs loghist's
+    factor-of-2 bucket bounds), and each row's bucket is a pure
+    expression against the broadcast cutpoint array. Same plan shape
+    ntile can't match at scale: sketch aggregate + a 1-row broadcast
+    NLJ — the data never shuffles, never sorts, and the cutpoints
+    compose with per-shard sketch merges (:func:`kll_merge`).
+
+    Same bucket rule as loghist_bucket: ``1 + #distinct cutpoints
+    strictly below v`` (rows equal to a cutpoint fall in the LOWER
+    bucket; duplicate cutpoint estimates dedup so ids stay dense) —
+    deterministic given the sketch, replayable bit-for-bit by a SQL
+    oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("bigint")
+    cut = kll_quantiles(kll_table(df, col, key, k=k), quantiles)
+    cuts = cut.agg(F.array_sort(F.collect_set("est")).alias("__cuts"))
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            bucket_col,
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("__cuts"), lambda x: x < v))
+            ).cast("int"),
+        )
+        .drop("__cuts")
     )

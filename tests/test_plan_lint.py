@@ -48,6 +48,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # the KLL level sample is <= k=1024 rows by construction (the rank
     # window orders SURVIVORS, never data — kll_table filters first)
     "kll_quantiles_orders": "window input = <=1024-row KLL level sample",
+    # same rank window over the <=1024-row sample; the DATA side is
+    # bucketed map-side against the broadcast cutpoint array
+    "kll_bucket_orders": "window input = <=1024-row KLL level sample",
     # same cumsum window over the <=63-row sketch; the DATA side is
     # bucketed map-side against the broadcast cutpoint array
     "loghist_bucket_orders": "window input = <=63-row loghist sketch",

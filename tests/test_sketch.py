@@ -747,3 +747,20 @@ def test_kll_grouped_merge_equals_whole_build(spark):
         tuple(r) for r in kll_grouped_merge(*shards, key="grp", k=128).collect()
     }
     assert merged == whole
+
+
+def test_kll_bucket_populations_near_ntile(spark):
+    """The precision claim over loghist_bucket: quartile bucket
+    POPULATIONS land within a few percent of exact (n/4 each), where
+    loghist's factor-2 cutpoints give wildly uneven buckets — and the
+    plan stays sort-free (no data-sized window)."""
+    from azure_etl_spark.operators.sketch import kll_bucket
+
+    df = _kll_fixture(spark)  # 50k rows, ~uniform val
+    b = kll_bucket(df, "val", "k", [(25, 100), (50, 100), (75, 100)])
+    sizes = {r["bucket"]: r["count"] for r in b.groupBy("bucket").count().collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    for n in sizes.values():
+        assert abs(n - 12_500) < 12_500 * 0.10, sizes  # each quartile ±10%
+    # membership is deterministic and total
+    assert sum(sizes.values()) == 50_000
