@@ -70,6 +70,7 @@ REFERENCE: dict[str, float] = {
     # see SCALE.md round 8), the correct Carter-Wegman signature costs
     # 1.4x that and this is the honest floor
     "kll_quantiles_orders": 0.898,
+    "kll_bucket_orders": 1.219,
     "minhash_near_dup": 1.114,
 }
 
@@ -116,6 +117,7 @@ SF1_REFERENCE: dict[str, float] = {
     # minhash_near_dup re-based for the same degenerate-signature
     # reason as the sf0.1 table above
     "kll_quantiles_orders": 1.097,
+    "kll_bucket_orders": 1.608,
     "minhash_near_dup": 1.243,
 }
 
