@@ -2076,3 +2076,48 @@ def test_streaming_kll_grouped_fold_matches_whole_and_replay_safe(
         .collect()
     )
     assert after == whole
+
+
+def test_incremental_text_near_dup_via_streaming_query(spark, tmp_path):
+    """The text near-dup writer under a REAL Structured Streaming query
+    (file source, maxFilesPerTrigger=1 -> several micro-batches):
+    planted light edits of one document spread across source files
+    collapse to one survivor regardless of batch order, and unique
+    docs all flow through — the streaming-query twin of the direct
+    writer test, mirroring the media path's coverage."""
+    from azure_etl_spark.streaming.sinks import incremental_text_near_dup_writer
+
+    bronze = os.path.join(str(tmp_path), "txt_bronze")
+    # 3 source files; the near-dup group {0, 100, 200} spans ALL of them
+    files = [
+        [(0, _ND_BASE), (10, _ND_UNIQ1)],
+        [(100, _ND_EDIT1), (11, _ND_UNIQ2)],
+        [(200, _ND_EDIT2),
+         (12, "fresh text about orchards bridges and winter constellations")],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(bronze)
+
+    target = os.path.join(str(tmp_path), "txt_silver")
+    index = os.path.join(str(tmp_path), "txt_index")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(bronze).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bronze)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_text_near_dup_writer(target, index)
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_tnd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert {10, 11, 12} <= ids
+    assert len(ids & {0, 100, 200}) == 1  # one survivor from the group
+    assert len(ids) == 4
