@@ -4,7 +4,11 @@
 Runs the ``bench=True`` subset of the query registry at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ..., "load": {...}}`` — ``load`` is the calibration-kernel time
+series sampled before every query (round 8): tools/bench_guard.py
+divides per-query ratios by the run's load index so shared-box
+contention reads as uniform drift instead of fake regressions.
 
 Each query is materialized with a noop-format write (full execution,
 no driver collect / no sink IO in the measurement), matching how the
