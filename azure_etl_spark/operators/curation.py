@@ -246,7 +246,13 @@ def segment_docs(
     fixed-width segments when documents carry no newlines). Segment
     construction is array HOF work (sequence/slice/array_join) under
     codegen; the posexplode is the only row expansion."""
-    nseg = F.ceil(F.size(words_col) / F.lit(seg_len)).cast("int")
+    # greatest() guards the empty-array edge: Spark's sequence(0, -1)
+    # DESCENDS ([0, -1] — the round-8 byte-tokens lesson), which would
+    # fabricate two bogus segments for a zero-word doc; clamping yields
+    # one empty segment, same as a ['']-word doc
+    nseg = F.greatest(
+        F.ceil(F.size(words_col) / F.lit(seg_len)).cast("int"), F.lit(1)
+    )
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.array_join(F.slice(words_col, i * seg_len + 1, seg_len), " "),

@@ -316,3 +316,22 @@ def test_remove_duplicate_spans_cross_doc(spark):
     assert got1[4].n_words_removed == 16  # both 8-word copies; the
     assert got1[4].cleaned_text == "filler"  # uncovered middle survives
     assert got1[3].n_words_removed == 0
+
+
+def test_doc_to_segments_empty_word_array_edge(spark):
+    """Spark's sequence(0, -1) DESCENDS; an explicitly empty word array
+    used to fabricate TWO bogus segments. Clamped: one empty segment,
+    same as a ['']-word doc."""
+    from azure_etl_spark.operators.curation import segment_docs
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [""]), (3, ["a", "b", "c", "d"])],
+        "doc_id long, words array<string>",
+    )
+    out = segment_docs(df, F.col("words"), seg_len=3)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["doc_id"], []).append((r["seg_idx"], r["segment"]))
+    assert by_id[1] == [(0, "")]
+    assert by_id[2] == [(0, "")]
+    assert sorted(by_id[3]) == [(0, "a b c"), (1, "d")]
