@@ -268,6 +268,15 @@ COMMENTARY = {
         "shuffles; the only exchange is the final orderBy for the "
         "deterministic driver compare."
     ),
+    "kll_bucket_orders": (
+        "Sort-free quantile bucketing at KLL precision (round 8): the "
+        "quartile cutpoints come from the <= 1024-row level sample "
+        "(loghist_bucket's plan, ~1.5% rank error instead of factor-2 "
+        "bounds) and each row's bucket is a pure expression against "
+        "the ONE-row broadcast cutpoint array (BroadcastNestedLoopJoin "
+        "of one row). The data never shuffles for the bucketing "
+        "itself; the only exchange is the final per-bucket aggregate."
+    ),
     "kll_grouped_len_by_lang": (
         "Grouped KLL rollup (round 8): per-key level histograms "
         "(<= 49 rows/key map-side), per-key thresholds broadcast back, "
