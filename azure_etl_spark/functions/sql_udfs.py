@@ -119,6 +119,21 @@ _SKETCH_DDL = [
        RETURNS BIGINT
        RETURN CASE WHEN b >= 63 THEN 9223372036854775807
               ELSE shiftleft(CAST(1 AS BIGINT), b) - 1 END""",
+    # KLL level power 2^(trailing zeros) of the row key's 48-bit salted
+    # hash (operators/sketch.kll_table's survivor criterion: a row is
+    # in the level-L sample iff eng_kll_level_pow(key) >= 2^L) — the
+    # SQL build recipe:
+    #   SELECT v, eng_kll_level_pow(key) AS p FROM t
+    #   ... pick the smallest L whose count(p >= 2^L) <= k, keep those
+    """CREATE OR REPLACE TEMPORARY FUNCTION eng_kll_level_pow(key STRING)
+       RETURNS BIGINT
+       RETURN CASE WHEN cast(conv(substring(md5(concat('kll:', key)), 1, 12),
+                                  16, 10) AS BIGINT) = 0
+                   THEN shiftleft(CAST(1 AS BIGINT), 48)
+              ELSE cast(conv(substring(md5(concat('kll:', key)), 1, 12),
+                             16, 10) AS BIGINT)
+                   & -cast(conv(substring(md5(concat('kll:', key)), 1, 12),
+                                16, 10) AS BIGINT) END""",
 ]
 
 

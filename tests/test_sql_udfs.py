@@ -240,3 +240,58 @@ def test_sketch_sql_scalars_match_dataframe_paths(spark, sf_dir):
         spark.sql("SELECT eng_loghist_upper(63) AS u").collect()[0]["u"]
         == (1 << 63) - 1
     )
+
+
+def test_eng_kll_level_pow_matches_operator(spark):
+    """The KLL survivor criterion is SQL-visible too: the scalar must
+    equal operators/sketch's _row_hash + _kll_level_power exactly, so a
+    spark.sql user can rebuild the level sample bit-for-bit."""
+    from azure_etl_spark.functions.sql_udfs import register_sql_functions
+    from azure_etl_spark.operators.sketch import _kll_level_power, _row_hash
+
+    register_sql_functions(spark)
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("key"))
+    df.createOrReplaceTempView("v_kll_keys")
+    want = {
+        r["key"]: r["p"]
+        for r in df.select(
+            "key", _kll_level_power(_row_hash(F.col("key"), "kll", bits=48)).alias("p")
+        ).collect()
+    }
+    got = {
+        r["key"]: r["p"]
+        for r in spark.sql(
+            "SELECT key, eng_kll_level_pow(key) AS p FROM v_kll_keys"
+        ).collect()
+    }
+    assert got == want
+    # and the full SQL build recipe reproduces kll_table's survivors
+    from azure_etl_spark.operators.sketch import kll_table
+
+    vals = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 31 % 977).alias("v")
+    )
+    vals.createOrReplaceTempView("v_kll_vals")
+    df_sk = {
+        (r["v"], r["p"]) for r in kll_table(vals, "v", "k", k=128).collect()
+    }
+    lvl = spark.table("v_kll_vals").selectExpr(
+        "eng_kll_level_pow(cast(k AS STRING)) AS p"
+    ).createOrReplaceTempView("v_kll_p")
+    sql_sk = {
+        (r["v"], r["p"])
+        for r in spark.sql(
+            """
+            WITH pw AS (SELECT v, eng_kll_level_pow(cast(k AS STRING)) AS p
+                        FROM v_kll_vals),
+            hist AS (SELECT cast(length(bin(p)) - 1 AS INT) AS l, COUNT(*) AS cnt
+                     FROM pw GROUP BY 1),
+            sc AS (SELECT l, cnt, SUM(cnt) OVER (ORDER BY l DESC) AS s FROM hist),
+            meta AS (SELECT cast(coalesce(max(CASE WHEN s > 128 THEN l + 1 END), 0)
+                                 AS INT) AS lvl FROM sc)
+            SELECT pw.v, pw.p FROM pw, meta
+            WHERE pw.p >= shiftleft(CAST(1 AS BIGINT), meta.lvl)
+            """
+        ).collect()
+    }
+    assert sql_sk == df_sk and len(df_sk) > 0
