@@ -764,3 +764,28 @@ def test_kll_bucket_populations_near_ntile(spark):
         assert abs(n - 12_500) < 12_500 * 0.10, sizes  # each quartile ±10%
     # membership is deterministic and total
     assert sum(sizes.values()) == 50_000
+
+
+def test_kll_merge_associative_and_matches_whole(spark):
+    """Merge shape independence: merging shard sketches pairwise, in
+    one call, or rebuilding whole must all give the SAME sketch —
+    survivor sets are pure functions of key hashes, so any merge tree
+    converges to the whole-build answer."""
+    from azure_etl_spark.operators.sketch import kll_merge, kll_table
+
+    df = _kll_fixture(spark)
+    parts = [
+        kll_table(df.filter((F.col("k") % 4) == i), "val", "k", k=512)
+        for i in range(4)
+    ]
+    whole = {tuple(r) for r in kll_table(df, "val", "k", k=512).collect()}
+    flat = {tuple(r) for r in kll_merge(*parts, k=512).collect()}
+    paired = {
+        tuple(r)
+        for r in kll_merge(
+            kll_merge(parts[0], parts[1], k=512),
+            kll_merge(parts[2], parts[3], k=512),
+            k=512,
+        ).collect()
+    }
+    assert flat == whole and paired == whole
