@@ -9770,6 +9770,62 @@ def q_kll_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_text_near_dup_gold",
+    # Pinned-constant oracle (the snapshot_delete_skipping pattern):
+    # the planted corpus and the writer are fully deterministic, so the
+    # surviving ids ARE the contract — a recall or idempotence
+    # regression changes the set and fails the driver hash.
+    oracle="""
+    SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (10), (101))
+    t(doc_id) ORDER BY doc_id
+    """,
+    description="Streaming cross-batch TEXT near-dup end-to-end "
+    "(round 8, VERDICT r7 #1 — streaming/sinks."
+    "incremental_text_near_dup_writer): batch 0 plants a base doc, a "
+    "light edit of it, an exact copy, and a unique doc (within-batch "
+    "exact + near collapse -> {0, 10}); batch 1 plants ANOTHER light "
+    "edit of the indexed base (cross-batch near-dup, rejected via the "
+    "signature index alone — text never re-read), a fresh doc "
+    "(admitted), and an exact copy of the indexed unique doc "
+    "(rejected at the linear digest stage); batch 1 is then REPLAYED "
+    "with the same id to prove idempotence. Final survivors pinned: "
+    "{0, 10, 101}.",
+)
+def q_streaming_text_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.streaming.sinks import incremental_text_near_dup_writer
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "on the quiet village green"
+    )
+    uniq1 = (
+        "seventeen green turtles paddle across a warm shallow lagoon "
+        "under bright southern stars at midnight hour"
+    )
+    uniq2 = (
+        "an entirely different report about quarterly metrics and "
+        "pipeline throughput written for the data team review"
+    )
+    root = tempfile.mkdtemp(prefix="stream_tnd_")
+    target = f"{root}/t"
+    w = incremental_text_near_dup_writer(target, f"{root}/i")
+    b0 = spark.createDataFrame(
+        [(0, base), (1, base.replace("lazy", "sleepy")), (2, base), (10, uniq1)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, base.replace("rain", "snow")), (101, uniq2), (102, uniq1)],
+        "doc_id long, text string",
+    )
+    w(b0, 0)
+    w(b1, 1)
+    w(b1, 1)  # crash-redelivery: must converge to the same state
+    return spark.read.parquet(target).select("doc_id").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

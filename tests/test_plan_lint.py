@@ -24,6 +24,7 @@ SKIP = {
     "ivf_topk",
     "ivf_append_assign",  # builder fits k-means (localCheckpoint side work)
     "pq_append_codes",  # builder fits per-subspace k-means (same)
+    "streaming_text_near_dup_gold",  # builder runs the foreachBatch writer
 }
 
 LINTABLE = sorted(n for n in QUERIES if n not in SKIP)
