@@ -1027,7 +1027,15 @@ def kll_quantiles(
     ``ceil(q*n)`` — the integer compare
     ``rank * 2^lvl * q_den >= n * q_num`` (no floats anywhere, so a
     SQL oracle replays it bit-for-bit; needs ``n * q_den < 2^63``).
-    Output: one ``(q_num, q_den, est)`` row per requested ratio.
+    Output: one ``(q_num, q_den, est)`` row per EVERY requested ratio:
+    when no survivor reaches the weighted rank (total survivor mass
+    ``S * 2^lvl`` can fall short of ``n`` — the level filter discards
+    real mass, so high quantiles like p99 hit this on ~40% of random
+    datasets), the estimate CLAMPS to the maximum survivor value
+    instead of silently dropping the row (round-9 ADVICE fix; the max
+    survivor is the sketch's best upper-tail answer and keeps
+    downstream consumers like :func:`kll_bucket` at the cutpoint
+    count they asked for).
 
     The cumulative ranking windows over the <= k-row sketch —
     sketch-sized by construction, never the data (same justified
@@ -1044,14 +1052,18 @@ def kll_quantiles(
     qs = spark.createDataFrame(
         [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
     )
+    reached = (
+        F.col("rank") * _shl1(F.col("lvl")) * F.col("q_den")
+        >= F.col("n") * F.col("q_num")
+    )
     return (
         ranked.crossJoin(F.broadcast(qs))
-        .filter(
-            F.col("rank") * _shl1(F.col("lvl")) * F.col("q_den")
-            >= F.col("n") * F.col("q_num")
-        )
         .groupBy("q_num", "q_den")
-        .agg(F.min("v").cast("bigint").alias("est"))
+        .agg(
+            F.coalesce(F.min(F.when(reached, F.col("v"))), F.max("v"))
+            .cast("bigint")
+            .alias("est")
+        )
     )
 
 
@@ -1094,8 +1106,10 @@ def kll_grouped_quantiles(
 ) -> DataFrame:
     """Per-key quantile estimates from a grouped KLL sample: one
     ``(key, q_num, q_den, est)`` row per key x ratio — the same pure-
-    BIGINT weighted-rank rule as :func:`kll_quantiles`, with the
-    ranking window partitioned BY KEY over <= k rows per key
+    BIGINT weighted-rank rule as :func:`kll_quantiles`, including the
+    max-survivor clamp when no survivor reaches the weighted rank
+    (round-9 ADVICE fix: every (key, ratio) pair always gets a row),
+    with the ranking window partitioned BY KEY over <= k rows per key
     (sketch-sized, never the single-task global window)."""
     from pyspark.sql import Window
 
@@ -1112,14 +1126,18 @@ def kll_grouped_quantiles(
     qs = spark.createDataFrame(
         [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
     )
+    reached = (
+        F.col("rank") * _shl1(F.col("lvl")) * F.col("q_den")
+        >= F.col("n") * F.col("q_num")
+    )
     return (
         ranked.crossJoin(F.broadcast(qs))
-        .filter(
-            F.col("rank") * _shl1(F.col("lvl")) * F.col("q_den")
-            >= F.col("n") * F.col("q_num")
-        )
         .groupBy(key, "q_num", "q_den")
-        .agg(F.min("v").cast("bigint").alias("est"))
+        .agg(
+            F.coalesce(F.min(F.when(reached, F.col("v"))), F.max("v"))
+            .cast("bigint")
+            .alias("est")
+        )
     )
 
 

@@ -74,6 +74,36 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# The driver's CORRECTNESS hash-check subset is FROZEN at the original
+# 50 queries (every CORRECTNESS_r0N.json since has exactly these keys);
+# queries added later are verified by the local oracle-parity replay
+# (tests/test_oracle_parity.py, same rows+schema+hash contract) but
+# never appear in the driver artifact. Docs must therefore say "driver
+# query/row" ONLY for names in this set — tests/test_docs.py pins the
+# set against the latest CORRECTNESS artifact and mechanically audits
+# every "driver query/row" claim in README/SURVEY/SCALE/PLANS against
+# it (VERDICT r8 #4).
+DRIVER_SUBSET: frozenset[str] = frozenset({
+    "argmax_price_order", "asof_purchase_last_error", "cdc_incremental_agg",
+    "cosine_topk", "cube_lineitem", "date_parts_orders", "dedup_distinct",
+    "dedup_first_per_key", "distinct_agg_parts", "doc_exact_dedup",
+    "events_hourly_rollup", "filter_isin", "flagship_gold_minmax",
+    "from_json_struct", "jdbc_roundtrip_gold", "join_anti_customers",
+    "join_revenue_per_nation", "join_semi_customers", "json_extract_events",
+    "json_roundtrip_events", "lsh_topk", "minhash_near_dup",
+    "multimodal_meta", "ngram_jaccard_pairs", "pivot_user_events",
+    "rollup_orders", "serving_cast_all_id", "sessionize_events",
+    "set_except_parts", "set_intersect_customers", "snapshot_convert_gold",
+    "snapshot_delete_skipping", "snapshot_merge_upsert",
+    "snapshot_mor_delete", "snapshot_restore_gold",
+    "snapshot_time_travel_gold", "streaming_hourly_rollup",
+    "string_funcs_docs", "text_lang_id", "text_quality_score",
+    "text_token_stats", "topk_orders", "tpch_q1ish", "tpch_q3ish",
+    "tpch_q5ish", "union_snapshots", "window_lag_delta",
+    "window_minmax_partition", "window_top3_per_customer",
+    "word_freq_top20",
+})
+
 
 def _finalize(df: DataFrame) -> DataFrame:
     """Hash-robust driver boundary: cast DECIMAL outputs to DOUBLE.
@@ -9310,10 +9340,13 @@ def q_kmv_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, p) AS rank
              FROM pw, meta WHERE pw.p >= (CAST(1 AS BIGINT) << meta.lvl)),
     q(q_num, q_den) AS (VALUES (50, 100), (90, 100), (99, 100))
-    SELECT q.q_num, q.q_den, CAST(MIN(surv.v) AS BIGINT) AS est
+    SELECT q.q_num, q.q_den,
+           CAST(COALESCE(
+             MIN(surv.v) FILTER (WHERE
+               surv.rank * (CAST(1 AS BIGINT) << meta.lvl) * q.q_den
+               >= meta.n * q.q_num),
+             MAX(surv.v)) AS BIGINT) AS est
     FROM surv, meta, q
-    WHERE surv.rank * (CAST(1 AS BIGINT) << meta.lvl) * q.q_den
-          >= meta.n * q.q_num
     GROUP BY 1, 2 ORDER BY q_num
     """,
     description="Order-price p50/p90/p99 from the deterministic "
@@ -9568,9 +9601,13 @@ def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM pw JOIN meta ON meta.lang = pw.lang
              WHERE pw.p >= (CAST(1 AS BIGINT) << meta.lvl)),
     q(q_num, q_den) AS (VALUES (50, 100), (95, 100))
-    SELECT s.lang AS lang, q.q_num, q.q_den, CAST(MIN(s.v) AS BIGINT) AS est
+    SELECT s.lang AS lang, q.q_num, q.q_den,
+           CAST(COALESCE(
+             MIN(s.v) FILTER (WHERE
+               s.rank * (CAST(1 AS BIGINT) << m.lvl) * q.q_den
+               >= m.n * q.q_num),
+             MAX(s.v)) AS BIGINT) AS est
     FROM surv s JOIN meta m ON m.lang = s.lang CROSS JOIN q
-    WHERE s.rank * (CAST(1 AS BIGINT) << m.lvl) * q.q_den >= m.n * q.q_num
     GROUP BY 1, 2, 3 ORDER BY 1, 2
     """,
     description="Per-language document-length p50/p95 from GROUPED "
@@ -9721,10 +9758,13 @@ def q_pq_append_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM pw, meta WHERE pw.p >= (CAST(1 AS BIGINT) << meta.lvl)),
     q(q_num, q_den) AS (VALUES (25, 100), (50, 100), (75, 100)),
     pick AS (
-      SELECT q.q_num, CAST(MIN(surv.v) AS BIGINT) AS est
+      SELECT q.q_num,
+             CAST(COALESCE(
+               MIN(surv.v) FILTER (WHERE
+                 surv.rank * (CAST(1 AS BIGINT) << meta.lvl) * q.q_den
+                 >= meta.n * q.q_num),
+               MAX(surv.v)) AS BIGINT) AS est
       FROM surv, meta, q
-      WHERE surv.rank * (CAST(1 AS BIGINT) << meta.lvl) * q.q_den
-            >= meta.n * q.q_num
       GROUP BY 1),
     cuts AS (SELECT list_sort(list(DISTINCT est)) AS cuts FROM pick),
     bucketed AS (

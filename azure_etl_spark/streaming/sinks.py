@@ -397,9 +397,12 @@ def incremental_text_near_dup_writer(
             )
             hashed = hashed.join(dup_ids, id_col, "left_anti")
 
-        # within-batch near-dup: banded self-join (id_a < id_b), right
-        # side capped per bucket with the overflow published — then
-        # exact-Jaccard verify over the gram sets, keep min id
+        # within-batch near-dup: banded self-join (id_a < id_b) where
+        # id_a comes from the capped per-bucket prefix and id_b stays
+        # UNCAPPED — so an over-cap doc is still checked against every
+        # capped keeper; only pairs whose BOTH members sit past the cap
+        # are skipped (published via _overflow). Then exact-Jaccard
+        # verify over the gram sets, keep min id.
         batch_rank = Window.partitionBy("band", "bkey").orderBy(id_col)
         bk_all = _band_keys(hashed, [id_col]).withColumn(
             "__rn", F.row_number().over(batch_rank)

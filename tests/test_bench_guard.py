@@ -19,6 +19,7 @@ from bench_guard import (  # noqa: E402
     KERNEL_REF_SEC,
     REFERENCE,
     evaluate,
+    load_bench_payload,
 )
 
 
@@ -38,6 +39,26 @@ def _line(scale: float = 1.0, load: float | None = None, bump: dict | None = Non
             "kernel_median_sec": round(KERNEL_REF_SEC * load, 4),
         }
     return data
+
+
+def test_load_bench_payload_accepts_every_artifact_shape():
+    """Round-9 ADVICE fix: the guard must consume the driver's
+    pretty-printed BENCH_r0N.json wrapper AS-IS (it spans many lines,
+    so the old last-line parse crashed on '}'), in all three shapes:
+    raw bench line, wrapper with 'parsed', wrapper with only a 'tail'
+    stdout capture containing the bench line."""
+    import json
+
+    bench = _line(scale=1.0, load=1.0)
+    raw = json.dumps(bench)
+    assert load_bench_payload(raw) == bench
+    # log-file shape: noise lines, bench JSON last
+    assert load_bench_payload("starting...\nWARN foo\n" + raw) == bench
+    wrapper = {"n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
+               "tail": "[Stage 12:==>]\r\r" + raw + "\n", "parsed": bench}
+    assert load_bench_payload(json.dumps(wrapper, indent=2)) == bench
+    del wrapper["parsed"]
+    assert load_bench_payload(json.dumps(wrapper, indent=2)) == bench
 
 
 def test_clean_run_no_flags():

@@ -44,6 +44,54 @@ def test_survey_registry_count_is_current():
     )
 
 
+def test_driver_subset_matches_latest_correctness_artifact():
+    """The driver's hash-check subset is frozen at the original 50
+    queries; DRIVER_SUBSET pins that list in code. If a driver
+    CORRECTNESS artifact is present, its keys must equal the pin —
+    so a future un-freezing (or a typo in the pin) is a test failure,
+    not a silent docs drift."""
+    import glob
+    import json
+
+    from azure_etl_spark.plans.queries import DRIVER_SUBSET
+
+    assert len(DRIVER_SUBSET) == 50
+    assert DRIVER_SUBSET <= set(QUERIES), sorted(DRIVER_SUBSET - set(QUERIES))
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(README), "CORRECTNESS_r*.json")))
+    if arts:
+        with open(arts[-1]) as f:
+            latest = json.load(f)
+        assert set(latest) == set(DRIVER_SUBSET), (
+            f"driver artifact {os.path.basename(arts[-1])} disagrees with "
+            f"DRIVER_SUBSET: only-artifact={sorted(set(latest) - DRIVER_SUBSET)} "
+            f"only-pin={sorted(DRIVER_SUBSET - set(latest))}"
+        )
+
+
+def test_docs_driver_claims_are_honest():
+    """VERDICT r8 #4: docs said 'driver row `kll_quantiles_orders`
+    green' about a query the driver never hash-checks. Mechanical
+    audit: in every judge-facing doc, any 'driver query/queries/row'
+    claim segment (up to the next `.`/`;`/`|` boundary) may only
+    backtick registry query names that are in the frozen driver
+    subset — later queries must be described as registry/local-parity
+    queries instead."""
+    from azure_etl_spark.plans.queries import DRIVER_SUBSET
+
+    docs_dir = os.path.dirname(README)
+    offenders = []
+    for doc in ("README.md", "SURVEY.md", "SCALE.md", "PLANS.md"):
+        path = os.path.join(docs_dir, doc)
+        if not os.path.exists(path):
+            continue
+        text = open(path).read()
+        for seg in re.findall(r"driver[- ](?:quer(?:y|ies)|row)[^.;|]*", text):
+            for name in re.findall(r"`([a-z0-9_]+)`", seg):
+                if name in QUERIES and name not in DRIVER_SUBSET:
+                    offenders.append(f"{doc}: claims driver coverage for {name!r}")
+    assert not offenders, "\n".join(offenders)
+
+
 def test_no_shadowed_top_level_definitions():
     """A module-level def/class reusing an earlier name silently
     shadows it for EVERY caller in the file (Python binds at call

@@ -667,6 +667,62 @@ def test_kll_quantiles_rank_error_bound(spark):
         )
 
 
+def test_kll_quantiles_clamps_unreachable_high_quantile(spark):
+    """Round-9 ADVICE fix: the level filter discards real mass, so the
+    total survivor weight S*2^lvl can fall short of n and the highest
+    quantiles would find NO survivor passing the weighted-rank filter
+    — previously those (q_num, q_den) rows were silently absent (p99
+    missing on ~43% of random datasets at n=50k, k=1024). Now they
+    must clamp to the max survivor value. Hand-built sketch makes the
+    shortfall deterministic: 3 survivors x weight 8 = 24 of n=40, so
+    p50 (needs rank*8 >= 20 -> rank 3) is reachable but p99
+    (needs rank >= 4.95) is not."""
+    from azure_etl_spark.operators.sketch import kll_quantiles
+
+    sk = spark.createDataFrame(
+        [(10, 8, 40, 3), (20, 8, 40, 3), (30, 8, 40, 3)],
+        "v bigint, p bigint, n bigint, lvl int",
+    )
+    got = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in kll_quantiles(sk, [(50, 100), (99, 100), (1, 1)]).collect()
+    }
+    assert got[(50, 100)] == 30  # reachable: smallest v with rank*8 >= 20
+    assert got[(99, 100)] == 30  # unreachable -> clamped to max survivor
+    assert got[(1, 1)] == 30  # p100 likewise
+    assert len(got) == 3  # every requested ratio gets a row
+
+
+def test_kll_grouped_quantiles_clamp_per_key(spark):
+    """Grouped variant of the clamp: a key whose survivor mass falls
+    short still emits every requested ratio, clamped to that KEY's max
+    survivor (not another key's)."""
+    from azure_etl_spark.operators.sketch import kll_grouped_quantiles
+
+    sk = spark.createDataFrame(
+        # key "short": 2 survivors x weight 8 = 16 of n=40 (p99 unreachable)
+        # key "full": 4 survivors x weight 1 = n=4 (everything reachable)
+        [
+            ("short", 5, 8, 40, 3),
+            ("short", 7, 8, 40, 3),
+            ("full", 1, 1, 4, 0),
+            ("full", 2, 1, 4, 0),
+            ("full", 3, 1, 4, 0),
+            ("full", 4, 1, 4, 0),
+        ],
+        "grp string, v bigint, p bigint, n bigint, lvl int",
+    )
+    got = {
+        (r["grp"], r["q_num"]): r["est"]
+        for r in kll_grouped_quantiles(
+            sk, "grp", [(50, 100), (99, 100)]
+        ).collect()
+    }
+    assert got[("short", 99)] == 7  # clamped to short's own max
+    assert got[("full", 50)] == 2 and got[("full", 99)] == 4  # exact path
+    assert len(got) == 4
+
+
 def test_kll_vs_loghist_precision(spark):
     """The reason this sketch exists (VERDICT r7 #4): loghist brackets
     within a factor of 2; the KLL sample must land p90 within a few

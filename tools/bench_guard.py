@@ -179,6 +179,35 @@ def evaluate(data: dict, factor: float = 1.5) -> dict:
     }
 
 
+def load_bench_payload(text: str) -> dict:
+    """Extract the bench measurement object from any of the shapes the
+    guard meets in practice (round-9 ADVICE fix — the driver's
+    pretty-printed ``BENCH_r0N.json`` wrapper spans many lines, so
+    last-line parsing crashed on its closing brace):
+
+    - bench.py's raw one-line JSON,
+    - a driver wrapper ``{"n", "rc", "tail", "parsed", ...}`` —
+      ``parsed`` wins; else the bench line is recovered from the
+      captured stdout ``tail``,
+    - a log file whose LAST line is the bench JSON.
+    """
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        data = json.loads(text.splitlines()[-1])
+    if isinstance(data, dict) and "parsed" in data:
+        return data["parsed"]
+    if isinstance(data, dict) and "queries" not in data and "tail" in data:
+        for line in reversed(str(data["tail"]).replace("\r", "\n").splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                return json.loads(line)
+        raise SystemExit(
+            "driver wrapper has neither 'parsed' nor a bench line in 'tail'"
+        )
+    return data
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json", help="file with bench.py's JSON line")
@@ -187,10 +216,7 @@ def main() -> int:
 
     with open(args.bench_json) as f:
         text = f.read().strip()
-    # accept either the raw JSON line or driver-style {"parsed": {...}}
-    data = json.loads(text.splitlines()[-1])
-    if "parsed" in data:
-        data = data["parsed"]
+    data = load_bench_payload(text)
 
     r = evaluate(data, factor=args.factor)
     if r["new"]:
