@@ -1564,6 +1564,72 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_log_export_gold",
+    oracle="""
+    WITH remaining AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey NOT BETWEEN 800 AND 1200
+    )
+    SELECT CAST(5 AS INT) AS n_log_versions,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM remaining
+    """,
+    description="Delta-transaction-log EXPORT interop (round 9, "
+    "sources/delta_export.py; reference writes its gold layer with "
+    ".format('delta'), silverToGold.scala:27): build a snapshot table "
+    "(overwrite + 2 appends), arm the _delta_log mirror with one "
+    "export_delta_log call, then run a COW DELETE and an OPTIMIZE "
+    "whose log entries are emitted BY THE COMMIT HOOK — and read the "
+    "final table back EXCLUSIVELY through the exported log: replay "
+    "the protocol's add/remove actions to the live file set and "
+    "spark.read the parquet files it names, never consulting the "
+    "snapshot manifest. n_log_versions pins the 5-commit chain; the "
+    "count and DECIMAL sum must equal the relational recompute, so a "
+    "wrong add/remove diff anywhere in the chain (or a hook that "
+    "fails to mirror) is a driver hash mismatch, not a silent "
+    "interop break.",
+)
+def q_delta_log_export_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import (
+        export_delta_log,
+        replay_delta_log,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        compact_snapshot,
+        delete_from_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="delta_exp_") + "/tbl"
+    for lo, hi, mode in (
+        (0, 700, "overwrite"),
+        (700, 1400, "append"),
+        (1400, 2000, "append"),
+    ):
+        part = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1)
+        write_snapshot(part, path, mode=mode)
+        if lo == 0:
+            export_delta_log(spark, path)  # arm: later commits self-mirror
+    delete_from_snapshot(spark, path, [("o_orderkey", "between", (800, 1200))])
+    compact_snapshot(spark, path)
+    state = replay_delta_log(spark, path)
+    root = path.rstrip("/")
+    live = spark.read.parquet(*[f"{root}/{f}" for f in sorted(state["live"])])
+    return live.agg(
+        F.lit(len(state["versions"])).cast("int").alias("n_log_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@query(
     "snapshot_mor_delete",
     oracle="""
     WITH remaining AS (
@@ -9402,6 +9468,69 @@ def _ivf_append_oracle(
       FROM newv n CROSS JOIN c{max_iter} c) x
     WHERE rn = 1 ORDER BY vec_id
     """
+
+
+def _ivf_refit_oracle(
+    k_clusters: int = 8, max_iter: int = 3, dim: int = 64
+) -> str:
+    """Replays ivf_index_refit's retrain-and-reassign: the SAME
+    deterministic k-means (k-lowest-id init, fixed rounds) trained on
+    the FULL vector set — exactly what the refit reads back from the
+    generation's persisted ``vectors`` table — then every vector
+    assigned by the (distance, cid) argmin against the new centroids."""
+    ctes = _kmeans_ctes(k_clusters, max_iter, dim)
+    d = _sq_dist_sql("n.v", "c.centroid", dim)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM (
+      SELECT n.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {d} ASC, c.cid ASC) AS rn
+      FROM vecs n CROSS JOIN c{max_iter} c) x
+    WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+@query(
+    "ivf_refit_assign",
+    oracle=_ivf_refit_oracle,
+    description="Managed ANN index refit (round 9, VERDICT r8 #6 — "
+    "drift said WHEN to refit, operators/similarity.ivf_index_refit "
+    "DOES it): drives the real persisted lifecycle end-to-end — build "
+    "the generation-0 index on vec_id<40, append the rest against the "
+    "frozen quantizer, then REFIT: retrain k-means on the full "
+    "persisted vectors table, re-assign in one broadcast map-side "
+    "pass, write generation 1's tables invisibly, and swap the "
+    "one-row generation pointer in a single atomic snapshot commit "
+    "(old generation time-travelable via pointer history). The query "
+    "returns generation 1's assignments read back from the snapshot "
+    "table; the oracle retrains the same deterministic k-means on the "
+    "full embeddings set in unrolled CTEs and replays every "
+    "assignment — a refit that trained on the wrong vector set, "
+    "dropped an append, or swapped non-atomically is a hash mismatch.",
+)
+def q_ivf_refit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_refit,
+        ivf_index_tables,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="ivf_refit_") + "/idx"
+    ivf_index_build(e.filter(F.col("vec_id") < 40), path, k=8, max_iter=3)
+    ivf_index_append(e.filter(F.col("vec_id") >= 40), path, batch="b1")
+    assert ivf_index_refit(spark, path) == 1
+    t = ivf_index_tables(spark, path)
+    return (
+        read_snapshot(spark, t["assignments"])
+        .select("vec_id", F.col("cid").cast("int").alias("cid"))
+        .orderBy("vec_id")
+    )
 
 
 @query(

@@ -279,6 +279,13 @@ def _try_commit_manifest(
         stream.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
     finally:
         stream.close()
+    # round 9: if export_delta_log armed a _delta_log/ mirror on this
+    # table, extend it with the just-committed version (best-effort —
+    # the delta log is derived state and must never fail the commit;
+    # a fallen-behind mirror catches up on the next export call)
+    from .delta_export import maybe_mirror_delta_log
+
+    maybe_mirror_delta_log(spark, path)
     return True
 
 

@@ -50,6 +50,36 @@ def _calib_kernel_sec(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _run_corpus_funnel(spark, sf_dir: str) -> None:
+    """One full CurationPipeline pass over the documents fixture with
+    every optional stage armed: synthetic PNM media on 40% of docs
+    (groups of near-identical payloads, the planted-duplicate fixture
+    the registry media queries use), embeddings joined by id for
+    SemDeDup, and a deterministic eval slice for decontamination.
+    run() counts each stage, so returning means fully executed."""
+    from pyspark.sql import functions as F
+
+    from azure_etl_spark.operators.imagehash import attach_synth_pnm
+    from azure_etl_spark.plans.corpus_pipeline import CurationPipeline
+    from azure_etl_spark.sources.files import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    media = attach_synth_pnm(
+        docs.filter(F.col("doc_id") % 5 < 2).select("doc_id")
+    ).withColumn("media_type", F.lit("image/pnm"))
+    CurationPipeline().run(
+        docs, eval_docs=eval_docs, embeddings=emb, media=media
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -127,6 +157,24 @@ def main() -> None:
         timings["pipeline_medallion"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    # end-to-end LLM curation funnel (VERDICT r8 #2): the engine's
+    # flagship training-data capability gets the same wall-time
+    # protection as the reference pipeline — lang gate -> quality gate
+    # -> exact dedup -> MinHash near-dup -> MEDIA near-dup (real PNM
+    # payloads, planted duplicate groups) -> SemDeDup (embeddings) ->
+    # decontamination (eval broadcast) -> shard + token-budget pack.
+    # CurationPipeline.run() counts every stage, so the timed call IS
+    # full execution (no lazy remainder).
+    if warm:
+        try:
+            _run_corpus_funnel(spark, warm_dir)
+        except Exception:
+            pass
+    kernel_sec.append(round(_calib_kernel_sec(spark), 3))
+    t0 = time.perf_counter()
+    _run_corpus_funnel(spark, sf_dir)
+    timings["corpus_funnel"] = round(time.perf_counter() - t0, 3)
     kernel_sec.append(round(_calib_kernel_sec(spark), 3))  # closing sample
 
     total = round(sum(timings.values()), 3)

@@ -610,6 +610,7 @@ def test_ivf_index_append_vs_refit_recall(spark, tmp_path):
     from azure_etl_spark.operators.similarity import (
         ivf_index_append,
         ivf_index_build,
+        ivf_index_tables,
         ivf_topk,
         kmeans_fit,
     )
@@ -624,7 +625,8 @@ def test_ivf_index_append_vs_refit_recall(spark, tmp_path):
     appended = ivf_index_append(newer, path, batch="b1")
     # every appended vector joined its planted cluster's centroid group:
     # all members of a planted cluster share one cid
-    assign = read_snapshot(spark, f"{path}/assignments")
+    tables = ivf_index_tables(spark, path)
+    assign = read_snapshot(spark, tables["assignments"])
     spread = (
         assign.withColumn("planted", (F.col("vec_id") / 30).cast("int"))
         .groupBy("planted")
@@ -635,7 +637,7 @@ def test_ivf_index_append_vs_refit_recall(spark, tmp_path):
     assert spread == 1
     # retrieval parity: top-5 for 4 probes over the appended index ==
     # over a full refit on ALL vectors
-    cents = read_snapshot(spark, f"{path}/centroids")
+    cents = read_snapshot(spark, tables["centroids"])
     qs = all_vecs.filter(F.col("vec_id").isin([0, 30, 60, 90])).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -676,6 +678,132 @@ def test_ivf_index_drift_signal(spark, tmp_path):
     d2 = ivf_index_drift(spark, path).collect()[0]
     assert d2["drift_ratio"] > 3.0, d2
     assert d2["n_train"] == 60 and d2["n_appended"] == 80
+
+
+def test_ivf_index_refit_rotates_generation_and_restores_recall(spark, tmp_path):
+    """VERDICT r8 #6 end-to-end: build on 2 planted clusters -> append
+    2 NEW far-away clusters (drift fires, retrieval inside the new
+    clusters is degraded because the frozen quantizer lumps them) ->
+    refit -> new generation separates all 4 clusters, drift baseline
+    resets, and nprobe=1 retrieval inside the new clusters is exact."""
+    from azure_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_drift,
+        ivf_index_generation,
+        ivf_index_refit,
+        ivf_index_tables,
+        ivf_topk,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    all_vecs = _planted_clusters(spark)  # 4 clusters x 30, ids c*30+i
+    old = all_vecs.filter(F.col("vec_id") < 60)  # clusters 0,1
+    new = all_vecs.filter(F.col("vec_id") >= 60)  # clusters 2,3 (unseen)
+    path = str(tmp_path / "ivf")
+    ivf_index_build(old, path, k=2, max_iter=3)
+    assert ivf_index_generation(spark, path) == 0
+    ivf_index_append(new, path, batch="ood")
+    drift_before = ivf_index_drift(spark, path).collect()[0]["drift_ratio"]
+    assert drift_before > 1.5, drift_before  # the refit signal fired
+
+    new_gen = ivf_index_refit(spark, path, k=4)
+    assert new_gen == 1 and ivf_index_generation(spark, path) == 1
+    tables = ivf_index_tables(spark, path)
+    assert "/gen=1/" in tables["centroids"]
+    # retrained on the FULL persisted vector set: every planted cluster
+    # now gets its own cid (the frozen k=2 quantizer couldn't)
+    assign = read_snapshot(spark, tables["assignments"])
+    spread = (
+        assign.withColumn("planted", (F.col("vec_id") / 30).cast("int"))
+        .groupBy("planted")
+        .agg(F.countDistinct("cid").alias("cids"))
+        .agg(F.max("cids"))
+        .collect()[0][0]
+    )
+    assert spread == 1  # no planted cluster splits
+    assert assign.select("cid").distinct().count() == 4
+    # drift baseline reset: fresh train row, no appended batches yet
+    d = ivf_index_drift(spark, path).collect()[0]
+    assert d["n_train"] == 120 and d["n_appended"] is None
+    # planted-pair recall inside the APPENDED clusters at nprobe=1:
+    # query 60 and 90 must retrieve their own cluster members
+    cents = read_snapshot(spark, tables["centroids"])
+    vecs = read_snapshot(spark, tables["vectors"])
+    qs = all_vecs.filter(F.col("vec_id").isin([60, 90])).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = ivf_topk(qs, vecs, assign, cents, k=5, nprobe=1).collect()
+    for r in got:
+        assert r["vec_id"] // 30 == r["q_id"] // 30, r  # same planted cluster
+
+
+def test_ivf_index_refit_generation_swap_is_atomic_and_time_travelable(
+    spark, tmp_path
+):
+    """The swap is ONE snapshot overwrite of the generation pointer:
+    pointer history names each old generation, whose tables remain
+    readable bit-for-bit (old centroids unchanged after refit); a
+    legacy index without the pointer refuses to refit; appends after
+    the refit land in the NEW generation's tables."""
+    from azure_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_refit,
+        ivf_index_tables,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    all_vecs = _planted_clusters(spark)
+    path = str(tmp_path / "ivf")
+    ivf_index_build(all_vecs.filter(F.col("vec_id") < 60), path, k=2, max_iter=3)
+    cents_g0 = sorted(
+        tuple(r) for r in read_snapshot(spark, f"{path}/gen=0/centroids").collect()
+    )
+    ivf_index_append(all_vecs.filter(F.col("vec_id") >= 60), path, batch="b")
+    ivf_index_refit(spark, path, k=4)
+    # old generation intact and reachable via pointer time travel
+    g_then = read_snapshot(spark, f"{path}/generation", version=0).collect()[0]
+    assert g_then["gen"] == 0 and g_then["k"] == 2
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_snapshot(spark, f"{path}/gen={g_then['gen']}/centroids").collect()
+        )
+        == cents_g0
+    )
+    # appends after the swap extend the new generation only
+    extra = spark.createDataFrame(
+        [(900, [0.5] * 16)], "vec_id long, embedding array<double>"
+    )
+    ivf_index_append(extra, path, batch="post")
+    tables = ivf_index_tables(spark, path)
+    assert "/gen=1/" in tables["assignments"]
+    assert (
+        read_snapshot(spark, tables["assignments"])
+        .filter(F.col("vec_id") == 900)
+        .count()
+        == 1
+    )
+    assert (
+        read_snapshot(spark, f"{path}/gen=0/assignments")
+        .filter(F.col("vec_id") == 900)
+        .count()
+        == 0
+    )
+    # vectors table accumulated, so the NEXT refit trains on 121 rows
+    assert read_snapshot(spark, tables["vectors"]).count() == 121
+    # legacy layout refuses
+    import pytest
+
+    from azure_etl_spark.operators.similarity import ivf_assign, kmeans_fit
+    from azure_etl_spark.sources.snapshot import write_snapshot
+
+    legacy = str(tmp_path / "legacy")
+    _a, cents = kmeans_fit(all_vecs, k=2, max_iter=2)
+    write_snapshot(cents, f"{legacy}/centroids", mode="overwrite")
+    with pytest.raises(ValueError, match="legacy"):
+        ivf_index_refit(spark, legacy)
 
 
 def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):

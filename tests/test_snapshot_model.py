@@ -1,7 +1,11 @@
 """Model-based property test for the snapshot table format: random
 operation sequences (append / overwrite / COW delete / merge-on-read
-delete / merge upsert / compact / checkpointed stats / vacuum) applied
-both to a real snapshot table AND to a trivial in-memory dict model;
+delete / merge upsert / compact / checkpointed stats / vacuum, plus —
+round 9, VERDICT r8 #3 — the write-audit-publish ops: stage+publish,
+stage+audit-block+discard under interleaved vacuum, stage+discard)
+applied both to a real snapshot table AND to a trivial in-memory dict
+model; WAP invariants: readers NEVER see staged files, and
+discard∘stage ≡ id (including with a vacuum while the stage is live);
 after every step the table's full read must equal the model, and
 stats-backed predicate scans must equal brute-force filters.
 
@@ -40,7 +44,8 @@ def _apply_random_op(spark, path, model, rng, next_id):
     the op label (for failure diagnostics) and the next fresh id."""
     op = rng.choice(
         ["append", "append", "overwrite", "delete_cow", "delete_mor",
-         "merge", "compact", "vacuum"]
+         "merge", "compact", "vacuum",
+         "wap_publish", "wap_blocked", "wap_discard"]
     )
     if op == "append" or (op == "overwrite" and not model):
         n = rng.randint(1, 6)
@@ -85,6 +90,44 @@ def _apply_random_op(spark, path, model, rng, next_id):
     if op == "compact":
         snap.compact_snapshot(spark, path)
         return "compact", next_id
+    if op == "wap_publish":
+        # stage -> audit passes -> publish: only then does the model see it
+        n = rng.randint(1, 4)
+        fresh = {next_id + i: rng.randint(0, 99) for i in range(n)}
+        sid = snap.stage_snapshot_commit(_rows_df(spark, fresh), path)
+        # invariant: readers never see staged files (model unchanged)
+        assert _read_state(spark, path) == model, f"staged rows leaked ({sid})"
+        snap.publish_staged_commit(
+            spark, path, sid, expectations={"val_sane": F.col("val") < 1000}
+        )
+        model.update(fresh)
+        return f"wap_publish({n})", next_id + n
+    if op == "wap_blocked":
+        # stage BAD rows -> audit blocks publish -> stage left intact
+        # (and invisible) -> discard == identity, even with a vacuum
+        # interleaved while the stage is live
+        bad = {next_id: 5000, next_id + 1: 6000}
+        sid = snap.stage_snapshot_commit(_rows_df(spark, bad), path)
+        assert _read_state(spark, path) == model, f"staged rows leaked ({sid})"
+        try:
+            snap.publish_staged_commit(
+                spark, path, sid,
+                expectations={"val_sane": F.col("val") < 1000},
+            )
+            raise AssertionError("audit gate let violating rows publish")
+        except snap.SnapshotConstraintError:
+            pass
+        snap.vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)
+        # the stage must survive the vacuum and still be discardable
+        snap.discard_staged_commit(spark, path, sid)
+        return "wap_blocked", next_id + 2
+    if op == "wap_discard":
+        # stage GOOD rows, then discard without publishing: identity
+        fresh = {next_id: rng.randint(0, 99)}
+        sid = snap.stage_snapshot_commit(_rows_df(spark, fresh), path)
+        assert _read_state(spark, path) == model, f"staged rows leaked ({sid})"
+        snap.discard_staged_commit(spark, path, sid)
+        return "wap_discard", next_id + 1
     snap.vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)
     return "vacuum", next_id
 

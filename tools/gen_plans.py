@@ -285,6 +285,143 @@ COMMENTARY = {
         "more, never a blown bucket — the level rises with the key's "
         "row count."
     ),
+    # round 9 (VERDICT r8 #8): every bench-headline query carries plan
+    # evidence here — tests/test_docs.py asserts the PLANS.md section
+    # per bench name, so a new bench entry without a reviewed plan
+    # fails CI rather than shipping unexamined.
+    "join_revenue_per_nation": (
+        "Dim-chain star join: region -> nation -> customer -> orders. "
+        "Every dimension side is broadcast (BroadcastHashJoin x3 — the "
+        "fact scan never shuffles for the joins); the only Exchange is "
+        "the final per-nation aggregate, pre-combined map-side."
+    ),
+    "events_hourly_rollup": (
+        "Time-bucket rollup: date_trunc is a pure projection inside the "
+        "scan stage, then partial HashAggregate -> ONE Exchange on the "
+        "hour bucket -> final aggregate. Bucket count bounds the shuffle "
+        "(hours, not events)."
+    ),
+    "tpch_q1ish": (
+        "The classic scan-heavy aggregate: ship-date filter reaches the "
+        "parquet scan (PushedFilters), ReadSchema prunes to the 7 "
+        "referenced columns, all 8 aggregates compute as partial "
+        "HashAggregate below one Exchange on the tiny (flag, status) "
+        "key space."
+    ),
+    "text_token_stats": (
+        "Per-doc token statistics: split/size/aggregate are all "
+        "WholeStageCodegen expression work over the documents scan — "
+        "the only Exchange carries one row per language, not per doc."
+    ),
+    "cosine_topk": (
+        "Brute-force cosine baseline: the dot product is F.aggregate "
+        "(zip_with fold) inside codegen per (query, doc) pair, and the "
+        "top-k lands as TakeOrderedAndProject (per-task heaps, driver "
+        "merge of k rows) — no global sort of the score matrix."
+    ),
+    "tpch_q9ish": (
+        "Multi-join profit rollup: part/supplier/nation broadcast; the "
+        "lineitem-orders join is the one big equi-join, AQE-planned; "
+        "the profit expression folds into the join's output projection "
+        "before the per-(nation, year) aggregate Exchange."
+    ),
+    "hll_sketch_rollup_users": (
+        "Mergeable distinct-count rollup: per-(day) partial "
+        "approx_count_distinct sketches combine map-side, one Exchange "
+        "of sketch-sized rows; the same plan shape re-aggregates "
+        "per-day sketches into the total without touching events twice."
+    ),
+    "training_corpus_filter": (
+        "The quality-gate scan: language/length/ratio predicates are "
+        "pure codegen over the documents scan with column pruning; no "
+        "Exchange at all — a 100 TB corpus filter is embarrassingly "
+        "parallel map work."
+    ),
+    "dedup_duplicate_spans_docs": (
+        "Span-level dedup: shingle explode -> ONE gram-keyed Exchange "
+        "for the duplicated-gram count, then the join back to spans is "
+        "keyed on the same gram hash — the wide text column never "
+        "rides the shuffle (fetched by id after candidates resolve)."
+    ),
+    "pack_sequences_budget": (
+        "Token-budget packing: running-sum window PARTITIONED by shard "
+        "(never a global window), so each shard's greedy pack is one "
+        "sorted partition-local pass; Exchange count = 1 (the shard "
+        "hash)."
+    ),
+    "cohort_weekly_retention": (
+        "Cohort retention: first-seen week via a per-user aggregate "
+        "(one Exchange on user), then the (cohort, week) matrix "
+        "aggregate over cohort-sized keys — both aggregates "
+        "pre-combine map-side; no self-join of events."
+    ),
+    "cms_word_freq_docs": (
+        "Count-min sketch build: token explode feeds d x w conditional "
+        "sums that collapse map-side (the Exchange carries the d*w "
+        "counter grid, not tokens); estimates probe the broadcast grid "
+        "— bounded state whatever the corpus."
+    ),
+}
+
+# Composed pipelines in the bench headline set: not single registry
+# DataFrames, so each gets a builder returning a representative final
+# DataFrame to explain (the write()s themselves add no plan nodes), and
+# the commentary describes the composed stage structure.
+
+
+def _medallion_gold_df(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from azure_etl_spark.plans.pipeline import MedallionPipeline
+    from azure_etl_spark.plans.queries import crypto_view
+
+    p = MedallionPipeline(
+        root=tempfile.mkdtemp(prefix="plans_pipe_"), as_of=dt.date(2024, 1, 15)
+    )
+    p.to_bronze(crypto_view(spark, sf_dir))
+    p.bronze_to_silver(spark)
+    return p.silver_to_gold(spark)
+
+
+def _corpus_funnel_df(spark, sf_dir):
+    from azure_etl_spark.plans.corpus_pipeline import CurationPipeline
+    from azure_etl_spark.sources.files import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    return CurationPipeline().run(docs)
+
+
+SPECIAL = {
+    "pipeline_medallion": (
+        "The reference pipeline end-to-end (bronze parquet -> silver "
+        "dedup+cast -> gold min/max). The timed bench run includes the "
+        "four layer WRITES (parquet, snapshot commit, document + staged "
+        "warehouse sinks); the plan below is the gold aggregate read "
+        "back off silver: scan-side projection, partial min/max below "
+        "one Exchange on symbol. Each layer boundary is a real "
+        "materialization, so no stage's lineage compounds into the next."
+        ,
+        _medallion_gold_df,
+    ),
+    "corpus_funnel": (
+        "The LLM curation funnel (round 9 bench entry, VERDICT r8 #2): "
+        "lang gate -> quality gate -> exact dedup -> MinHash near-dup "
+        "-> media near-dup -> SemDeDup -> decontamination -> shard + "
+        "token-budget pack. Each stage PERSISTS its survivor set and "
+        "counts it (one job per stage; round 9 fixed the O(stages^2) "
+        "recompute where every count re-ran the whole upstream funnel "
+        "— MinHash/SemDeDup executed up to 6x), so the composed cost "
+        "is the SUM of the stage plans documented above "
+        "(minhash_near_dup, contamination_ngram_overlap, "
+        "pack_sequences_budget, ...), each reading the previous "
+        "stage's cached survivors (InMemoryTableScan below). The plan "
+        "shown is the final pack stage over the persisted survivor set."
+        ,
+        _corpus_funnel_df,
+    ),
 }
 
 
@@ -311,8 +448,11 @@ def main() -> None:
         "`tests/test_plans_scale.py`.",
         "",
     ]
-    for name, note in COMMENTARY.items():
-        df = QUERIES[name].fn(spark, sf_dir)
+    items = [(n, note, None) for n, note in COMMENTARY.items()] + [
+        (n, note, builder) for n, (note, builder) in SPECIAL.items()
+    ]
+    for name, note, builder in items:
+        df = builder(spark, sf_dir) if builder else QUERIES[name].fn(spark, sf_dir)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
