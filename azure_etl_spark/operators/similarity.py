@@ -997,6 +997,44 @@ def pq_encode_with_error(
     )
 
 
+def pq_index_tables(spark, path: str) -> dict[str, str]:
+    """Resolved snapshot-table paths of the PQ index's current
+    generation: ``{"codebooks", "codes", "stats", "vectors"}``."""
+    root = _ivf_root(spark, path)  # same generation-pointer contract
+    return {t: f"{root}/{t}" for t in ("codebooks", "codes", "stats", "vectors")}
+
+
+def _pq_write_generation_tables(
+    df: DataFrame,
+    root: str,
+    m: int,
+    k_codes: int,
+    max_iter: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Fit + write one PQ generation's four tables under ``root``."""
+    from azure_etl_spark.sources.snapshot import write_snapshot
+
+    cb = pq_train(
+        df, m=m, k_codes=k_codes, max_iter=max_iter,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    enc = pq_encode_with_error(df, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    enc = enc.localCheckpoint(eager=True)
+    write_snapshot(cb, f"{root}/codebooks", mode="overwrite")
+    write_snapshot(enc.select(id_col, "codes"), f"{root}/codes", mode="overwrite")
+    stats = enc.agg(
+        F.lit("train").alias("batch"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qerr").alias("sum_dist"),
+        F.avg("qerr").alias("mean_dist"),
+    )
+    write_snapshot(stats, f"{root}/stats", mode="overwrite")
+    write_snapshot(df.select(id_col, vec_col), f"{root}/vectors", mode="overwrite")
+
+
 def pq_index_build(
     df: DataFrame,
     path: str,
@@ -1008,29 +1046,27 @@ def pq_index_build(
     vec_col: str = "embedding",
 ) -> None:
     """Fit and PERSIST a PQ index as snapshot tables — the codebook
-    half of VERDICT r7 #6 (the IVF half is :func:`ivf_index_build`):
-    ``{path}/codebooks`` (m x k_codes rows), ``{path}/codes`` (the
-    64x-compressed corpus representation — appended to by
-    :func:`pq_index_append`), ``{path}/stats`` (per-ingest quantization
-    error rows; the train row is the drift baseline)."""
+    half of VERDICT r7 #6 (the IVF half is :func:`ivf_index_build`),
+    with round-9 managed generations like the IVF side: tables live
+    under ``{path}/gen=0/`` — ``codebooks`` (m x k_codes rows),
+    ``codes`` (the 64x-compressed corpus representation — appended to
+    by :func:`pq_index_append`), ``stats`` (per-ingest quantization
+    error rows; the train row is the drift baseline) and ``vectors``
+    (the corpus a :func:`pq_index_refit` retrains on) — plus the
+    one-row ``{path}/generation`` pointer recording
+    (gen, m, k_codes, max_iter, dim)."""
     from azure_etl_spark.sources.snapshot import write_snapshot
 
-    cb = pq_train(
-        df, m=m, k_codes=k_codes, max_iter=max_iter,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    )
-    enc = pq_encode_with_error(df, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    enc = enc.localCheckpoint(eager=True)
+    spark = df.sparkSession
     root = path.rstrip("/")
-    write_snapshot(cb, f"{root}/codebooks", mode="overwrite")
-    write_snapshot(enc.select(id_col, "codes"), f"{root}/codes", mode="overwrite")
-    stats = enc.agg(
-        F.lit("train").alias("batch"),
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("qerr").alias("sum_dist"),
-        F.avg("qerr").alias("mean_dist"),
+    _pq_write_generation_tables(
+        df, f"{root}/gen=0", m, k_codes, max_iter, dim, id_col, vec_col
     )
-    write_snapshot(stats, f"{root}/stats", mode="overwrite")
+    gen = spark.createDataFrame(
+        [(0, int(m), int(k_codes), int(max_iter), int(dim))],
+        "gen int, m int, k_codes int, max_iter int, dim int",
+    )
+    write_snapshot(gen, f"{root}/generation", mode="overwrite")
 
 
 def pq_index_append(
@@ -1046,11 +1082,17 @@ def pq_index_append(
     codebooks and append — broadcast lookup + grouped argmin per
     subspace, zero refit, deterministic given the codebooks (so the
     append is oracle-checkable: ``pq_append_codes``). Returns the
-    batch's (id, codes, qerr)."""
-    from azure_etl_spark.sources.snapshot import read_snapshot, write_snapshot
+    batch's (id, codes, qerr). Appended vectors also land in the
+    generation's ``vectors`` table so :func:`pq_index_refit` retrains
+    on the full corpus."""
+    from azure_etl_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_snapshot,
+        write_snapshot,
+    )
 
     spark = df.sparkSession
-    root = path.rstrip("/")
+    root = _ivf_root(spark, path)
     cb = read_snapshot(spark, f"{root}/codebooks").select("sub", "cid", "centroid")
     enc = pq_encode_with_error(df, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     enc = enc.localCheckpoint(eager=True)
@@ -1062,12 +1104,61 @@ def pq_index_append(
         F.avg("qerr").alias("mean_dist"),
     )
     write_snapshot(stats, f"{root}/stats", mode="append")
+    if is_snapshot_table(spark, f"{root}/vectors"):
+        write_snapshot(
+            df.select(id_col, vec_col), f"{root}/vectors", mode="append"
+        )
     return enc
 
 
 def pq_index_drift(spark, path: str) -> DataFrame:
     """Refit signal for the frozen codebooks: appended batches' mean
     quantization error vs the train baseline — same contract and
-    columns as :func:`ivf_index_drift` (both read ``{path}/stats``
-    alone, never the vectors)."""
+    columns as :func:`ivf_index_drift` (both read the current
+    generation's ``stats`` table alone, never the vectors)."""
     return ivf_index_drift(spark, path)
+
+
+def pq_index_refit(
+    spark,
+    path: str,
+    m: int | None = None,
+    k_codes: int | None = None,
+    max_iter: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """PQ twin of :func:`ivf_index_refit`: retrain the m sub-space
+    codebooks on the full persisted vector set, re-encode every vector
+    against the fresh codebooks, write generation g+1's four tables
+    invisibly, and swap the one-row ``generation`` pointer in a single
+    atomic snapshot commit (old generations remain readable via
+    pointer time travel). Parameters default to the build-time values
+    recorded in the pointer. Returns the new generation number;
+    refuses legacy pointer-less indexes."""
+    from azure_etl_spark.sources.snapshot import read_snapshot, write_snapshot
+
+    root = path.rstrip("/")
+    g = ivf_index_generation(spark, path)
+    if g < 0:
+        raise ValueError(
+            f"{path} is a legacy PQ index without a generation pointer / "
+            "persisted vectors table; rebuild with pq_index_build to "
+            "adopt the managed-generation layout"
+        )
+    meta = read_snapshot(spark, f"{root}/generation").collect()[0]
+    m = int(meta["m"]) if m is None else int(m)
+    k_codes = int(meta["k_codes"]) if k_codes is None else int(k_codes)
+    max_iter = int(meta["max_iter"]) if max_iter is None else int(max_iter)
+    dim = int(meta["dim"]) if dim is None else int(dim)
+    vectors = read_snapshot(spark, f"{root}/gen={g}/vectors")
+    _pq_write_generation_tables(
+        vectors, f"{root}/gen={g + 1}", m, k_codes, max_iter, dim, id_col, vec_col
+    )
+    gen = spark.createDataFrame(
+        [(g + 1, m, k_codes, max_iter, dim)],
+        "gen int, m int, k_codes int, max_iter int, dim int",
+    )
+    write_snapshot(gen, f"{root}/generation", mode="overwrite")
+    return g + 1

@@ -143,6 +143,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "hash_sample_orders": ("total",),
     "jdbc_roundtrip_gold": ("min_value_by_crypto", "max_value_by_crypto"),
     "join_revenue_per_nation": ("revenue",),
+    "join_skewed_salted": ("revenue",),
     "loghist_bucket_orders": ("lo", "hi"),
     "kll_bucket_orders": ("lo", "hi"),
     "ntile_deciles_orders": ("lo", "hi"),
@@ -3905,6 +3906,60 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.col("total").cast("decimal(18,4)").alias("total")
     ).orderBy("event_type")
+
+
+@query(
+    "join_skewed_salted",
+    oracle="""
+    WITH skew AS (
+      SELECT CASE WHEN l_orderkey % 10 < 6 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(l_orderkey % 1000 AS BIGINT) END AS k,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      FROM lineitem),
+    dim AS (SELECT DISTINCT CAST(o_orderkey % 1000 AS BIGINT) AS k
+            FROM orders),
+    d2 AS (SELECT k, CAST(k % 7 AS INT) AS grp FROM dim)
+    SELECT grp, COUNT(*) AS n, SUM(rev) AS revenue
+    FROM skew JOIN d2 USING (k)
+    GROUP BY grp ORDER BY grp
+    """,
+    description="Deliberately skewed equi-join through the SALTED path "
+    "(operators/joins.salted_join; round-9 bench entry, VERDICT r8 "
+    "#7): ~60% of the fact rows collapse onto ONE hot key, the kind "
+    "of key that melts a single reducer in a plain shuffle join — the "
+    "salted join scatters it over 16 (key, salt) reducers by "
+    "replicating the 1000-row dim side 16x, and the result set is "
+    "EXACTLY the unsalted join (the oracle joins plain SQL; salt "
+    "never leaks into results). Wall-time-protects the skew "
+    "mitigation the engine reaches for when AQE's runtime skew split "
+    "isn't available (bucketed/co-partitioned pipelines, sinks "
+    "without an agg).",
+    bench=True,
+)
+def q_join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.operators.joins import salted_join
+
+    li = ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
+    left = li.select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(1).cast("bigint"))
+        .otherwise((F.col("l_orderkey") % 1000).cast("bigint"))
+        .alias("k"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("rev"),
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 1000).cast("bigint").alias("k"))
+        .distinct()
+        .withColumn("grp", (F.col("k") % 7).cast("int"))
+    )
+    j = salted_join(left, dim, "k", salt=16)
+    return (
+        j.groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("rev").alias("revenue"))
+        .orderBy("grp")
+    )
 
 
 @query(

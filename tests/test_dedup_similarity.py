@@ -816,6 +816,7 @@ def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
         pq_index_append,
         pq_index_build,
         pq_index_drift,
+        pq_index_tables,
     )
     from azure_etl_spark.sources.snapshot import read_snapshot
 
@@ -825,8 +826,9 @@ def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
     path = str(tmp_path / "pq")
     pq_index_build(train, path, m=4, k_codes=8, max_iter=2, dim=16)
     appended = pq_index_append(newer, path, batch="b1", m=4, dim=16)
+    tables = pq_index_tables(spark, path)
     # frozen-codebook determinism: append codes == direct encode codes
-    cb = read_snapshot(spark, f"{path}/codebooks")
+    cb = read_snapshot(spark, tables["codebooks"])
     direct = {
         r["vec_id"]: r["codes"]
         for r in pq_encode(newer, cb, m=4, dim=16).collect()
@@ -834,7 +836,7 @@ def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
     got = {r["vec_id"]: r["codes"] for r in appended.collect()}
     assert got == direct
     # the codes table holds train + appended
-    assert read_snapshot(spark, f"{path}/codes").count() == 120
+    assert read_snapshot(spark, tables["codes"]).count() == 120
     d1 = pq_index_drift(spark, path).collect()[0]
     assert 0.2 < d1["drift_ratio"] < 3.0, d1
     far = spark.createDataFrame(
@@ -844,3 +846,51 @@ def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
     pq_index_append(far, path, batch="ood", m=4, dim=16)
     d2 = pq_index_drift(spark, path).collect()[0]
     assert d2["drift_ratio"] > d1["drift_ratio"] * 2, (d1, d2)
+
+
+def test_pq_index_refit_rotates_generation_and_cuts_qerr(spark, tmp_path):
+    """PQ twin of the IVF refit (round 9): after an out-of-distribution
+    append inflates quantization error, refit retrains the codebooks on
+    the FULL persisted vectors, re-encodes everything into generation 1
+    (atomic pointer swap, old generation time-travelable), resets the
+    drift baseline, and the new train mean qerr on the combined corpus
+    beats the frozen codebooks' appended mean."""
+    from azure_etl_spark.operators.similarity import (
+        ivf_index_generation,
+        pq_index_append,
+        pq_index_build,
+        pq_index_drift,
+        pq_index_refit,
+        pq_index_tables,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    all_vecs = _planted_clusters(spark)  # dim=16
+    path = str(tmp_path / "pq")
+    pq_index_build(
+        all_vecs.filter(F.col("vec_id") < 60), path, m=4, k_codes=8,
+        max_iter=2, dim=16,
+    )
+    far = spark.createDataFrame(
+        [(10_000 + i, [float(7 + (i % 3))] * 16) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    pq_index_append(far, path, batch="ood", m=4, dim=16)
+    stale_appended_mean = pq_index_drift(spark, path).collect()[0][
+        "appended_mean"
+    ]
+    assert pq_index_refit(spark, path) == 1
+    assert ivf_index_generation(spark, path) == 1
+    tables = pq_index_tables(spark, path)
+    assert "/gen=1/" in tables["codes"]
+    assert read_snapshot(spark, tables["codes"]).count() == 90
+    assert read_snapshot(spark, tables["vectors"]).count() == 90
+    d = pq_index_drift(spark, path).collect()[0]
+    assert d["n_train"] == 90 and d["n_appended"] is None  # baseline reset
+    # retrained codebooks represent the shifted blob far better than
+    # the frozen ones did
+    assert d["train_mean"] < stale_appended_mean / 2, (d, stale_appended_mean)
+    # old generation intact via pointer time travel
+    g0 = read_snapshot(spark, f"{path}/generation", version=0).collect()[0]
+    assert g0["gen"] == 0 and g0["m"] == 4 and g0["dim"] == 16
+    assert read_snapshot(spark, f"{path}/gen=0/codes").count() == 90

@@ -355,6 +355,14 @@ COMMENTARY = {
         "aggregate over cohort-sized keys — both aggregates "
         "pre-combine map-side; no self-join of events."
     ),
+    "join_skewed_salted": (
+        "Skew-mitigating salted join (round 9): ~60% of fact rows share "
+        "ONE key. Look for: the dim side exploded 16x BEFORE its "
+        "Exchange (the replication that buys the scatter), the join key "
+        "extended to (k, __salt) so the hot key spreads over 16 "
+        "reducers, and the per-grp aggregate pre-combining map-side. "
+        "No reducer sees more than ~1/16th of the hot key at any scale."
+    ),
     "cms_word_freq_docs": (
         "Count-min sketch build: token explode feeds d x w conditional "
         "sums that collapse map-side (the Exchange carries the d*w "
