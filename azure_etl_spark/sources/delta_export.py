@@ -381,6 +381,17 @@ def export_delta_log(
                     }
                 }
             )
+        # exactly-once watermarks ride along: the manifest's txn ledger
+        # (app_id -> version) maps 1:1 onto Delta's txn action, so a
+        # real Delta writer taking over the table can keep the
+        # idempotent-replay guarantees our streaming sinks rely on
+        prev_txns = (prev_manifest or {}).get("txns", {})
+        for app_id, tv in sorted(manifest.get("txns", {}).items()):
+            if prev_txns.get(app_id) != tv:
+                actions.append(
+                    {"txn": {"appId": app_id, "version": int(tv),
+                             "lastUpdated": ts}}
+                )
         added = [f for f in cur if f not in prev_files]
         removed = [f for f in prev_files if f not in cur]
         meta = _file_meta(spark, path, added) if added else {}
@@ -426,7 +437,177 @@ def export_delta_log(
         _create_log_exclusive(spark, path, v - offset, payload)
         written.append(v)
         prev_files, prev_manifest = cur, manifest
+    if written:
+        # Delta-writer convention: checkpoint periodically so readers
+        # open the table in O(live files), not O(commits)
+        lc = _read_last_checkpoint(spark, path)
+        tip = written[-1] - offset
+        if tip - (int(lc["version"]) if lc else -1) >= _CHECKPOINT_EVERY:
+            write_delta_checkpoint(spark, path)
     return written
+
+
+_CHECKPOINT_EVERY = 16
+
+
+def _local_path(fs, jpath) -> str:
+    uri = fs.makeQualified(jpath).toUri()
+    if uri.getScheme() not in (None, "file"):
+        raise SnapshotVersionError(
+            "delta checkpoint IO is implemented for local filesystems "
+            f"only in this environment (got scheme {uri.getScheme()!r})"
+        )
+    return uri.getPath()
+
+
+def _checkpoint_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            ("txn", pa.struct([("appId", pa.string()), ("version", pa.int64()),
+                               ("lastUpdated", pa.int64())])),
+            ("add", pa.struct([("path", pa.string()),
+                               ("partitionValues", str_map),
+                               ("size", pa.int64()),
+                               ("modificationTime", pa.int64()),
+                               ("dataChange", pa.bool_()),
+                               ("stats", pa.string())])),
+            ("remove", pa.struct([("path", pa.string()),
+                                  ("deletionTimestamp", pa.int64()),
+                                  ("dataChange", pa.bool_())])),
+            ("metaData", pa.struct([("id", pa.string()),
+                                    ("name", pa.string()),
+                                    ("description", pa.string()),
+                                    ("format", pa.struct([
+                                        ("provider", pa.string()),
+                                        ("options", str_map)])),
+                                    ("schemaString", pa.string()),
+                                    ("partitionColumns", pa.list_(pa.string())),
+                                    ("configuration", str_map),
+                                    ("createdTime", pa.int64())])),
+            ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                    ("minWriterVersion", pa.int32())])),
+        ]
+    )
+
+
+def write_delta_checkpoint(spark: SparkSession, path: str) -> dict:
+    """Write a Delta CHECKPOINT for the exported log: ONE parquet file
+    ``_delta_log/{N:020d}.checkpoint.parquet`` holding the replayed
+    state at the latest exported delta version N (protocol + metaData
+    + live adds + txn watermarks, one action per row in the protocol's
+    checkpoint schema), plus the ``_last_checkpoint`` pointer file.
+    Real Delta readers then load O(live files) of parquet instead of
+    replaying every JSON commit — the difference between O(1) and
+    O(commits) table opens once the mirror has run for a while. The
+    parquet is written driver-side via pyarrow (checkpoint state is
+    metadata-sized, never data-sized). Returns
+    ``{"version": N, "size": rows}``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = replay_delta_log(spark, path)
+    n = state["versions"][-1]
+    meta_action = state["metaData"]
+    if meta_action is None:
+        raise SnapshotVersionError(f"no metaData action in the log at {path}")
+
+    def _m(d):  # map columns want (key, value) tuples
+        return list((d or {}).items())
+
+    rows: list[dict] = [
+        {"protocol": state["protocol"]
+         or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": meta_action["id"],
+            "name": meta_action.get("name"),
+            "description": meta_action.get("description"),
+            "format": {"provider": meta_action["format"]["provider"],
+                       "options": _m(meta_action["format"].get("options"))},
+            "schemaString": meta_action["schemaString"],
+            "partitionColumns": meta_action.get("partitionColumns", []),
+            "configuration": _m(meta_action.get("configuration")),
+            "createdTime": meta_action.get("createdTime"),
+        }},
+    ]
+    for app_id, tv in sorted(state["txns"].items()):
+        rows.append({"txn": {"appId": app_id, "version": int(tv),
+                             "lastUpdated": None}})
+    for rel in sorted(state["live"]):
+        a = state["live"][rel]
+        rows.append({"add": {
+            "path": a["path"],
+            "partitionValues": _m(a.get("partitionValues")),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": False,  # checkpoint rows never signal new data
+            "stats": a.get("stats"),
+        }})
+    schema = _checkpoint_schema()
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    table = pa.Table.from_pydict(
+        {name: pa.array(vals, type=schema.field(name).type)
+         for name, vals in cols.items()},
+        schema=schema,
+    )
+    fs, jvm = _fs(spark, path)
+    ldir = _jpath(jvm, path, DELTA_LOG_DIR)
+    fs.mkdirs(ldir)
+    cp_name = f"{n:020d}.checkpoint.parquet"
+    pq.write_table(table, _local_path(fs, _jpath(jvm, path, DELTA_LOG_DIR, cp_name)))
+    lc = {"version": n, "size": len(rows)}
+    stream = fs.create(_jpath(jvm, path, DELTA_LOG_DIR, "_last_checkpoint"), True)
+    try:
+        stream.write(bytearray(json.dumps(lc).encode("utf-8")))
+    finally:
+        stream.close()
+    return lc
+
+
+def _read_last_checkpoint(spark: SparkSession, path: str) -> dict | None:
+    fs, jvm = _fs(spark, path)
+    p = _jpath(jvm, path, DELTA_LOG_DIR, "_last_checkpoint")
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_small_file(jvm, fs, p).decode("utf-8"))
+
+
+def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict:
+    """Seed replay state from a checkpoint parquet (ours or a real
+    Delta writer's)."""
+    import pyarrow.parquet as pq
+
+    fs, jvm = _fs(spark, path)
+    cp_name = f"{version:020d}.checkpoint.parquet"
+    jp = _jpath(jvm, path, DELTA_LOG_DIR, cp_name)
+    if not fs.exists(jp):
+        raise SnapshotVersionError(
+            f"_last_checkpoint at {path} names version {version} but "
+            f"{cp_name} is missing (multi-part checkpoints unsupported)"
+        )
+    table = pq.read_table(_local_path(fs, jp))
+    live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    meta = None
+    protocol = None
+    for row in table.to_pylist():
+        if row.get("metaData"):
+            md = dict(row["metaData"])
+            md["format"] = {"provider": md["format"]["provider"],
+                            "options": dict(md["format"].get("options") or {})}
+            md["configuration"] = dict(md.get("configuration") or {})
+            meta = md
+        elif row.get("protocol"):
+            protocol = dict(row["protocol"])
+        elif row.get("add"):
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or {})
+            live[unquote(a["path"])] = a
+        elif row.get("txn"):
+            txns[row["txn"]["appId"]] = int(row["txn"]["version"])
+    return {"live": live, "metaData": meta, "protocol": protocol, "txns": txns}
 
 
 def maybe_mirror_delta_log(spark: SparkSession, path: str) -> None:
@@ -452,31 +633,47 @@ def maybe_mirror_delta_log(spark: SparkSession, path: str) -> None:
 
 def replay_delta_log(spark: SparkSession, path: str) -> dict:
     """Parse ``<path>/_delta_log/`` and replay its actions in version
-    order — the reader half of the protocol, used by round-trip tests
-    and :func:`convert_from_delta_log`. Returns ``{"live": {rel_path:
-    add_action}, "schema_string", "partition_columns", "versions",
-    "protocol"}`` (paths URL-decoded)."""
+    order — the reader half of the protocol, used by the round-trip
+    tests, :func:`write_delta_checkpoint` and
+    :func:`convert_from_delta_log`. If a ``_last_checkpoint`` exists
+    the state seeds from the checkpoint parquet and only LATER JSON
+    commits replay — the same O(live files) open a real Delta reader
+    does. Returns ``{"live": {rel_path: add_action}, "schema_string",
+    "partition_columns", "metaData", "txns", "versions", "protocol"}``
+    (paths URL-decoded; ``versions`` spans checkpoint + JSON)."""
     fs, jvm = _fs(spark, path)
-    versions = _exported_versions(spark, path)
-    if not versions:
-        raise SnapshotVersionError(f"no _delta_log at {path}")
+    json_versions = _exported_versions(spark, path)
+    lc = _read_last_checkpoint(spark, path)
     live: dict[str, dict] = {}
-    schema_string = None
-    pcols: list[str] = []
+    txns: dict[str, int] = {}
+    meta: dict | None = None
     protocol = None
-    for v in versions:
+    start_after = -1
+    versions: list[int] = []
+    if lc is not None:
+        seed = _load_checkpoint_state(spark, path, int(lc["version"]))
+        live, txns = seed["live"], seed["txns"]
+        meta, protocol = seed["metaData"], seed["protocol"]
+        start_after = int(lc["version"])
+        versions.append(start_after)
+    todo = [v for v in json_versions if v > start_after]
+    if not versions and not todo:
+        raise SnapshotVersionError(f"no _delta_log at {path}")
+    for v in todo:
         raw = _read_small_file(
             jvm, fs, _jpath(jvm, path, DELTA_LOG_DIR, _log_name(v))
         )
+        versions.append(v)
         for line in raw.decode("utf-8").splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)
             if "metaData" in action:
-                schema_string = action["metaData"]["schemaString"]
-                pcols = list(action["metaData"].get("partitionColumns", []))
+                meta = action["metaData"]
             elif "protocol" in action:
                 protocol = action["protocol"]
+            elif "txn" in action:
+                txns[action["txn"]["appId"]] = int(action["txn"]["version"])
             elif "add" in action:
                 a = action["add"]
                 live[unquote(a["path"])] = a
@@ -484,9 +681,11 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
                 live.pop(unquote(action["remove"]["path"]), None)
     return {
         "live": live,
-        "schema_string": schema_string,
-        "partition_columns": pcols,
-        "versions": versions,
+        "schema_string": meta["schemaString"] if meta else None,
+        "partition_columns": list(meta.get("partitionColumns", [])) if meta else [],
+        "metaData": meta,
+        "txns": txns,
+        "versions": sorted(versions),
         "protocol": protocol,
     }
 
@@ -509,20 +708,12 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     ``minReaderVersion > 1`` (deletion vectors, column mapping)."""
     if is_snapshot_table(spark, path):
         raise SnapshotConflictError(f"{path} is already a snapshot table")
-    fs0, jvm0 = _fs(spark, path)
-    if fs0.exists(_jpath(jvm0, path, DELTA_LOG_DIR, "_last_checkpoint")):
-        raise SnapshotVersionError(
-            f"{path} has a Delta checkpoint; this converter replays JSON "
-            "commits only — a checkpointed log would replay incomplete. "
-            "Recreate the table without a checkpoint (or vacuum+rewrite) "
-            "before converting"
-        )
     state = replay_delta_log(spark, path)
-    if state["versions"][0] != 0:
+    if state["versions"][0] != 0 and _read_last_checkpoint(spark, path) is None:
         raise SnapshotVersionError(
             f"delta log at {path} starts at version {state['versions'][0]} "
-            "(earlier commits presumably folded into a checkpoint); replay "
-            "would be incomplete"
+            "with no checkpoint to seed the earlier state; replay would "
+            "be incomplete"
         )
     proto = state["protocol"] or {}
     if proto.get("minReaderVersion", 1) > 1:
@@ -579,7 +770,10 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         "committed_at_unix": _time.time(),
         "stats": {},
         "stats_refs": [_write_stats_ref(spark, path, stats)] if stats else [],
-        "txns": {},
+        # the Delta log's txn watermarks carry into the snapshot txn
+        # ledger, so exactly-once streaming sinks survive the migration
+        # in BOTH directions (export emits them back as txn actions)
+        "txns": {k: int(v) for k, v in state["txns"].items()},
         "deletes": [],
         "columns": list(df.columns),
     }

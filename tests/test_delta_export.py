@@ -300,6 +300,107 @@ def test_convert_refuses_checkpoint_and_high_reader_version(spark, tmp_path):
         convert_from_delta_log(spark, path2)
 
 
+def test_txn_watermarks_survive_export_and_convert(spark, tmp_path):
+    """Exactly-once txn ledger round trip: a snapshot commit's
+    (txn_app_id, txn_version) exports as a Delta txn action, a
+    checkpoint carries it, and a table CONVERTED from that log keeps
+    the watermark — so a replayed idempotent commit on the converted
+    table is still skipped (returns -1)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    write_snapshot(
+        _orders(spark, n=10, start=100), path, mode="append",
+        txn_app_id="stream-a", txn_version=7,
+    )
+    export_delta_log(spark, path)
+    a1 = _actions(path, _log_files(path)[1])
+    txns = [a["txn"] for a in a1 if "txn" in a]
+    assert txns == [{"appId": "stream-a", "version": 7,
+                     "lastUpdated": txns[0]["lastUpdated"]}]
+    state = replay_delta_log(spark, path)
+    assert state["txns"] == {"stream-a": 7}
+
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    shutil.copytree(os.path.join(path, "data"), os.path.join(dst, "data"))
+    shutil.copytree(
+        os.path.join(path, DELTA_LOG_DIR), os.path.join(dst, DELTA_LOG_DIR)
+    )
+    for root_, _dirs, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(root_, f))
+    convert_from_delta_log(spark, dst)
+    # the replayed micro-batch must be recognized as already durable
+    assert (
+        write_snapshot(
+            _orders(spark, n=10, start=100), dst, mode="append",
+            txn_app_id="stream-a", txn_version=7,
+        )
+        == -1
+    )
+
+
+def test_checkpoint_write_read_and_convert(spark, tmp_path):
+    """Checkpoint half of the protocol: write_delta_checkpoint emits
+    ONE parquet + _last_checkpoint; replay seeds from it and applies
+    only later JSON; a converted table built from checkpoint + later
+    commits reads identically to the source."""
+    from azure_etl_spark.sources.delta_export import write_delta_checkpoint
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    write_snapshot(_orders(spark, n=20, start=100), path, mode="append")
+    export_delta_log(spark, path)
+    lc = write_delta_checkpoint(spark, path)
+    assert lc["version"] == 1
+    assert os.path.exists(
+        os.path.join(path, DELTA_LOG_DIR, f"{1:020d}.checkpoint.parquet")
+    )
+    # post-checkpoint commits mirror as JSON on top of the checkpoint
+    delete_from_snapshot(spark, path, [("grp", "=", 4)])
+    state = replay_delta_log(spark, path)
+    assert state["versions"] == [1, 2]  # checkpoint seed + later JSON
+    assert set(state["live"]) == set(resolve_scan(spark, path)[0])
+    assert state["schema_string"] is not None  # metaData from the checkpoint
+
+    # drop the pre-checkpoint JSON files: a reader (and the converter)
+    # must still reconstruct the table purely from checkpoint + tail
+    for name in _log_files(path):
+        if int(name.split(".")[0]) <= 1:
+            os.remove(os.path.join(path, DELTA_LOG_DIR, name))
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    shutil.copytree(os.path.join(path, "data"), os.path.join(dst, "data"))
+    shutil.copytree(
+        os.path.join(path, DELTA_LOG_DIR), os.path.join(dst, DELTA_LOG_DIR)
+    )
+    for root_, _dirs, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(root_, f))
+    convert_from_delta_log(spark, dst)
+    got = sorted(tuple(r) for r in read_snapshot(spark, dst).collect())
+    want = sorted(tuple(r) for r in read_snapshot(spark, path).collect())
+    assert got == want
+
+
+def test_mirror_auto_checkpoints_every_16_commits(spark, tmp_path):
+    from azure_etl_spark.sources.delta_export import _read_last_checkpoint
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark, n=5), path, mode="overwrite")
+    export_delta_log(spark, path)  # arms the mirror; tip=0, no checkpoint yet
+    for i in range(16):
+        write_snapshot(
+            _orders(spark, n=2, start=1000 + 10 * i), path, mode="append"
+        )
+    lc = _read_last_checkpoint(spark, path)
+    assert lc is not None and lc["version"] >= 15  # fires at tip - (-1) >= 16
+    state = replay_delta_log(spark, path)
+    assert set(state["live"]) == set(resolve_scan(spark, path)[0])
+
+
 def test_replay_delta_log_surface(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_snapshot(_orders(spark), path, mode="overwrite", partition_by=["grp"])
