@@ -14,13 +14,17 @@ errors, every commit landed (contiguous versions), the final table
 holds every writer's rows exactly once, and the final read resolves
 all stats refs (no dangling sidecar).
 
-    python tools/snapshot_race_probe.py [n_runs] [appends_per_writer] [dml]
+    python tools/snapshot_race_probe.py [n_runs] [appends_per_writer] [dml] [mirror]
                                         # default 6 3; pass "dml" to add
                                         # looping OPTIMIZE + MERGE threads
                                         # (round-7 rebase-over-appends path:
                                         # a DML racing an append must carry
                                         # the appended files, or conflict and
-                                        # retry — never drop them)
+                                        # retry — never drop them); pass
+                                        # "mirror" (round 9) to arm the
+                                        # _delta_log export hook on every
+                                        # racing commit and assert the
+                                        # replayed log equals the final scan
 """
 
 from __future__ import annotations
@@ -55,6 +59,15 @@ def one_run(spark, run: int) -> dict:
     path = os.path.join(tmp, "tbl")
     appends = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     snap.write_snapshot(_keyed(spark, 0, 10, "seed"), path)
+    mirror = "mirror" in sys.argv[1:]
+    if mirror:
+        # round 9: arm the _delta_log mirror so EVERY racing commit
+        # also exercises the post-commit export hook (racing exporters
+        # settle via the same O_EXCL create; a hook that falls behind
+        # must catch up, never corrupt)
+        from azure_etl_spark.sources.delta_export import export_delta_log
+
+        export_delta_log(spark, path)
     errors: list = []
     stop = threading.Event()
     vacuums = [0]
@@ -209,6 +222,27 @@ def one_run(spark, run: int) -> dict:
         and n_rows == expected_rows
         and n_distinct == expected_rows
     )
+    mirror_state = None
+    if mirror:
+        # catch-up export (the hook is best-effort), then the replayed
+        # live file set must equal the table's current scan exactly
+        from azure_etl_spark.sources.delta_export import (
+            export_delta_log,
+            replay_delta_log,
+        )
+
+        try:
+            caught_up = export_delta_log(spark, path)
+            live = set(replay_delta_log(spark, path)["live"])
+            want = set(snap.resolve_scan(spark, path)[0])
+            mirror_state = {
+                "caught_up_versions": len(caught_up),
+                "live_matches_scan": live == want,
+            }
+            ok = ok and live == want
+        except Exception as e:
+            ok = False
+            mirror_state = {"error": repr(e)}
     res = {
         "run": run,
         "ok": ok,
@@ -219,6 +253,7 @@ def one_run(spark, run: int) -> dict:
         "vacuum_passes": vacuums[0],
         "wap": wap_stats,
         **({"dml": dml_stats} if dml else {}),
+        **({"mirror": mirror_state} if mirror else {}),
         "errors": errors[:5],
     }
     shutil.rmtree(tmp, ignore_errors=True)
