@@ -401,6 +401,49 @@ def test_mirror_auto_checkpoints_every_16_commits(spark, tmp_path):
     assert set(state["live"]) == set(resolve_scan(spark, path)[0])
 
 
+def test_export_restore_reads_as_readds(spark, tmp_path):
+    """RESTORE rolls the table back as a new commit; the export must
+    re-add the restored files / remove the rolled-back ones so a Delta
+    reader's tip equals the restored state."""
+    from azure_etl_spark.sources.snapshot import restore_snapshot
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    write_snapshot(_orders(spark, n=15, start=100), path, mode="append")
+    restore_snapshot(spark, path, to_version=0)
+    export_delta_log(spark, path)
+    names = _log_files(path)
+    assert len(names) == 3
+    a2 = _actions(path, names[2])
+    ci = next(a["commitInfo"] for a in a2 if "commitInfo" in a)
+    assert ci["operation"] == "RESTORE"
+    assert any("remove" in a for a in a2)  # the rolled-back append's files
+    assert set(_live_upto(path, names[2])) == set(
+        resolve_scan(spark, path)[0]
+    ) == set(resolve_scan(spark, path, version=0)[0])
+
+
+def test_export_schema_evolution_reemits_metadata(spark, tmp_path):
+    """A merge_schema append that adds a column must re-emit the
+    metaData action with the evolved schema (Delta readers null-fill
+    old files natively, same as the snapshot read path)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    evolved = _orders(spark, n=10, start=100).withColumn(
+        "extra", F.col("k") * 2
+    )
+    write_snapshot(evolved, path, mode="append", merge_schema=True)
+    export_delta_log(spark, path)
+    a1 = _actions(path, _log_files(path)[1])
+    md = [a["metaData"] for a in a1 if "metaData" in a]
+    assert len(md) == 1
+    fields = [f["name"] for f in json.loads(md[0]["schemaString"])["fields"]]
+    assert fields == ["k", "grp", "amount", "extra"]
+    assert set(_live_upto(path, _log_files(path)[-1])) == set(
+        resolve_scan(spark, path)[0]
+    )
+
+
 def test_replay_delta_log_surface(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_snapshot(_orders(spark), path, mode="overwrite", partition_by=["grp"])
