@@ -334,7 +334,12 @@ def export_delta_log(
         cur = {f: stats.get(f) for f in files}
         pcols = list(manifest.get("partition_by", []))
         op = manifest.get("operation", manifest.get("mode", "overwrite"))
-        data_change = op != "compact"
+        # OPTIMIZE exports as dataChange=false so Delta STREAMING
+        # readers skip it — except at the log's seed version (a
+        # post-vacuum chain may start at a compact commit), where the
+        # adds introduce the table's entire initial state and must be
+        # visible to a stream starting from version 0
+        data_change = op != "compact" or v == offset
         ts = int(manifest.get("committed_at_unix", 0) * 1000)
         actions: list[dict] = [
             {

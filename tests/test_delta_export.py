@@ -197,12 +197,14 @@ def test_commit_hook_mirrors_incrementally(spark, tmp_path):
 def test_export_after_vacuum_offsets_to_zero(spark, tmp_path):
     """A table whose early manifests were vacuumed must still export a
     log starting at 0 (Delta readers require contiguity from 0): the
-    offset pins to the first surviving version and the first log file
-    is a self-contained protocol+metaData+full-adds commit."""
+    offset pins to the first surviving version, the first log file is
+    a self-contained protocol+metaData+full-adds commit, and its adds
+    are dataChange=true even when the surviving seed is a compact
+    commit (a stream from version 0 must see the initial state)."""
     path = str(tmp_path / "tbl")
     write_snapshot(_orders(spark), path, mode="overwrite")
     write_snapshot(_orders(spark, n=10, start=400), path, mode="append")
-    write_snapshot(_orders(spark, n=10, start=500), path, mode="append")
+    compact_snapshot(spark, path)  # the surviving seed is an OPTIMIZE
     write_snapshot(_orders(spark, n=10, start=600), path, mode="append")
     vacuum_snapshots(spark, path, keep_last=2, min_age_s=0.0)  # drops v0, v1
     export_delta_log(spark, path)
@@ -211,6 +213,7 @@ def test_export_after_vacuum_offsets_to_zero(spark, tmp_path):
     a0 = _actions(path, names[0])
     kinds = [next(iter(a)) for a in a0]
     assert "protocol" in kinds and "metaData" in kinds
+    assert all(a["add"]["dataChange"] for a in a0 if "add" in a)
     live0 = set(_live_upto(path, names[0]))
     assert live0 == set(resolve_scan(spark, path, version=2)[0])
     live1 = set(_live_upto(path, names[1]))
