@@ -447,6 +447,60 @@ def test_export_schema_evolution_reemits_metadata(spark, tmp_path):
     )
 
 
+def test_streaming_sink_mirrors_with_txn_watermarks(spark, sf_dir, tmp_path):
+    """Production composition: an exactly-once Structured Streaming
+    sink (snapshot_append_writer) writing to a mirror-armed table must
+    leave a Delta log whose tip equals the table, with one txn action
+    per micro-batch carrying (appId, batch_id) — so an external Delta
+    consumer can verify the stream's exactly-once watermarks. A
+    crash-replayed batch commits nothing and therefore mirrors
+    nothing."""
+    from azure_etl_spark.sources.files import load_table
+    from azure_etl_spark.streaming.sinks import snapshot_append_writer
+
+    src_dir = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    events.limit(300).write.mode("overwrite").parquet(src_dir)
+    table = str(tmp_path / "tbl")
+    # seed + arm the mirror before the stream starts
+    write_snapshot(_orders(spark, n=1), table, mode="overwrite")
+    export_delta_log(spark, table)
+    writer = snapshot_append_writer(table, app_id="stream-mirror")
+
+    def write_evolving(df, batch_id):
+        # the sink appends a different schema than the seed; align
+        df2 = df.selectExpr(
+            "event_id AS k", "CAST(value AS BIGINT) AS grp",
+            "CAST(event_id * 10 AS BIGINT) AS amount",
+        )
+        writer(df2, batch_id)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_evolving)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len(_log_files(table)) - 1
+    assert n_batches >= 1
+    state = replay_delta_log(spark, table)
+    assert set(state["live"]) == set(resolve_scan(spark, table)[0])
+    assert set(state["txns"]) == {"stream-mirror"}
+    assert state["txns"]["stream-mirror"] == n_batches - 1  # last batch id
+    # crash-replay of batch 0: no commit, no new log version
+    before = _log_files(table)
+    write_evolving(spark.read.parquet(src_dir).limit(10), 0)
+    assert _log_files(table) == before
+
+
 def test_replay_delta_log_surface(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_snapshot(_orders(spark), path, mode="overwrite", partition_by=["grp"])
