@@ -265,6 +265,17 @@ def _exchange_count(df) -> int:
     )
 
 
+def test_skewed_join_salts_the_key(spark, sf_dir):
+    """join_skewed_salted (round-9 bench entry): the plan must show the
+    mitigation — the dim side replicated by an explode BEFORE its
+    exchange and the join key extended with the salt column, so the
+    hot key's rows spread over `salt` reducers instead of melting
+    one."""
+    plan = _plan(QUERIES["join_skewed_salted"].fn(spark, sf_dir))
+    assert "__salt" in plan, "join key not extended with the salt"
+    assert "explode" in plan.lower(), "dim side not replicated"
+
+
 def test_shuffle_budgets_headline_queries(spark, sf_dir):
     """Structural shuffle ceilings for the queries whose SCALE.md story
     is 'few/no shuffles' — a regression here means a plan silently grew
