@@ -416,7 +416,7 @@ def export_delta_log(
                 )
             size, mtime = meta.get(f, (0, ts))
             add = {
-                "path": quote(f),
+                "path": quote(f, safe="/="),
                 "partitionValues": pv,
                 "size": size,
                 "modificationTime": mtime,
@@ -430,7 +430,7 @@ def export_delta_log(
             actions.append(
                 {
                     "remove": {
-                        "path": quote(f),
+                        "path": quote(f, safe="/="),
                         "deletionTimestamp": ts,
                         "dataChange": data_change,
                     }

@@ -48,16 +48,19 @@ def _actions(path, log_file):
 
 
 def _live_upto(path, upto_name):
-    """Replay add/remove through log files <= upto_name."""
+    """Replay add/remove through log files <= upto_name (paths
+    URI-decoded, as a Delta reader resolves them)."""
+    from urllib.parse import unquote
+
     live = {}
     for name in _log_files(path):
         if name > upto_name:
             break
         for a in _actions(path, name):
             if "add" in a:
-                live[a["add"]["path"]] = a["add"]
+                live[unquote(a["add"]["path"])] = a["add"]
             elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
+                live.pop(unquote(a["remove"]["path"]), None)
     return live
 
 
@@ -499,6 +502,33 @@ def test_streaming_sink_mirrors_with_txn_watermarks(spark, sf_dir, tmp_path):
     before = _log_files(table)
     write_evolving(spark.read.parquet(src_dir).limit(10), 0)
     assert _log_files(table) == before
+
+
+def test_convert_to_snapshot_then_export_migration_path(spark, tmp_path):
+    """The full migration triangle: a PLAIN partitioned parquet
+    directory adopts the snapshot format in place (convert_to_snapshot,
+    O(metadata) renames), keeps taking appends, and then exports a
+    Delta log — so a directory that started as bare parquet ends up
+    readable by real Delta readers without ever rewriting data."""
+    from azure_etl_spark.sources.snapshot import convert_to_snapshot
+
+    path = str(tmp_path / "plain")
+    _orders(spark).write.partitionBy("grp").parquet(path)
+    assert convert_to_snapshot(spark, path, partition_by=["grp"]) == 0
+    write_snapshot(
+        _orders(spark, n=20, start=100), path, mode="append",
+        partition_by=["grp"],
+    )
+    export_delta_log(spark, path)
+    names = _log_files(path)
+    assert len(names) == 2
+    a0 = _actions(path, names[0])
+    md = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert md["partitionColumns"] == ["grp"]
+    adds = [a["add"] for a in a0 if "add" in a]
+    assert all(a["partitionValues"].get("grp") is not None for a in adds)
+    assert all("numRecords" in json.loads(a["stats"]) for a in adds if "stats" in a)
+    assert set(_live_upto(path, names[-1])) == set(resolve_scan(spark, path)[0])
 
 
 def test_replay_delta_log_surface(spark, tmp_path):
