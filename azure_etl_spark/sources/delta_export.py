@@ -89,6 +89,9 @@ _DELTA_OPS = {
     "compact": "OPTIMIZE",
     "restore": "RESTORE",
     "wap_publish": "WRITE",
+    "delete_keys": "DELETE",  # equality-delete MOR commit (export gates on it)
+    "set_constraints": "SET TBLPROPERTIES",  # metadata-only, no file actions
+    "convert_from_delta": "CONVERT",
 }
 
 
