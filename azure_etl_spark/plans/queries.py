@@ -9825,14 +9825,21 @@ def q_kll_grouped_len_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_append_oracle(
-    m: int = 4, k_codes: int = 16, max_iter: int = 3, dim: int = 64
+    m: int = 4,
+    k_codes: int = 16,
+    max_iter: int = 3,
+    dim: int = 64,
+    train_where: str = "vec_id < 40",
+    enc_where: str = "vec_id >= 40",
 ) -> str:
     """Replays pq_index_append: train the m deterministic sub-space
-    k-means on vec_id < 40 (the persisted codebooks), then encode every
-    NEW vector (vec_id >= 40) by the same per-subspace (distance, cid)
+    k-means on ``train_where`` (the persisted codebooks), then encode
+    every ``enc_where`` vector by the same per-subspace (distance, cid)
     argmin and sum the quantization error — encoding against frozen
     codebooks is a pure function, which is what makes the append
-    map-side and oracle-checkable."""
+    map-side and oracle-checkable. With ``train_where='TRUE'`` this is
+    the REFIT oracle (pq_refit_codes): retrain on the full set, encode
+    the full set."""
     sub_len = dim // m
 
     def dist(va: str, vb: str) -> str:
@@ -9843,9 +9850,9 @@ def _pq_append_oracle(
 
     ctes = [
         "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings WHERE vec_id < 40)",
+        f"FROM embeddings WHERE {train_where})",
         "newv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings WHERE vec_id >= 40)",
+        f"FROM embeddings WHERE {enc_where})",
     ]
     for s in range(m):
         lo, hi = s * sub_len + 1, (s + 1) * sub_len
@@ -9886,6 +9893,61 @@ def _pq_append_oracle(
     FROM encN0 n0 {joins}
     ORDER BY vec_id
     """
+
+
+def _pq_refit_oracle() -> str:
+    inner = _pq_append_oracle(train_where="TRUE", enc_where="TRUE")
+    return f"SELECT vec_id, codes_str FROM ({inner}) _r ORDER BY vec_id"
+
+
+@query(
+    "pq_refit_codes",
+    oracle=_pq_refit_oracle,
+    description="Managed PQ index refit (round 9 — the codebook twin "
+    "of ivf_refit_assign, operators/similarity.pq_index_refit): drive "
+    "the persisted lifecycle end-to-end — build generation 0 on "
+    "vec_id<40, append the rest against the frozen codebooks, then "
+    "REFIT: retrain the m sub-space k-means on the generation's full "
+    "persisted vectors table, re-encode every vector, write "
+    "generation 1 invisibly and swap the one-row generation pointer "
+    "in a single atomic snapshot commit. The query returns generation "
+    "1's codes table; the oracle retrains all m deterministic "
+    "sub-space k-means on the FULL embeddings set in unrolled CTEs "
+    "and replays every code — a refit that trained on the wrong "
+    "vector set or dropped an appended batch is a hash mismatch.",
+)
+def q_pq_refit_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.operators.similarity import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_refit,
+        pq_index_tables,
+    )
+    from azure_etl_spark.sources.snapshot import read_snapshot
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="pq_refit_") + "/idx"
+    pq_index_build(
+        e.filter(F.col("vec_id") < 40), path, m=4, k_codes=16, max_iter=3,
+        dim=64,
+    )
+    pq_index_append(
+        e.filter(F.col("vec_id") >= 40), path, batch="b1", m=4, dim=64
+    )
+    assert pq_index_refit(spark, path) == 1
+    t = pq_index_tables(spark, path)
+    return (
+        read_snapshot(spark, t["codes"])
+        .select(
+            "vec_id",
+            F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+                "codes_str"
+            ),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query(
