@@ -187,3 +187,60 @@ def test_long_append_chain_with_interleaved_dml_and_checkpoints(spark, tmp_path)
         for r in snap.read_snapshot(spark, path, where=[("id", ">=", 150)]).collect()
     }
     assert scan == {k: v for k, v in model.items() if k >= 150}
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_random_op_sequences_keep_delta_mirror_faithful(spark, tmp_path, seed):
+    """Round-9 composition property: arm the _delta_log mirror on the
+    model table and random-walk the SAME op vocabulary (appends,
+    overwrites, COW + MOR deletes, merges, compacts, vacuums, WAP) —
+    after every step where the log is expressible, replaying the
+    exported Delta log must name EXACTLY the table's live file set,
+    and reading those parquet files directly must equal the dict
+    model. A merge-on-read tip is the one inexpressible state: the
+    mirror intentionally falls behind (warns), and the next
+    materializing commit must bring it back in sync."""
+    from azure_etl_spark.sources.delta_export import (
+        export_delta_log,
+        replay_delta_log,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"mirror_{seed}")
+    model: dict[int, int] = {}
+    next_id = 0
+    # seed commit + arm
+    fresh = {next_id + i: rng.randint(0, 99) for i in range(4)}
+    snap.write_snapshot(_rows_df(spark, fresh), path)
+    model.update(fresh)
+    next_id += 4
+    export_delta_log(spark, path)
+    trace = []
+    behind = False
+    for step in range(10):
+        label, next_id = _apply_random_op(spark, path, model, rng, next_id)
+        trace.append(label)
+        tip = snap._load_manifest(
+            spark, path, snap._resolve_version(spark, path, None)
+        )
+        if tip.get("deletes"):
+            behind = True  # MOR tip: reader-v1 can't express it; skip
+            continue
+        if behind:
+            # a materializing commit landed; the hook (or an explicit
+            # export) must catch the log up over the flagged no-ops
+            export_delta_log(spark, path)
+            behind = False
+        state = replay_delta_log(spark, path)
+        want_files = set(snap.resolve_scan(spark, path)[0])
+        assert set(state["live"]) == want_files, (
+            f"seed={seed} step={step} trace={trace}"
+        )
+        root = path.rstrip("/")
+        got = {
+            r["id"]: r["val"]
+            for r in spark.read.parquet(
+                *[f"{root}/{f}" for f in sorted(state["live"])]
+            ).collect()
+        }
+        assert got == model, f"seed={seed} step={step} trace={trace}"
