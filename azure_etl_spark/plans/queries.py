@@ -96,7 +96,7 @@ DRIVER_SUBSET: frozenset[str] = frozenset({
     "set_except_parts", "set_intersect_customers", "snapshot_convert_gold",
     "snapshot_delete_skipping", "snapshot_merge_upsert",
     "snapshot_mor_delete", "snapshot_restore_gold",
-    "snapshot_time_travel_gold", "streaming_hourly_rollup",
+    "snapshot_time_travel_gold", "delta_log_export_gold",
     "string_funcs_docs", "text_lang_id", "text_quality_score",
     "text_token_stats", "topk_orders", "tpch_q1ish", "tpch_q3ish",
     "tpch_q5ish", "union_snapshots", "window_lag_delta",
