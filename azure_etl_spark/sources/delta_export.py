@@ -275,21 +275,60 @@ def export_delta_log(
         return []
     table_id = _table_id(path)
     written: list[int] = []
+    # Tracking is in terms of what the LOG has EMITTED, not the raw
+    # previous manifest: merge-on-read no-op versions advance the
+    # manifest chain without emitting file/metaData/txn actions, so
+    # diffing against their manifests would (a) drop the protocol and
+    # metaData actions entirely when the SEED version carries MOR
+    # deletes (round-10 ADVICE, medium), (b) hide a schema change that
+    # landed in a MOR commit, and (c) lose txn watermark updates
+    # carried by a MOR commit. Each tracker holds the last state the
+    # log actually expressed; no-op versions leave all of them alone
+    # (except the seed no-op, which emits protocol+metaData+txns so
+    # log version 0 stays well-formed for real Delta readers).
     prev_files: dict[str, dict] = {}
-    prev_manifest: dict | None = None
+    emitted_cols: list | None = None  # None = no metaData in the log yet
+    emitted_pcols: list | None = None
+    emitted_txns: dict = {}
+    protocol_written = False
+    log_has_adds = False
     start = todo[0]
     if start > offset:
-        try:
-            prev_manifest = _load_manifest(spark, path, start - 1)
-        except SnapshotVersionError as exc:
-            raise SnapshotVersionError(
-                f"delta-log mirror at {path} fell behind vacuum retention "
-                f"(manifest v{start - 1} is gone, cannot diff v{start}); "
-                "delete _delta_log/ and re-export to restart the log from "
-                "the surviving chain"
-            ) from exc
-        pf, ps = _manifest_files(spark, path, prev_manifest)
-        prev_files = {f: ps.get(f) for f in pf}
+        # previous export runs own versions < start; by invariant they
+        # emitted protocol (+ metaData/txns) at the seed and refreshed
+        # on change, so the emitted state equals the last exported
+        # EXPRESSIBLE version's manifest — walk back over any trailing
+        # MOR no-op versions to find it
+        protocol_written = True
+        pv = start - 1
+        prev_manifest: dict | None = None
+        while pv >= offset:
+            try:
+                m = _load_manifest(spark, path, pv)
+            except SnapshotVersionError as exc:
+                raise SnapshotVersionError(
+                    f"delta-log mirror at {path} fell behind vacuum "
+                    f"retention (manifest v{pv} is gone, cannot diff "
+                    f"v{start}); delete _delta_log/ and re-export to "
+                    "restart the log from the surviving chain"
+                ) from exc
+            if not m.get("deletes"):
+                prev_manifest = m
+                break
+            if pv == offset:
+                # every exported version so far was a MOR no-op; the
+                # seed no-op emitted metaData/txns from ITS manifest
+                emitted_cols = list(m.get("columns", []))
+                emitted_pcols = list(m.get("partition_by", []))
+                emitted_txns = dict(m.get("txns", {}))
+            pv -= 1
+        if prev_manifest is not None:
+            pf, ps = _manifest_files(spark, path, prev_manifest)
+            prev_files = {f: ps.get(f) for f in pf}
+            emitted_cols = list(prev_manifest.get("columns", []))
+            emitted_pcols = list(prev_manifest.get("partition_by", []))
+            emitted_txns = dict(prev_manifest.get("txns", {}))
+            log_has_adds = bool(prev_files)
     tip = versions[-1]
     for v in todo:
         manifest = _load_manifest(spark, path, v)
@@ -312,7 +351,7 @@ def export_delta_log(
                     "compact_snapshot() materializes them, then re-export"
                 )
             ts = int(manifest.get("committed_at_unix", 0) * 1000)
-            noop = {
+            noop_actions: list[dict] = [{
                 "commitInfo": {
                     "timestamp": ts,
                     "operation": _DELTA_OPS.get(
@@ -325,24 +364,61 @@ def export_delta_log(
                     },
                     "engineInfo": "azure-etl-spark snapshot-export",
                 }
-            }
+            }]
+            if v == offset:
+                # the log's version 0 must still carry protocol +
+                # metaData (+ txn watermarks) or real Delta readers
+                # reject the whole log — reachable when vacuum truncates
+                # the chain into a MOR-pending window (round-10 ADVICE)
+                protocol_written = True
+                noop_actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+                emitted_cols = list(manifest.get("columns", []))
+                emitted_pcols = list(manifest.get("partition_by", []))
+                noop_actions.append(
+                    {
+                        "metaData": {
+                            "id": table_id,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": read_snapshot(
+                                spark, path, v
+                            ).schema.json(),
+                            "partitionColumns": emitted_pcols,
+                            "configuration": {},
+                            "createdTime": ts,
+                        }
+                    }
+                )
+                for app_id, tv2 in sorted(manifest.get("txns", {}).items()):
+                    noop_actions.append(
+                        {"txn": {"appId": app_id, "version": int(tv2),
+                                 "lastUpdated": ts}}
+                    )
+                emitted_txns = dict(manifest.get("txns", {}))
             _create_log_exclusive(
                 spark, path, v - offset,
-                json.dumps(noop, sort_keys=True).encode("utf-8"),
+                "\n".join(
+                    json.dumps(a, sort_keys=True) for a in noop_actions
+                ).encode("utf-8"),
             )
             written.append(v)
-            prev_manifest = manifest  # schema tracking; file set NOT advanced
+            # emitted trackers are NOT advanced past the no-op (its file
+            # set, schema change, and txn updates were not expressed);
+            # the next expressible version diffs against the last
+            # EXPRESSED state and reconciles exactly
             continue
         files, stats = _manifest_files(spark, path, manifest)
         cur = {f: stats.get(f) for f in files}
         pcols = list(manifest.get("partition_by", []))
         op = manifest.get("operation", manifest.get("mode", "overwrite"))
         # OPTIMIZE exports as dataChange=false so Delta STREAMING
-        # readers skip it — except at the log's seed version (a
-        # post-vacuum chain may start at a compact commit), where the
-        # adds introduce the table's entire initial state and must be
-        # visible to a stream starting from version 0
-        data_change = op != "compact" or v == offset
+        # readers skip it — except at the log's FIRST version that
+        # emits adds (a post-vacuum chain may start at a compact
+        # commit, possibly behind MOR no-ops), where the adds introduce
+        # the table's entire initial state and must be visible to a
+        # stream starting from version 0
+        data_change = op != "compact" or not log_has_adds
         ts = int(manifest.get("committed_at_unix", 0) * 1000)
         actions: list[dict] = [
             {
@@ -354,13 +430,12 @@ def export_delta_log(
                 }
             }
         ]
-        if v == offset:
+        if not protocol_written:
+            protocol_written = True
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if prev_manifest is not None and pcols != list(
-            prev_manifest.get("partition_by", [])
-        ):
+        if emitted_pcols is not None and pcols != emitted_pcols:
             # snapshot partition evolution (append under a different —
             # or no — hive layout): Delta's metaData could be replaced,
             # but earlier files' partition values live only in their
@@ -368,12 +443,12 @@ def export_delta_log(
             # partitionColumns setting reads both correctly. Refuse.
             raise SnapshotVersionError(
                 f"version {v} at {path} changes the partition layout "
-                f"{prev_manifest.get('partition_by', [])} -> {pcols} "
+                f"{emitted_pcols} -> {pcols} "
                 "(snapshot partition evolution), which the Delta protocol "
                 "cannot express — rewrite to a uniform layout to export"
             )
-        schema_changed = prev_manifest is None or (
-            manifest.get("columns") != prev_manifest.get("columns")
+        schema_changed = emitted_cols is None or (
+            list(manifest.get("columns", [])) != emitted_cols
         )
         if schema_changed:
             schema_string = read_snapshot(spark, path, v).schema.json()
@@ -392,10 +467,11 @@ def export_delta_log(
         # exactly-once watermarks ride along: the manifest's txn ledger
         # (app_id -> version) maps 1:1 onto Delta's txn action, so a
         # real Delta writer taking over the table can keep the
-        # idempotent-replay guarantees our streaming sinks rely on
-        prev_txns = (prev_manifest or {}).get("txns", {})
+        # idempotent-replay guarantees our streaming sinks rely on.
+        # Diffed against the last EMITTED ledger, so a watermark bump
+        # that landed in a MOR no-op version is deferred here, not lost.
         for app_id, tv in sorted(manifest.get("txns", {}).items()):
-            if prev_txns.get(app_id) != tv:
+            if emitted_txns.get(app_id) != tv:
                 actions.append(
                     {"txn": {"appId": app_id, "version": int(tv),
                              "lastUpdated": ts}}
@@ -444,7 +520,12 @@ def export_delta_log(
         )
         _create_log_exclusive(spark, path, v - offset, payload)
         written.append(v)
-        prev_files, prev_manifest = cur, manifest
+        prev_files = cur
+        emitted_cols = list(manifest.get("columns", []))
+        emitted_pcols = pcols
+        emitted_txns = dict(manifest.get("txns", {}))
+        if added:
+            log_has_adds = True
     if written:
         # Delta-writer convention: checkpoint periodically so readers
         # open the table in O(live files), not O(commits)
@@ -456,6 +537,10 @@ def export_delta_log(
 
 
 _CHECKPOINT_EVERY = 16
+
+# Delta's default delta.deletedFileRetentionDuration: remove tombstones
+# younger than this must survive checkpointing (PROTOCOL.md, VACUUM)
+_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 
 def _local_path(fs, jpath) -> str:
@@ -553,6 +638,24 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> dict:
             "dataChange": False,  # checkpoint rows never signal new data
             "stats": a.get("stats"),
         }})
+    # the protocol requires checkpoints to RETAIN remove tombstones
+    # until the retention period expires, so a real writer's VACUUM can
+    # still find pre-checkpoint dead files (round-10 ADVICE fix);
+    # expired tombstones (older than the retention window at write
+    # time) are dropped, exactly as Delta's own checkpointer does
+    import time as _time
+
+    horizon_ms = int(_time.time() * 1000) - _TOMBSTONE_RETENTION_MS
+    for rel in sorted(state["tombstones"]):
+        r = state["tombstones"][rel]
+        dts = r.get("deletionTimestamp")
+        if dts is not None and int(dts) < horizon_ms:
+            continue
+        rows.append({"remove": {
+            "path": r["path"],
+            "deletionTimestamp": dts,
+            "dataChange": False,
+        }})
     schema = _checkpoint_schema()
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
     table = pa.Table.from_pydict(
@@ -597,6 +700,7 @@ def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict
         )
     table = pq.read_table(_local_path(fs, jp))
     live: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     txns: dict[str, int] = {}
     meta = None
     protocol = None
@@ -613,9 +717,13 @@ def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict
             a = dict(row["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or {})
             live[unquote(a["path"])] = a
+        elif row.get("remove"):
+            r = dict(row["remove"])
+            tombstones[unquote(r["path"])] = r
         elif row.get("txn"):
             txns[row["txn"]["appId"]] = int(row["txn"]["version"])
-    return {"live": live, "metaData": meta, "protocol": protocol, "txns": txns}
+    return {"live": live, "tombstones": tombstones, "metaData": meta,
+            "protocol": protocol, "txns": txns}
 
 
 def maybe_mirror_delta_log(spark: SparkSession, path: str) -> None:
@@ -646,9 +754,10 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
     :func:`convert_from_delta_log`. If a ``_last_checkpoint`` exists
     the state seeds from the checkpoint parquet and only LATER JSON
     commits replay — the same O(live files) open a real Delta reader
-    does. Returns ``{"live": {rel_path: add_action}, "schema_string",
-    "partition_columns", "metaData", "txns", "versions", "protocol"}``
-    (paths URL-decoded; ``versions`` spans checkpoint + JSON)."""
+    does. Returns ``{"live": {rel_path: add_action}, "tombstones":
+    {rel_path: remove_action}, "schema_string", "partition_columns",
+    "metaData", "txns", "versions", "protocol"}`` (paths URL-decoded;
+    ``versions`` spans checkpoint + JSON)."""
     fs, jvm = _fs(spark, path)
     json_versions = _exported_versions(spark, path)
     lc = _read_last_checkpoint(spark, path)
@@ -658,9 +767,11 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
     protocol = None
     start_after = -1
     versions: list[int] = []
+    tombstones: dict[str, dict] = {}
     if lc is not None:
         seed = _load_checkpoint_state(spark, path, int(lc["version"]))
         live, txns = seed["live"], seed["txns"]
+        tombstones = seed["tombstones"]
         meta, protocol = seed["metaData"], seed["protocol"]
         start_after = int(lc["version"])
         versions.append(start_after)
@@ -684,11 +795,21 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
                 txns[action["txn"]["appId"]] = int(action["txn"]["version"])
             elif "add" in action:
                 a = action["add"]
-                live[unquote(a["path"])] = a
+                rel = unquote(a["path"])
+                live[rel] = a
+                tombstones.pop(rel, None)  # re-added file is no tombstone
             elif "remove" in action:
-                live.pop(unquote(action["remove"]["path"]), None)
+                r = action["remove"]
+                rel = unquote(r["path"])
+                live.pop(rel, None)
+                # Delta keeps remove tombstones until the retention
+                # window expires so VACUUM can find (and only once
+                # handle) the dead files — popping them entirely would
+                # make a checkpoint lose un-expired tombstones
+                tombstones[rel] = r
     return {
         "live": live,
+        "tombstones": tombstones,
         "schema_string": meta["schemaString"] if meta else None,
         "partition_columns": list(meta.get("partitionColumns", [])) if meta else [],
         "metaData": meta,
@@ -785,16 +906,30 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         "deletes": [],
         "columns": list(df.columns),
     }
-    if not _try_commit_manifest(spark, path, 0, manifest):
+    # the original log described the PRE-rename paths and must neither
+    # be read by Delta readers nor arm the mirror hook — park it as
+    # provenance BEFORE committing: _try_commit_manifest's
+    # maybe_mirror_delta_log hook fires on any _delta_log/ it sees, and
+    # would write a .snapshot_offset (and, for a checkpointed foreign
+    # log lacking 0.json, a bogus engine-generated 0.json) into the
+    # provenance copy (round-10 ADVICE fix). export_delta_log starts a
+    # fresh, correct log on the converted table if interop is wanted.
+    fs.rename(
+        _jpath(jvm, root, DELTA_LOG_DIR), _jpath(jvm, root, "_delta_log_imported")
+    )
+    try:
+        committed = _try_commit_manifest(spark, path, 0, manifest)
+    except Exception:
+        fs.rename(
+            _jpath(jvm, root, "_delta_log_imported"), _jpath(jvm, root, DELTA_LOG_DIR)
+        )
+        raise
+    if not committed:
+        fs.rename(
+            _jpath(jvm, root, "_delta_log_imported"), _jpath(jvm, root, DELTA_LOG_DIR)
+        )
         raise SnapshotConflictError(
             f"convert: version 0 appeared at {path} mid-convert; moved data "
             f"is intact under {data_rel} — recover manually"
         )
-    # the original log described the PRE-rename paths and must neither
-    # be read by Delta readers nor arm the mirror hook — park it as
-    # provenance; export_delta_log starts a fresh, correct log on the
-    # converted table if interop is still wanted
-    fs.rename(
-        _jpath(jvm, root, DELTA_LOG_DIR), _jpath(jvm, root, "_delta_log_imported")
-    )
     return 0

@@ -59,6 +59,11 @@ def test_load_bench_payload_accepts_every_artifact_shape():
     assert load_bench_payload(json.dumps(wrapper, indent=2)) == bench
     del wrapper["parsed"]
     assert load_bench_payload(json.dumps(wrapper, indent=2)) == bench
+    # round-10 ADVICE: a wrapper where the driver FAILED to parse the
+    # bench line ships "parsed": null — must fall through to tail
+    # recovery, not return None
+    wrapper["parsed"] = None
+    assert load_bench_payload(json.dumps(wrapper, indent=2)) == bench
 
 
 def test_clean_run_no_flags():

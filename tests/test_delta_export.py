@@ -541,3 +541,195 @@ def test_replay_delta_log_surface(spark, tmp_path):
     assert set(state["live"]) == set(resolve_scan(spark, path)[0])
     fields = json.loads(state["schema_string"])["fields"]
     assert {f["name"] for f in fields} == {"k", "grp", "amount"}
+
+
+def test_export_mor_seed_emits_protocol_and_metadata(spark, tmp_path):
+    """Round-10 ADVICE (medium): vacuum can truncate the chain into a
+    merge-on-read-pending window, making the log's SEED version a MOR
+    no-op. That no-op must still carry protocol + metaData (+ the
+    seed's txn watermarks) or real Delta readers reject the whole log
+    and write_delta_checkpoint raises 'no metaData action'; and the
+    first expressible version after it must re-introduce the table's
+    entire state as dataChange=true adds even when it is an OPTIMIZE."""
+    from azure_etl_spark.sources.delta_export import write_delta_checkpoint
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")  # v0 (vacuumed)
+    delete_from_snapshot(
+        spark, path, [("grp", "=", 1)], mode="merge_on_read"
+    )  # v1: MOR pending
+    write_snapshot(
+        _orders(spark, n=10, start=100), path, mode="append",
+        txn_app_id="stream-m", txn_version=4,
+    )  # v2: carries the MOR entries forward + bumps a txn watermark
+    compact_snapshot(spark, path)  # v3: materializes
+    vacuum_snapshots(spark, path, keep_last=3, min_age_s=0.0)  # drops v0
+    export_delta_log(spark, path)
+
+    names = _log_files(path)
+    assert names == [f"{i:020d}.json" for i in range(3)]
+    a0 = _actions(path, names[0])
+    kinds0 = [next(iter(a)) for a in a0]
+    assert kinds0[0] == "commitInfo"
+    assert "protocol" in kinds0 and "metaData" in kinds0
+    assert "snapshotUnexpressible" in json.dumps(a0)
+    assert not any("add" in a or "remove" in a for a in a0)
+    md = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert {f["name"] for f in json.loads(md["schemaString"])["fields"]} == {
+        "k", "grp", "amount"
+    }
+    txns0 = {a["txn"]["appId"]: a["txn"]["version"] for a in a0 if "txn" in a}
+    assert txns0 == {}  # v1 carries no watermark yet
+
+    a1 = _actions(path, names[1])  # v2: still MOR-pending -> plain no-op
+    assert [next(iter(a)) for a in a1] == ["commitInfo"]
+
+    # first expressible version: all-new adds, dataChange=true despite
+    # OPTIMIZE, and the DEFERRED txn watermark from the MOR append
+    a2 = _actions(path, names[2])
+    adds2 = [a["add"] for a in a2 if "add" in a]
+    assert adds2 and all(a["dataChange"] for a in adds2)
+    txns2 = {a["txn"]["appId"]: a["txn"]["version"] for a in a2 if "txn" in a}
+    assert txns2 == {"stream-m": 4}
+
+    assert set(_live_upto(path, names[-1])) == set(resolve_scan(spark, path)[0])
+    lc = write_delta_checkpoint(spark, path)  # must not raise 'no metaData'
+    state = replay_delta_log(spark, path)
+    assert state["txns"] == {"stream-m": 4}
+    assert set(state["live"]) == set(resolve_scan(spark, path)[0])
+    assert lc["version"] == 2
+
+
+def test_export_mor_schema_change_reemits_metadata_when_materialized(
+    spark, tmp_path
+):
+    """A schema-evolving append that lands while MOR deletes are
+    pending exports as a no-op; the next expressible version must then
+    re-emit metaData with the evolved schema (diffing against the last
+    EMITTED schema, not the no-op's manifest, which would hide it)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")  # v0
+    delete_from_snapshot(
+        spark, path, [("grp", "=", 2)], mode="merge_on_read"
+    )  # v1: MOR
+    evolved = _orders(spark, n=10, start=100).withColumn("extra", F.col("k") * 2)
+    write_snapshot(evolved, path, mode="append", merge_schema=True)  # v2: MOR+schema
+    compact_snapshot(spark, path)  # v3: materializes
+    export_delta_log(spark, path)
+    names = _log_files(path)
+    assert len(names) == 4
+    for noop in (1, 2):
+        assert [next(iter(a)) for a in _actions(path, names[noop])] == ["commitInfo"]
+    a3 = _actions(path, names[3])
+    md = [a["metaData"] for a in a3 if "metaData" in a]
+    assert len(md) == 1, "evolved schema must re-emit metaData at materialization"
+    fields = [f["name"] for f in json.loads(md[0]["schemaString"])["fields"]]
+    assert fields == ["k", "grp", "amount", "extra"]
+    assert set(_live_upto(path, names[-1])) == set(resolve_scan(spark, path)[0])
+
+
+def test_checkpoint_retains_unexpired_tombstones(spark, tmp_path):
+    """Round-10 ADVICE: the Delta protocol requires checkpoints to keep
+    remove tombstones until the retention window expires (a real
+    writer's VACUUM finds pre-checkpoint dead files through them).
+    Fresh removes must survive checkpointing; removes older than the
+    retention window must be dropped; replay must seed tombstones from
+    the checkpoint."""
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import (
+        _load_checkpoint_state,
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    delete_from_snapshot(spark, path, [("grp", "=", 2)])  # COW delete -> removes
+    export_delta_log(spark, path)
+    removed = {
+        a["remove"]["path"]
+        for a in _actions(path, _log_files(path)[1])
+        if "remove" in a
+    }
+    assert removed
+    lc = write_delta_checkpoint(spark, path)
+    cp = os.path.join(path, DELTA_LOG_DIR, f"{lc['version']:020d}.checkpoint.parquet")
+    rows = pq.read_table(cp).to_pylist()
+    cp_removes = {r["remove"]["path"]: r["remove"] for r in rows if r.get("remove")}
+    assert set(cp_removes) == removed
+    assert all(
+        r["deletionTimestamp"] and not r["dataChange"] for r in cp_removes.values()
+    )
+    seed = _load_checkpoint_state(spark, path, lc["version"])
+    from urllib.parse import unquote
+
+    assert set(seed["tombstones"]) == {unquote(p) for p in removed}
+    assert not (set(seed["tombstones"]) & set(seed["live"]))
+
+    # age the tombstones out: rewrite the delete commit with an ancient
+    # deletionTimestamp and re-checkpoint -> expired removes are dropped
+    v1 = os.path.join(path, DELTA_LOG_DIR, _log_files(path)[1])
+    with open(v1) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    for a in lines:
+        if "remove" in a:
+            a["remove"]["deletionTimestamp"] = 1000  # 1970
+    with open(v1, "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in lines))
+    crc = os.path.join(path, DELTA_LOG_DIR, "." + _log_files(path)[1] + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # drop the first checkpoint so replay re-reads the aged JSON commit
+    os.remove(cp)
+    os.remove(os.path.join(path, DELTA_LOG_DIR, "_last_checkpoint"))
+    for leftover in os.listdir(os.path.join(path, DELTA_LOG_DIR)):
+        if leftover.startswith("._last_checkpoint") or ".checkpoint.parquet" in (
+            leftover
+        ) and leftover.startswith("."):
+            os.remove(os.path.join(path, DELTA_LOG_DIR, leftover))
+    lc2 = write_delta_checkpoint(spark, path)
+    rows2 = pq.read_table(
+        os.path.join(path, DELTA_LOG_DIR, f"{lc2['version']:020d}.checkpoint.parquet")
+    ).to_pylist()
+    assert not any(r.get("remove") for r in rows2)
+
+
+def test_convert_parks_foreign_log_unpolluted(spark, tmp_path):
+    """Round-10 ADVICE: the foreign _delta_log must be parked BEFORE
+    the snapshot commit, so the commit's mirror hook can neither write
+    a .snapshot_offset into it nor export a bogus engine 0.json into a
+    checkpointed foreign log — the provenance copy stays byte-listed
+    identical to what arrived."""
+    from azure_etl_spark.sources.delta_export import write_delta_checkpoint
+
+    src = str(tmp_path / "src")
+    write_snapshot(_orders(spark), src, mode="overwrite")
+    write_snapshot(_orders(spark, n=10, start=100), src, mode="append")
+    export_delta_log(spark, src)
+    write_delta_checkpoint(spark, src)
+    # simulate a real checkpointed Delta table whose early JSON was
+    # cleaned up (no 0.json): the pre-fix hook would regenerate one
+    for name in _log_files(src):
+        if int(name.split(".")[0]) <= 0:
+            os.remove(os.path.join(src, DELTA_LOG_DIR, name))
+
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    shutil.copytree(os.path.join(src, "data"), os.path.join(dst, "data"))
+    shutil.copytree(os.path.join(src, DELTA_LOG_DIR), os.path.join(dst, DELTA_LOG_DIR))
+    for root_, _dirs, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(root_, f))
+    # a REAL foreign Delta table carries no engine offset marker
+    os.remove(os.path.join(dst, DELTA_LOG_DIR, ".snapshot_offset"))
+    original_listing = sorted(os.listdir(os.path.join(dst, DELTA_LOG_DIR)))
+
+    convert_from_delta_log(spark, dst)
+    imported = sorted(os.listdir(os.path.join(dst, "_delta_log_imported")))
+    assert imported == original_listing
+    assert ".snapshot_offset" not in imported
+    assert f"{0:020d}.json" not in imported
+    got = sorted(tuple(r) for r in read_snapshot(spark, dst).collect())
+    want = sorted(tuple(r) for r in read_snapshot(spark, src).collect())
+    assert got == want

@@ -211,7 +211,11 @@ def load_bench_payload(text: str) -> dict:
         data = json.loads(text)
     except json.JSONDecodeError:
         data = json.loads(text.splitlines()[-1])
-    if isinstance(data, dict) and "parsed" in data:
+    if isinstance(data, dict) and data.get("parsed"):
+        # gate on truthiness, not presence: a driver wrapper that failed
+        # to parse the bench line ships "parsed": null but still carries
+        # the stdout tail — fall through to tail recovery instead of
+        # returning None (round-10 ADVICE fix)
         return data["parsed"]
     if isinstance(data, dict) and "queries" not in data and "tail" in data:
         for line in reversed(str(data["tail"]).replace("\r", "\n").splitlines()):
