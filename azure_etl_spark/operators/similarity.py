@@ -184,51 +184,86 @@ def kmeans_fit(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager_rounds: bool = True,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """DataFrame-native Lloyd's k-means — the IVF coarse quantizer.
 
-    Deterministic init (k lowest-id vectors). Each iteration:
-    assignment = broadcast-join of k centroids against the scan +
-    ``min_by`` grouped argmin (no sort, no UDF); update = posexplode ->
-    per-(cluster, dim) mean -> re-assembled centroid arrays (k x dim
-    shuffle rows — negligible). Fixed ``max_iter`` keeps runs
+    Deterministic init (k lowest-id vectors). Each iteration (round-10
+    shuffle-free-assignment shape):
+
+    - assignment: the k centroids collapse into ONE row via
+      ``collect_list`` (broadcast) and every vector takes the argmin
+      over that array with an in-row ``array_min`` fold — the corpus is
+      never joined-and-multiplied by k nor shuffled by id. (The
+      previous shape shuffled (id, vector) through a grouped argmin per
+      round — a full-corpus vector shuffle per iteration at 100 TB.)
+    - update: ONE ``groupBy(cid)`` with a per-dimension ``avg`` — map-
+      side partial aggregation reduces the shuffle to k rows per
+      partition (the posexplode -> (cid, dim) -> cid chain it replaces
+      cost two corpus-sized shuffles).
+
+    The argmin fold computes the same ``_sq_dist`` expression and the
+    same (distance, cid)-lexicographic tie-break as the old grouped
+    ``min_by``, and the per-dimension means aggregate the same value
+    multisets, so results are unchanged. Fixed ``max_iter`` keeps runs
     reproducible; ``localCheckpoint`` per round keeps lineage flat.
+
+    ``eager_rounds=False`` skips the per-round eager checkpoint: the
+    whole iteration chain nests lazily (iteration i's broadcast
+    subplan contains iteration i-1's — linear nesting, each round
+    references the previous exactly once) and materializes inside the
+    caller's ONE action instead of one driver-synchronized job per
+    round. Use it when the caller consumes the fit exactly once
+    (SemDeDup does — it reads only the assignments). Callers that act
+    on BOTH returned frames (the IVF index builders) keep the default,
+    or each action would recompute every round.
+
+    ``dim`` (vector dimensionality) is read from the first row when
+    not supplied — one 1-row job, independent of corpus size.
 
     Returns (assignments (id, cid), centroids (cid, centroid)).
     """
-    centroids = (
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+
+    def _round_ckpt(c: DataFrame) -> DataFrame:
+        return c.localCheckpoint(eager=True) if eager_rounds else c
+
+    centroids = _round_ckpt(
         df.orderBy(id_col)
         .limit(k)
         .select(
             F.row_number().over(Window.orderBy(id_col)).alias("cid"),
             F.col(vec_col).alias("centroid"),
         )
-        .localCheckpoint(eager=True)
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assign = None
     for _ in range(max_iter):
-        scored = vecs.join(F.broadcast(centroids)).withColumn(
-            "__d", _sq_dist(F.col("v"), F.col("centroid"))
+        carr = centroids.agg(
+            F.collect_list(F.struct("cid", "centroid")).alias("__cs")
         )
-        assign = scored.groupBy("id").agg(
-            F.min_by("cid", F.struct("__d", "cid")).alias("cid"),
-            F.first("v").alias("v"),
-        )
-        dims = assign.select(
-            "cid", F.posexplode("v").alias("pos", "val")
-        )
-        new_c = (
-            dims.groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-                ).alias("centroid")
+        best = F.array_min(
+            F.transform(
+                F.col("__cs"),
+                lambda c: F.struct(
+                    _sq_dist(F.col("v"), c.getField("centroid")).alias("d"),
+                    c.getField("cid").alias("cid"),
+                ),
             )
         )
-        centroids = new_c.localCheckpoint(eager=True)
+        assign = (
+            vecs.join(F.broadcast(carr))
+            .withColumn("cid", best.getField("cid"))
+            .drop("__cs")
+        )
+        new_c = assign.groupBy("cid").agg(
+            *[F.avg(F.col("v")[d]).alias(f"__m{d}") for d in range(dim)]
+        ).select(
+            "cid", F.array(*[F.col(f"__m{d}") for d in range(dim)]).alias("centroid")
+        )
+        centroids = _round_ckpt(new_c)
     return (
         assign.select("id", "cid").withColumnRenamed("id", id_col),
         centroids,
@@ -540,10 +575,21 @@ def semantic_dedup(
 
     Returns (id_col, cid, kept) for every input row.
     """
-    assign, _ = kmeans_fit(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    # lazy rounds: SemDeDup consumes only the assignments, once — the
+    # k-means chain materializes inside the caller's single action
+    # instead of max_iter+1 driver-synchronized checkpoint jobs
+    assign, _ = kmeans_fit(
+        df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        eager_rounds=False,
+    )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
         assign.withColumnRenamed(id_col, "id"), "id"
     )
+    # the (id, cid, v) set feeds BOTH self-join sides and the final
+    # keep projection; a lazy checkpoint shares ONE materialization of
+    # the nested k-means chain across all three references without
+    # adding a driver-synchronized job
+    vecs = vecs.localCheckpoint(eager=False)
     # Precompute each vector's norm ONCE (pair count is quadratic in
     # cluster size, vector count is linear): the per-pair work drops
     # from three 64-element folds (dot + both norms) to one. The

@@ -55,6 +55,23 @@ def _media_hasher(mtype: str):
     }[mtype]
 
 
+def _present_routes(media: DataFrame) -> tuple:
+    """The known media types ACTUALLY present, via one column-pruned
+    distinct over the (tiny-width) type column. Costs one cheap job;
+    saves planning + codegen of the absent modalities' hash expression
+    trees (the audio/video fingerprints are hundreds of codegen'd
+    expressions each) — on a single-modality table that fixed cost
+    dwarfed the data work (round 10). Falls back to the full route list
+    only in the no-known-media case so callers still get a correctly
+    typed empty frame."""
+    present = {
+        r["media_type"]
+        for r in media.select("media_type").distinct().collect()
+    }
+    routes = tuple(m for m in _MEDIA_ROUTES if m in present)
+    return routes or _MEDIA_ROUTES[:1]
+
+
 def perceptual_hash_mixed(
     media: DataFrame, id_col: str = "doc_id", out_col: str = "__ph"
 ) -> DataFrame:
@@ -62,9 +79,9 @@ def perceptual_hash_mixed(
     each media_type routes to its perceptual hash (image dhash, audio
     Haitsma-Kalker fingerprint, video pooled-frame dhash). Unknown
     media types are ignored rather than failing (they simply never
-    hash or pair)."""
+    hash or pair); absent ones are pruned from the plan entirely."""
     out: DataFrame | None = None
-    for mtype in _MEDIA_ROUTES:
+    for mtype in _present_routes(media):
         part = media.filter(F.col("media_type") == mtype).select(id_col, "media")
         hashed = _media_hasher(mtype)(part, "media", out_col).select(
             id_col, F.lit(mtype).alias("media_type"), out_col
@@ -76,17 +93,17 @@ def perceptual_hash_mixed(
 def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs across a mixed-modality
     media table (doc_id, media, media_type): each modality runs its own
-    perceptual hash, then one shared pigeonhole chunk join PER modality
-    — pairs never cross modalities (a WAV cannot near-dup a PNM)."""
+    perceptual hash (absent modalities pruned from the plan), then ONE
+    shared pigeonhole chunk join with ``media_type`` in the candidate
+    key — pairs never cross modalities (a WAV cannot near-dup a PNM),
+    enforced by the scoped join key instead of a join per modality
+    (same pairs, one self-join instead of three)."""
     from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
 
-    out: DataFrame | None = None
-    for mtype in _MEDIA_ROUTES:
-        part = media.filter(F.col("media_type") == mtype).select(id_col, "media")
-        hashed = _media_hasher(mtype)(part, "media", "__ph")
-        pairs = hash64_near_dup_pairs(hashed, id_col, "__ph")
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+    hashed = perceptual_hash_mixed(media, id_col=id_col, out_col="__ph")
+    return hash64_near_dup_pairs(
+        hashed, id_col, "__ph", scope_cols=("media_type",)
+    ).select("id_a", "id_b", "hamming")
 
 
 def media_near_dup_keep_best(
@@ -180,21 +197,30 @@ class CurationPipeline:
         attached media is a near-duplicate of a better/lower-id
         survivor's media is dropped. Payloads never shuffle; the pair
         stage moves 4 x 16-byte rows per item."""
-        self.stage_counts["input"] = docs.count()
+        # the row-local gates run as ONE job: input / lang-gate survivor
+        # counts ride as Observation metrics on the same linear plan
+        # whose count() materializes the post-quality cache (round 10 —
+        # three driver-synchronized count jobs collapsed into one; the
+        # observed values are exact row counts, identical to the
+        # per-stage count() they replace)
+        from pyspark.sql import Observation
 
-        # cheap row-local gates share ONE persisted stage: caching the
-        # post-filter survivors here is what every later dedup stage
-        # builds on, so nothing upstream ever recomputes
-        kept = self._advance(
-            "lang_gate",
-            docs.filter(F.col("lang").isin(list(self.target_langs))),
-            None,
+        obs_input, obs_lang = Observation(), Observation()
+        gated = (
+            docs.observe(obs_input, F.count(F.lit(1)).alias("n"))
+            .filter(F.col("lang").isin(list(self.target_langs)))
+            .observe(obs_lang, F.count(F.lit(1)).alias("n"))
+            .filter(quality_score("text") >= self.min_quality)
         )
-        kept = self._advance(
-            "quality_gate",
-            kept.filter(quality_score("text") >= self.min_quality),
-            kept,
-        )
+        kept = self._advance("quality_gate", gated, None)
+        counts = {
+            "input": int(obs_input.get["n"]),
+            "lang_gate": int(obs_lang.get["n"]),
+            "quality_gate": self.stage_counts.pop("quality_gate"),
+        }
+        counts.update(self.stage_counts)  # funnel order preserved
+        self.stage_counts.clear()
+        self.stage_counts.update(counts)
         kept = self._advance("exact_dedup", exact_text_dedup(kept), kept)
 
         pairs = minhash_near_dup_pairs(kept, threshold=self.near_dup_threshold)
