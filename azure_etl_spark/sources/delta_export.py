@@ -261,6 +261,22 @@ def export_delta_log(
     versions = _list_versions(spark, path)
     if not versions:
         raise SnapshotVersionError(f"no snapshot versions to export at {path}")
+    from .snapshot import _load_rename_map
+
+    if _load_rename_map(spark, path):
+        # a name-mode column-mapping convert leaves the ORIGINAL files
+        # with physical col-<uuid> parquet names while engine-written
+        # files carry logical names — no single Delta metaData (mapped
+        # or not) describes both, so an exported log would lie to real
+        # readers. compact_snapshot rewrites everything under logical
+        # names; drop the sidecar after a full rewrite to re-enable.
+        raise SnapshotVersionError(
+            f"{path} was adopted from a column-mapping Delta table and "
+            "still carries the physical->logical translation sidecar; "
+            "its mixed physical/logical parquet names cannot be "
+            "described by one Delta schema — rewrite (compact) to a "
+            "uniform logical layout before exporting"
+        )
     if upto_version is None:
         upto_version = versions[-1]
     offset = _load_offset(spark, path)
@@ -685,20 +701,56 @@ def _read_last_checkpoint(spark: SparkSession, path: str) -> dict | None:
     return json.loads(_read_small_file(jvm, fs, p).decode("utf-8"))
 
 
+def _checkpoint_part_files(
+    spark: SparkSession, path: str, version: int
+) -> list[str]:
+    """Local paths of the checkpoint parquet(s) at ``version``: the
+    classic single file ``N.checkpoint.parquet``, or a real Delta
+    writer's multi-part set ``N.checkpoint.{i:010d}.{n:010d}.parquet``
+    (large tables checkpoint in parallel parts; state = the parts'
+    row-union, order-insensitive). Raises when neither exists or the
+    multi-part set is incomplete."""
+    fs, jvm = _fs(spark, path)
+    single = _jpath(jvm, path, DELTA_LOG_DIR, f"{version:020d}.checkpoint.parquet")
+    if fs.exists(single):
+        return [_local_path(fs, single)]
+    part_re = re.compile(
+        rf"^{version:020d}\.checkpoint\.(\d{{10}})\.(\d{{10}})\.parquet$"
+    )
+    ldir = _jpath(jvm, path, DELTA_LOG_DIR)
+    parts: dict[int, tuple[int, str]] = {}
+    if fs.exists(ldir):
+        for st in fs.listStatus(ldir):
+            m = part_re.match(st.getPath().getName())
+            if m:
+                parts[int(m.group(1))] = (int(m.group(2)), _local_path(fs, st.getPath()))
+    if not parts:
+        raise SnapshotVersionError(
+            f"_last_checkpoint at {path} names version {version} but no "
+            f"{version:020d}.checkpoint(.i.n).parquet file exists"
+        )
+    n = next(iter(parts.values()))[0]
+    missing = [i for i in range(1, n + 1) if i not in parts]
+    if missing or any(tot != n for tot, _ in parts.values()):
+        raise SnapshotVersionError(
+            f"multi-part checkpoint at {path} v{version} is incomplete: "
+            f"have parts {sorted(parts)}, declared total {n}"
+        )
+    return [parts[i][1] for i in range(1, n + 1)]
+
+
 def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict:
-    """Seed replay state from a checkpoint parquet (ours or a real
-    Delta writer's)."""
+    """Seed replay state from a checkpoint parquet — ours or a real
+    Delta writer's, single-file or multi-part (parts concatenate; each
+    action appears in exactly one part per the protocol)."""
     import pyarrow.parquet as pq
 
-    fs, jvm = _fs(spark, path)
-    cp_name = f"{version:020d}.checkpoint.parquet"
-    jp = _jpath(jvm, path, DELTA_LOG_DIR, cp_name)
-    if not fs.exists(jp):
-        raise SnapshotVersionError(
-            f"_last_checkpoint at {path} names version {version} but "
-            f"{cp_name} is missing (multi-part checkpoints unsupported)"
-        )
-    table = pq.read_table(_local_path(fs, jp))
+    files = _checkpoint_part_files(spark, path, version)
+    import pyarrow as pa
+
+    table = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
+    )
     live: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
     txns: dict[str, int] = {}
@@ -819,6 +871,29 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _column_mapping_from_schema(schema_string: str) -> dict[str, str]:
+    """physical->logical name map from a column-mapping (``name`` mode)
+    metaData schemaString: each top-level field's
+    ``delta.columnMapping.physicalName`` metadata names the parquet
+    column that stores it. NESTED mapped fields (a struct whose inner
+    fields carry their own physical names) cannot be expressed as a
+    column rename and are refused honestly."""
+    schema = json.loads(schema_string)
+    out: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if phys and phys != f["name"]:
+            out[phys] = f["name"]
+        t = f.get("type")
+        if isinstance(t, dict) and "delta.columnMapping.physicalName" in json.dumps(t):
+            raise SnapshotVersionError(
+                f"field {f['name']!r} carries NESTED column-mapping physical "
+                "names, which a top-level rename cannot express; flatten or "
+                "rewrite the table to convert"
+            )
+    return out
+
+
 def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     """Adopt an existing Delta table directory as a snapshot table —
     the reverse of :func:`export_delta_log` and the other half of the
@@ -845,12 +920,30 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
             "be incomplete"
         )
     proto = state["protocol"] or {}
-    if proto.get("minReaderVersion", 1) > 1:
+    reader_v = proto.get("minReaderVersion", 1)
+    features = set(proto.get("readerFeatures") or [])
+    conf = (state["metaData"] or {}).get("configuration") or {}
+    cm_mode = conf.get("delta.columnMapping.mode", "none")
+    # reader v2 IS column mapping; v3 tables convert only when their
+    # declared reader features reduce to column mapping (deletion
+    # vectors / v2 checkpoints / timestampNtz stay honestly refused)
+    if reader_v > 3 or (
+        reader_v == 3 and not (features and features <= {"columnMapping"})
+    ):
         raise SnapshotVersionError(
-            f"{path} requires Delta minReaderVersion "
-            f"{proto.get('minReaderVersion')} (deletion vectors / column "
-            "mapping); only reader-v1 tables convert"
+            f"{path} requires Delta minReaderVersion {reader_v} "
+            f"(readerFeatures {sorted(features)}); only reader-v1 tables "
+            "and column-mapping (name mode) tables convert"
         )
+    if cm_mode == "id":
+        raise SnapshotVersionError(
+            f"{path} uses column mapping mode 'id' (parquet field-id "
+            "resolution), which this reader does not implement; only "
+            "'name' mode converts"
+        )
+    phys2log: dict[str, str] = {}
+    if cm_mode == "name":
+        phys2log = _column_mapping_from_schema(state["schema_string"] or "{}")
     if any(a.get("deletionVector") for a in state["live"].values()):
         raise SnapshotVersionError(
             f"{path} has live deletion vectors; only reader-v1 tables convert"
@@ -861,13 +954,22 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     root = path.rstrip("/")
     data_rel = f"{DATA_DIR}/v0-{uuid.uuid4().hex[:8]}"
     pcols = state["partition_columns"]
+    log2phys = {v: k for k, v in phys2log.items()}
+
+    def _logical(d: dict) -> dict:
+        return {phys2log.get(k, k): v for k, v in (d or {}).items()}
+
     stats: dict[str, dict] = {}
     for rel, add in sorted(state["live"].items()):
         parts = rel.split("/")
         flat = "__".join(parts) if len(parts) > 1 else parts[0]
         segs = [data_rel]
         for c in pcols:
-            v = add.get("partitionValues", {}).get(c)
+            # column-mapping tables key partitionValues (and stats) by
+            # the PHYSICAL name; the hive dirs we rebuild use logical
+            # names, so partition columns come out of the convert
+            # already translated
+            v = add.get("partitionValues", {}).get(log2phys.get(c, c))
             segs.append(f"{c}={_HIVE_NULL if v is None else quote(str(v), safe='')}")
         target_rel = "/".join(segs + [flat])
         tpath = _jpath(jvm, root, *segs, flat)
@@ -881,14 +983,34 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         if st:
             stats[target_rel] = {
                 "rows": st.get("numRecords"),
-                "min": st.get("minValues", {}),
-                "max": st.get("maxValues", {}),
+                "min": _logical(st.get("minValues", {})),
+                "max": _logical(st.get("maxValues", {})),
             }
     import time as _time
 
-    df = spark.read.option("basePath", f"{root}/{data_rel}").parquet(
-        f"{root}/{data_rel}"
-    )
+    if phys2log:
+        # translation sidecar FIRST (and cache-primed): the data files
+        # keep their physical col-<uuid> parquet names — O(metadata)
+        # convert, no rewrite — and every snapshot read renames them to
+        # the logical schema per file group (_read_files); files the
+        # engine writes later carry logical names and pass through
+        from .snapshot import _RENAME_MAP_FILE, _rename_map_cache
+
+        stream = fs.create(_jpath(jvm, root, _RENAME_MAP_FILE), True)
+        try:
+            stream.write(bytearray(json.dumps(phys2log).encode("utf-8")))
+        finally:
+            stream.close()
+        _rename_map_cache[root] = dict(phys2log)
+    if phys2log:
+        schema_fields = json.loads(state["schema_string"])["fields"]
+        columns = [f["name"] for f in schema_fields]
+    else:
+        columns = list(
+            spark.read.option("basePath", f"{root}/{data_rel}")
+            .parquet(f"{root}/{data_rel}")
+            .columns
+        )
     manifest = {
         "version": 0,
         "mode": "convert",
@@ -904,7 +1026,7 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         # in BOTH directions (export emits them back as txn actions)
         "txns": {k: int(v) for k, v in state["txns"].items()},
         "deletes": [],
-        "columns": list(df.columns),
+        "columns": columns,
     }
     # the original log described the PRE-rename paths and must neither
     # be read by Delta readers nor arm the mirror hook — park it as
@@ -917,17 +1039,23 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     fs.rename(
         _jpath(jvm, root, DELTA_LOG_DIR), _jpath(jvm, root, "_delta_log_imported")
     )
+    def _unwind() -> None:
+        fs.rename(
+            _jpath(jvm, root, "_delta_log_imported"), _jpath(jvm, root, DELTA_LOG_DIR)
+        )
+        if phys2log:
+            from .snapshot import _RENAME_MAP_FILE, _rename_map_cache
+
+            fs.delete(_jpath(jvm, root, _RENAME_MAP_FILE), False)
+            _rename_map_cache.pop(root, None)
+
     try:
         committed = _try_commit_manifest(spark, path, 0, manifest)
     except Exception:
-        fs.rename(
-            _jpath(jvm, root, "_delta_log_imported"), _jpath(jvm, root, DELTA_LOG_DIR)
-        )
+        _unwind()
         raise
     if not committed:
-        fs.rename(
-            _jpath(jvm, root, "_delta_log_imported"), _jpath(jvm, root, DELTA_LOG_DIR)
-        )
+        _unwind()
         raise SnapshotConflictError(
             f"convert: version 0 appeared at {path} mid-convert; moved data "
             f"is intact under {data_rel} — recover manually"

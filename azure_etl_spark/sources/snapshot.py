@@ -729,6 +729,47 @@ def _manifest_files(
     return files, stats
 
 
+_RENAME_MAP_FILE = "_column_mapping.json"
+# root -> physical->logical map (or None); the sidecar is written once
+# at convert_from_delta_log and never mutated, so a process cache is
+# safe and keeps the hot read path at zero extra FS round trips
+_rename_map_cache: dict[str, dict | None] = {}
+
+
+def _load_rename_map(spark: SparkSession, root: str) -> dict | None:
+    """physical->logical column translation for tables adopted from a
+    column-mapping (``name`` mode) Delta log: their parquet files carry
+    physical ``col-<uuid>`` names that must read back under the logical
+    schema. Written once by ``convert_from_delta_log``; files the
+    ENGINE writes after the convert carry logical names already (the
+    rename no-ops on them — physical uuid names never collide with
+    logical ones)."""
+    key = root.rstrip("/")
+    if key in _rename_map_cache:
+        return _rename_map_cache[key]
+    fs, jvm = _fs(spark, root)
+    p = _jpath(jvm, root, _RENAME_MAP_FILE)
+    mapping = None
+    if fs.exists(p):
+        mapping = {
+            str(k): str(v)
+            for k, v in json.loads(
+                _read_small_file(jvm, fs, p).decode("utf-8")
+            ).items()
+        }
+    _rename_map_cache[key] = mapping
+    return mapping
+
+
+def _rename_physical(spark: SparkSession, root: str, df: DataFrame) -> DataFrame:
+    mapping = _load_rename_map(spark, root)
+    if mapping:
+        present = {k: v for k, v in mapping.items() if k in df.columns}
+        if present:
+            df = df.withColumnsRenamed(present)
+    return df
+
+
 def _read_files(
     spark: SparkSession, root: str, rel_files: list[str]
 ) -> DataFrame:
@@ -736,15 +777,19 @@ def _read_files(
     partition columns survive (``basePath`` per group).
     allowMissingColumns: dirs written before a schema-evolving append
     lack the new columns — they read back null-filled, Delta's
-    mergeSchema read semantics."""
+    mergeSchema read semantics. Physical->logical renames (column-
+    mapping converts) apply per group BEFORE the union so mixed
+    physical/logical dirs align by logical name."""
     groups: dict[str, list[str]] = {}
     for f in rel_files:
         groups.setdefault(_base_dir_of(f), []).append(f)
     out = None
     for base, fl in sorted(groups.items()):
-        part = (
+        part = _rename_physical(
+            spark,
+            root,
             spark.read.option("basePath", f"{root}/{base}")
-            .parquet(*[f"{root}/{f}" for f in fl])
+            .parquet(*[f"{root}/{f}" for f in fl]),
         )
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
@@ -1112,7 +1157,11 @@ def read_snapshot(
         return _project(_read_with_deletes(spark, root, files, manifest), manifest)
     out = None
     for d in manifest["data_dirs"]:
-        part = spark.read.option("basePath", f"{root}/{d}").parquet(f"{root}/{d}")
+        part = _rename_physical(
+            spark,
+            root,
+            spark.read.option("basePath", f"{root}/{d}").parquet(f"{root}/{d}"),
+        )
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     extra = manifest.get("data_files", [])
     if extra:

@@ -733,3 +733,209 @@ def test_convert_parks_foreign_log_unpolluted(spark, tmp_path):
     got = sorted(tuple(r) for r in read_snapshot(spark, dst).collect())
     want = sorted(tuple(r) for r in read_snapshot(spark, src).collect())
     assert got == want
+
+
+def test_convert_from_multipart_checkpoint(spark, tmp_path):
+    """Real Delta writers checkpoint large tables in PARTS
+    (N.checkpoint.{i:010d}.{n:010d}.parquet + _last_checkpoint with
+    "parts"); replay must concatenate the parts (round 10, VERDICT r9
+    #3). Fixture: split our own checkpoint into two parts, drop the
+    single file and the pre-checkpoint JSON, convert, compare."""
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import write_delta_checkpoint
+
+    src = str(tmp_path / "src")
+    write_snapshot(_orders(spark), src, mode="overwrite")
+    write_snapshot(_orders(spark, n=20, start=100), src, mode="append")
+    export_delta_log(spark, src)
+    lc = write_delta_checkpoint(spark, src)
+    ld = os.path.join(src, DELTA_LOG_DIR)
+    single = os.path.join(ld, f"{lc['version']:020d}.checkpoint.parquet")
+    table = pq.read_table(single)
+    half = max(1, table.num_rows // 2)
+    pq.write_table(
+        table.slice(0, half),
+        os.path.join(ld, f"{lc['version']:020d}.checkpoint.0000000001.0000000002.parquet"),
+    )
+    pq.write_table(
+        table.slice(half),
+        os.path.join(ld, f"{lc['version']:020d}.checkpoint.0000000002.0000000002.parquet"),
+    )
+    os.remove(single)
+    for name in _log_files(src):
+        if int(name.split(".")[0]) <= lc["version"]:
+            os.remove(os.path.join(ld, name))
+    with open(os.path.join(ld, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": lc["version"], "size": table.num_rows,
+                            "parts": 2}))
+    for f in os.listdir(ld):  # hand-edited files invalidate .crc sidecars
+        if f.endswith(".crc"):
+            os.remove(os.path.join(ld, f))
+
+    state = replay_delta_log(spark, src)
+    assert set(state["live"]) == set(resolve_scan(spark, src)[0])
+
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    shutil.copytree(os.path.join(src, "data"), os.path.join(dst, "data"))
+    shutil.copytree(os.path.join(src, DELTA_LOG_DIR), os.path.join(dst, DELTA_LOG_DIR))
+    for root_, _dirs, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(root_, f))
+    convert_from_delta_log(spark, dst)
+    got = sorted(tuple(r) for r in read_snapshot(spark, dst).collect())
+    want = sorted(tuple(r) for r in read_snapshot(spark, src).collect())
+    assert got == want
+
+    # an incomplete part set must refuse, not silently under-read
+    import pytest
+
+    os.remove(os.path.join(
+        src, DELTA_LOG_DIR,
+        f"{lc['version']:020d}.checkpoint.0000000002.0000000002.parquet"))
+    with pytest.raises(Exception, match="incomplete"):
+        replay_delta_log(spark, src)
+
+
+def _mapped_delta_fixture(spark, tmp_path, name="mapped"):
+    """Hand-built column-mapping (name mode) Delta table: two parquet
+    data files whose columns carry PHYSICAL col-<uuid>-ish names, a
+    hive-less flat layout (partition values live only in the log, as
+    real Delta does), and a 0.json declaring reader v2 + the
+    logical->physical schema metadata."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / name)
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+    files = []
+    for i, (lo, grp) in enumerate([(0, "east"), (100, "west")]):
+        pdf = pd.DataFrame({
+            "col-k9aa": range(lo, lo + 50),
+            "col-a7bb": [v * 10 for v in range(lo, lo + 50)],
+        })
+        fname = f"part-{i:05d}-deadbeef.snappy.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(path, fname))
+        files.append((fname, grp, lo))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "grp", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-g5cc"}},
+            {"name": "amount", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-a7bb"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "11111111-2222-3333-4444-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["grp"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1700000000000,
+        }},
+    ]
+    for fname, grp, lo in files:
+        actions.append({"add": {
+            "path": fname,
+            "partitionValues": {"col-g5cc": grp},
+            "size": os.path.getsize(os.path.join(path, fname)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 50,
+                "minValues": {"col-k9aa": lo, "col-a7bb": lo * 10},
+                "maxValues": {"col-k9aa": lo + 49, "col-a7bb": (lo + 49) * 10},
+            }),
+        }})
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+    return path
+
+
+def test_convert_column_mapping_name_mode(spark, tmp_path):
+    """VERDICT r9 #3: a reader-v2 column-mapping (name mode) Delta
+    table converts in place — physical col-<uuid> parquet names read
+    back under the LOGICAL schema, partition values (physically keyed
+    in the log) rebuild as logical hive dirs, lifted stats skip files
+    on logical predicates, and post-convert appends (logical names) mix
+    with the adopted physical-name files."""
+    import pytest
+
+    path = _mapped_delta_fixture(spark, tmp_path)
+    assert convert_from_delta_log(spark, path) == 0
+
+    df = read_snapshot(spark, path)
+    assert df.columns == ["k", "grp", "amount"]
+    rows = {(r["k"], r["grp"], r["amount"]) for r in df.collect()}
+    assert (0, "east", 0) in rows and (149, "west", 1490) in rows
+    assert len(rows) == 100
+
+    # lifted stats translated to logical names -> skipping works
+    read, skipped = resolve_scan(spark, path, where=[("k", ">=", 100)])
+    assert len(skipped) == 1 and len(read) == 1
+
+    # append under the logical schema, read back mixed
+    from pyspark.sql import functions as F2
+
+    extra = spark.range(200, 210).select(
+        F2.col("id").alias("k"),
+        F2.lit("north").alias("grp"),
+        (F2.col("id") * 10).alias("amount"),
+    )
+    write_snapshot(extra, path, mode="append", partition_by=["grp"])
+    allr = read_snapshot(spark, path)
+    assert allr.count() == 110
+    assert {r["grp"] for r in allr.select("grp").distinct().collect()} == {
+        "east", "west", "north"
+    }
+
+    # a mixed physical/logical table cannot honestly export a Delta log
+    with pytest.raises(Exception, match="column-mapping"):
+        export_delta_log(spark, path)
+
+
+def test_convert_refuses_id_mode_and_nested_mapping(spark, tmp_path):
+    import pytest
+
+    path = _mapped_delta_fixture(spark, tmp_path, name="idmode")
+    v0 = os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json")
+    with open(v0) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    for a in actions:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(v0, "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+    with pytest.raises(Exception, match="'id'"):
+        convert_from_delta_log(spark, path)
+
+    path2 = _mapped_delta_fixture(spark, tmp_path, name="nested")
+    v0 = os.path.join(path2, DELTA_LOG_DIR, f"{0:020d}.json")
+    with open(v0) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    for a in actions:
+        if "metaData" in a:
+            schema = json.loads(a["metaData"]["schemaString"])
+            schema["fields"][0]["type"] = {
+                "type": "struct",
+                "fields": [{"name": "inner", "type": "long", "nullable": True,
+                            "metadata": {"delta.columnMapping.physicalName":
+                                         "col-inner1"}}],
+            }
+            a["metaData"]["schemaString"] = json.dumps(schema)
+    with open(v0, "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+    with pytest.raises(Exception, match="NESTED|nested"):
+        convert_from_delta_log(spark, path2)
