@@ -240,7 +240,8 @@ def _table_id(path: str) -> str:
 
 
 def export_delta_log(
-    spark: SparkSession, path: str, upto_version: int | None = None
+    spark: SparkSession, path: str, upto_version: int | None = None,
+    change_data: bool = True,
 ) -> list[int]:
     """Export the snapshot table's manifest chain as a Delta
     transaction log under ``<path>/_delta_log/`` so any real Delta
@@ -249,6 +250,20 @@ def export_delta_log(
     not yet exported are emitted; returns the list of newly written
     log versions. Creating the log also ARMS per-commit mirroring —
     every later snapshot commit appends its own log entry.
+
+    ``change_data`` (round 10, VERDICT r9 #5) additionally exports the
+    snapshot change feed as Delta CDF: metaData declares
+    ``delta.enableChangeDataFeed``, and every DML commit (DELETE /
+    UPDATE / MERGE / RESTORE) writes its changed rows as parquet under
+    ``_change_data/`` plus ``cdc`` actions in the log — so real Delta
+    CDF readers (``table_changes()``) consume the same increments
+    ``snapshot_changes`` serves natively. Appends need no cdc (the
+    protocol derives inserts from dataChange=true adds); OPTIMIZE is
+    dataChange=false (no change); change granularity is the file-level
+    feed ``snapshot_changes`` defines (COW churn included, updates as
+    delete+insert pairs). Historical merge-on-read no-op versions
+    export no cdc — their row-level effect lands at the next
+    materializing commit, same as the file actions.
 
     Raises if the CURRENT version still carries merge-on-read delete
     entries (row-level state minReaderVersion 1 cannot express); run
@@ -303,6 +318,7 @@ def export_delta_log(
     # (except the seed no-op, which emits protocol+metaData+txns so
     # log version 0 stays well-formed for real Delta readers).
     prev_files: dict[str, dict] = {}
+    prev_expressed: dict | None = None  # manifest whose files == prev_files
     emitted_cols: list | None = None  # None = no metaData in the log yet
     emitted_pcols: list | None = None
     emitted_txns: dict = {}
@@ -341,6 +357,7 @@ def export_delta_log(
         if prev_manifest is not None:
             pf, ps = _manifest_files(spark, path, prev_manifest)
             prev_files = {f: ps.get(f) for f in pf}
+            prev_expressed = prev_manifest
             emitted_cols = list(prev_manifest.get("columns", []))
             emitted_pcols = list(prev_manifest.get("partition_by", []))
             emitted_txns = dict(prev_manifest.get("txns", {}))
@@ -401,7 +418,10 @@ def export_delta_log(
                                 spark, path, v
                             ).schema.json(),
                             "partitionColumns": emitted_pcols,
-                            "configuration": {},
+                            "configuration": (
+                                {"delta.enableChangeDataFeed": "true"}
+                                if change_data else {}
+                            ),
                             "createdTime": ts,
                         }
                     }
@@ -475,7 +495,10 @@ def export_delta_log(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_string,
                         "partitionColumns": pcols,
-                        "configuration": {},
+                        "configuration": (
+                                {"delta.enableChangeDataFeed": "true"}
+                                if change_data else {}
+                            ),
                         "createdTime": ts,
                     }
                 }
@@ -531,12 +554,28 @@ def export_delta_log(
                     }
                 }
             )
+        if (
+            change_data
+            and _DELTA_OPS.get(op) in ("DELETE", "UPDATE", "MERGE", "RESTORE")
+            and (added or removed)
+        ):
+            # CDF: DML commits materialize their changed rows so a real
+            # Delta CDF reader never has to re-derive them from mixed
+            # add+remove actions (the protocol only derives when a
+            # commit carries NO cdc action). Appends derive from their
+            # dataChange=true adds; OPTIMIZE is no change by contract.
+            for cdc in _write_change_data(
+                spark, path, v - offset, sorted(added), sorted(removed),
+                manifest, prev_expressed, pcols,
+            ):
+                actions.append({"cdc": cdc})
         payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions).encode(
             "utf-8"
         )
         _create_log_exclusive(spark, path, v - offset, payload)
         written.append(v)
         prev_files = cur
+        prev_expressed = manifest
         emitted_cols = list(manifest.get("columns", []))
         emitted_pcols = pcols
         emitted_txns = dict(manifest.get("txns", {}))
@@ -1061,3 +1100,179 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
             f"is intact under {data_rel} — recover manually"
         )
     return 0
+
+
+CHANGE_DATA_DIR = "_change_data"
+
+
+def _write_change_data(
+    spark: SparkSession,
+    path: str,
+    delta_version: int,
+    added: list[str],
+    removed: list[str],
+    manifest: dict,
+    prev_expressed: dict | None,
+    pcols: list[str],
+) -> list[dict]:
+    """Materialize a DML commit's change rows as CDF parquet under
+    ``_change_data/`` and return the matching ``cdc`` action dicts.
+
+    Change semantics are exactly :func:`snapshot_changes`'s file-level
+    feed: rows of files the commit ADDED are ``_change_type='insert'``,
+    rows of files it REMOVED (read under the PREVIOUS expressed
+    manifest's merge-on-read entries) are ``'delete'``; a COW update is
+    a delete+insert pair. Partitioned tables write partitioned change
+    files — partition values ride in each cdc action's
+    ``partitionValues`` (never in the data), as the protocol requires.
+    Cost is bounded by the commit's touched files, never the table.
+    File names are attempt-unique: a racing exporter's files orphan
+    harmlessly (the O_EXCL log commit decides whose cdc actions are
+    referenced), like a race loser's data dir.
+    """
+    from pyspark.sql import functions as F
+
+    from .snapshot import _read_with_deletes
+
+    root = path.rstrip("/")
+    frames = []
+    if added:
+        frames.append(
+            _read_with_deletes(spark, root, added, manifest).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    if removed:
+        frames.append(
+            _read_with_deletes(
+                spark, root, removed, prev_expressed or manifest
+            ).withColumn("_change_type", F.lit("delete"))
+        )
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra, allowMissingColumns=True)
+    token = uuid.uuid4().hex[:8]
+    staging_rel = f"{CHANGE_DATA_DIR}/.staging-{delta_version:020d}-{token}"
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(f"{root}/{staging_rel}")
+    fs, jvm = _fs(spark, path)
+    actions: list[dict] = []
+    it = fs.listFiles(_jpath(jvm, root, staging_rel), True)
+    staged: list[tuple[str, int]] = []
+    prefix = f"{root}/"
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toUri().getPath()
+        if p.endswith(".parquet") and prefix in p:
+            staged.append((p.split(prefix, 1)[1], int(st.getLen())))
+    for i, (rel, size) in enumerate(sorted(staged)):
+        pv = _partition_values(rel, pcols)
+        segs = [f"{k}={_HIVE_NULL if v is None else quote(str(v), safe='')}"
+                for k, v in ((c, pv.get(c)) for c in pcols)]
+        final_rel = "/".join(
+            [CHANGE_DATA_DIR]
+            + [f"cdc-{delta_version:020d}-{token}-{i:05d}" + "-" +
+               "-".join(s.replace('/', '_') for s in segs) + ".parquet"
+               if segs else
+               f"cdc-{delta_version:020d}-{token}-{i:05d}.parquet"]
+        )
+        fs.rename(_jpath(jvm, root, rel), _jpath(jvm, root, final_rel))
+        actions.append({
+            "path": quote(final_rel, safe="/="),
+            "partitionValues": pv,
+            "size": size,
+            "dataChange": False,
+        })
+    fs.delete(_jpath(jvm, root, staging_rel), True)
+    return actions
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+):
+    """Delta CDF reader over the exported log — ``table_changes()``
+    semantics reconstructed purely from ``_delta_log/`` (never the
+    snapshot manifest): for each log version in ``(from_version,
+    to_version]``, commits carrying ``cdc`` actions read their
+    ``_change_data`` parquet (partition values re-attached from the
+    action, typed per the metaData schema); commits without cdc derive
+    changes from their ``dataChange=true`` add (insert) / remove
+    (delete) actions, exactly as the protocol specifies. Every row
+    carries ``_change_type`` and ``_commit_version``. Matches
+    ``snapshot_changes``'s file-level feed (COW churn included,
+    updates as delete+insert)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fs, jvm = _fs(spark, path)
+    root = path.rstrip("/")
+    json_versions = _exported_versions(spark, path)
+    if to_version is None:
+        to_version = json_versions[-1] if json_versions else -1
+    todo = [v for v in json_versions if from_version < v <= to_version]
+    if not todo:
+        raise SnapshotVersionError(
+            f"no exported log versions in ({from_version}, {to_version}] at {path}"
+        )
+    state = replay_delta_log(spark, path)
+    schema = T.StructType.fromJson(json.loads(state["schema_string"]))
+    ptypes = {f.name: f.dataType for f in schema.fields}
+
+    def _attach_pv(df, pv: dict):
+        for c, v in pv.items():
+            df = df.withColumn(
+                c, F.lit(v).cast(ptypes.get(c, T.StringType()))
+            )
+        return df
+
+    out = None
+    for v in todo:
+        raw = _read_small_file(
+            jvm, fs, _jpath(jvm, path, DELTA_LOG_DIR, _log_name(v))
+        ).decode("utf-8")
+        acts = [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        parts = []
+        if cdc:
+            for a in cdc:
+                part = spark.read.parquet(f"{root}/{unquote(a['path'])}")
+                parts.append(_attach_pv(part, a.get("partitionValues") or {}))
+        else:
+            for a in acts:
+                if "add" in a and a["add"].get("dataChange"):
+                    part = spark.read.parquet(
+                        f"{root}/{unquote(a['add']['path'])}"
+                    ).withColumn("_change_type", F.lit("insert"))
+                    parts.append(
+                        _attach_pv(part, a["add"].get("partitionValues") or {})
+                    )
+                elif "remove" in a and a["remove"].get("dataChange"):
+                    rel = unquote(a["remove"]["path"])
+                    part = spark.read.parquet(f"{root}/{rel}").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                    # our remove actions carry no partitionValues; the
+                    # engine's hive layout keeps them in the path
+                    parts.append(
+                        _attach_pv(
+                            part,
+                            _partition_values(
+                                rel, state["partition_columns"]
+                            ),
+                        )
+                    )
+        for part in parts:
+            part = part.withColumn("_commit_version", F.lit(v).cast("long"))
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+    if out is None:
+        raise SnapshotVersionError(
+            f"log versions ({from_version}, {to_version}] at {path} carry no changes"
+        )
+    return out

@@ -939,3 +939,78 @@ def test_convert_refuses_id_mode_and_nested_mapping(spark, tmp_path):
         f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
     with pytest.raises(Exception, match="NESTED|nested"):
         convert_from_delta_log(spark, path2)
+
+
+def test_cdf_export_matches_snapshot_changes(spark, tmp_path):
+    """VERDICT r9 #5: the exported log carries the snapshot change feed
+    as Delta CDF — metaData declares delta.enableChangeDataFeed, DML
+    commits write _change_data parquet + cdc actions (via the commit
+    hook, not just explicit exports), and a table_changes() replay FROM
+    THE LOG ALONE matches snapshot_changes row-for-row across an
+    append, a COW delete, and a MERGE."""
+    from azure_etl_spark.sources.delta_export import table_changes
+    from azure_etl_spark.sources.snapshot import merge_snapshot, snapshot_changes
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")           # v0
+    export_delta_log(spark, path)                                    # arms mirror
+    write_snapshot(_orders(spark, n=20, start=100), path, mode="append")  # v1
+    delete_from_snapshot(spark, path, [("grp", "=", 2)])             # v2 (hook cdc)
+    src = _orders(spark, n=10, start=50).withColumn(
+        "amount", F.col("amount") + 7
+    )
+    merge_snapshot(spark, path, src, ["k"])                          # v3 (hook cdc)
+
+    a0 = _actions(path, _log_files(path)[0])
+    md = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert md["configuration"].get("delta.enableChangeDataFeed") == "true"
+
+    a2 = _actions(path, _log_files(path)[2])
+    cdc2 = [a["cdc"] for a in a2 if "cdc" in a]
+    assert cdc2, "COW DELETE must carry cdc actions"
+    assert all(not c["dataChange"] and c["size"] > 0 for c in cdc2)
+    assert all(c["path"].startswith("_change_data/") for c in cdc2)
+    a1 = _actions(path, _log_files(path)[1])
+    assert not any("cdc" in a for a in a1), "appends derive from adds, no cdc"
+
+    cols = ["k", "grp", "amount", "_change_type", "_commit_version"]
+    got = sorted(
+        tuple(r) for r in table_changes(spark, path, 0).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in snapshot_changes(spark, path, 0).select(*cols).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cdf_export_partitioned_change_files(spark, tmp_path):
+    """Partitioned tables write PARTITIONED change data: partition
+    values ride in each cdc action's partitionValues (never in the
+    parquet), and the CDF replay re-attaches them typed — matching
+    snapshot_changes on a partitioned COW delete."""
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import table_changes
+    from azure_etl_spark.sources.snapshot import snapshot_changes
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite", partition_by=["grp"])
+    export_delta_log(spark, path)
+    delete_from_snapshot(spark, path, [("k", "between", (10, 30))])
+    a1 = _actions(path, _log_files(path)[1])
+    cdc = [a["cdc"] for a in a1 if "cdc" in a]
+    assert cdc and all("grp" in c["partitionValues"] for c in cdc)
+    f0 = os.path.join(path, cdc[0]["path"])
+    assert "grp" not in pq.read_schema(f0).names  # value lives in the action
+    assert "_change_type" in pq.read_schema(f0).names
+
+    cols = ["k", "grp", "amount", "_change_type", "_commit_version"]
+    got = sorted(
+        tuple(r) for r in table_changes(spark, path, 0).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in snapshot_changes(spark, path, 0).select(*cols).collect()
+    )
+    assert got == want and len(got) > 0

@@ -291,3 +291,30 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
     for name, budget in budgets.items():
         n = _exchange_count(QUERIES[name].fn(spark, sf_dir))
         assert n <= budget, f"{name}: {budget} shuffle(s) budgeted, plan has {n}"
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS through spark.sql must plan as a LeftSemi join
+    (Catalyst decorrelation), never a per-row subquery re-execution."""
+    plan = _plan(QUERIES["sql_exists_heavy_lineitem"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" not in plan, plan  # nothing left running per row
+
+
+def test_multi_exists_plans_semi_plus_anti(spark, sf_dir):
+    """EXISTS + NOT EXISTS on the same fact must decorrelate into one
+    LeftSemi and one LeftAnti join in a single plan."""
+    plan = _plan(QUERIES["sql_multi_exists_customers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "Subquery" not in plan, plan
+
+
+def test_scalar_subquery_per_group_decorrelates_to_aggregate_join(spark, sf_dir):
+    """The per-part scalar AVG subquery must decorrelate into ONE
+    grouped aggregate over lineitem joined back on l_partkey — the
+    executed plan carries a partial/final avg aggregate pair and an
+    equi-join on the correlation key, and no per-row subquery node."""
+    plan = _plan(QUERIES["sql_scalar_subquery_small_lot"].fn(spark, sf_dir))
+    assert "partial_avg" in plan or "avg(" in plan, plan
+    assert "Subquery" not in plan, plan
+    assert "l_partkey" in plan and "Join" in plan, plan

@@ -14,6 +14,55 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COMMENTARY = {
+    "sql_scalar_subquery_small_lot": (
+        "Correlated scalar subquery per group (TPC-H Q17 shape) through "
+        "the raw SQL entry point. Catalyst DECORRELATES: the per-part "
+        "0.5*AVG(l_quantity) threshold plans as ONE grouped aggregate "
+        "over lineitem (partial_avg below its Exchange) joined back on "
+        "l_partkey — no Subquery node survives in the executed plan, so "
+        "nothing re-executes per row. The part dim broadcasts. "
+        "Plan-asserted in tests/test_plans_scale.py."
+    ),
+    "snapshot_delete_skipping": (
+        "Copy-on-write DELETE with per-file min/max skipping. Three "
+        "appends land three files with disjoint o_orderkey ranges "
+        "[0,700) [700,1400) [1400,2000); DELETE BETWEEN 800 AND 1200 "
+        "provably touches only the middle file: files_kept=2 carried "
+        "with ZERO IO, files_rewritten=1 (the counts are pinned as "
+        "oracle constants). The plan below is the post-delete read — "
+        "note the scan lists exactly the 2 carried files plus the 1 "
+        "rewrite, never the deleted original. At 100 TB the rewrite "
+        "set stays proportional to predicate selectivity, not table "
+        "size."
+    ),
+    "snapshot_merge_upsert": (
+        "MERGE upsert (WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT "
+        "ALL). The source key range [1000,3000] prunes target files by "
+        "min/max BEFORE any join: untouched files carry into the new "
+        "version as metadata, only overlapping files join the source "
+        "(broadcast — the source is the small side by construction). "
+        "The plan shown is the merged read-back; the pruned-file "
+        "behavior is pinned by the snapshot model tests."
+    ),
+    "cdc_incremental_agg": (
+        "Change-feed-driven aggregate maintenance: the gold "
+        "per-priority SUM/COUNT bootstraps from version 0, then each "
+        "version's delta applies as +insert/-delete increments from "
+        "snapshot_changes — the scan below reads ONLY the changed "
+        "files of each version (file-granularity CDF), never re-reads "
+        "the base. At 100 TB the maintenance cost tracks the change "
+        "volume, not the table."
+    ),
+    "delta_log_export_gold": (
+        "Delta-protocol interop: the table is read back EXCLUSIVELY "
+        "through the exported _delta_log (replay add/remove to the "
+        "live set, spark.read the named parquet files) — 5 log "
+        "versions (overwrite, 2 hook-mirrored appends, COW DELETE, "
+        "OPTIMIZE as dataChange=false) pinned in the oracle. The scan "
+        "below lists exactly the live files the log resolves to; a "
+        "wrong diff in any commit surfaces as a missing/extra file "
+        "path here and a driver hash mismatch."
+    ),
     "flagship_gold_minmax": (
         "The reference's gold aggregation. Look for: partial_min/partial_max "
         "HashAggregate below the Exchange (map-side combine — the shuffle "
