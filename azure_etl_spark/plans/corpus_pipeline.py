@@ -147,9 +147,13 @@ class CurationPipeline:
     contamination_ngram: int = 8
     n_shards: int = 8
     token_budget: int = 512
-    # semantic dedup (SemDeDup) — active when run() receives embeddings;
-    # k follows the paper's sqrt rule at scale (see operators/similarity)
-    semantic_k: int = 8
+    # semantic dedup (SemDeDup) — active when run() receives embeddings.
+    # None (default) = the paper's sqrt rule, k = max(8, ceil(sqrt(n)))
+    # over the surviving-doc count: SemDeDup's pair stage is Σ(cluster²),
+    # so a FIXED k makes it quadratic in corpus size (measured 7.4x cost
+    # at 10x docs with k=8, round 10) while sqrt-scaled k keeps average
+    # cluster size ~sqrt(n) and pair work ~n^1.5. Pass an int to pin k.
+    semantic_k: int | None = None
     semantic_threshold: float = 0.95
     # optional context-window chunking before shard+pack (the unit that
     # is packed becomes the chunk, not the document); stride defaults to
@@ -246,12 +250,21 @@ class CurationPipeline:
             )
 
         if embeddings is not None:
+            import math
+
             from azure_etl_spark.operators.similarity import semantic_dedup
 
             surviving = embeddings.join(kept.select("doc_id"), "doc_id")
+            # sqrt rule over the (already counted) survivor set — an
+            # upper bound on joined vectors, deterministic across
+            # partitionings, and free (no extra job)
+            k_sem = self.semantic_k
+            if k_sem is None:
+                prev_count = list(self.stage_counts.values())[-1]
+                k_sem = max(8, math.ceil(math.sqrt(max(prev_count, 1))))
             dropped = semantic_dedup(
                 surviving,
-                k=self.semantic_k,
+                k=k_sem,
                 threshold=self.semantic_threshold,
                 id_col="doc_id",
             ).filter(~F.col("kept")).select("doc_id")

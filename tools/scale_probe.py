@@ -51,12 +51,52 @@ REKEY = {
 }
 
 
+def _word_tagger(tag: str):
+    # factory keeps the lambda ARITY-1: F.transform calls a 2-parameter
+    # lambda as (element, INDEX) and would silently replace the tag
+    # (the round-8 minhash-seed bug class)
+    return lambda w: F.concat(F.lit(tag), w)
+
+
 def build_big(spark, sf_dir: str, out_dir: str, n: int) -> None:
+    """Replicate sf0.1 ``n``x with re-keyed ids. Replicas must be
+    genuinely DISTINCT content, not just distinct keys (round 10,
+    VERDICT r9 #7 — id-only replication made the funnel's sf1 record
+    collapse back to the sf0.1 corpus at the exact-dedup stage):
+
+    - documents: every word of replica i>0 is prefixed ``x{i}`` — an
+      injective per-word transform, so each replica keeps the ORIGINAL
+      corpus's exact shingle-overlap structure internally (near-dup
+      clusters replicate) while sharing zero shingles across replicas
+      (no cross-replica dups, no artificial 10-cliques);
+    - embeddings: replica i's vectors are cyclically shifted by i
+      dimensions — an orthogonal transform, so intra-replica cosine
+      structure is preserved exactly while cross-replica similarity
+      decorrelates (SemDeDup clusters replicate instead of collapsing).
+    """
     for t, key in REKEY.items():
         src = load_table(spark, sf_dir, t)
         parts = []
         for i in range(n):
-            parts.append(src.withColumn(key, F.col(key) + F.lit(i * 10_000_000)))
+            p = src.withColumn(key, F.col(key) + F.lit(i * 10_000_000))
+            if t == "documents" and i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(F.split("text", " "), _word_tagger(f"x{i}")),
+                    ),
+                )
+            if t == "embeddings" and i > 0:
+                s = i % 64
+                p = p.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {s + 1}, "
+                        f"size(embedding) - {s}), slice(embedding, 1, {s}))"
+                    ),
+                )
+            parts.append(p)
         big = parts[0]
         for p in parts[1:]:
             big = big.unionByName(p)
