@@ -6,9 +6,12 @@ this is its LLM-training-data sibling: the standard curation funnel
 optional semantic dedup -> decontamination -> shard + pack) composed
 from the engine's operators into one testable object. Every stage is
 DataFrame -> DataFrame; per-stage survivor counts are recorded in
-``stage_counts`` (count() per stage — the funnel is a diagnostic
-harness; production runs would ride the counts on Observation metrics
-as the medallion pipeline does).
+``stage_counts``. Stages whose output feeds MULTIPLE consumers are
+persisted and counted (the count materializes the cache); single-
+consumer boundaries (the row-local gates, decontamination) ride their
+exact counts as Observation metrics on the next stage's job instead —
+round 10 cut the funnel's driver-synchronized barrier count roughly in
+half this way without changing any recorded value.
 
 Scale shape per stage (details at the operators and SCALE.md):
 - language / quality gates: map-only column predicates, no shuffle;
@@ -201,31 +204,34 @@ class CurationPipeline:
         attached media is a near-duplicate of a better/lower-id
         survivor's media is dropped. Payloads never shuffle; the pair
         stage moves 4 x 16-byte rows per item."""
-        # the row-local gates run as ONE job: input / lang-gate survivor
-        # counts ride as Observation metrics on the same linear plan
-        # whose count() materializes the post-quality cache (round 10 —
-        # three driver-synchronized count jobs collapsed into one; the
+        # the row-local gates and the exact-dedup window run as ONE job:
+        # input / lang-gate / quality-gate survivor counts ride as
+        # Observation metrics on the same linear plan whose count()
+        # materializes the exact-dedup cache (round 10 — four
+        # driver-synchronized count jobs collapsed into one; the
         # observed values are exact row counts, identical to the
-        # per-stage count() they replace)
+        # per-stage count() they replace, and the gate frames had no
+        # other consumer than the next stage)
         from pyspark.sql import Observation
 
-        obs_input, obs_lang = Observation(), Observation()
+        obs_input, obs_lang, obs_q = Observation(), Observation(), Observation()
         gated = (
             docs.observe(obs_input, F.count(F.lit(1)).alias("n"))
             .filter(F.col("lang").isin(list(self.target_langs)))
             .observe(obs_lang, F.count(F.lit(1)).alias("n"))
             .filter(quality_score("text") >= self.min_quality)
+            .observe(obs_q, F.count(F.lit(1)).alias("n"))
         )
-        kept = self._advance("quality_gate", gated, None)
+        kept = self._advance("exact_dedup", exact_text_dedup(gated), None)
         counts = {
             "input": int(obs_input.get["n"]),
             "lang_gate": int(obs_lang.get["n"]),
-            "quality_gate": self.stage_counts.pop("quality_gate"),
+            "quality_gate": int(obs_q.get["n"]),
+            "exact_dedup": self.stage_counts.pop("exact_dedup"),
         }
         counts.update(self.stage_counts)  # funnel order preserved
         self.stage_counts.clear()
         self.stage_counts.update(counts)
-        kept = self._advance("exact_dedup", exact_text_dedup(kept), kept)
 
         pairs = minhash_near_dup_pairs(kept, threshold=self.near_dup_threshold)
         kept = self._advance(
@@ -272,16 +278,25 @@ class CurationPipeline:
                 "semantic_dedup", kept.join(dropped, "doc_id", "left_anti"), kept
             )
 
+        obs_decon = None
+        decon_prev = None
         if eval_docs is not None:
+            from pyspark.sql import Observation
+
             flagged = contamination_overlap(
                 kept, eval_docs, n=self.contamination_ngram
             )
             contaminated = flagged.filter(F.col("contaminated")).select("doc_id")
-            kept = self._advance(
-                "decontaminated",
-                kept.join(contaminated, "doc_id", "left_anti"),
-                kept,
+            # the decontaminated set has exactly ONE consumer (pack), so
+            # its count rides as an Observation on the pack job instead
+            # of a separate materialization (round 10 — one less
+            # driver-synchronized barrier; value identical)
+            obs_decon = Observation()
+            decon_prev = kept
+            kept = kept.join(contaminated, "doc_id", "left_anti").observe(
+                obs_decon, F.count(F.lit(1)).alias("n")
             )
+            self.stage_counts["decontaminated"] = -1  # placeholder, keeps order
 
         if self.chunk_words:
             from azure_etl_spark.operators.curation import chunk_sliding_windows
@@ -293,8 +308,11 @@ class CurationPipeline:
                     window=self.chunk_words,
                     stride=self.chunk_stride or self.chunk_words,
                 ),
-                kept,
+                decon_prev if decon_prev is not None else kept,
             )
+            if obs_decon is not None:  # materialized by the chunk count
+                self.stage_counts["decontaminated"] = int(obs_decon.get["n"])
+                obs_decon, decon_prev = None, None
             kept = chunks  # packed's _advance releases this stage
             # shard by (doc, chunk) so chunk placement is deterministic
             # yet chunks of one doc spread across shards (mixing)
@@ -315,5 +333,9 @@ class CurationPipeline:
             sharded, budget=self.token_budget, shard_col="shard",
             order_cols=order_cols, n_tokens=F.col("n_tokens"),
         )
-        packed = self._advance("packed", packed, kept)
+        packed = self._advance(
+            "packed", packed, decon_prev if decon_prev is not None else kept
+        )
+        if obs_decon is not None:  # materialized by the pack count
+            self.stage_counts["decontaminated"] = int(obs_decon.get["n"])
         return packed

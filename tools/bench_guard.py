@@ -79,8 +79,15 @@ REFERENCE: dict[str, float] = {
     # overhead, which contention doesn't scale linearly): the
     # end-to-end LLM curation funnel (VERDICT r8 #2) and the
     # deliberately-skewed salted join (VERDICT r8 #7)
-    "corpus_funnel": 30.259,
+    # round 10 re-base (BENCH_LOCAL_r10.json, quiet box — kernel
+    # 0.078s): corpus_funnel DOWN 30.3 -> 13.3 s after the driver-
+    # overhead cuts (VERDICT r9 #2: observed gate counts, flag-scan CC
+    # convergence, shuffle-free k-means assignment, single scoped-join
+    # media pairs, window exact-dedup, sqrt-rule semantic_k); the SQL
+    # correlated-scalar-subquery decorrelation query joins the headline
+    "corpus_funnel": 13.257,
     "join_skewed_salted": 1.049,
+    "sql_scalar_subquery_small_lot": 0.471,
 }
 
 # BENCH_LOCAL_r06_sf1.json "queries" (10x-replicated sf1 fixture
@@ -106,11 +113,8 @@ SF1_REFERENCE: dict[str, float] = {
     "contamination_ngram_overlap": 2.354,
     "pack_sequences_budget": 0.446,
     "word_entropy_docs": 0.885,
-    "remove_dup_segments_docs": 2.195,
-    "unigram_logprob_docs": 1.034,
     "cohort_weekly_retention": 0.362,
     "pipeline_medallion": 4.787,
-    "dedup_duplicate_spans_docs": 3.251,
     # added round 7 (BENCH_LOCAL_r07_sf1.json clean-run values)
     "image_dhash_near_dup": 1.079,
     "audio_fp_near_dup": 0.925,
@@ -128,13 +132,22 @@ SF1_REFERENCE: dict[str, float] = {
     "kll_quantiles_orders": 1.097,
     "kll_bucket_orders": 1.608,
     "minhash_near_dup": 1.243,
-    # round 9 (BENCH_LOCAL_r09_sf1.json, quiet box — kernel 0.077s):
-    # the funnel is FLAT at 10x data (30.3 @ sf0.1 vs 27.5 here, i.e.
-    # within run noise — per-stage fixed overhead dominates at these
-    # scales, exactly the shape you want before the data is big enough
-    # to pay for it); the skewed join scales sub-linearly (1.05 -> 1.84)
-    "corpus_funnel": 27.5,
+    # round 10 re-base (BENCH_LOCAL_r10_sf1.json, quiet box — kernel
+    # 0.083s): the sf1 FIXTURE CONTENT changed this round (VERDICT r9
+    # #7 — documents replicate with DISTINCT per-replica word-tagged
+    # text, embeddings cyclically shifted), so every doc-text query
+    # re-based to the new corpus: the tagged words are 2-3 chars
+    # longer, which is the +30-45% on the per-char-heavy entries
+    # (remove_dup_segments / unigram_logprob / dedup_duplicate_spans),
+    # and corpus_funnel now processes 50k DISTINCT docs instead of
+    # collapsing to 5k at exact-dedup — 13.3 s @ sf0.1 -> 35.3 s here,
+    # 2.7x time for 10x docs (SCALE.md 'Corpus curation')
+    "remove_dup_segments_docs": 2.854,
+    "unigram_logprob_docs": 1.485,
+    "dedup_duplicate_spans_docs": 4.631,
+    "corpus_funnel": 35.252,
     "join_skewed_salted": 1.843,
+    "sql_scalar_subquery_small_lot": 0.779,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
