@@ -770,8 +770,13 @@ def _rename_physical(spark: SparkSession, root: str, df: DataFrame) -> DataFrame
     return df
 
 
+_POS_FILE_COL = "__snap_file"
+_POS_IDX_COL = "__snap_pos"
+
+
 def _read_files(
-    spark: SparkSession, root: str, rel_files: list[str]
+    spark: SparkSession, root: str, rel_files: list[str],
+    with_positions: bool = False,
 ) -> DataFrame:
     """Read an explicit file subset, grouping by data/vN base so Hive
     partition columns survive (``basePath`` per group).
@@ -779,18 +784,31 @@ def _read_files(
     lack the new columns — they read back null-filled, Delta's
     mergeSchema read semantics. Physical->logical renames (column-
     mapping converts) apply per group BEFORE the union so mixed
-    physical/logical dirs align by logical name."""
+    physical/logical dirs align by logical name.
+
+    ``with_positions`` materializes each row's table-relative file path
+    and within-file row index (the physical positions Delta deletion
+    vectors address) from the scan's ``_metadata`` column — it must
+    happen HERE, per file-source scan, because metadata columns do not
+    propagate through the union."""
     groups: dict[str, list[str]] = {}
     for f in rel_files:
         groups.setdefault(_base_dir_of(f), []).append(f)
     out = None
     for base, fl in sorted(groups.items()):
-        part = _rename_physical(
-            spark,
-            root,
-            spark.read.option("basePath", f"{root}/{base}")
-            .parquet(*[f"{root}/{f}" for f in fl]),
+        part = spark.read.option("basePath", f"{root}/{base}").parquet(
+            *[f"{root}/{f}" for f in fl]
         )
+        if with_positions:
+            part = part.withColumns(
+                {
+                    _POS_FILE_COL: F.regexp_extract(
+                        F.col("_metadata.file_path"), f".*/({DATA_DIR}/.*)$", 1
+                    ),
+                    _POS_IDX_COL: F.col("_metadata.row_index"),
+                }
+            )
+        part = _rename_physical(spark, root, part)
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
 
@@ -800,17 +818,38 @@ def _apply_delete_entry(
 ) -> DataFrame:
     """Apply one merge-on-read delete entry to rows read from files it
     covers: predicate entries filter (NOT matching), equality-delete
-    entries LEFT ANTI join the key file. The anti-join's build side is
-    the key file — small by construction — so AQE broadcasts it; the
-    corpus side never shuffles."""
+    entries LEFT ANTI join the key file, positional entries (Delta
+    deletion vectors) LEFT ANTI join the (file, row-index) sidecar
+    against the scan-time position columns. The anti-join's build side
+    is the key/position file — small by construction — so AQE
+    broadcasts it; the corpus side never shuffles."""
     if "predicate" in entry:
         return df.filter(~_where_to_column([tuple(p) for p in entry["predicate"]]))
+    if "positions_dir" in entry:
+        return df.join(
+            _read_positions(spark, root, entry),
+            on=[_POS_FILE_COL, _POS_IDX_COL],
+            how="left_anti",
+        )
     keys = (
         spark.read.parquet(f"{root}/{entry['keys_dir']}")
         .select(*entry["key_cols"])
         .dropDuplicates()
     )
     return df.join(keys, on=list(entry["key_cols"]), how="left_anti")
+
+
+def _read_positions(spark: SparkSession, root: str, entry: dict) -> DataFrame:
+    """A positional delete entry's sidecar, aligned to the scan-time
+    position column names."""
+    return (
+        spark.read.parquet(f"{root}/{entry['positions_dir']}")
+        .select(
+            F.col("file").alias(_POS_FILE_COL),
+            F.col("pos").alias(_POS_IDX_COL),
+        )
+        .dropDuplicates()
+    )
 
 
 def _read_with_deletes(
@@ -833,9 +872,15 @@ def _read_with_deletes(
         groups.setdefault(key, []).append(f)
     out = None
     for key, fl in sorted(groups.items()):
-        part = _read_files(spark, root, fl)
+        # positional entries address physical row indexes, so the scan
+        # materializes them up front; delete entries commute (each is a
+        # set subtraction), so mixing kinds in any order stays exact
+        needs_pos = any("positions_dir" in by_id[i] for i in key)
+        part = _read_files(spark, root, fl, with_positions=needs_pos)
         for i in key:  # id order == commit order
             part = _apply_delete_entry(spark, root, part, by_id[i])
+        if needs_pos:
+            part = part.drop(_POS_FILE_COL, _POS_IDX_COL)
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
 
@@ -1184,9 +1229,16 @@ def _match_delete_entry(
 ) -> DataFrame:
     """Rows a merge-on-read delete entry covers (the inverse of
     :func:`_apply_delete_entry`): predicate entries filter TO matching
-    rows, equality-delete entries LEFT SEMI join the key file."""
+    rows, equality-delete entries LEFT SEMI join the key file,
+    positional entries LEFT SEMI join the position sidecar."""
     if "predicate" in entry:
         return df.filter(_where_to_column([tuple(p) for p in entry["predicate"]]))
+    if "positions_dir" in entry:
+        return df.join(
+            _read_positions(spark, root, entry),
+            on=[_POS_FILE_COL, _POS_IDX_COL],
+            how="left_semi",
+        )
     keys = (
         spark.read.parquet(f"{root}/{entry['keys_dir']}")
         .select(*entry["key_cols"])
@@ -1222,24 +1274,34 @@ def _mor_entry_changes(
     for (p, c), files in sorted(groups.items()):
         added = [i for i in c if i not in p]
         removed = [i for i in p if i not in c]
+        needs_pos = any(
+            "positions_dir" in e
+            for e in [prev_entries[i] for i in p] + [cur_entries[i] for i in c]
+        )
+
+        def _emit(df: DataFrame) -> DataFrame:
+            return df.drop(_POS_FILE_COL, _POS_IDX_COL) if needs_pos else df
+
         if added:
             # visible-at-prev rows the new entries now cover
-            base = _read_files(spark, root, files)
+            base = _read_files(spark, root, files, with_positions=needs_pos)
             for i in p:
                 base = _apply_delete_entry(spark, root, base, prev_entries[i])
             for i in added:
                 out.append(
-                    ("delete", _match_delete_entry(spark, root, base, cur_entries[i]))
+                    ("delete",
+                     _emit(_match_delete_entry(spark, root, base, cur_entries[i])))
                 )
                 base = _apply_delete_entry(spark, root, base, cur_entries[i])
         if removed:
             # rows visible at cur that the vanished entries had hidden
-            base = _read_files(spark, root, files)
+            base = _read_files(spark, root, files, with_positions=needs_pos)
             for i in c:
                 base = _apply_delete_entry(spark, root, base, cur_entries[i])
             for i in removed:
                 out.append(
-                    ("insert", _match_delete_entry(spark, root, base, prev_entries[i]))
+                    ("insert",
+                     _emit(_match_delete_entry(spark, root, base, prev_entries[i])))
                 )
                 base = _apply_delete_entry(spark, root, base, prev_entries[i])
     return out
@@ -1685,6 +1747,97 @@ def delete_keys_from_snapshot(
     }
 
 
+def delete_positions_from_snapshot(
+    spark: SparkSession,
+    path: str,
+    positions: dict[str, "list[int]"],
+    version: int | None = None,
+) -> dict:
+    """Merge-on-read *positional delete* — the shape of a Delta
+    deletion vector or an Iceberg position-delete file: physical row
+    indexes within named data files. No table data is rewritten — the
+    commit writes the (file, pos) pairs as a small parquet sidecar and
+    records a delete entry covering exactly those files; readers LEFT
+    ANTI join the sidecar against scan-time ``_metadata.row_index``
+    (covered files only), and any copy-on-write commit or
+    :func:`compact_snapshot` materializes it. This is the entry kind
+    :func:`convert_from_delta_log` lowers real deletion vectors into
+    (O(DV bytes), zero data IO) and :func:`export_delta_log` raises
+    back into DV files.
+
+    ``positions`` maps manifest-relative data file paths to iterables
+    of 0-based row indexes; every named file must be live at
+    ``version``. Returns ``{"version", "files_covered",
+    "n_positions"}``; an empty mapping is a no-op."""
+    version = _resolve_version(spark, path, version)
+    parent = _load_manifest(spark, path, version)
+    positions = {f: sorted(set(p)) for f, p in positions.items() if p}
+    if not positions:
+        return {"version": version, "files_covered": 0, "n_positions": 0}
+    live = set(_manifest_files(spark, path, parent)[0])
+    missing = sorted(set(positions) - live)
+    if missing:
+        raise SnapshotVersionError(
+            f"positional delete names files not live at v{version}: "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    touched = sorted(positions)
+    n_pos = sum(len(p) for p in positions.values())
+    root = path.rstrip("/")
+
+    def mutate(manifest: dict, v: int) -> None:
+        # attempt-unique like data dirs: a racing commit of the same
+        # version can never clobber this attempt's sidecar
+        pos_rel = f"{DELETES_DIR}/pos-v{v}-{uuid.uuid4().hex[:8]}"
+        _write_positions_parquet(spark, root, pos_rel, positions)
+        manifest["deletes"].append(
+            {"id": v, "positions_dir": pos_rel, "files": touched}
+        )
+
+    new_version = _commit_metadata(
+        spark, path, parent, mutate, "delete_mor", on_log_advance="rebase"
+    )
+    return {
+        "version": new_version,
+        "files_covered": len(touched),
+        "n_positions": n_pos,
+    }
+
+
+def _write_positions_parquet(
+    spark: SparkSession, root: str, rel: str, positions: dict[str, list[int]]
+) -> None:
+    """One small (file, pos) parquet sidecar, written driver-side via
+    pyarrow — a deletion vector is metadata, so this never needs a
+    Spark job; one file keeps the read-side broadcast cheap."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    idxs: list[int] = []
+    for f in sorted(positions):
+        ps = positions[f]
+        files.extend([f] * len(ps))
+        idxs.extend(ps)
+    table = pa.table(
+        {
+            "file": pa.array(files, type=pa.string()),
+            "pos": pa.array(idxs, type=pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    fs, jvm = _fs(spark, root)
+    fs.mkdirs(_jpath(jvm, root, rel))
+    stream = fs.create(_jpath(jvm, root, rel, "positions.parquet"), True)
+    try:
+        stream.write(bytearray(buf.getvalue()))
+    finally:
+        stream.close()
+
+
 def update_snapshot(
     spark: SparkSession,
     path: str,
@@ -1984,7 +2137,10 @@ def vacuum_snapshots(
         # merge-on-read equality-delete key files a retained manifest
         # still applies at read time
         referenced_deletes.update(
-            e["keys_dir"] for e in m.get("deletes", []) if "keys_dir" in e
+            e[k]
+            for e in m.get("deletes", [])
+            for k in ("keys_dir", "positions_dir")
+            if k in e
         )
         # stats sidecars / checkpoints a retained manifest still loads
         referenced_refs.update(m.get("stats_refs", []))

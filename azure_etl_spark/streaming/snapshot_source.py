@@ -176,8 +176,17 @@ def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
                 {"keys_path": os.path.join(table, e["keys_dir"]),
                  "key_cols": list(e["key_cols"])}
             )
+        elif "positions_dir" in e:
+            out.append(
+                {"positions_path": os.path.join(table, e["positions_dir"]),
+                 "rel_file": rel_file}
+            )
         else:
             out.append({"predicate": [list(p) for p in e["predicate"]]})
+    # positional entries mask physical row indexes, so they must apply
+    # before any entry that drops rows (delete entries commute as sets,
+    # making the reorder exact)
+    out.sort(key=lambda e: 0 if "positions_path" in e else 1)
     return out
 
 
@@ -197,10 +206,28 @@ def _apply_delete_arrow(tbl, entry: dict):
     """Apply one merge-on-read delete entry to a pyarrow Table — the
     executor-side mirror of sources/snapshot._apply_delete_entry:
     predicate entries drop matching rows via a compute filter, equality
-    deletes LEFT ANTI join the (small) key file."""
+    deletes LEFT ANTI join the (small) key file, positional entries
+    (deletion vectors) mask the file's physical row indexes — the
+    caller applies them on the freshly-read table, before row-dropping
+    entries shift positions."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if "positions_path" in entry:
+        import pyarrow as pa
+
+        pos = pq.read_table(
+            entry["positions_path"],
+            filters=[("file", "=", entry["rel_file"])],
+            columns=["pos"],
+        )["pos"].to_pylist()
+        if not pos:
+            return tbl
+        keep = [True] * tbl.num_rows
+        for p in pos:
+            if 0 <= p < tbl.num_rows:
+                keep[p] = False
+        return tbl.filter(pa.array(keep))
     if "predicate" in entry:
         cond = None
         for col, op, val in entry["predicate"]:
