@@ -37,10 +37,13 @@ Design:
   ``dataChange=false`` add/remove pairs (Delta's OPTIMIZE contract,
   so streaming Delta readers skip it), every other operation as
   ``dataChange=true``.
-- Merge-on-read delete entries CANNOT be expressed at
-  ``minReaderVersion 1`` (Delta needs deletion vectors / reader v3):
-  exporting a version that still carries them refuses with the fix
-  (``compact_snapshot`` materializes MOR deletes).
+- Merge-on-read delete entries export as REAL deletion vectors
+  (round 10): the covered files re-add with ``deletionVector``
+  descriptors pointing at roaring-bitmap ``.bin`` files (see
+  ``roaring.py``), under an in-log protocol upgrade to reader 3 /
+  writer 7 with the ``deletionVectors`` table feature — the exact
+  mechanism delta-spark's DV DELETE uses. Logs with no MOR history
+  stay at maximally-compatible reader 1 / writer 2.
 - :func:`convert_from_delta_log` is the reverse migration: adopt an
   existing Delta table directory as a snapshot table by replaying its
   log (O(metadata) renames of the LIVE files, stats lifted from the
@@ -59,6 +62,7 @@ from pyspark.sql import SparkSession
 
 from .snapshot import (
     DATA_DIR,
+    DELETES_DIR,
     MANIFEST_DIR,
     SnapshotConflictError,
     SnapshotVersionError,
@@ -69,6 +73,7 @@ from .snapshot import (
     _manifest_files,
     _read_small_file,
     _try_commit_manifest,
+    _write_positions_parquet,
     _write_stats_ref,
     is_snapshot_table,
     read_snapshot,
@@ -89,10 +94,138 @@ _DELTA_OPS = {
     "compact": "OPTIMIZE",
     "restore": "RESTORE",
     "wap_publish": "WRITE",
-    "delete_keys": "DELETE",  # equality-delete MOR commit (export gates on it)
+    "delete_keys": "DELETE",  # equality-delete MOR commit
+    "delete_mor": "DELETE",  # predicate / positional MOR commit
     "set_constraints": "SET TBLPROPERTIES",  # metadata-only, no file actions
     "convert_from_delta": "CONVERT",
 }
+
+
+def _dv_protocol_action(change_data: bool) -> dict:
+    """Protocol for a log that carries deletion vectors: reader 3 /
+    writer 7 with explicit feature lists (the table-features form).
+    ``changeDataFeed`` must be listed once writer 7 gates features, or
+    a real writer taking over would stop honoring the CDF config."""
+    wf = ["deletionVectors"] + (["changeDataFeed"] if change_data else [])
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": sorted(wf),
+        }
+    }
+
+
+def _dv_state(spark: SparkSession, path: str, manifest: dict) -> dict:
+    """Cumulative deleted-row positions per covered file for a manifest
+    carrying merge-on-read entries, as serialized deletion vectors:
+    ``{rel_file: (dv_bytes, cardinality)}`` (empty when no entries).
+
+    One Spark job over the covered files only: each entry semi-matches
+    its rows (scoped to the files it covers), the matched (file, pos)
+    pairs distinct-union, and the bitmaps serialize EXECUTOR-side per
+    file (grouped Arrow UDF) — the driver receives one compressed
+    roaring bitmap per covered file, never row-level data. Recomputing
+    per exported version keeps the serialized bytes deterministic, so
+    an entry carried unchanged across versions produces byte-identical
+    DVs and no spurious re-add actions."""
+    entries = manifest.get("deletes", [])
+    if not entries:
+        return {}
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from .snapshot import (
+        _POS_FILE_COL,
+        _POS_IDX_COL,
+        _match_delete_entry,
+        _read_files,
+    )
+
+    root = path.rstrip("/")
+    covered = sorted({f for e in entries for f in e["files"]})
+    df = _read_files(spark, root, covered, with_positions=True)
+    matched = None
+    for e in entries:
+        scoped = df.filter(F.col(_POS_FILE_COL).isin(list(e["files"])))
+        m = _match_delete_entry(spark, root, scoped, e).select(
+            _POS_FILE_COL, _POS_IDX_COL
+        )
+        matched = m if matched is None else matched.unionByName(m)
+    matched = matched.dropDuplicates()
+
+    def _ser(pdf):
+        import base64 as _b64
+
+        import pandas as pd
+
+        from azure_etl_spark.sources.roaring import serialize_dv
+
+        pos = sorted(int(p) for p in pdf[_POS_IDX_COL])
+        return pd.DataFrame(
+            {
+                "file": [str(pdf[_POS_FILE_COL].iloc[0])],
+                "dv_b64": [_b64.b64encode(serialize_dv(pos)).decode("ascii")],
+                "cardinality": [len(pos)],
+            }
+        )
+
+    rows = (
+        matched.groupBy(_POS_FILE_COL)
+        .applyInPandas(_ser, "file string, dv_b64 string, cardinality long")
+        .collect()
+    )
+    return {
+        r["file"]: (base64.b64decode(r["dv_b64"]), int(r["cardinality"]))
+        for r in rows
+    }
+
+
+def _write_dv_file(spark: SparkSession, path: str, payloads: list[bytes]) -> list[dict]:
+    """Write one on-disk ``deletion_vector_<uuid>.bin`` holding this
+    commit's DV payloads and return the matching ``u``-mode descriptor
+    dicts (same order). Attempt-unique file name: a racing exporter's
+    bin orphans harmlessly, the O_EXCL log commit decides."""
+    from .roaring import dv_file_bytes, encode_uuid_z85
+
+    raw, offsets = dv_file_bytes(payloads)
+    u = uuid.uuid4()
+    fs, jvm = _fs(spark, path)
+    stream = fs.create(_jpath(jvm, path, f"deletion_vector_{u}.bin"), False)
+    try:
+        stream.write(bytearray(raw))
+    finally:
+        stream.close()
+    tail = encode_uuid_z85(u)
+    return [
+        {
+            "storageType": "u",
+            "pathOrInlineDv": tail,
+            "offset": off,
+            "sizeInBytes": len(p),
+            "cardinality": None,  # caller fills in
+        }
+        for off, p in zip(offsets, payloads)
+    ]
+
+
+def _is_noop_export(raw: bytes) -> bool:
+    """True when an exported log version is a legacy commitInfo-only
+    MOR no-op (pre-DV exporter) — its manifest's state was never
+    expressed, so incremental diffs must skip past it."""
+    for line in raw.decode("utf-8").splitlines():
+        if not line.strip():
+            continue
+        a = json.loads(line)
+        if "commitInfo" in a:
+            params = a["commitInfo"].get("operationParameters") or {}
+            if "snapshotUnexpressible" in params:
+                return True
+        if "add" in a or "remove" in a or "cdc" in a:
+            return False
+    return False
 
 
 def _log_name(version: int) -> str:
@@ -265,13 +398,19 @@ def export_delta_log(
     export no cdc — their row-level effect lands at the next
     materializing commit, same as the file actions.
 
-    Raises if the CURRENT version still carries merge-on-read delete
-    entries (row-level state minReaderVersion 1 cannot express); run
-    ``compact_snapshot`` to materialize them first. Historical MOR
-    versions (already materialized later in the chain) export as
-    flagged commitInfo-only no-ops — time travel to them shows the
-    pre-delete file contents, and the chain reconciles at the next
-    materializing commit.
+    Versions carrying merge-on-read delete entries (predicate,
+    equality-key, or positional) export as DELETION VECTORS: each
+    covered file's cumulative deleted positions serialize to a roaring
+    bitmap in an on-disk ``deletion_vector_<uuid>.bin`` and the file
+    re-adds with the descriptor (remove carries the superseded
+    descriptor — Delta reconciles file actions by (path, DV id)). The
+    first DV-carrying version upgrades the log's protocol in place to
+    reader 3 / writer 7 with the ``deletionVectors`` feature; logs
+    with no MOR history keep the maximally-compatible reader-1
+    protocol. Delta time travel to a MOR version therefore shows the
+    post-delete rows, exactly like snapshot time travel. (Logs written
+    by older exporters contain flagged commitInfo-only no-ops for MOR
+    versions; incremental extension understands and skips them.)
     """
     versions = _list_versions(spark, path)
     if not versions:
@@ -319,37 +458,47 @@ def export_delta_log(
     # log version 0 stays well-formed for real Delta readers).
     prev_files: dict[str, dict] = {}
     prev_expressed: dict | None = None  # manifest whose files == prev_files
+    prev_dvs: dict[str, bytes] = {}  # last EXPRESSED deletion vector per file
+    prev_dv_descr: dict[str, dict] = {}  # ...and its on-log descriptor
     emitted_cols: list | None = None  # None = no metaData in the log yet
     emitted_pcols: list | None = None
     emitted_txns: dict = {}
     protocol_written = False
+    dv_protocol_emitted = False
     log_has_adds = False
     start = todo[0]
     if start > offset:
         # previous export runs own versions < start; by invariant they
         # emitted protocol (+ metaData/txns) at the seed and refreshed
         # on change, so the emitted state equals the last exported
-        # EXPRESSIBLE version's manifest — walk back over any trailing
-        # MOR no-op versions to find it
+        # EXPRESSED version's manifest. MOR versions now export as
+        # DV-carrying commits, but a log extended across exporter
+        # generations may still contain legacy commitInfo-only no-ops —
+        # the exported JSON itself says which (a flagged no-op never
+        # expressed its manifest), so walk back over those.
         protocol_written = True
         pv = start - 1
         prev_manifest: dict | None = None
+        fs, jvm = _fs(spark, path)
         while pv >= offset:
-            try:
-                m = _load_manifest(spark, path, pv)
-            except SnapshotVersionError as exc:
-                raise SnapshotVersionError(
-                    f"delta-log mirror at {path} fell behind vacuum "
-                    f"retention (manifest v{pv} is gone, cannot diff "
-                    f"v{start}); delete _delta_log/ and re-export to "
-                    "restart the log from the surviving chain"
-                ) from exc
-            if not m.get("deletes"):
-                prev_manifest = m
+            raw = _read_small_file(
+                jvm, fs, _jpath(jvm, path, DELTA_LOG_DIR, _log_name(pv - offset))
+            )
+            if not _is_noop_export(raw):
+                try:
+                    prev_manifest = _load_manifest(spark, path, pv)
+                except SnapshotVersionError as exc:
+                    raise SnapshotVersionError(
+                        f"delta-log mirror at {path} fell behind vacuum "
+                        f"retention (manifest v{pv} is gone, cannot diff "
+                        f"v{start}); delete _delta_log/ and re-export to "
+                        "restart the log from the surviving chain"
+                    ) from exc
                 break
             if pv == offset:
-                # every exported version so far was a MOR no-op; the
+                # every exported version so far was a legacy no-op; the
                 # seed no-op emitted metaData/txns from ITS manifest
+                m = _load_manifest(spark, path, pv)
                 emitted_cols = list(m.get("columns", []))
                 emitted_pcols = list(m.get("partition_by", []))
                 emitted_txns = dict(m.get("txns", {}))
@@ -358,92 +507,36 @@ def export_delta_log(
             pf, ps = _manifest_files(spark, path, prev_manifest)
             prev_files = {f: ps.get(f) for f in pf}
             prev_expressed = prev_manifest
+            if prev_manifest.get("deletes"):
+                # the exported log itself holds the expressed DV
+                # descriptors; decoding them (driver-side, metadata-
+                # sized) recovers the canonical bytes for change
+                # detection without re-running the matching job
+                dv_protocol_emitted = True  # an earlier run upgraded
+                from .roaring import serialize_dv as _ser_dv
+
+                log_state = replay_delta_log(spark, path)
+                for rel, a in log_state["live"].items():
+                    dvd = a.get("deletionVector")
+                    if dvd:
+                        prev_dv_descr[rel] = dict(dvd)
+                        prev_dvs[rel] = _ser_dv(
+                            _decode_deletion_vector(spark, path, dvd)
+                        )
             emitted_cols = list(prev_manifest.get("columns", []))
             emitted_pcols = list(prev_manifest.get("partition_by", []))
             emitted_txns = dict(prev_manifest.get("txns", {}))
             log_has_adds = bool(prev_files)
-    tip = versions[-1]
     for v in todo:
         manifest = _load_manifest(spark, path, v)
-        if manifest.get("deletes"):
-            # merge-on-read delete entries are row-level state the
-            # minReaderVersion-1 protocol cannot express. If they are
-            # the CURRENT table state, refuse — a Delta reader would
-            # see the un-deleted rows as live. A historical MOR
-            # version (already materialized by a later compact/COW)
-            # exports as a flagged commitInfo-only no-op: Delta time
-            # travel to it shows the pre-delete file contents (the
-            # honest reader-v1 view of those files), and the next
-            # expressible version diffs against the last EXPRESSED
-            # file set, so the chain reconciles exactly.
-            if v == tip:
-                raise SnapshotVersionError(
-                    f"version {v} at {path} (the current version) carries "
-                    "merge-on-read delete entries, which the Delta "
-                    "minReaderVersion-1 protocol cannot express — "
-                    "compact_snapshot() materializes them, then re-export"
-                )
-            ts = int(manifest.get("committed_at_unix", 0) * 1000)
-            noop_actions: list[dict] = [{
-                "commitInfo": {
-                    "timestamp": ts,
-                    "operation": _DELTA_OPS.get(
-                        manifest.get("operation", "delete"), "DELETE"
-                    ),
-                    "operationParameters": {
-                        "snapshotUnexpressible": "merge-on-read deletes; "
-                        "row-level effect lands at the next materializing "
-                        "commit"
-                    },
-                    "engineInfo": "azure-etl-spark snapshot-export",
-                }
-            }]
-            if v == offset:
-                # the log's version 0 must still carry protocol +
-                # metaData (+ txn watermarks) or real Delta readers
-                # reject the whole log — reachable when vacuum truncates
-                # the chain into a MOR-pending window (round-10 ADVICE)
-                protocol_written = True
-                noop_actions.append(
-                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                )
-                emitted_cols = list(manifest.get("columns", []))
-                emitted_pcols = list(manifest.get("partition_by", []))
-                noop_actions.append(
-                    {
-                        "metaData": {
-                            "id": table_id,
-                            "format": {"provider": "parquet", "options": {}},
-                            "schemaString": read_snapshot(
-                                spark, path, v
-                            ).schema.json(),
-                            "partitionColumns": emitted_pcols,
-                            "configuration": (
-                                {"delta.enableChangeDataFeed": "true"}
-                                if change_data else {}
-                            ),
-                            "createdTime": ts,
-                        }
-                    }
-                )
-                for app_id, tv2 in sorted(manifest.get("txns", {}).items()):
-                    noop_actions.append(
-                        {"txn": {"appId": app_id, "version": int(tv2),
-                                 "lastUpdated": ts}}
-                    )
-                emitted_txns = dict(manifest.get("txns", {}))
-            _create_log_exclusive(
-                spark, path, v - offset,
-                "\n".join(
-                    json.dumps(a, sort_keys=True) for a in noop_actions
-                ).encode("utf-8"),
-            )
-            written.append(v)
-            # emitted trackers are NOT advanced past the no-op (its file
-            # set, schema change, and txn updates were not expressed);
-            # the next expressible version diffs against the last
-            # EXPRESSED state and reconciles exactly
-            continue
+        # merge-on-read delete entries export as real deletion vectors
+        # (reader 3 / writer 7, deletionVectors feature): each covered
+        # file's cumulative deleted positions serialize to a roaring
+        # bitmap, and the file re-adds with a DV descriptor — the exact
+        # mechanism delta-spark uses for DV DELETEs. Legacy exports
+        # (pre-DV) left flagged no-op versions; those stay understood
+        # on the incremental path but are never written anymore.
+        dv_state = _dv_state(spark, path, manifest)
         files, stats = _manifest_files(spark, path, manifest)
         cur = {f: stats.get(f) for f in files}
         pcols = list(manifest.get("partition_by", []))
@@ -466,7 +559,16 @@ def export_delta_log(
                 }
             }
         ]
-        if not protocol_written:
+        if dv_state and not dv_protocol_emitted:
+            # first DV-carrying version this run: emit the
+            # table-features protocol (an in-log upgrade when a v1
+            # protocol is already on the log — legal, and re-emitting
+            # an identical protocol on a later run is an idempotent
+            # no-op for replay)
+            protocol_written = True
+            dv_protocol_emitted = True
+            actions.append(_dv_protocol_action(change_data))
+        elif not protocol_written:
             protocol_written = True
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -517,8 +619,42 @@ def export_delta_log(
                 )
         added = [f for f in cur if f not in prev_files]
         removed = [f for f in prev_files if f not in cur]
-        meta = _file_meta(spark, path, added) if added else {}
-        for f in sorted(added):
+        # files whose deletion vector changed without the file itself
+        # changing (a new MOR entry covering it, an entry narrowing, or
+        # a restore dropping one): Delta's DV mechanism — remove + re-add
+        # of the same path with the new descriptor, dataChange=true
+        readds = [
+            f
+            for f in cur
+            if f in prev_files
+            and prev_dvs.get(f) != (dv_state[f][0] if f in dv_state else None)
+        ]
+        added_set, readds_set = set(added), set(readds)
+        dv_descr: dict[str, dict] = {}
+        dv_files = sorted(
+            f for f in dv_state if f in added_set or f in readds_set
+        )
+        if dv_files:
+            payloads = [dv_state[f][0] for f in dv_files]
+            descrs = _write_dv_file(spark, path, payloads)
+            for f, d in zip(dv_files, descrs):
+                d["cardinality"] = dv_state[f][1]
+                dv_descr[f] = d
+        # removes FIRST: Delta reconciles file actions by
+        # (path, DV uniqueId), so a remove superseding a DV'd add must
+        # carry the OLD descriptor; and a line-order replayer must see
+        # the remove before the same path's re-add
+        for f in sorted(removed + readds):
+            rm = {
+                "path": quote(f, safe="/="),
+                "deletionTimestamp": ts,
+                "dataChange": True if f in readds_set else data_change,
+            }
+            if f in prev_dv_descr:
+                rm["deletionVector"] = prev_dv_descr[f]
+            actions.append({"remove": rm})
+        meta = _file_meta(spark, path, added + readds) if added or readds else {}
+        for f in sorted(added + readds):
             pv = _partition_values(f, pcols)
             if pcols and set(pv) != set(pcols):
                 # snapshot partition evolution: this file was written
@@ -538,35 +674,33 @@ def export_delta_log(
                 "partitionValues": pv,
                 "size": size,
                 "modificationTime": mtime,
-                "dataChange": data_change,
+                # a DV re-add changes visible rows even though the file
+                # bytes are untouched
+                "dataChange": True if f in readds_set else data_change,
             }
             st_json = _delta_stats(cur[f], pcols)
             if st_json:
                 add["stats"] = st_json
+            if f in dv_descr:
+                add["deletionVector"] = dv_descr[f]
             actions.append({"add": add})
-        for f in sorted(removed):
-            actions.append(
-                {
-                    "remove": {
-                        "path": quote(f, safe="/="),
-                        "deletionTimestamp": ts,
-                        "dataChange": data_change,
-                    }
-                }
-            )
         if (
             change_data
             and _DELTA_OPS.get(op) in ("DELETE", "UPDATE", "MERGE", "RESTORE")
-            and (added or removed)
+            and (added or removed or readds)
         ):
             # CDF: DML commits materialize their changed rows so a real
             # Delta CDF reader never has to re-derive them from mixed
             # add+remove actions (the protocol only derives when a
             # commit carries NO cdc action). Appends derive from their
             # dataChange=true adds; OPTIMIZE is no change by contract.
+            # A DV re-add's row-level effect (merge-on-read entries
+            # appearing/vanishing on carried files) comes from the
+            # entry diff, bounded by the covered files.
             for cdc in _write_change_data(
                 spark, path, v - offset, sorted(added), sorted(removed),
                 manifest, prev_expressed, pcols,
+                mor_shared=sorted(readds),
             ):
                 actions.append({"cdc": cdc})
         payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions).encode(
@@ -576,6 +710,10 @@ def export_delta_log(
         written.append(v)
         prev_files = cur
         prev_expressed = manifest
+        prev_dvs = {f: dv for f, (dv, _c) in dv_state.items()}
+        prev_dv_descr = {
+            f: dv_descr.get(f) or prev_dv_descr.get(f) for f in dv_state
+        }
         emitted_cols = list(manifest.get("columns", []))
         emitted_pcols = pcols
         emitted_txns = dict(manifest.get("txns", {}))
@@ -612,6 +750,11 @@ def _checkpoint_schema():
     import pyarrow as pa
 
     str_map = pa.map_(pa.string(), pa.string())
+    dv = pa.struct([("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int32()),
+                    ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64())])
     return pa.schema(
         [
             ("txn", pa.struct([("appId", pa.string()), ("version", pa.int64()),
@@ -621,10 +764,12 @@ def _checkpoint_schema():
                                ("size", pa.int64()),
                                ("modificationTime", pa.int64()),
                                ("dataChange", pa.bool_()),
-                               ("stats", pa.string())])),
+                               ("stats", pa.string()),
+                               ("deletionVector", dv)])),
             ("remove", pa.struct([("path", pa.string()),
                                   ("deletionTimestamp", pa.int64()),
-                                  ("dataChange", pa.bool_())])),
+                                  ("dataChange", pa.bool_()),
+                                  ("deletionVector", dv)])),
             ("metaData", pa.struct([("id", pa.string()),
                                     ("name", pa.string()),
                                     ("description", pa.string()),
@@ -636,7 +781,9 @@ def _checkpoint_schema():
                                     ("configuration", str_map),
                                     ("createdTime", pa.int64())])),
             ("protocol", pa.struct([("minReaderVersion", pa.int32()),
-                                    ("minWriterVersion", pa.int32())])),
+                                    ("minWriterVersion", pa.int32()),
+                                    ("readerFeatures", pa.list_(pa.string())),
+                                    ("writerFeatures", pa.list_(pa.string()))])),
         ]
     )
 
@@ -692,6 +839,7 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> dict:
             "modificationTime": a.get("modificationTime"),
             "dataChange": False,  # checkpoint rows never signal new data
             "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
         }})
     # the protocol requires checkpoints to RETAIN remove tombstones
     # until the retention period expires, so a real writer's VACUUM can
@@ -710,6 +858,7 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> dict:
             "path": r["path"],
             "deletionTimestamp": dts,
             "dataChange": False,
+            "deletionVector": r.get("deletionVector"),
         }})
     schema = _checkpoint_schema()
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
@@ -874,21 +1023,22 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
             jvm, fs, _jpath(jvm, path, DELTA_LOG_DIR, _log_name(v))
         )
         versions.append(v)
-        for line in raw.decode("utf-8").splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        acts = [
+            json.loads(line)
+            for line in raw.decode("utf-8").splitlines()
+            if line.strip()
+        ]
+        # removes before adds WITHIN one version: a deletion-vector
+        # swap commits remove(path, old DV) + add(path, new DV) for
+        # the same path, and writers may order them either way — the
+        # net live entry must be the add
+        for action in acts:
             if "metaData" in action:
                 meta = action["metaData"]
             elif "protocol" in action:
                 protocol = action["protocol"]
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = int(action["txn"]["version"])
-            elif "add" in action:
-                a = action["add"]
-                rel = unquote(a["path"])
-                live[rel] = a
-                tombstones.pop(rel, None)  # re-added file is no tombstone
             elif "remove" in action:
                 r = action["remove"]
                 rel = unquote(r["path"])
@@ -898,6 +1048,12 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
                 # handle) the dead files — popping them entirely would
                 # make a checkpoint lose un-expired tombstones
                 tombstones[rel] = r
+        for action in acts:
+            if "add" in action:
+                a = action["add"]
+                rel = unquote(a["path"])
+                live[rel] = a
+                tombstones.pop(rel, None)  # re-added file is no tombstone
     return {
         "live": live,
         "tombstones": tombstones,
@@ -933,6 +1089,47 @@ def _column_mapping_from_schema(schema_string: str) -> dict[str, str]:
     return out
 
 
+def _decode_deletion_vector(
+    spark: SparkSession, root_path: str, dv: dict
+) -> list[int]:
+    """One deletion-vector descriptor -> sorted deleted row positions.
+    Inline (``i``) payloads decode from Z85 directly; ``u`` derives the
+    ``deletion_vector_<uuid>.bin`` path from the Z85 UUID tail, ``p``
+    is an absolute path — both verify the [size][data][crc32] framing.
+    The descriptor's cardinality cross-checks the decoded bitmap."""
+    from .roaring import (
+        decode_inline_dv,
+        deserialize_dv,
+        dv_relative_path,
+        read_dv_from_file_bytes,
+    )
+
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        data = decode_inline_dv(dv["pathOrInlineDv"], size)
+    elif st in ("u", "p"):
+        if st == "u":
+            abs_path = f"{root_path.rstrip('/')}/{dv_relative_path(dv['pathOrInlineDv'])}"
+        else:
+            abs_path = dv["pathOrInlineDv"]
+        fs, jvm = _fs(spark, abs_path)
+        raw = _read_small_file(jvm, fs, _jpath(jvm, abs_path))
+        data = read_dv_from_file_bytes(raw, int(dv["offset"]), size)
+    else:
+        raise SnapshotVersionError(
+            f"unknown deletion-vector storageType {st!r}"
+        )
+    positions = deserialize_dv(data)
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise SnapshotVersionError(
+            f"deletion vector cardinality {card} != decoded bitmap "
+            f"cardinality {len(positions)}"
+        )
+    return positions
+
+
 def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     """Adopt an existing Delta table directory as a snapshot table —
     the reverse of :func:`export_delta_log` and the other half of the
@@ -947,8 +1144,11 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     ``add`` actions' stats JSON into a stats sidecar, so file skipping
     works immediately. Tombstoned (removed, un-vacuumed) files are
     left where they are — they become inert orphans, exactly like a
-    race loser's data dir. Refuses tables that need
-    ``minReaderVersion > 1`` (deletion vectors, column mapping)."""
+    race loser's data dir. Live deletion vectors decode into one
+    positional merge-on-read entry (still zero data IO); column-mapping
+    ``name`` mode converts via a physical->logical rename sidecar;
+    reader features beyond {columnMapping, deletionVectors,
+    timestampNtz} refuse honestly."""
     if is_snapshot_table(spark, path):
         raise SnapshotConflictError(f"{path} is already a snapshot table")
     state = replay_delta_log(spark, path)
@@ -963,16 +1163,20 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     features = set(proto.get("readerFeatures") or [])
     conf = (state["metaData"] or {}).get("configuration") or {}
     cm_mode = conf.get("delta.columnMapping.mode", "none")
-    # reader v2 IS column mapping; v3 tables convert only when their
-    # declared reader features reduce to column mapping (deletion
-    # vectors / v2 checkpoints / timestampNtz stay honestly refused)
+    # reader v2 IS column mapping; v3 tables convert when their declared
+    # reader features reduce to the set this reader implements:
+    # column mapping (name mode), deletion vectors (lowered into
+    # positional MOR entries below), and timestampNtz (a parquet type
+    # Spark reads natively). v2-checkpoint tables are handled by the
+    # checkpoint loader; anything else stays honestly refused.
+    convertible = {"columnMapping", "deletionVectors", "timestampNtz"}
     if reader_v > 3 or (
-        reader_v == 3 and not (features and features <= {"columnMapping"})
+        reader_v == 3 and not (features and features <= convertible)
     ):
         raise SnapshotVersionError(
             f"{path} requires Delta minReaderVersion {reader_v} "
-            f"(readerFeatures {sorted(features)}); only reader-v1 tables "
-            "and column-mapping (name mode) tables convert"
+            f"(readerFeatures {sorted(features)}); convertible reader "
+            f"features are {sorted(convertible)}"
         )
     if cm_mode == "id":
         raise SnapshotVersionError(
@@ -983,10 +1187,15 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     phys2log: dict[str, str] = {}
     if cm_mode == "name":
         phys2log = _column_mapping_from_schema(state["schema_string"] or "{}")
-    if any(a.get("deletionVector") for a in state["live"].values()):
-        raise SnapshotVersionError(
-            f"{path} has live deletion vectors; only reader-v1 tables convert"
-        )
+    # deletion vectors decode driver-side (they are metadata-sized by
+    # construction) into per-file deleted row positions, lowered after
+    # the renames into ONE positional merge-on-read entry — zero data
+    # IO, the same O(metadata) contract as the rest of the convert
+    dv_positions_orig: dict[str, list[int]] = {}
+    for rel, add in state["live"].items():
+        dv = add.get("deletionVector")
+        if dv:
+            dv_positions_orig[rel] = _decode_deletion_vector(spark, root_path=path, dv=dv)
     if not state["live"]:
         raise SnapshotVersionError(f"delta log at {path} resolves to no live files")
     fs, jvm = _fs(spark, path)
@@ -999,6 +1208,7 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         return {phys2log.get(k, k): v for k, v in (d or {}).items()}
 
     stats: dict[str, dict] = {}
+    dv_positions: dict[str, list[int]] = {}
     for rel, add in sorted(state["live"].items()):
         parts = rel.split("/")
         flat = "__".join(parts) if len(parts) > 1 else parts[0]
@@ -1018,8 +1228,14 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
                 f"convert: rename of {rel} under {path} failed — "
                 "concurrent modification during convert?"
             )
+        if rel in dv_positions_orig:
+            dv_positions[target_rel] = dv_positions_orig[rel]
         st = json.loads(add["stats"]) if add.get("stats") else None
         if st:
+            # DV'd files keep their PHYSICAL stats: min/max stay
+            # pruning-safe supersets, and 'rows' is informational (it
+            # round-trips back out as the add action's numRecords,
+            # which Delta also keeps physical under a DV)
             stats[target_rel] = {
                 "rows": st.get("numRecords"),
                 "min": _logical(st.get("minValues", {})),
@@ -1050,6 +1266,17 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
             .parquet(f"{root}/{data_rel}")
             .columns
         )
+    deletes: list[dict] = []
+    if dv_positions:
+        # the adopted deletion vectors become ONE positional
+        # merge-on-read entry at v0 — readers mask the same physical
+        # row indexes the DVs did, and export_delta_log raises the
+        # entry back into real DV files
+        pos_rel = f"{DELETES_DIR}/pos-v0-{uuid.uuid4().hex[:8]}"
+        _write_positions_parquet(spark, root, pos_rel, dv_positions)
+        deletes.append(
+            {"id": 0, "positions_dir": pos_rel, "files": sorted(dv_positions)}
+        )
     manifest = {
         "version": 0,
         "mode": "convert",
@@ -1064,7 +1291,7 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         # ledger, so exactly-once streaming sinks survive the migration
         # in BOTH directions (export emits them back as txn actions)
         "txns": {k: int(v) for k, v in state["txns"].items()},
-        "deletes": [],
+        "deletes": deletes,
         "columns": columns,
     }
     # the original log described the PRE-rename paths and must neither
@@ -1114,6 +1341,7 @@ def _write_change_data(
     manifest: dict,
     prev_expressed: dict | None,
     pcols: list[str],
+    mor_shared: list[str] | None = None,
 ) -> list[dict]:
     """Materialize a DML commit's change rows as CDF parquet under
     ``_change_data/`` and return the matching ``cdc`` action dicts.
@@ -1132,7 +1360,7 @@ def _write_change_data(
     """
     from pyspark.sql import functions as F
 
-    from .snapshot import _read_with_deletes
+    from .snapshot import _mor_entry_changes, _read_with_deletes
 
     root = path.rstrip("/")
     frames = []
@@ -1148,6 +1376,13 @@ def _write_change_data(
                 spark, root, removed, prev_expressed or manifest
             ).withColumn("_change_type", F.lit("delete"))
         )
+    if mor_shared:
+        # DV re-adds: rows entering/leaving via merge-on-read entry
+        # changes on files carried across the commit
+        for kind, part in _mor_entry_changes(
+            spark, root, prev_expressed or {"deletes": []}, manifest, mor_shared
+        ):
+            frames.append(part.withColumn("_change_type", F.lit(kind)))
     df = frames[0]
     for extra in frames[1:]:
         df = df.unionByName(extra, allowMissingColumns=True)
@@ -1243,17 +1478,38 @@ def table_changes(
                 part = spark.read.parquet(f"{root}/{unquote(a['path'])}")
                 parts.append(_attach_pv(part, a.get("partitionValues") or {}))
         else:
+            # protocol-derived changes: adds -> inserts, removes ->
+            # deletes, each under its action's deletion-vector mask (a
+            # DV swap without cdc derives as full-file churn of the
+            # VISIBLE rows on both sides, exactly as the spec reads)
+            def _masked(rel: str, dv: dict | None):
+                df = spark.read.parquet(f"{root}/{rel}")
+                if not dv:
+                    return df
+                pos = _decode_deletion_vector(spark, path, dv)
+                if not pos:
+                    return df
+                pdf = spark.createDataFrame(
+                    [(int(p),) for p in pos], "___pos long"
+                )
+                return (
+                    df.withColumn("___pos", F.col("_metadata.row_index"))
+                    .join(F.broadcast(pdf), on="___pos", how="left_anti")
+                    .drop("___pos")
+                )
+
             for a in acts:
                 if "add" in a and a["add"].get("dataChange"):
-                    part = spark.read.parquet(
-                        f"{root}/{unquote(a['add']['path'])}"
-                    ).withColumn("_change_type", F.lit("insert"))
+                    rel = unquote(a["add"]["path"])
+                    part = _masked(rel, a["add"].get("deletionVector")).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
                     parts.append(
                         _attach_pv(part, a["add"].get("partitionValues") or {})
                     )
                 elif "remove" in a and a["remove"].get("dataChange"):
                     rel = unquote(a["remove"]["path"])
-                    part = spark.read.parquet(f"{root}/{rel}").withColumn(
+                    part = _masked(rel, a["remove"].get("deletionVector")).withColumn(
                         "_change_type", F.lit("delete")
                     )
                     # our remove actions carry no partitionValues; the

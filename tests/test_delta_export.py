@@ -153,31 +153,50 @@ def test_export_partition_values_and_stats_exclusion(spark, tmp_path):
         assert "k" in st["minValues"]
 
 
-def test_export_merge_on_read_tip_refuses_history_noops(spark, tmp_path):
-    """A MOR delete at the TIP refuses (Delta readers would see the
-    un-deleted rows as live); once a later commit materializes it, the
-    MOR version exports as a flagged commitInfo-only no-op and the
-    chain reconciles at the materializing commit."""
-    import pytest
+def test_export_merge_on_read_emits_deletion_vectors(spark, tmp_path):
+    """A MOR delete exports as REAL deletion vectors: the covered files
+    re-add with DV descriptors under an in-log protocol upgrade to
+    reader 3 / writer 7 (deletionVectors feature); a later compact
+    materializes — the DV'd adds supersede with plain adds and the
+    removes carry the superseded descriptors."""
+    from azure_etl_spark.sources.delta_export import _decode_deletion_vector
 
     path = str(tmp_path / "tbl")
     write_snapshot(_orders(spark), path, mode="overwrite")
+    deleted = read_snapshot(spark, path).filter("grp = 1").count()
     delete_from_snapshot(spark, path, [("grp", "=", 1)], mode="merge_on_read")
-    with pytest.raises(Exception, match="merge-on-read"):
-        export_delta_log(spark, path)
-    compact_snapshot(spark, path)  # materializes the MOR entries
     export_delta_log(spark, path)
     names = _log_files(path)
-    assert len(names) == 3
+    assert len(names) == 2
     a1 = _actions(path, names[1])
-    assert [next(iter(a)) for a in a1] == ["commitInfo"]  # flagged no-op
-    assert "snapshotUnexpressible" in json.dumps(a1)
-    # v1 time travel shows the pre-delete set; tip reconciles exactly
-    assert set(_live_upto(path, names[1])) == set(
-        resolve_scan(spark, path, version=0)[0]
+    proto = next(a["protocol"] for a in a1 if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    adds1 = [a["add"] for a in a1 if "add" in a]
+    rms1 = [a["remove"] for a in a1 if "remove" in a]
+    assert adds1 and all(a.get("deletionVector") for a in adds1)
+    assert {a["path"] for a in adds1} == {r["path"] for r in rms1}
+    assert all(a["dataChange"] for a in adds1)
+    # decoded DVs mask exactly the deleted row count
+    total = sum(
+        len(_decode_deletion_vector(spark, path, a["deletionVector"]))
+        for a in adds1
     )
-    live = set(_live_upto(path, names[-1]))
-    assert live == set(resolve_scan(spark, path)[0])
+    assert total == deleted
+    assert sum(a["deletionVector"]["cardinality"] for a in adds1) == deleted
+    # replay: the live set matches the manifest's, with DVs at tip
+    state = replay_delta_log(spark, path)
+    assert set(state["live"]) == set(resolve_scan(spark, path)[0])
+
+    compact_snapshot(spark, path)  # materializes the MOR entries
+    names = _log_files(path)
+    assert len(names) == 3
+    a2 = _actions(path, names[2])
+    rms2 = [a["remove"] for a in a2 if "remove" in a]
+    # the superseded DV'd files' removes carry their old descriptors
+    assert any(r.get("deletionVector") for r in rms2)
+    assert not any(a["add"].get("deletionVector") for a in a2 if "add" in a)
+    assert set(_live_upto(path, names[-1])) == set(resolve_scan(spark, path)[0])
 
 
 def test_commit_hook_mirrors_incrementally(spark, tmp_path):
@@ -543,14 +562,12 @@ def test_replay_delta_log_surface(spark, tmp_path):
     assert {f["name"] for f in fields} == {"k", "grp", "amount"}
 
 
-def test_export_mor_seed_emits_protocol_and_metadata(spark, tmp_path):
-    """Round-10 ADVICE (medium): vacuum can truncate the chain into a
-    merge-on-read-pending window, making the log's SEED version a MOR
-    no-op. That no-op must still carry protocol + metaData (+ the
-    seed's txn watermarks) or real Delta readers reject the whole log
-    and write_delta_checkpoint raises 'no metaData action'; and the
-    first expressible version after it must re-introduce the table's
-    entire state as dataChange=true adds even when it is an OPTIMIZE."""
+def test_export_mor_seed_emits_dv_protocol_and_metadata(spark, tmp_path):
+    """Vacuum can truncate the chain into a merge-on-read-pending
+    window, making the log's SEED version carry MOR entries. The seed
+    then exports FULLY: the DV protocol (reader 3 / writer 7), the
+    metaData, the seed's DV-carrying adds, and the txn watermarks —
+    and write_delta_checkpoint round-trips the DV descriptors."""
     from azure_etl_spark.sources.delta_export import write_delta_checkpoint
 
     path = str(tmp_path / "tbl")
@@ -572,41 +589,50 @@ def test_export_mor_seed_emits_protocol_and_metadata(spark, tmp_path):
     kinds0 = [next(iter(a)) for a in a0]
     assert kinds0[0] == "commitInfo"
     assert "protocol" in kinds0 and "metaData" in kinds0
-    assert "snapshotUnexpressible" in json.dumps(a0)
-    assert not any("add" in a or "remove" in a for a in a0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
     md = next(a["metaData"] for a in a0 if "metaData" in a)
     assert {f["name"] for f in json.loads(md["schemaString"])["fields"]} == {
         "k", "grp", "amount"
     }
+    adds0 = [a["add"] for a in a0 if "add" in a]
+    assert adds0 and any(a.get("deletionVector") for a in adds0)
     txns0 = {a["txn"]["appId"]: a["txn"]["version"] for a in a0 if "txn" in a}
     assert txns0 == {}  # v1 carries no watermark yet
 
-    a1 = _actions(path, names[1])  # v2: still MOR-pending -> plain no-op
-    assert [next(iter(a)) for a in a1] == ["commitInfo"]
+    # v2 (the MOR-carrying append): the new files add, the carried
+    # entries are unchanged (no spurious re-adds), watermark emits HERE
+    a1 = _actions(path, names[1])
+    adds1 = [a["add"] for a in a1 if "add" in a]
+    assert adds1 and not any(a.get("deletionVector") for a in adds1)
+    assert not any("remove" in a for a in a1)
+    txns1 = {a["txn"]["appId"]: a["txn"]["version"] for a in a1 if "txn" in a}
+    assert txns1 == {"stream-m": 4}
 
-    # first expressible version: all-new adds, dataChange=true despite
-    # OPTIMIZE, and the DEFERRED txn watermark from the MOR append
+    # v3 (OPTIMIZE materializing the MOR entries): the DV'd files'
+    # removes carry the superseded descriptors, and the whole commit is
+    # dataChange=false — the deletion was already EXPRESSED by the DVs,
+    # so the compaction changes no logical rows (streaming readers
+    # correctly skip it)
     a2 = _actions(path, names[2])
-    adds2 = [a["add"] for a in a2 if "add" in a]
-    assert adds2 and all(a["dataChange"] for a in adds2)
-    txns2 = {a["txn"]["appId"]: a["txn"]["version"] for a in a2 if "txn" in a}
-    assert txns2 == {"stream-m": 4}
+    rms2 = [a["remove"] for a in a2 if "remove" in a]
+    assert any(r.get("deletionVector") for r in rms2)
+    assert not any(a["add"]["dataChange"] for a in a2 if "add" in a)
 
     assert set(_live_upto(path, names[-1])) == set(resolve_scan(spark, path)[0])
-    lc = write_delta_checkpoint(spark, path)  # must not raise 'no metaData'
+    lc = write_delta_checkpoint(spark, path)
     state = replay_delta_log(spark, path)
     assert state["txns"] == {"stream-m": 4}
     assert set(state["live"]) == set(resolve_scan(spark, path)[0])
     assert lc["version"] == 2
 
 
-def test_export_mor_schema_change_reemits_metadata_when_materialized(
-    spark, tmp_path
-):
+def test_export_mor_schema_change_emits_metadata_in_place(spark, tmp_path):
     """A schema-evolving append that lands while MOR deletes are
-    pending exports as a no-op; the next expressible version must then
-    re-emit metaData with the evolved schema (diffing against the last
-    EMITTED schema, not the no-op's manifest, which would hide it)."""
+    pending is fully expressible now: the MOR version exports its DVs,
+    and the evolving append re-emits metaData with the evolved schema
+    IN ITS OWN version — no deferral to the materializing commit."""
     path = str(tmp_path / "tbl")
     write_snapshot(_orders(spark), path, mode="overwrite")  # v0
     delete_from_snapshot(
@@ -618,13 +644,15 @@ def test_export_mor_schema_change_reemits_metadata_when_materialized(
     export_delta_log(spark, path)
     names = _log_files(path)
     assert len(names) == 4
-    for noop in (1, 2):
-        assert [next(iter(a)) for a in _actions(path, names[noop])] == ["commitInfo"]
-    a3 = _actions(path, names[3])
-    md = [a["metaData"] for a in a3 if "metaData" in a]
-    assert len(md) == 1, "evolved schema must re-emit metaData at materialization"
+    a1 = _actions(path, names[1])  # the MOR delete: DV re-adds
+    assert any(a["add"].get("deletionVector") for a in a1 if "add" in a)
+    a2 = _actions(path, names[2])  # the evolving append
+    md = [a["metaData"] for a in a2 if "metaData" in a]
+    assert len(md) == 1, "evolved schema must emit metaData in its own version"
     fields = [f["name"] for f in json.loads(md[0]["schemaString"])["fields"]]
     assert fields == ["k", "grp", "amount", "extra"]
+    a3 = _actions(path, names[3])  # materializing compact: no metaData again
+    assert not any("metaData" in a for a in a3)
     assert set(_live_upto(path, names[-1])) == set(resolve_scan(spark, path)[0])
 
 

@@ -1,0 +1,363 @@
+"""Deletion-vector interop: converting real Delta tables whose live
+files carry DVs (u-mode file-backed and i-mode inline), and the honest
+refusals around them. Fixtures are hand-built from the PUBLIC protocol
+layout only (delta-io PROTOCOL.md), since delta-spark itself is
+environment-blocked."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_spark.sources.delta_export import (
+    DELTA_LOG_DIR,
+    convert_from_delta_log,
+    export_delta_log,
+    replay_delta_log,
+)
+from azure_etl_spark.sources.roaring import (
+    dv_file_bytes,
+    encode_inline_dv,
+    encode_uuid_z85,
+    serialize_dv,
+)
+from azure_etl_spark.sources.snapshot import (
+    SnapshotVersionError,
+    _load_manifest,
+    compact_snapshot,
+    read_snapshot,
+    snapshot_history,
+    write_snapshot,
+)
+
+
+def _write_parquet(path: str, ids: range) -> int:
+    """One data file with ascending ids — physical row order == id
+    order, so DV positions map 1:1 to ids. Returns the row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "id": pa.array(list(ids), type=pa.int64()),
+            "val": pa.array([i * 10 for i in ids], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return len(ids)
+
+
+def _dv_delta_fixture(spark, tmp_path, name="dvtbl"):
+    """Two-file Delta table, reader v3 with the deletionVectors
+    feature: file A (ids 0-49) has a u-mode on-disk DV masking rows
+    0 and 3; file B (ids 50-99) has an i-mode inline DV masking its
+    last row (id 99)."""
+    path = str(tmp_path / name)
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+
+    fa, fb = "part-00000-aaaa.parquet", "part-00001-bbbb.parquet"
+    _write_parquet(os.path.join(path, fa), range(0, 50))
+    _write_parquet(os.path.join(path, fb), range(50, 100))
+
+    # u-mode DV for file A
+    payload_a = serialize_dv([0, 3])
+    raw, offsets = dv_file_bytes([payload_a])
+    u = uuid.uuid4()
+    os.makedirs(os.path.join(path, "ab"), exist_ok=True)
+    with open(os.path.join(path, "ab", f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(raw)
+    dv_a = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab" + encode_uuid_z85(u),
+        "offset": offsets[0],
+        "sizeInBytes": len(payload_a),
+        "cardinality": 2,
+    }
+    # i-mode inline DV for file B: mask its row 49 (id 99)
+    payload_b = serialize_dv([49])
+    enc, size = encode_inline_dv(payload_b)
+    dv_b = {
+        "storageType": "i",
+        "pathOrInlineDv": enc,
+        "sizeInBytes": size,
+        "cardinality": 1,
+    }
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "val", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }},
+        {"metaData": {
+            "id": "99999999-8888-7777-6666-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.enableDeletionVectors": "true"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": fa, "partitionValues": {}, "dataChange": True,
+            "size": os.path.getsize(os.path.join(path, fa)),
+            "modificationTime": 1700000000000,
+            "stats": json.dumps({"numRecords": 50,
+                                 "minValues": {"id": 0}, "maxValues": {"id": 49}}),
+            "deletionVector": dv_a,
+        }},
+        {"add": {
+            "path": fb, "partitionValues": {}, "dataChange": True,
+            "size": os.path.getsize(os.path.join(path, fb)),
+            "modificationTime": 1700000000000,
+            "stats": json.dumps({"numRecords": 50,
+                                 "minValues": {"id": 50}, "maxValues": {"id": 99}}),
+            "deletionVector": dv_b,
+        }},
+    ]
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+    return path
+
+
+def test_convert_dv_table(spark, tmp_path):
+    path = _dv_delta_fixture(spark, tmp_path)
+    assert convert_from_delta_log(spark, path) == 0
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == sorted(set(range(100)) - {0, 3, 99})
+    # the DVs became ONE positional MOR entry at v0 — zero data rewritten
+    m = _load_manifest(spark, path, 0)
+    entries = m["deletes"]
+    assert len(entries) == 1 and "positions_dir" in entries[0]
+    assert len(entries[0]["files"]) == 2
+    # the .bin file is an inert orphan, still on disk but never read
+    assert any("deletion_vector_" in f for f in os.listdir(os.path.join(path, "ab")))
+
+
+def test_convert_dv_then_engine_dml(spark, tmp_path):
+    """Post-convert the table is a first-class snapshot table: appends
+    stack on top of the adopted DV mask, compaction materializes it."""
+    path = _dv_delta_fixture(spark, tmp_path, name="dvtbl2")
+    convert_from_delta_log(spark, path)
+    write_snapshot(
+        spark.range(100, 110).select(F.col("id"), (F.col("id") * 10).alias("val")),
+        path,
+        mode="append",
+    )
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == sorted(set(range(110)) - {0, 3, 99})
+    compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    tip = snapshot_history(spark, path).agg(F.max("version")).collect()[0][0]
+    assert _load_manifest(spark, path, tip)["deletes"] == []
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == sorted(set(range(110)) - {0, 3, 99})
+
+
+def test_convert_dv_cardinality_mismatch_refuses(spark, tmp_path):
+    path = _dv_delta_fixture(spark, tmp_path, name="dvbad")
+    log = os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    patched = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "add" in a and a["add"].get("deletionVector", {}).get("storageType") == "i":
+            a["add"]["deletionVector"]["cardinality"] = 7
+        patched.append(json.dumps(a, sort_keys=True))
+    open(log, "w").write("\n".join(patched))
+    with pytest.raises(SnapshotVersionError, match="cardinality"):
+        convert_from_delta_log(spark, path)
+
+
+def test_convert_still_refuses_unknown_reader_features(spark, tmp_path):
+    path = _dv_delta_fixture(spark, tmp_path, name="dvunknown")
+    log = os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    patched = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["deletionVectors", "variantType"]
+        patched.append(json.dumps(a, sort_keys=True))
+    open(log, "w").write("\n".join(patched))
+    with pytest.raises(SnapshotVersionError, match="variantType"):
+        convert_from_delta_log(spark, path)
+
+
+def test_dv_full_round_trip(spark, tmp_path):
+    """The complete migration loop with live MOR state: snapshot table
+    with predicate + equality + positional deletes -> export (real DV
+    files, reader-3 protocol) -> adopt the exported tree as a FOREIGN
+    Delta table (manifests stripped) -> convert -> identical rows."""
+    import shutil
+
+    from azure_etl_spark.sources.snapshot import (
+        MANIFEST_DIR,
+        delete_from_snapshot,
+        delete_keys_from_snapshot,
+        delete_positions_from_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    for lo, mode in ((0, "overwrite"), (40, "append"), (80, "append")):
+        df = (
+            spark.range(lo, lo + 40)
+            .select(F.col("id"), (F.col("id") % 7).alias("grp"))
+            .coalesce(1)
+            .sortWithinPartitions("id")
+        )
+        write_snapshot(df, src, mode=mode)
+    delete_from_snapshot(spark, src, [("id", "between", (10, 15))], mode="merge_on_read")
+    keys = spark.createDataFrame([(77,), (101,)], "id long")
+    delete_keys_from_snapshot(spark, src, keys, ["id"])
+    m = _load_manifest(
+        spark, src,
+        snapshot_history(spark, src).agg(F.max("version")).collect()[0][0],
+    )
+    from azure_etl_spark.sources.snapshot import _manifest_files
+
+    some_file = sorted(_manifest_files(spark, src, m)[0])[0]
+    delete_positions_from_snapshot(spark, src, {some_file: [2]})
+    export_delta_log(spark, src)
+    expected = sorted(
+        (r["id"], r["grp"]) for r in read_snapshot(spark, src).collect()
+    )
+
+    dst = str(tmp_path / "dst")
+    shutil.copytree(src, dst)
+    shutil.rmtree(os.path.join(dst, MANIFEST_DIR))
+    shutil.rmtree(os.path.join(dst, "deletes"), ignore_errors=True)
+    assert convert_from_delta_log(spark, dst) == 0
+    got = sorted((r["id"], r["grp"]) for r in read_snapshot(spark, dst).collect())
+    assert got == expected
+    # replay of the source log agrees too (DV descriptors live at tip)
+    state = replay_delta_log(spark, src)
+    assert sum(
+        a["deletionVector"]["cardinality"]
+        for a in state["live"].values()
+        if a.get("deletionVector")
+    ) == 120 - len(expected)
+
+
+def test_mirror_extends_with_dv_commits(spark, tmp_path):
+    """The armed mirror exports each MOR commit incrementally. A second
+    MOR delete on an already-DV'd file must re-add it with the UNION
+    bitmap and a remove carrying the superseded descriptor — the
+    walk-back recovers the previously-expressed DVs from the exported
+    log itself; an append in between must not re-add unchanged DVs."""
+    from azure_etl_spark.sources.delta_export import _decode_deletion_vector
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id"), (F.col("id") % 5).alias("grp"))
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    write_snapshot(df, path)
+    export_delta_log(spark, path)  # arm the mirror
+
+    delete_from_snapshot(spark, path, [("id", "between", (3, 7))], mode="merge_on_read")
+    delta_dir = os.path.join(path, DELTA_LOG_DIR)
+    logs = sorted(f for f in os.listdir(delta_dir) if f.endswith(".json"))
+    assert len(logs) == 2  # hook exported the MOR commit
+
+    # an append changes no DVs: no re-adds of the DV'd file
+    write_snapshot(
+        spark.range(100, 120).select(F.col("id"), (F.col("id") % 5).alias("grp")),
+        path,
+        mode="append",
+    )
+    logs = sorted(f for f in os.listdir(delta_dir) if f.endswith(".json"))
+    acts = [
+        json.loads(ln)
+        for ln in open(os.path.join(delta_dir, logs[-1])).read().splitlines()
+        if ln.strip()
+    ]
+    assert not any("remove" in a for a in acts)
+    assert not any(a["add"].get("deletionVector") for a in acts if "add" in a)
+
+    # a second MOR delete on the same file: union bitmap, superseded
+    # descriptor on the remove
+    delete_from_snapshot(spark, path, [("id", "=", 50)], mode="merge_on_read")
+    logs = sorted(f for f in os.listdir(delta_dir) if f.endswith(".json"))
+    acts = [
+        json.loads(ln)
+        for ln in open(os.path.join(delta_dir, logs[-1])).read().splitlines()
+        if ln.strip()
+    ]
+    rms = [a["remove"] for a in acts if "remove" in a]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(rms) == 1 and len(adds) == 1
+    assert rms[0].get("deletionVector"), "remove must carry the superseded DV"
+    assert adds[0]["deletionVector"]["cardinality"] == 6  # {3..7} + {50}
+    old = set(_decode_deletion_vector(spark, path, rms[0]["deletionVector"]))
+    new = set(_decode_deletion_vector(spark, path, adds[0]["deletionVector"]))
+    assert len(old) == 5 and old < new and len(new - old) == 1
+
+    from azure_etl_spark.sources.snapshot import resolve_scan
+
+    state = replay_delta_log(spark, path)
+    assert set(state["live"]) == set(resolve_scan(spark, path)[0])
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == sorted(set(range(120)) - {3, 4, 5, 6, 7, 50})
+
+
+def test_convert_timestamp_ntz_feature(spark, tmp_path):
+    """timestampNtz is a pure type feature — Spark reads the parquet
+    natively, so a reader-v3 table declaring it converts."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ntz")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+    fname = "part-00000-cccc.parquet"
+    tbl = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array(
+            [datetime.datetime(2024, 1, 1, 12), datetime.datetime(2024, 6, 1, 7)],
+            type=pa.timestamp("us"),  # no timezone = NTZ semantics
+        ),
+    })
+    pq.write_table(tbl, os.path.join(path, fname))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp_ntz", "nullable": True, "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}},
+        {"metaData": {
+            "id": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": fname, "partitionValues": {}, "dataChange": True,
+                 "size": os.path.getsize(os.path.join(path, fname)),
+                 "modificationTime": 1700000000000,
+                 "stats": json.dumps({"numRecords": 2})}},
+    ]
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+    convert_from_delta_log(spark, path)
+    out = read_snapshot(spark, path)
+    assert out.count() == 2
+    assert dict(out.dtypes)["ts"].startswith("timestamp")
