@@ -927,24 +927,80 @@ def _checkpoint_part_files(
     return [parts[i][1] for i in range(1, n + 1)]
 
 
-def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict:
-    """Seed replay state from a checkpoint parquet — ours or a real
-    Delta writer's, single-file or multi-part (parts concatenate; each
-    action appears in exactly one part per the protocol)."""
+def _find_v2_checkpoint(
+    spark: SparkSession, path: str, version: int
+) -> tuple[str, str] | None:
+    """Locate a V2 spec checkpoint at ``version``:
+    ``N.checkpoint.<uniqueStr>.{json|parquet}``. Returns (local path,
+    format) or None."""
+    fs, jvm = _fs(spark, path)
+    ldir = _jpath(jvm, path, DELTA_LOG_DIR)
+    if not fs.exists(ldir):
+        return None
+    v2_re = re.compile(
+        rf"^{version:020d}\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)$"
+    )
+    for st in sorted(fs.listStatus(ldir), key=lambda s: s.getPath().getName()):
+        m = v2_re.match(st.getPath().getName())
+        if m:
+            return _local_path(fs, st.getPath()), m.group(2)
+    return None
+
+
+def _v2_checkpoint_rows(spark: SparkSession, path: str, local: str, fmt: str) -> list:
+    """Action rows of a V2 checkpoint: the manifest's own rows (which
+    include ``checkpointMetadata`` and ``sidecar`` actions) plus the
+    add/remove rows of every referenced sidecar parquet (relative
+    sidecar paths live under ``_delta_log/_sidecars/``)."""
     import pyarrow.parquet as pq
 
-    files = _checkpoint_part_files(spark, path, version)
-    import pyarrow as pa
+    if fmt == "json":
+        with open(local, "r", encoding="utf-8") as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    else:
+        rows = pq.read_table(local).to_pylist()
+    out = []
+    fs, jvm = _fs(spark, path)
+    for row in rows:
+        sc = row.get("sidecar")
+        if sc:
+            rel = unquote(sc["path"])
+            if "://" in rel or rel.startswith("/"):
+                sp = rel
+            else:
+                sp = _local_path(
+                    fs, _jpath(jvm, path, DELTA_LOG_DIR, "_sidecars", rel)
+                )
+            out.extend(pq.read_table(sp).to_pylist())
+        else:
+            out.append(row)
+    return out
 
-    table = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="permissive"
-    )
+
+def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict:
+    """Seed replay state from a checkpoint — ours or a real Delta
+    writer's: classic single-file, classic multi-part (parts
+    concatenate; each action appears in exactly one part per the
+    protocol), or a V2 spec checkpoint (json or parquet manifest with
+    add/remove actions spilled to ``_delta_log/_sidecars/``)."""
+    import pyarrow.parquet as pq
+
+    v2 = _find_v2_checkpoint(spark, path, version)
+    if v2 is not None:
+        rows = _v2_checkpoint_rows(spark, path, *v2)
+    else:
+        import pyarrow as pa
+
+        files = _checkpoint_part_files(spark, path, version)
+        rows = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        ).to_pylist()
     live: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
     txns: dict[str, int] = {}
     meta = None
     protocol = None
-    for row in table.to_pylist():
+    for row in rows:
         if row.get("metaData"):
             md = dict(row["metaData"])
             md["format"] = {"provider": md["format"]["provider"],
@@ -1169,7 +1225,12 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
     # positional MOR entries below), and timestampNtz (a parquet type
     # Spark reads natively). v2-checkpoint tables are handled by the
     # checkpoint loader; anything else stays honestly refused.
-    convertible = {"columnMapping", "deletionVectors", "timestampNtz"}
+    convertible = {
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "v2Checkpoint",  # handled by _load_checkpoint_state
+    }
     if reader_v > 3 or (
         reader_v == 3 and not (features and features <= convertible)
     ):

@@ -313,6 +313,141 @@ def test_mirror_extends_with_dv_commits(spark, tmp_path):
     assert got == sorted(set(range(120)) - {3, 4, 5, 6, 7, 50})
 
 
+def _sidecar_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    dv = pa.struct([("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int32()),
+                    ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64())])
+    return pa.schema([
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", str_map),
+                           ("size", pa.int64()),
+                           ("modificationTime", pa.int64()),
+                           ("dataChange", pa.bool_()),
+                           ("stats", pa.string()),
+                           ("deletionVector", dv)])),
+        ("remove", pa.struct([("path", pa.string()),
+                              ("deletionTimestamp", pa.int64()),
+                              ("dataChange", pa.bool_())])),
+    ])
+
+
+def _v2_checkpoint_fixture(spark, tmp_path, name, with_dv=False):
+    """Foreign Delta table whose state at v1 lives ONLY in a V2 spec
+    checkpoint (json manifest + parquet sidecars under
+    _delta_log/_sidecars/); 0.json and 1.json are absent, so a reader
+    that cannot seed from the v2 checkpoint cannot open the table.
+    A 2.json append follows the checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / name)
+    sidecars = os.path.join(path, DELTA_LOG_DIR, "_sidecars")
+    os.makedirs(sidecars)
+    fa, fb, fc = (f"part-0000{i}-v2fix.parquet" for i in range(3))
+    _write_parquet(os.path.join(path, fa), range(0, 30))
+    _write_parquet(os.path.join(path, fb), range(30, 60))
+    _write_parquet(os.path.join(path, fc), range(60, 80))
+
+    def _add(fname, lo, hi, dv=None):
+        a = {"path": fname, "partitionValues": [], "dataChange": True,
+             "size": os.path.getsize(os.path.join(path, fname)),
+             "modificationTime": 1700000000000,
+             "stats": json.dumps({"numRecords": hi - lo,
+                                  "minValues": {"id": lo},
+                                  "maxValues": {"id": hi - 1}}),
+             "deletionVector": dv}
+        return {"add": a, "remove": None}
+
+    dv_b = None
+    if with_dv:
+        enc, size = encode_inline_dv(serialize_dv([0, 1]))  # ids 30, 31
+        dv_b = {"storageType": "i", "pathOrInlineDv": enc,
+                "offset": None, "sizeInBytes": size, "cardinality": 2}
+    sc1, sc2 = "sc-aaaa.parquet", "sc-bbbb.parquet"
+    pq.write_table(
+        pa.Table.from_pylist([_add(fa, 0, 30)], schema=_sidecar_schema()),
+        os.path.join(sidecars, sc1),
+    )
+    pq.write_table(
+        pa.Table.from_pylist([_add(fb, 30, 60, dv_b)], schema=_sidecar_schema()),
+        os.path.join(sidecars, sc2),
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "val", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    features = ["v2Checkpoint"] + (["deletionVectors"] if with_dv else [])
+    manifest_actions = [
+        {"checkpointMetadata": {"version": 1, "tags": {}}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": features,
+                      "writerFeatures": features}},
+        {"metaData": {
+            "id": "123e4567-e89b-42d3-a456-426614174000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 1700000000000,
+        }},
+        {"txn": {"appId": "upstream-app", "version": 9}},
+        {"sidecar": {"path": sc1, "sizeInBytes": 1, "modificationTime": 0}},
+        {"sidecar": {"path": sc2, "sizeInBytes": 1, "modificationTime": 0}},
+    ]
+    ckpt = os.path.join(
+        path, DELTA_LOG_DIR, f"{1:020d}.checkpoint.80a083e8-7026.json"
+    )
+    with open(ckpt, "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in manifest_actions))
+    with open(os.path.join(path, DELTA_LOG_DIR, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": len(manifest_actions)}))
+    # a JSON commit after the checkpoint: appends fc
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps(_fc_add(path, fc), sort_keys=True))
+    return path
+
+
+def _fc_add(path, fc):
+    return {"add": {
+        "path": fc, "partitionValues": {}, "dataChange": True,
+        "size": os.path.getsize(os.path.join(path, fc)),
+        "modificationTime": 1700000000000,
+        "stats": json.dumps({"numRecords": 20,
+                             "minValues": {"id": 60}, "maxValues": {"id": 79}}),
+    }}
+
+
+def test_convert_v2_checkpoint(spark, tmp_path):
+    """A table whose pre-checkpoint commits are GONE converts by
+    seeding from the V2 checkpoint (json manifest + parquet sidecars)
+    and replaying the post-checkpoint json commit; txn watermarks from
+    the checkpoint carry into the snapshot ledger."""
+    path = _v2_checkpoint_fixture(spark, tmp_path, "v2tbl")
+    assert convert_from_delta_log(spark, path) == 0
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(80))
+    m = _load_manifest(spark, path, 0)
+    assert m["txns"] == {"upstream-app": 9}
+
+
+def test_convert_v2_checkpoint_with_dv_sidecar(spark, tmp_path):
+    """Feature composition: v2Checkpoint + deletionVectors — a
+    sidecar add carrying an inline DV converts to the positional MOR
+    entry, masked at read."""
+    path = _v2_checkpoint_fixture(spark, tmp_path, "v2dv", with_dv=True)
+    assert convert_from_delta_log(spark, path) == 0
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == sorted(set(range(80)) - {30, 31})
+
+
 def test_convert_timestamp_ntz_feature(spark, tmp_path):
     """timestampNtz is a pure type feature — Spark reads the parquet
     natively, so a reader-v3 table declaring it converts."""
