@@ -1636,6 +1636,114 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dv_export_roundtrip_gold",
+    oracle="""
+    WITH first_file_min AS (
+      SELECT MIN(o_orderkey) AS mk FROM orders WHERE o_orderkey < 700
+    ),
+    remaining AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+        AND o_orderkey NOT BETWEEN 800 AND 1200
+        AND o_orderkey NOT IN (3, 7, 1399)
+        AND o_orderkey <> (SELECT mk FROM first_file_min)
+    )
+    SELECT CAST(2 AS INT) AS n_dv_files,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM remaining
+    """,
+    description="Deletion-vector EXPORT interop (round 10, "
+    "sources/delta_export.py + sources/roaring.py; Delta PROTOCOL.md "
+    "'Deletion Vector Format'): three single-file commits, mirror "
+    "armed, then THREE merge-on-read delete shapes — a predicate "
+    "delete, an equality-key delete, and a positional delete of the "
+    "first file's physical row 0 — each exported BY THE COMMIT HOOK "
+    "as real deletion vectors (roaring bitmaps in "
+    "deletion_vector_<uuid>.bin, reader-3/writer-7 protocol upgrade). "
+    "The read path then reconstructs the table EXCLUSIVELY from the "
+    "exported log: replay the add actions, decode each add's DV "
+    "(size/CRC framing verified), and anti-join the positions against "
+    "_metadata.row_index — the snapshot manifest is never consulted. "
+    "n_dv_files pins that exactly 2 live files carry DVs (the stats-"
+    "scoped entries provably never touch the third); count and "
+    "DECIMAL sum must match the relational recompute of all three "
+    "delete shapes, so a wrong bitmap bit, a mis-derived DV path, or "
+    "a missing re-add is a driver hash mismatch.",
+)
+def q_dv_export_roundtrip_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import (
+        _decode_deletion_vector,
+        export_delta_log,
+        replay_delta_log,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        _load_manifest,
+        _manifest_files,
+        delete_from_snapshot,
+        delete_keys_from_snapshot,
+        delete_positions_from_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="dv_exp_") + "/tbl"
+    for lo, hi, mode in (
+        (0, 700, "overwrite"),
+        (700, 1400, "append"),
+        (1400, 2000, "append"),
+    ):
+        part = (
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("o_orderkey")  # pins physical row order
+        )
+        write_snapshot(part, path, mode=mode)
+        if lo == 0:
+            export_delta_log(spark, path)  # arm: the deletes self-mirror
+    delete_from_snapshot(
+        spark, path, [("o_orderkey", "between", (800, 1200))],
+        mode="merge_on_read",
+    )
+    keys = spark.createDataFrame([(3,), (7,), (1399,)], "o_orderkey long")
+    delete_keys_from_snapshot(spark, path, keys, ["o_orderkey"])
+    m = _load_manifest(spark, path, 4)
+    files, stats = _manifest_files(spark, path, m)
+    first = min(files, key=lambda f: stats[f]["min"]["o_orderkey"])
+    delete_positions_from_snapshot(spark, path, {first: [0]})
+
+    # read back EXCLUSIVELY through the exported Delta log
+    state = replay_delta_log(spark, path)
+    root = path.rstrip("/")
+    live = None
+    n_dv = 0
+    for rel in sorted(state["live"]):
+        add = state["live"][rel]
+        df = spark.read.parquet(f"{root}/{rel}")
+        dv = add.get("deletionVector")
+        if dv:
+            n_dv += 1
+            pos = _decode_deletion_vector(spark, path, dv)
+            pdf = spark.createDataFrame([(int(p),) for p in pos], "___pos long")
+            df = (
+                df.withColumn("___pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(pdf), "___pos", "left_anti")
+                .drop("___pos")
+            )
+        live = df if live is None else live.unionByName(df)
+    return live.agg(
+        F.lit(n_dv).cast("int").alias("n_dv_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@query(
     "delta_log_export_gold",
     oracle="""
     WITH remaining AS (
