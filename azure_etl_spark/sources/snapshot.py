@@ -841,14 +841,12 @@ def _apply_delete_entry(
 
 def _read_positions(spark: SparkSession, root: str, entry: dict) -> DataFrame:
     """A positional delete entry's sidecar, aligned to the scan-time
-    position column names."""
-    return (
-        spark.read.parquet(f"{root}/{entry['positions_dir']}")
-        .select(
-            F.col("file").alias(_POS_FILE_COL),
-            F.col("pos").alias(_POS_IDX_COL),
-        )
-        .dropDuplicates()
+    position column names. No dedup: semi/anti joins are insensitive to
+    build-side duplicates, and skipping the aggregate keeps the sidecar
+    a plain tiny scan that Spark broadcasts statically."""
+    return spark.read.parquet(f"{root}/{entry['positions_dir']}").select(
+        F.col("file").alias(_POS_FILE_COL),
+        F.col("pos").alias(_POS_IDX_COL),
     )
 
 

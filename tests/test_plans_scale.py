@@ -318,3 +318,38 @@ def test_scalar_subquery_per_group_decorrelates_to_aggregate_join(spark, sf_dir)
     assert "partial_avg" in plan or "avg(" in plan, plan
     assert "Subquery" not in plan, plan
     assert "l_partkey" in plan and "Join" in plan, plan
+
+
+def test_positional_delete_read_is_broadcast_anti_join(spark, tmp_path):
+    """A positional merge-on-read delete (the deletion-vector shape)
+    must read as a LeftAnti hash join against the tiny position
+    sidecar — broadcast by AQE, with the covered-file scan never
+    shuffling and NO join at all for uncovered files."""
+    from azure_etl_spark.sources.snapshot import (
+        _load_manifest,
+        _manifest_files,
+        delete_positions_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo, mode in ((0, "overwrite"), (50, "append")):
+        write_snapshot(
+            spark.range(lo, lo + 50).select(
+                F.col("id"), (F.col("id") * 2).alias("val")
+            ).coalesce(1),
+            path,
+            mode=mode,
+        )
+    m = _load_manifest(spark, path, 1)
+    f0 = sorted(_manifest_files(spark, path, m)[0])[0]
+    delete_positions_from_snapshot(spark, path, {f0: [1, 2]})
+    df = read_snapshot(spark, path)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    # the anti join's build side is the sidecar: broadcast, no
+    # fact-side Exchange anywhere in the read
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert df.count() == 98

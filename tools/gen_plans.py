@@ -14,6 +14,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COMMENTARY = {
+    "dv_export_roundtrip_gold": (
+        "Deletion-vector export round trip (round 10). The read is "
+        "EXCLUSIVELY from the exported Delta log: per DV'd file, the "
+        "roaring bitmap decodes driver-side (a DV is metadata-sized by "
+        "construction) and the positions anti-join against "
+        "_metadata.row_index as a BroadcastHashJoin LeftAnti — the "
+        "fact scan never shuffles, and files without DVs read with no "
+        "join at all. On the WRITE side the bitmaps were built "
+        "executor-side (one grouped Arrow UDF over the covered files "
+        "only; the driver receives one compressed bitmap per file, "
+        "never row-level data), so a 100 TB table with deletes on k "
+        "files pays O(k files read) + O(k bitmaps), independent of "
+        "table size."
+    ),
     "sql_scalar_subquery_small_lot": (
         "Correlated scalar subquery per group (TPC-H Q17 shape) through "
         "the raw SQL entry point. Catalyst DECORRELATES: the per-part "
