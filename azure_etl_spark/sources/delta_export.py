@@ -101,20 +101,30 @@ _DELTA_OPS = {
 }
 
 
-def _dv_protocol_action(change_data: bool) -> dict:
-    """Protocol for a log that carries deletion vectors: reader 3 /
-    writer 7 with explicit feature lists (the table-features form).
-    ``changeDataFeed`` must be listed once writer 7 gates features, or
-    a real writer taking over would stop honoring the CDF config."""
-    wf = ["deletionVectors"] + (["changeDataFeed"] if change_data else [])
-    return {
-        "protocol": {
+def _protocol_for(dv: bool, checks: bool, change_data: bool) -> dict:
+    """The minimal protocol for the features the log has used so far.
+    Deletion vectors force the table-features form (reader 3 /
+    writer 7) with EVERY active writer feature listed — once writer 7
+    gates features, an unlisted ``changeDataFeed``/``checkConstraints``
+    would make a real writer stop honoring them. CHECK constraints
+    alone need only legacy writer 3; plain logs stay maximally
+    compatible at reader 1 / writer 2. Callers accumulate the flags
+    monotonically, so emitted protocols only ever upgrade."""
+    if dv:
+        wf = (
+            ["deletionVectors"]
+            + (["changeDataFeed"] if change_data else [])
+            + (["checkConstraints"] if checks else [])
+        )
+        return {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": sorted(wf),
         }
-    }
+    if checks:
+        return {"minReaderVersion": 1, "minWriterVersion": 3}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def _dv_state(spark: SparkSession, path: str, manifest: dict) -> dict:
@@ -463,8 +473,10 @@ def export_delta_log(
     emitted_cols: list | None = None  # None = no metaData in the log yet
     emitted_pcols: list | None = None
     emitted_txns: dict = {}
-    protocol_written = False
-    dv_protocol_emitted = False
+    emitted_constraints: dict | None = None
+    emitted_protocol: dict | None = None  # last protocol action this log saw
+    any_dv = False  # monotone feature flags: protocols only upgrade
+    any_checks = False
     log_has_adds = False
     start = todo[0]
     if start > offset:
@@ -476,7 +488,6 @@ def export_delta_log(
         # generations may still contain legacy commitInfo-only no-ops —
         # the exported JSON itself says which (a flagged no-op never
         # expressed its manifest), so walk back over those.
-        protocol_written = True
         pv = start - 1
         prev_manifest: dict | None = None
         fs, jvm = _fs(spark, path)
@@ -512,7 +523,7 @@ def export_delta_log(
                 # descriptors; decoding them (driver-side, metadata-
                 # sized) recovers the canonical bytes for change
                 # detection without re-running the matching job
-                dv_protocol_emitted = True  # an earlier run upgraded
+                any_dv = True  # an earlier run upgraded the protocol
                 from .roaring import serialize_dv as _ser_dv
 
                 log_state = replay_delta_log(spark, path)
@@ -526,7 +537,14 @@ def export_delta_log(
             emitted_cols = list(prev_manifest.get("columns", []))
             emitted_pcols = list(prev_manifest.get("partition_by", []))
             emitted_txns = dict(prev_manifest.get("txns", {}))
+            emitted_constraints = prev_manifest.get("constraints") or {
+                "not_null": [], "check": {},
+            }
+            any_checks = bool(emitted_constraints.get("check"))
             log_has_adds = bool(prev_files)
+        # what the log last expressed; identical re-emits are skipped,
+        # upgrades (new features this run) emit in place
+        emitted_protocol = _protocol_for(any_dv, any_checks, change_data)
     for v in todo:
         manifest = _load_manifest(spark, path, v)
         # merge-on-read delete entries export as real deletion vectors
@@ -559,20 +577,17 @@ def export_delta_log(
                 }
             }
         ]
-        if dv_state and not dv_protocol_emitted:
-            # first DV-carrying version this run: emit the
-            # table-features protocol (an in-log upgrade when a v1
-            # protocol is already on the log — legal, and re-emitting
-            # an identical protocol on a later run is an idempotent
-            # no-op for replay)
-            protocol_written = True
-            dv_protocol_emitted = True
-            actions.append(_dv_protocol_action(change_data))
-        elif not protocol_written:
-            protocol_written = True
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
+        cons = manifest.get("constraints") or {"not_null": [], "check": {}}
+        any_dv = any_dv or bool(dv_state)
+        any_checks = any_checks or bool(cons.get("check"))
+        proto = _protocol_for(any_dv, any_checks, change_data)
+        if proto != emitted_protocol:
+            # first version of a fresh log, or an in-log feature
+            # upgrade (legal; the flags are monotone so protocols only
+            # ever upgrade, and re-emitting an identical protocol on a
+            # later run would be an idempotent no-op for replay)
+            actions.append({"protocol": proto})
+            emitted_protocol = proto
         if emitted_pcols is not None and pcols != emitted_pcols:
             # snapshot partition evolution (append under a different —
             # or no — hive layout): Delta's metaData could be replaced,
@@ -585,22 +600,33 @@ def export_delta_log(
                 "(snapshot partition evolution), which the Delta protocol "
                 "cannot express — rewrite to a uniform layout to export"
             )
-        schema_changed = emitted_cols is None or (
-            list(manifest.get("columns", [])) != emitted_cols
+        meta_changed = (
+            emitted_cols is None
+            or list(manifest.get("columns", [])) != emitted_cols
+            or cons != (emitted_constraints or {"not_null": [], "check": {}})
         )
-        if schema_changed:
-            schema_string = read_snapshot(spark, path, v).schema.json()
+        if meta_changed:
+            # constraints ride the metaData exactly as Delta stores
+            # them: CHECK expressions as delta.constraints.<name>
+            # configuration entries, NOT NULL as nullable=false fields
+            schema_json = json.loads(read_snapshot(spark, path, v).schema.json())
+            nn = set(cons.get("not_null", []))
+            for fld in schema_json.get("fields", []):
+                if fld["name"] in nn:
+                    fld["nullable"] = False
+            conf = {"delta.enableChangeDataFeed": "true"} if change_data else {}
+            conf.update(
+                {f"delta.constraints.{k}": x
+                 for k, x in sorted(cons.get("check", {}).items())}
+            )
             actions.append(
                 {
                     "metaData": {
                         "id": table_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_string,
+                        "schemaString": json.dumps(schema_json),
                         "partitionColumns": pcols,
-                        "configuration": (
-                                {"delta.enableChangeDataFeed": "true"}
-                                if change_data else {}
-                            ),
+                        "configuration": conf,
                         "createdTime": ts,
                     }
                 }
@@ -717,6 +743,7 @@ def export_delta_log(
         emitted_cols = list(manifest.get("columns", []))
         emitted_pcols = pcols
         emitted_txns = dict(manifest.get("txns", {}))
+        emitted_constraints = cons
         if added:
             log_has_adds = True
     if written:
@@ -1327,6 +1354,28 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
             .parquet(f"{root}/{data_rel}")
             .columns
         )
+    # constraints ride the migration: Delta CHECK constraints live in
+    # metaData configuration (delta.constraints.<name>), NOT NULL as
+    # nullable=false schema fields (logical names either way) — they
+    # become the snapshot constraint set, enforced on every subsequent
+    # engine write exactly as the Delta writer enforced them
+    checks = {
+        k[len("delta.constraints."):]: x
+        for k, x in conf.items()
+        if k.startswith("delta.constraints.")
+    }
+    not_null = [
+        f["name"]
+        for f in json.loads(state["schema_string"] or '{"fields": []}').get(
+            "fields", []
+        )
+        if f.get("nullable") is False
+    ]
+    constraints = (
+        {"not_null": sorted(not_null), "check": checks}
+        if checks or not_null
+        else None
+    )
     deletes: list[dict] = []
     if dv_positions:
         # the adopted deletion vectors become ONE positional
@@ -1354,6 +1403,7 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         "txns": {k: int(v) for k, v in state["txns"].items()},
         "deletes": deletes,
         "columns": columns,
+        **({"constraints": constraints} if constraints else {}),
     }
     # the original log described the PRE-rename paths and must neither
     # be read by Delta readers nor arm the mirror hook — park it as

@@ -1042,3 +1042,86 @@ def test_cdf_export_partitioned_change_files(spark, tmp_path):
         for r in snapshot_changes(spark, path, 0).select(*cols).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_constraints_export_and_convert_roundtrip(spark, tmp_path):
+    """Snapshot constraints ride the log exactly as Delta stores them:
+    CHECK as delta.constraints.<name> configuration (legacy writer 3),
+    NOT NULL as nullable=false schema fields — and a convert on the
+    exported tree brings them back as ENFORCED snapshot constraints."""
+    import shutil
+
+    import pytest
+
+    from azure_etl_spark.sources.snapshot import (
+        MANIFEST_DIR,
+        SnapshotConstraintError,
+        _load_manifest,
+        set_snapshot_constraints,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    export_delta_log(spark, path)  # v0 exports at plain (1, 2)
+    set_snapshot_constraints(
+        spark, path, not_null=["k"], check={"amount_pos": "amount >= 0"}
+    )  # v1: metadata-only commit, mirrored by the hook
+    names = _log_files(path)
+    assert len(names) == 2
+    a0 = _actions(path, names[0])
+    assert next(a["protocol"] for a in a0 if "protocol" in a) == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    a1 = _actions(path, names[1])
+    proto1 = next(a["protocol"] for a in a1 if "protocol" in a)
+    assert proto1 == {"minReaderVersion": 1, "minWriterVersion": 3}
+    md1 = next(a["metaData"] for a in a1 if "metaData" in a)
+    assert md1["configuration"]["delta.constraints.amount_pos"] == "amount >= 0"
+    k_field = next(
+        f for f in json.loads(md1["schemaString"])["fields"] if f["name"] == "k"
+    )
+    assert k_field["nullable"] is False
+    assert not any("add" in a or "remove" in a for a in a1)
+
+    # adopt the exported tree as a foreign Delta table: constraints
+    # come back and are enforced on engine writes
+    dst = str(tmp_path / "dst")
+    shutil.copytree(path, dst)
+    shutil.rmtree(os.path.join(dst, MANIFEST_DIR))
+    convert_from_delta_log(spark, dst)
+    m = _load_manifest(spark, dst, 0)
+    assert m["constraints"] == {
+        "not_null": ["k"], "check": {"amount_pos": "amount >= 0"},
+    }
+    bad = _orders(spark, n=3, start=900).withColumn(
+        "amount", F.lit(-5).cast("long")
+    )
+    with pytest.raises(SnapshotConstraintError, match="amount_pos"):
+        write_snapshot(bad, dst, mode="append")
+
+
+def test_constraints_and_dv_compose_to_writer7(spark, tmp_path):
+    """CHECK constraints + a merge-on-read delete on one log: the DV
+    commit upgrades to the table-features protocol listing EVERY
+    active writer feature (deletionVectors, changeDataFeed,
+    checkConstraints)."""
+    from azure_etl_spark.sources.snapshot import set_snapshot_constraints
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    set_snapshot_constraints(spark, path, check={"k_pos": "k >= 0"})
+    export_delta_log(spark, path)
+    delete_from_snapshot(spark, path, [("grp", "=", 1)], mode="merge_on_read")
+    names = _log_files(path)
+    a2 = _actions(path, names[2])
+    proto = next(a["protocol"] for a in a2 if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) == {
+        "deletionVectors", "changeDataFeed", "checkConstraints",
+    }
+    # the DV commit did not lose the constraint config: replay's
+    # metaData still carries it
+    state = replay_delta_log(spark, path)
+    assert (
+        state["metaData"]["configuration"]["delta.constraints.k_pos"] == "k >= 0"
+    )
