@@ -1125,3 +1125,75 @@ def test_constraints_and_dv_compose_to_writer7(spark, tmp_path):
     assert (
         state["metaData"]["configuration"]["delta.constraints.k_pos"] == "k >= 0"
     )
+
+
+def test_cdf_export_mor_delete_commit(spark, tmp_path):
+    """A pure merge-on-read delete commit changes NO files (only DV
+    re-adds), yet its row-level effect must ride the CDF: the commit
+    carries cdc actions with the masked rows as deletes, and a
+    table_changes() replay from the log alone matches snapshot_changes
+    row-for-row — including a later restore that un-deletes them."""
+    from azure_etl_spark.sources.delta_export import table_changes
+    from azure_etl_spark.sources.snapshot import (
+        delete_keys_from_snapshot,
+        restore_snapshot,
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")            # v0
+    export_delta_log(spark, path)                                     # arm
+    delete_from_snapshot(
+        spark, path, [("grp", "=", 3)], mode="merge_on_read"
+    )                                                                 # v1
+    keys = spark.createDataFrame([(7,), (11,)], "k long")
+    delete_keys_from_snapshot(spark, path, keys, ["k"])               # v2
+    restore_snapshot(spark, path, 0)                                  # v3: un-delete
+
+    names = _log_files(path)
+    a1 = _actions(path, names[1])
+    cdc1 = [a["cdc"] for a in a1 if "cdc" in a]
+    assert cdc1, "MOR delete must carry cdc actions despite zero file changes"
+    a3 = _actions(path, names[3])
+    assert any("cdc" in a for a in a3), "restore un-delete must carry cdc"
+
+    cols = ["k", "grp", "amount", "_change_type", "_commit_version"]
+    got = sorted(
+        tuple(r) for r in table_changes(spark, path, 0).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in snapshot_changes(spark, path, 0).select(*cols).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_checkpoint_preserves_live_deletion_vectors(spark, tmp_path):
+    """A checkpoint written while DVs are LIVE must carry the
+    descriptors (protocol feature lists included); a convert seeded
+    from that checkpoint alone — pre-checkpoint commits deleted —
+    reproduces the masked rows."""
+    import shutil
+
+    from azure_etl_spark.sources.delta_export import write_delta_checkpoint
+    from azure_etl_spark.sources.snapshot import MANIFEST_DIR
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")            # v0
+    delete_from_snapshot(
+        spark, path, [("grp", "=", 4)], mode="merge_on_read"
+    )                                                                 # v1
+    export_delta_log(spark, path)
+    lc = write_delta_checkpoint(spark, path)
+    assert lc["version"] == 1
+    expected = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+
+    dst = str(tmp_path / "dst")
+    shutil.copytree(path, dst)
+    shutil.rmtree(os.path.join(dst, MANIFEST_DIR))
+    for name in _log_files(dst):
+        os.remove(os.path.join(dst, DELTA_LOG_DIR, name))  # checkpoint only
+    convert_from_delta_log(spark, dst)
+    got = sorted(r["k"] for r in read_snapshot(spark, dst).collect())
+    assert got == expected
+    assert 4 not in {k % 5 for k in got}
