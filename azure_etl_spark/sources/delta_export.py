@@ -470,6 +470,7 @@ def export_delta_log(
     prev_expressed: dict | None = None  # manifest whose files == prev_files
     prev_dvs: dict[str, bytes] = {}  # last EXPRESSED deletion vector per file
     prev_dv_descr: dict[str, dict] = {}  # ...and its on-log descriptor
+    dv_recovery_pending = False  # recover both from the log on first need
     emitted_cols: list | None = None  # None = no metaData in the log yet
     emitted_pcols: list | None = None
     emitted_txns: dict = {}
@@ -519,21 +520,12 @@ def export_delta_log(
             prev_files = {f: ps.get(f) for f in pf}
             prev_expressed = prev_manifest
             if prev_manifest.get("deletes"):
-                # the exported log itself holds the expressed DV
-                # descriptors; decoding them (driver-side, metadata-
-                # sized) recovers the canonical bytes for change
-                # detection without re-running the matching job
-                any_dv = True  # an earlier run upgraded the protocol
-                from .roaring import serialize_dv as _ser_dv
-
-                log_state = replay_delta_log(spark, path)
-                for rel, a in log_state["live"].items():
-                    dvd = a.get("deletionVector")
-                    if dvd:
-                        prev_dv_descr[rel] = dict(dvd)
-                        prev_dvs[rel] = _ser_dv(
-                            _decode_deletion_vector(spark, path, dvd)
-                        )
+                # an earlier run upgraded the protocol; recovery of the
+                # expressed DV bytes/descriptors is LAZY — a plain
+                # append carrying the entries unchanged never needs
+                # them, so the per-commit mirror stays O(new files)
+                any_dv = True
+                dv_recovery_pending = True
             emitted_cols = list(prev_manifest.get("columns", []))
             emitted_pcols = list(prev_manifest.get("partition_by", []))
             emitted_txns = dict(prev_manifest.get("txns", {}))
@@ -554,7 +546,32 @@ def export_delta_log(
         # mechanism delta-spark uses for DV DELETEs. Legacy exports
         # (pre-DV) left flagged no-op versions; those stay understood
         # on the incremental path but are never written anymore.
-        dv_state = _dv_state(spark, path, manifest)
+        # UNCHANGED entry sets skip the bitmap job entirely (the
+        # serialization is deterministic, so identical entries mean
+        # byte-identical DVs): a plain append on a MOR-carrying table
+        # mirrors at O(new files) like any other append.
+        entries = manifest.get("deletes") or []
+        prev_entries = (prev_expressed or {}).get("deletes") or []
+        if entries != prev_entries:
+            if dv_recovery_pending:
+                # the exported log itself holds the expressed DV
+                # descriptors; decoding them (driver-side, metadata-
+                # sized) recovers the canonical bytes for change
+                # detection without re-running the matching job
+                from .roaring import serialize_dv as _ser_dv
+
+                log_state = replay_delta_log(spark, path)
+                for rel, a in log_state["live"].items():
+                    dvd = a.get("deletionVector")
+                    if dvd:
+                        prev_dv_descr[rel] = dict(dvd)
+                        prev_dvs[rel] = _ser_dv(
+                            _decode_deletion_vector(spark, path, dvd)
+                        )
+                dv_recovery_pending = False
+            dv_state = _dv_state(spark, path, manifest)
+        else:
+            dv_state = None  # carried unchanged: nothing re-expresses
         files, stats = _manifest_files(spark, path, manifest)
         cur = {f: stats.get(f) for f in files}
         pcols = list(manifest.get("partition_by", []))
@@ -578,7 +595,7 @@ def export_delta_log(
             }
         ]
         cons = manifest.get("constraints") or {"not_null": [], "check": {}}
-        any_dv = any_dv or bool(dv_state)
+        any_dv = any_dv or bool(entries)
         any_checks = any_checks or bool(cons.get("check"))
         proto = _protocol_for(any_dv, any_checks, change_data)
         if proto != emitted_protocol:
@@ -649,16 +666,20 @@ def export_delta_log(
         # changing (a new MOR entry covering it, an entry narrowing, or
         # a restore dropping one): Delta's DV mechanism — remove + re-add
         # of the same path with the new descriptor, dataChange=true
-        readds = [
-            f
-            for f in cur
-            if f in prev_files
-            and prev_dvs.get(f) != (dv_state[f][0] if f in dv_state else None)
-        ]
+        readds = (
+            []  # unchanged entries -> byte-identical DVs, nothing re-adds
+            if dv_state is None
+            else [
+                f
+                for f in cur
+                if f in prev_files
+                and prev_dvs.get(f) != (dv_state[f][0] if f in dv_state else None)
+            ]
+        )
         added_set, readds_set = set(added), set(readds)
         dv_descr: dict[str, dict] = {}
         dv_files = sorted(
-            f for f in dv_state if f in added_set or f in readds_set
+            f for f in (dv_state or {}) if f in added_set or f in readds_set
         )
         if dv_files:
             payloads = [dv_state[f][0] for f in dv_files]
@@ -736,10 +757,12 @@ def export_delta_log(
         written.append(v)
         prev_files = cur
         prev_expressed = manifest
-        prev_dvs = {f: dv for f, (dv, _c) in dv_state.items()}
-        prev_dv_descr = {
-            f: dv_descr.get(f) or prev_dv_descr.get(f) for f in dv_state
-        }
+        if dv_state is not None:
+            prev_dvs = {f: dv for f, (dv, _c) in dv_state.items()}
+            prev_dv_descr = {
+                f: dv_descr.get(f) or prev_dv_descr.get(f) for f in dv_state
+            }
+        # dv_state None: entries carried unchanged — keep prior state
         emitted_cols = list(manifest.get("columns", []))
         emitted_pcols = pcols
         emitted_txns = dict(manifest.get("txns", {}))
