@@ -1221,7 +1221,9 @@ def _decode_deletion_vector(
             abs_path = dv["pathOrInlineDv"]
         fs, jvm = _fs(spark, abs_path)
         raw = _read_small_file(jvm, fs, _jpath(jvm, abs_path))
-        data = read_dv_from_file_bytes(raw, int(dv["offset"]), size)
+        # offset is optional in the descriptor; absent means the DV
+        # starts right after the file's format-version byte
+        data = read_dv_from_file_bytes(raw, int(dv.get("offset") or 1), size)
     else:
         raise SnapshotVersionError(
             f"unknown deletion-vector storageType {st!r}"

@@ -496,3 +496,44 @@ def test_convert_timestamp_ntz_feature(spark, tmp_path):
     out = read_snapshot(spark, path)
     assert out.count() == 2
     assert dict(out.dtypes)["ts"].startswith("timestamp")
+
+
+def test_dv_export_partitioned_table(spark, tmp_path):
+    """DV export on a hive-partitioned snapshot table: re-adds keep
+    their partitionValues, the DV masks apply per covered file, and the
+    full adopt-as-foreign-Delta round trip preserves both partitions
+    and masked rows."""
+    import shutil
+
+    from azure_etl_spark.sources.snapshot import MANIFEST_DIR, delete_from_snapshot
+
+    src = str(tmp_path / "psrc")
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    write_snapshot(df, src, partition_by=["bucket"])
+    delete_from_snapshot(spark, src, [("id", "between", (10, 20))], mode="merge_on_read")
+    export_delta_log(spark, src)
+    logs = sorted(
+        f for f in os.listdir(os.path.join(src, DELTA_LOG_DIR)) if f.endswith(".json")
+    )
+    acts = [
+        json.loads(ln)
+        for ln in open(os.path.join(src, DELTA_LOG_DIR, logs[-1])).read().splitlines()
+        if ln.strip()
+    ]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(a.get("deletionVector") for a in adds)
+    assert all(a["partitionValues"].get("bucket") in {"0", "1", "2"} for a in adds)
+
+    expected = sorted(
+        (r["id"], r["bucket"]) for r in read_snapshot(spark, src).collect()
+    )
+    dst = str(tmp_path / "pdst")
+    shutil.copytree(src, dst)
+    shutil.rmtree(os.path.join(dst, MANIFEST_DIR))
+    shutil.rmtree(os.path.join(dst, "deletes"), ignore_errors=True)
+    convert_from_delta_log(spark, dst)
+    got = sorted((r["id"], r["bucket"]) for r in read_snapshot(spark, dst).collect())
+    assert got == expected
+    assert not any(10 <= i <= 20 for i, _b in got)
