@@ -44,7 +44,7 @@ def _apply_random_op(spark, path, model, rng, next_id):
     the op label (for failure diagnostics) and the next fresh id."""
     op = rng.choice(
         ["append", "append", "overwrite", "delete_cow", "delete_mor",
-         "merge", "compact", "vacuum",
+         "delete_pos", "merge", "compact", "vacuum",
          "wap_publish", "wap_blocked", "wap_discard"]
     )
     if op == "append" or (op == "overwrite" and not model):
@@ -79,6 +79,28 @@ def _apply_random_op(spark, path, model, rng, next_id):
         for k in [k for k in model if k >= cut]:
             del model[k]
         return f"delete_mor(>={cut})", next_id
+    if op == "delete_pos":
+        # positional delete (the deletion-vector shape): pick a live
+        # file, learn its physical (row_index -> id) mapping, mask up
+        # to 2 positions. Masking an already-deleted row is idempotent
+        # on both the table and the model.
+        m = snap._load_manifest(spark, path, snap._resolve_version(spark, path, None))
+        files = snap._manifest_files(spark, path, m)[0]
+        f = rng.choice(sorted(files))
+        rows = (
+            spark.read.parquet(f"{path}/{f}")
+            .select(F.col("id"), F.col("_metadata.row_index").alias("p"))
+            .collect()
+        )
+        if not rows:
+            return "noop", next_id
+        picked = rng.sample(rows, k=min(2, len(rows)))
+        snap.delete_positions_from_snapshot(
+            spark, path, {f: [int(r["p"]) for r in picked]}
+        )
+        for r in picked:
+            model.pop(r["id"], None)
+        return f"delete_pos({len(picked)})", next_id
     if op == "merge":
         # update half the surviving ids, insert two fresh ones
         upd = {k: rng.randint(100, 199) for k in sorted(model)[::2]}
@@ -194,13 +216,16 @@ def test_random_op_sequences_keep_delta_mirror_faithful(spark, tmp_path, seed):
     """Round-9 composition property: arm the _delta_log mirror on the
     model table and random-walk the SAME op vocabulary (appends,
     overwrites, COW + MOR deletes, merges, compacts, vacuums, WAP) —
-    after every step where the log is expressible, replaying the
-    exported Delta log must name EXACTLY the table's live file set,
-    and reading those parquet files directly must equal the dict
-    model. A merge-on-read tip is the one inexpressible state: the
-    mirror intentionally falls behind (warns), and the next
-    materializing commit must bring it back in sync."""
+    after EVERY step (merge-on-read tips included — round 10 expresses
+    them as deletion vectors), replaying the exported Delta log must
+    name EXACTLY the table's live file set, and reading those parquet
+    files under the log's DV masks must equal the dict model. This is
+    the composition stress for the DV exporter: entries appearing,
+    narrowing (COW carries), vanishing (compact/restore/overwrite),
+    stacking (several MOR commits on one file), and interleaving with
+    vacuum + WAP, each mirrored by the commit hook alone."""
     from azure_etl_spark.sources.delta_export import (
+        _decode_deletion_vector,
         export_delta_log,
         replay_delta_log,
     )
@@ -216,31 +241,24 @@ def test_random_op_sequences_keep_delta_mirror_faithful(spark, tmp_path, seed):
     next_id += 4
     export_delta_log(spark, path)
     trace = []
-    behind = False
+    root = path.rstrip("/")
     for step in range(10):
         label, next_id = _apply_random_op(spark, path, model, rng, next_id)
         trace.append(label)
-        tip = snap._load_manifest(
-            spark, path, snap._resolve_version(spark, path, None)
-        )
-        if tip.get("deletes"):
-            behind = True  # MOR tip: reader-v1 can't express it; skip
-            continue
-        if behind:
-            # a materializing commit landed; the hook (or an explicit
-            # export) must catch the log up over the flagged no-ops
-            export_delta_log(spark, path)
-            behind = False
         state = replay_delta_log(spark, path)
         want_files = set(snap.resolve_scan(spark, path)[0])
         assert set(state["live"]) == want_files, (
             f"seed={seed} step={step} trace={trace}"
         )
-        root = path.rstrip("/")
-        got = {
-            r["id"]: r["val"]
-            for r in spark.read.parquet(
-                *[f"{root}/{f}" for f in sorted(state["live"])]
-            ).collect()
-        }
+        got: dict[int, int] = {}
+        for rel in sorted(state["live"]):
+            add = state["live"][rel]
+            df = spark.read.parquet(f"{root}/{rel}").select(
+                "id", "val", F.col("_metadata.row_index").alias("__p")
+            )
+            dv = add.get("deletionVector")
+            masked = set(_decode_deletion_vector(spark, path, dv)) if dv else set()
+            for r in df.collect():
+                if int(r["__p"]) not in masked:
+                    got[r["id"]] = r["val"]
         assert got == model, f"seed={seed} step={step} trace={trace}"
