@@ -122,6 +122,11 @@ def _protocol_for(dv: bool, checks: bool, change_data: bool) -> dict:
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": sorted(wf),
         }
+    if change_data:
+        # delta.enableChangeDataFeed requires writer 4 (which subsumes
+        # writer-3 CHECK constraints) — a writer held to less is not
+        # required to keep producing _change_data on its commits
+        return {"minReaderVersion": 1, "minWriterVersion": 4}
     if checks:
         return {"minReaderVersion": 1, "minWriterVersion": 3}
     return {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -242,6 +247,19 @@ def _log_name(version: int) -> str:
     return f"{version:020d}.json"
 
 
+def _dv_uid(dv: dict | None) -> str:
+    """Stable identity of a deletion vector for file-action
+    reconciliation — Delta keys add/remove pairs by (path, DV id), so
+    a DV swap's remove(path, old DV) must NOT be cancelled by the same
+    commit's add(path, new DV). Empty string = no DV."""
+    if not dv:
+        return ""
+    return (
+        f"{dv.get('storageType', '')}:{dv.get('pathOrInlineDv', '')}:"
+        f"{dv.get('offset') or 0}"
+    )
+
+
 _LOG_RE = re.compile(r"^(\d{20})\.json$")
 _OFFSET_NAME = ".snapshot_offset"
 
@@ -353,6 +371,20 @@ def _file_meta(spark: SparkSession, path: str, rel_files: list[str]) -> dict:
                 rel = p.split(prefix, 1)[1]
                 meta[rel] = (int(st.getLen()), int(st.getModificationTime()))
     return meta
+
+
+def _parquet_num_rows(spark: SparkSession, path: str, rel: str) -> int:
+    """Physical row count of one data file from its parquet FOOTER —
+    metadata-only, no data pages read. Needed when a DV-carrying add
+    has no collected stats (the protocol requires numRecords there)."""
+    import pyarrow.parquet as pq
+
+    fs, jvm = _fs(spark, path)
+    return int(
+        pq.ParquetFile(
+            _local_path(fs, _jpath(jvm, path, rel))
+        ).metadata.num_rows
+    )
 
 
 def _delta_stats(file_stats: dict | None, partition_cols: list[str]) -> str | None:
@@ -693,7 +725,9 @@ def export_delta_log(
         # the remove before the same path's re-add
         for f in sorted(removed + readds):
             rm = {
-                "path": quote(f, safe="/="),
+                # manifest paths are already URI-encoded; decode first
+                # so '%' is not double-encoded in the log
+                "path": quote(unquote(f), safe="/="),
                 "deletionTimestamp": ts,
                 "dataChange": True if f in readds_set else data_change,
             }
@@ -715,9 +749,11 @@ def export_delta_log(
                     "evolution), which the Delta protocol cannot express — "
                     "compact or rewrite to a uniform layout to export"
                 )
-            size, mtime = meta.get(f, (0, ts))
+            # _file_meta keys are literal FS names from the listing;
+            # manifest paths are their URI-encoded form
+            size, mtime = meta.get(unquote(f), (0, ts))
             add = {
-                "path": quote(f, safe="/="),
+                "path": quote(unquote(f), safe="/="),
                 "partitionValues": pv,
                 "size": size,
                 "modificationTime": mtime,
@@ -726,10 +762,20 @@ def export_delta_log(
                 "dataChange": True if f in readds_set else data_change,
             }
             st_json = _delta_stats(cur[f], pcols)
-            if st_json:
-                add["stats"] = st_json
             if f in dv_descr:
+                # the protocol requires numRecords (the PHYSICAL count)
+                # on any DV-carrying add, and the min/max are physical
+                # bounds that may cover deleted rows — declare them
+                # wide via tightBounds=false so metadata-only MIN/MAX
+                # readers never answer from a deleted row
+                st = json.loads(st_json) if st_json else {}
+                if st.get("numRecords") is None:
+                    st["numRecords"] = _parquet_num_rows(spark, path, f)
+                st["tightBounds"] = False
+                add["stats"] = json.dumps(st, sort_keys=True)
                 add["deletionVector"] = dv_descr[f]
+            elif st_json:
+                add["stats"] = st_json
             actions.append({"add": add})
         if (
             change_data
@@ -899,8 +945,8 @@ def write_delta_checkpoint(spark: SparkSession, path: str) -> dict:
     import time as _time
 
     horizon_ms = int(_time.time() * 1000) - _TOMBSTONE_RETENTION_MS
-    for rel in sorted(state["tombstones"]):
-        r = state["tombstones"][rel]
+    for key in sorted(state["tombstones"]):
+        r = state["tombstones"][key]
         dts = r.get("deletionTimestamp")
         if dts is not None and int(dts) < horizon_ms:
             continue
@@ -1046,7 +1092,7 @@ def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict
             [pq.read_table(f) for f in files], promote_options="permissive"
         ).to_pylist()
     live: dict[str, dict] = {}
-    tombstones: dict[str, dict] = {}
+    tombstones: dict[tuple[str, str], dict] = {}
     txns: dict[str, int] = {}
     meta = None
     protocol = None
@@ -1065,7 +1111,7 @@ def _load_checkpoint_state(spark: SparkSession, path: str, version: int) -> dict
             live[unquote(a["path"])] = a
         elif row.get("remove"):
             r = dict(row["remove"])
-            tombstones[unquote(r["path"])] = r
+            tombstones[(unquote(r["path"]), _dv_uid(r.get("deletionVector")))] = r
         elif row.get("txn"):
             txns[row["txn"]["appId"]] = int(row["txn"]["version"])
     return {"live": live, "tombstones": tombstones, "metaData": meta,
@@ -1101,7 +1147,7 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
     the state seeds from the checkpoint parquet and only LATER JSON
     commits replay — the same O(live files) open a real Delta reader
     does. Returns ``{"live": {rel_path: add_action}, "tombstones":
-    {rel_path: remove_action}, "schema_string", "partition_columns",
+    {(rel_path, dv_uid): remove_action}, "schema_string", "partition_columns",
     "metaData", "txns", "versions", "protocol"}`` (paths URL-decoded;
     ``versions`` spans checkpoint + JSON)."""
     fs, jvm = _fs(spark, path)
@@ -1113,7 +1159,7 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
     protocol = None
     start_after = -1
     versions: list[int] = []
-    tombstones: dict[str, dict] = {}
+    tombstones: dict[tuple[str, str], dict] = {}
     if lc is not None:
         seed = _load_checkpoint_state(spark, path, int(lc["version"]))
         live, txns = seed["live"], seed["txns"]
@@ -1152,14 +1198,18 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
                 # Delta keeps remove tombstones until the retention
                 # window expires so VACUUM can find (and only once
                 # handle) the dead files — popping them entirely would
-                # make a checkpoint lose un-expired tombstones
-                tombstones[rel] = r
+                # make a checkpoint lose un-expired tombstones. Keyed
+                # by (path, DV id): a DV swap tombstones the OLD
+                # (path, dv) entry, which the same commit's re-add
+                # (new dv) must not cancel.
+                tombstones[(rel, _dv_uid(r.get("deletionVector")))] = r
         for action in acts:
             if "add" in action:
                 a = action["add"]
                 rel = unquote(a["path"])
                 live[rel] = a
-                tombstones.pop(rel, None)  # re-added file is no tombstone
+                # a re-added (path, dv) identity is no tombstone
+                tombstones.pop((rel, _dv_uid(a.get("deletionVector"))), None)
     return {
         "live": live,
         "tombstones": tombstones,
@@ -1334,8 +1384,13 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
             v = add.get("partitionValues", {}).get(log2phys.get(c, c))
             segs.append(f"{c}={_HIVE_NULL if v is None else quote(str(v), safe='')}")
         target_rel = "/".join(segs + [flat])
-        tpath = _jpath(jvm, root, *segs, flat)
-        fs.mkdirs(_jpath(jvm, root, *segs))
+        # the manifest path keeps the URI-ENCODED segments (the
+        # engine-wide convention — stats keys from task-commit URIs are
+        # encoded the same way); the DISK directory is the literal
+        # decoded name, exactly like a Spark partitioned write
+        lit_segs = [unquote(s) for s in segs]
+        tpath = _jpath(jvm, root, *lit_segs, flat)
+        fs.mkdirs(_jpath(jvm, root, *lit_segs))
         if not fs.rename(_jpath(jvm, root, rel), tpath):
             raise SnapshotConflictError(
                 f"convert: rename of {rel} under {path} failed — "

@@ -192,7 +192,10 @@ class RoaringBitmapArray:
     def _deserialize32(buf: bytes, pos: int) -> tuple[set[int], int]:
         """Parse one 32-bit portable bitmap at ``pos``; returns (values,
         next position). Handles both cookies including run containers."""
-        (cookie,) = struct.unpack_from("<i", buf, pos)
+        # unsigned: with >= 32769 containers the run cookie's high half
+        # sets the sign bit, and a signed read would compute a negative
+        # container count and silently decode an EMPTY bitmap
+        (cookie,) = struct.unpack_from("<I", buf, pos)
         has_runs = (cookie & 0xFFFF) == SERIAL_COOKIE
         if has_runs:
             n = (cookie >> 16) + 1

@@ -791,15 +791,29 @@ def _read_files(
     vectors address) from the scan's ``_metadata`` column — it must
     happen HERE, per file-source scan, because metadata columns do not
     propagate through the union."""
+    from urllib.parse import unquote as _unq
+
     groups: dict[str, list[str]] = {}
     for f in rel_files:
         groups.setdefault(_base_dir_of(f), []).append(f)
     out = None
     for base, fl in sorted(groups.items()):
+        # manifest paths are the URI-ENCODED form of the literal
+        # on-disk names (stats keys are recorded from task-commit
+        # URIs: a partition value with a space lists as %20); Spark's
+        # reader wants the literal path, so decode here — and position
+        # matching stays in ENCODED space because _metadata.file_path
+        # is a URI too
         part = spark.read.option("basePath", f"{root}/{base}").parquet(
-            *[f"{root}/{f}" for f in fl]
+            *[f"{root}/{_unq(f)}" for f in fl]
         )
         if with_positions:
+            # _metadata.file_path is a URI (space -> %20 etc.) — and so
+            # are the manifest's relative paths (stats keys are recorded
+            # from task-commit URIs; convert builds its hive segments
+            # with quote()), so the two sides match byte-for-byte with
+            # NO decoding. Pinned by
+            # test_positional_delete_on_special_char_partition.
             part = part.withColumns(
                 {
                     _POS_FILE_COL: F.regexp_extract(

@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -151,7 +152,12 @@ def _partition_constants(m: dict, rel_file: str) -> list[tuple[str, object]]:
     part_cols = m.get("partition_by", [])
     if not part_cols:
         return []
-    st = m.get("stats", {}).get(rel_file)
+    stats = m.get("stats", {})
+    st = stats.get(rel_file)
+    if st is None:  # stats keys are URI-encoded; rel_file is literal
+        st = next(
+            (v for k, v in stats.items() if unquote(k) == rel_file), None
+        )
     out = []
     for c in part_cols:
         if st and c in st.get("min", {}) and st["min"][c] == st["max"][c]:
@@ -166,10 +172,15 @@ def _partition_constants(m: dict, rel_file: str) -> list[tuple[str, object]]:
 
 def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
     """Merge-on-read delete entries covering one file, with equality-
-    delete key paths made absolute for the executor-side read."""
+    delete key paths made absolute for the executor-side read.
+    ``rel_file`` is a LITERAL FS name (this source walks directories)
+    while entry file lists keep the manifest's URI-encoded form —
+    match through unquote, and hand positional entries the ENCODED
+    name their sidecar stores."""
     out = []
     for e in m.get("deletes", []):
-        if rel_file not in e.get("files", []):
+        enc_by_lit = {unquote(x): x for x in e.get("files", [])}
+        if rel_file not in enc_by_lit:
             continue
         if "keys_dir" in e:
             out.append(
@@ -179,7 +190,7 @@ def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
         elif "positions_dir" in e:
             out.append(
                 {"positions_path": os.path.join(table, e["positions_dir"]),
-                 "rel_file": rel_file}
+                 "rel_file": enc_by_lit[rel_file]}
             )
         else:
             out.append({"predicate": [list(p) for p in e["predicate"]]})
@@ -202,32 +213,42 @@ class _SnapshotFilePartition(InputPartition):
         self.deletes = deletes or []
 
 
+def _apply_position_mask_arrow(tbl, entries: list[dict]):
+    """Apply ALL positional delete entries covering one file to the
+    freshly-read pyarrow Table as a single mask over the ORIGINAL
+    physical row indexes (the caller runs this before any row-dropping
+    entry shifts positions; several entries' position sets union)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    masked: set[int] = set()
+    for entry in entries:
+        masked.update(
+            pq.read_table(
+                entry["positions_path"],
+                filters=[("file", "=", entry["rel_file"])],
+                columns=["pos"],
+            )["pos"].to_pylist()
+        )
+    if not masked:
+        return tbl
+    keep = [True] * tbl.num_rows
+    for p in masked:
+        if 0 <= p < tbl.num_rows:
+            keep[p] = False
+    return tbl.filter(pa.array(keep))
+
+
 def _apply_delete_arrow(tbl, entry: dict):
     """Apply one merge-on-read delete entry to a pyarrow Table — the
     executor-side mirror of sources/snapshot._apply_delete_entry:
     predicate entries drop matching rows via a compute filter, equality
-    deletes LEFT ANTI join the (small) key file, positional entries
-    (deletion vectors) mask the file's physical row indexes — the
-    caller applies them on the freshly-read table, before row-dropping
-    entries shift positions."""
+    deletes LEFT ANTI join the (small) key file. Positional entries go
+    through _apply_position_mask_arrow instead (all of a file's
+    position sets mask the original indexes together, first)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    if "positions_path" in entry:
-        import pyarrow as pa
-
-        pos = pq.read_table(
-            entry["positions_path"],
-            filters=[("file", "=", entry["rel_file"])],
-            columns=["pos"],
-        )["pos"].to_pylist()
-        if not pos:
-            return tbl
-        keep = [True] * tbl.num_rows
-        for p in pos:
-            if 0 <= p < tbl.num_rows:
-                keep[p] = False
-        return tbl.filter(pa.array(keep))
     if "predicate" in entry:
         cond = None
         for col, op, val in entry["predicate"]:
@@ -459,7 +480,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.abs_path)
+        # ALL positional entries must mask against the ORIGINAL physical
+        # row indexes — applying them one at a time would let the first
+        # filter shift the indexes the second one addresses — so their
+        # position sets union into one mask applied first (deletes
+        # commute as sets, making the merge exact)
+        pos_entries = [e for e in partition.deletes if "positions_path" in e]
+        if pos_entries:
+            tbl = _apply_position_mask_arrow(tbl, pos_entries)
         for entry in partition.deletes:
+            if "positions_path" in entry:
+                continue
             tbl = _apply_delete_arrow(tbl, entry)
         n = tbl.num_rows
         consts = dict(partition.part_values)

@@ -83,7 +83,8 @@ def test_export_action_structure_and_roundtrip(spark, tmp_path):
     assert kinds0[0] == "commitInfo"
     assert "protocol" in kinds0 and "metaData" in kinds0
     proto = next(a["protocol"] for a in a0 if "protocol" in a)
-    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # change-data is exported by default and requires writer 4
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 4}
     md = next(a["metaData"] for a in a0 if "metaData" in a)
     schema = json.loads(md["schemaString"])
     assert [f["name"] for f in schema["fields"]] == ["k", "grp", "amount"]
@@ -691,8 +692,8 @@ def test_checkpoint_retains_unexpired_tombstones(spark, tmp_path):
     seed = _load_checkpoint_state(spark, path, lc["version"])
     from urllib.parse import unquote
 
-    assert set(seed["tombstones"]) == {unquote(p) for p in removed}
-    assert not (set(seed["tombstones"]) & set(seed["live"]))
+    assert {k[0] for k in seed["tombstones"]} == {unquote(p) for p in removed}
+    assert not ({k[0] for k in seed["tombstones"]} & set(seed["live"]))
 
     # age the tombstones out: rewrite the delete commit with an ancient
     # deletionTimestamp and re-checkpoint -> expired removes are dropped
@@ -1070,11 +1071,11 @@ def test_constraints_export_and_convert_roundtrip(spark, tmp_path):
     assert len(names) == 2
     a0 = _actions(path, names[0])
     assert next(a["protocol"] for a in a0 if "protocol" in a) == {
-        "minReaderVersion": 1, "minWriterVersion": 2,
+        "minReaderVersion": 1, "minWriterVersion": 4,  # CDF-enabled log
     }
     a1 = _actions(path, names[1])
-    proto1 = next(a["protocol"] for a in a1 if "protocol" in a)
-    assert proto1 == {"minReaderVersion": 1, "minWriterVersion": 3}
+    # writer 4 already subsumes writer-3 CHECK constraints: no upgrade
+    assert not any("protocol" in a for a in a1)
     md1 = next(a["metaData"] for a in a1 if "metaData" in a)
     assert md1["configuration"]["delta.constraints.amount_pos"] == "amount >= 0"
     k_field = next(
@@ -1197,3 +1198,67 @@ def test_checkpoint_preserves_live_deletion_vectors(spark, tmp_path):
     got = sorted(r["k"] for r in read_snapshot(spark, dst).collect())
     assert got == expected
     assert 4 not in {k % 5 for k in got}
+
+
+def test_dv_adds_carry_tightbounds_false_and_numrecords(spark, tmp_path):
+    """Protocol writer requirement: a DV-carrying add's stats must
+    include the PHYSICAL numRecords, and its min/max become wide bounds
+    (tightBounds=false) so a metadata-only MIN/MAX reader never answers
+    from a deleted row — including when the snapshot collected no stats
+    at all (numRecords then comes from the parquet footer)."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    delete_from_snapshot(spark, path, [("grp", "=", 0)], mode="merge_on_read")
+    export_delta_log(spark, path)
+    a1 = _actions(path, _log_files(path)[1])
+    adds = [a["add"] for a in a1 if "add" in a]
+    assert adds
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert st["tightBounds"] is False
+        assert st["numRecords"] and st["numRecords"] > 0
+
+    # no-stats table: footer-derived numRecords
+    path2 = str(tmp_path / "nostats")
+    write_snapshot(_orders(spark), path2, mode="overwrite", collect_stats=False)
+    delete_from_snapshot(spark, path2, [("grp", "=", 1)], mode="merge_on_read")
+    export_delta_log(spark, path2)
+    a1 = _actions(path2, _log_files(path2)[1])
+    adds = [a["add"] for a in a1 if "add" in a]
+    assert adds  # no stats -> every file is covered
+    sts = [json.loads(a["stats"]) for a in adds]
+    assert all(st["tightBounds"] is False and st["numRecords"] > 0 for st in sts)
+    assert sum(st["numRecords"] for st in sts) == 60  # physical counts
+
+
+def test_dv_swap_retains_old_tombstone_in_checkpoint(spark, tmp_path):
+    """A second MOR delete swaps a file's DV in one commit
+    (remove(path, old DV) + add(path, new DV)); reconciliation is by
+    (path, DV id), so the OLD descriptor's tombstone must survive into
+    checkpoints until retention expires — a real writer's VACUUM finds
+    the superseded .bin through it."""
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import write_delta_checkpoint
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    export_delta_log(spark, path)
+    delete_from_snapshot(spark, path, [("k", "=", 5)], mode="merge_on_read")
+    delete_from_snapshot(spark, path, [("k", "=", 9)], mode="merge_on_read")
+    state = replay_delta_log(spark, path)
+    # the swap's old-DV tombstone is present, keyed distinctly
+    dv_tombs = [k for k in state["tombstones"] if k[1]]
+    assert dv_tombs, "superseded DV descriptor must remain a tombstone"
+    lc = write_delta_checkpoint(spark, path)
+    cp = os.path.join(
+        path, DELTA_LOG_DIR, f"{lc['version']:020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(cp).to_pylist()
+    cp_removes = [r["remove"] for r in rows if r.get("remove")]
+    assert any(r.get("deletionVector") for r in cp_removes)
+    # and the re-seeded replay still shows the LIVE add with the NEW DV
+    seed = replay_delta_log(spark, path)
+    live_dvs = [a["deletionVector"] for a in seed["live"].values()
+                if a.get("deletionVector")]
+    assert len(live_dvs) == 1

@@ -155,3 +155,62 @@ def test_positional_streaming_source_applies_mask(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["id"] for r in spark.table("snap_posdel").collect())
     assert got == sorted(set(range(30)) - {0, 9, 3})
+
+
+def test_two_positional_entries_same_file_streaming(spark, tmp_path):
+    """Two positional delete commits on the SAME file: the streaming
+    arrow mask must address ORIGINAL physical indexes for both — the
+    first entry's filter must not shift what the second one masks."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    f0, _f1, _f2 = _three_file_table(spark, path)
+    delete_positions_from_snapshot(spark, path, {f0: [0]})  # id 0
+    delete_positions_from_snapshot(spark, path, {f0: [5]})  # id 5 (NOT 6)
+    # batch read path
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == sorted(set(range(30)) - {0, 5})
+    # streaming path
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_pos2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.table("snap_pos2").collect())
+    assert got == sorted(set(range(30)) - {0, 5})
+
+
+def test_positional_delete_on_special_char_partition(spark, tmp_path):
+    """Partition values with spaces/specials: the manifest's relative
+    paths are URI-encoded (space -> %20, recorded from task-commit
+    URIs) and so is _metadata.file_path — the position match relies on
+    that byte-for-byte agreement, pinned here. The on-disk directory
+    is the literal decoded name."""
+    import os
+
+    from azure_etl_spark.sources.snapshot import _manifest_files
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "North America" if i < 5 else "EMEA+APAC", i * 2) for i in range(10)],
+        "id long, region string, val long",
+    ).coalesce(1).sortWithinPartitions("id")
+    write_snapshot(df, path, partition_by=["region"])
+    m = _load_manifest(spark, path, 0)
+    files = _manifest_files(spark, path, m)[0]
+    na_file = next(f for f in files if "North%20America" in f)
+    plus_file = next(f for f in files if "EMEA+APAC" in f)
+    data_dir = os.path.join(path, na_file.split("/")[0], na_file.split("/")[1])
+    assert os.path.isdir(os.path.dirname(os.path.join(path, na_file))) is False
+    assert any("North America" in d for d in os.listdir(data_dir))
+    # physical row 0 of each partition file = its lowest id
+    delete_positions_from_snapshot(spark, path, {na_file: [0], plus_file: [0]})
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == [1, 2, 3, 4, 6, 7, 8, 9]

@@ -210,3 +210,27 @@ def test_inline_dv_padding_roundtrip():
     assert decode_inline_dv(enc, size) == p
     with pytest.raises(ValueError):
         decode_inline_dv(enc, size + 8)
+
+
+def test_reader_handles_huge_run_cookie_container_count():
+    """>= 32769 containers set the run cookie's sign bit; a signed read
+    would compute a NEGATIVE count and silently decode an empty bitmap
+    (resurrecting every deleted row on convert). 40000 single-value
+    array containers under the run cookie must decode exactly."""
+    n = 40_000
+    cookie = (SERIAL_COOKIE | ((n - 1) << 16)) & 0xFFFFFFFF
+    assert cookie >= 0x8000_0000  # the dangerous range
+    out = bytearray(struct.pack("<I", cookie))
+    out += bytes((n + 7) // 8)  # no run containers
+    for k in range(n):
+        out += struct.pack("<HH", k, 0)  # cardinality 1 each
+    base = len(out) + 4 * n
+    for k in range(n):
+        out += struct.pack("<I", base + 2 * k)  # offset header (n >= 4)
+    for k in range(n):
+        out += struct.pack("<H", k % 7)
+    payload = struct.pack("<iq", MAGIC_PORTABLE, 1) + struct.pack("<I", 0) + bytes(out)
+    got = deserialize_dv(payload)
+    assert len(got) == n
+    assert got[:3] == [(0 << 16) | 0, (1 << 16) | 1, (2 << 16) | 2]
+    assert got[-1] == ((n - 1) << 16) | ((n - 1) % 7)
