@@ -135,7 +135,10 @@ def _effective_ref_stats(table: str, refs: list[str]) -> dict:
 
 
 def _manifest_files(table: str, m: dict) -> list[str]:
-    files = list(m.get("data_files", []))
+    # explicit data_files are manifest (URI-encoded) names; this
+    # source works in LITERAL names throughout (its file lists come
+    # from directory walks), so decode at the boundary
+    files = [unquote(f) for f in m.get("data_files", [])]
     for d in m["data_dirs"]:
         base = os.path.join(table, d)
         for dirpath, _dirs, names in os.walk(base):
