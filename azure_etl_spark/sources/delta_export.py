@@ -164,7 +164,12 @@ def _dv_state(spark: SparkSession, path: str, manifest: dict) -> dict:
     df = _read_files(spark, root, covered, with_positions=True)
     matched = None
     for e in entries:
-        scoped = df.filter(F.col(_POS_FILE_COL).isin(list(e["files"])))
+        # entry file lists are manifest (URI-encoded) names; the scan's
+        # position column is the LITERAL decoded path — DV bookkeeping
+        # lives in literal space engine-wide
+        scoped = df.filter(
+            F.col(_POS_FILE_COL).isin([unquote(x) for x in e["files"]])
+        )
         m = _match_delete_entry(spark, root, scoped, e).select(
             _POS_FILE_COL, _POS_IDX_COL
         )
@@ -277,25 +282,35 @@ def _exported_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def _load_offset(spark: SparkSession, path: str) -> int | None:
-    """Delta-log version = snapshot version - offset. A fresh table
-    exports with offset 0 (numbering identical, Delta time travel ==
-    snapshot time travel); a table whose early manifests were vacuumed
-    before the log was armed pins offset = first surviving version, so
-    the log still starts at the 0 Delta readers require."""
+def _load_export_meta(spark: SparkSession, path: str) -> dict | None:
+    """The exporter's sidecar: ``{"offset": N, "protocol": {...}}``.
+    Offset: delta-log version = snapshot version - offset (a fresh
+    table exports with offset 0 so Delta time travel == snapshot time
+    travel; a table whose early manifests were vacuumed before the log
+    was armed pins offset = first surviving version, keeping the 0
+    readers require). Protocol: the LAST protocol action actually
+    emitted into the log, so incremental runs know exactly what the
+    log declares without replaying it — recomputing from current rules
+    would silently skip upgrades on logs written by earlier exporter
+    generations."""
     fs, jvm = _fs(spark, path)
     p = _jpath(jvm, path, DELTA_LOG_DIR, _OFFSET_NAME)
     if not fs.exists(p):
         return None
-    return int(json.loads(_read_small_file(jvm, fs, p).decode("utf-8"))["offset"])
+    return json.loads(_read_small_file(jvm, fs, p).decode("utf-8"))
 
 
-def _store_offset(spark: SparkSession, path: str, offset: int) -> None:
+def _store_export_meta(
+    spark: SparkSession, path: str, offset: int, protocol: dict | None = None
+) -> None:
     fs, jvm = _fs(spark, path)
     fs.mkdirs(_jpath(jvm, path, DELTA_LOG_DIR))
+    payload: dict = {"offset": offset}
+    if protocol is not None:
+        payload["protocol"] = protocol
     stream = fs.create(_jpath(jvm, path, DELTA_LOG_DIR, _OFFSET_NAME), True)
     try:
-        stream.write(bytearray(json.dumps({"offset": offset}).encode("utf-8")))
+        stream.write(bytearray(json.dumps(payload).encode("utf-8")))
     finally:
         stream.close()
 
@@ -475,18 +490,22 @@ def export_delta_log(
         )
     if upto_version is None:
         upto_version = versions[-1]
-    offset = _load_offset(spark, path)
-    if offset is None:
+    export_meta = _load_export_meta(spark, path)
+    cached_protocol: dict | None = (export_meta or {}).get("protocol")
+    if export_meta is None:
         # arming the mirror: pin the numbering base at the earliest
         # surviving manifest (0 for an unvacuumed table)
         offset = versions[0]
-        _store_offset(spark, path, offset)
+        _store_export_meta(spark, path, offset)
+    else:
+        offset = int(export_meta["offset"])
     done = {d + offset for d in _exported_versions(spark, path)}
     todo = [v for v in versions if v <= upto_version and v not in done]
     if not todo:
         return []
     table_id = _table_id(path)
     written: list[int] = []
+    protocol_dirty = False
     # Tracking is in terms of what the LOG has EMITTED, not the raw
     # previous manifest: merge-on-read no-op versions advance the
     # manifest chain without emitting file/metaData/txn actions, so
@@ -566,9 +585,15 @@ def export_delta_log(
             }
             any_checks = bool(emitted_constraints.get("check"))
             log_has_adds = bool(prev_files)
-        # what the log last expressed; identical re-emits are skipped,
+        # what the log last expressed: exact from the sidecar cache
+        # when present (written whenever a protocol action lands);
+        # the rules-based reconstruction is the fallback for logs whose
+        # sidecar predates the cache — identical re-emits are skipped,
         # upgrades (new features this run) emit in place
-        emitted_protocol = _protocol_for(any_dv, any_checks, change_data)
+        emitted_protocol = cached_protocol or _protocol_for(
+            any_dv, any_checks, change_data
+        )
+        any_dv = any_dv or emitted_protocol.get("minReaderVersion", 1) >= 3
     for v in todo:
         manifest = _load_manifest(spark, path, v)
         # merge-on-read delete entries export as real deletion vectors
@@ -627,7 +652,7 @@ def export_delta_log(
             }
         ]
         cons = manifest.get("constraints") or {"not_null": [], "check": {}}
-        any_dv = any_dv or bool(entries)
+        any_dv = any_dv or bool(dv_state)
         any_checks = any_checks or bool(cons.get("check"))
         proto = _protocol_for(any_dv, any_checks, change_data)
         if proto != emitted_protocol:
@@ -637,6 +662,7 @@ def export_delta_log(
             # later run would be an idempotent no-op for replay)
             actions.append({"protocol": proto})
             emitted_protocol = proto
+            protocol_dirty = True
         if emitted_pcols is not None and pcols != emitted_pcols:
             # snapshot partition evolution (append under a different —
             # or no — hive layout): Delta's metaData could be replaced,
@@ -698,6 +724,8 @@ def export_delta_log(
         # changing (a new MOR entry covering it, an entry narrowing, or
         # a restore dropping one): Delta's DV mechanism — remove + re-add
         # of the same path with the new descriptor, dataChange=true
+        # DV bookkeeping keys are LITERAL (decoded) paths engine-wide;
+        # manifest file lists stay URI-encoded — decode at each compare
         readds = (
             []  # unchanged entries -> byte-identical DVs, nothing re-adds
             if dv_state is None
@@ -705,20 +733,28 @@ def export_delta_log(
                 f
                 for f in cur
                 if f in prev_files
-                and prev_dvs.get(f) != (dv_state[f][0] if f in dv_state else None)
+                and prev_dvs.get(unquote(f))
+                != (
+                    dv_state[unquote(f)][0]
+                    if unquote(f) in dv_state
+                    else None
+                )
             ]
         )
         added_set, readds_set = set(added), set(readds)
-        dv_descr: dict[str, dict] = {}
+        dv_descr: dict[str, dict] = {}  # literal path -> descriptor
         dv_files = sorted(
-            f for f in (dv_state or {}) if f in added_set or f in readds_set
+            f
+            for f in cur
+            if unquote(f) in (dv_state or {})
+            and (f in added_set or f in readds_set)
         )
         if dv_files:
-            payloads = [dv_state[f][0] for f in dv_files]
+            payloads = [dv_state[unquote(f)][0] for f in dv_files]
             descrs = _write_dv_file(spark, path, payloads)
             for f, d in zip(dv_files, descrs):
-                d["cardinality"] = dv_state[f][1]
-                dv_descr[f] = d
+                d["cardinality"] = dv_state[unquote(f)][1]
+                dv_descr[unquote(f)] = d
         # removes FIRST: Delta reconciles file actions by
         # (path, DV uniqueId), so a remove superseding a DV'd add must
         # carry the OLD descriptor; and a line-order replayer must see
@@ -731,8 +767,8 @@ def export_delta_log(
                 "deletionTimestamp": ts,
                 "dataChange": True if f in readds_set else data_change,
             }
-            if f in prev_dv_descr:
-                rm["deletionVector"] = prev_dv_descr[f]
+            if unquote(f) in prev_dv_descr:
+                rm["deletionVector"] = prev_dv_descr[unquote(f)]
             actions.append({"remove": rm})
         meta = _file_meta(spark, path, added + readds) if added or readds else {}
         for f in sorted(added + readds):
@@ -762,7 +798,7 @@ def export_delta_log(
                 "dataChange": True if f in readds_set else data_change,
             }
             st_json = _delta_stats(cur[f], pcols)
-            if f in dv_descr:
+            if unquote(f) in dv_descr:
                 # the protocol requires numRecords (the PHYSICAL count)
                 # on any DV-carrying add, and the min/max are physical
                 # bounds that may cover deleted rows — declare them
@@ -770,10 +806,10 @@ def export_delta_log(
                 # readers never answer from a deleted row
                 st = json.loads(st_json) if st_json else {}
                 if st.get("numRecords") is None:
-                    st["numRecords"] = _parquet_num_rows(spark, path, f)
+                    st["numRecords"] = _parquet_num_rows(spark, path, unquote(f))
                 st["tightBounds"] = False
                 add["stats"] = json.dumps(st, sort_keys=True)
-                add["deletionVector"] = dv_descr[f]
+                add["deletionVector"] = dv_descr[unquote(f)]
             elif st_json:
                 add["stats"] = st_json
             actions.append({"add": add})
@@ -809,12 +845,17 @@ def export_delta_log(
                 f: dv_descr.get(f) or prev_dv_descr.get(f) for f in dv_state
             }
         # dv_state None: entries carried unchanged — keep prior state
+        # (keys in both dicts are LITERAL paths)
         emitted_cols = list(manifest.get("columns", []))
         emitted_pcols = pcols
         emitted_txns = dict(manifest.get("txns", {}))
         emitted_constraints = cons
         if added:
             log_has_adds = True
+    if protocol_dirty:
+        # cache what the log now declares, so the next incremental run
+        # resumes from the EXACT emitted protocol
+        _store_export_meta(spark, path, offset, protocol=emitted_protocol)
     if written:
         # Delta-writer convention: checkpoint periodically so readers
         # open the table in O(live files), not O(commits)
@@ -1371,10 +1412,20 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         return {phys2log.get(k, k): v for k, v in (d or {}).items()}
 
     stats: dict[str, dict] = {}
-    dv_positions: dict[str, list[int]] = {}
+    dv_positions: dict[str, list[int]] = {}  # LITERAL target path -> positions
+    dv_covered: list[str] = []  # manifest-form names for the entry's coverage
     for rel, add in sorted(state["live"].items()):
         parts = rel.split("/")
-        flat = "__".join(parts) if len(parts) > 1 else parts[0]
+        flat_raw = "__".join(parts) if len(parts) > 1 else parts[0]
+        # the FILE segment is sanitized to the URI-safe charset so its
+        # literal, encoded, and _metadata.file_path forms coincide
+        # (hive SEGMENTS handle specials via the encode/decode pair; a
+        # digest prefix keeps sanitized foreign names collision-free)
+        flat = re.sub(r"[^A-Za-z0-9._-]", "_", flat_raw)
+        if flat != flat_raw:
+            import hashlib
+
+            flat = f"{hashlib.md5(flat_raw.encode()).hexdigest()[:8]}-{flat}"
         segs = [data_rel]
         for c in pcols:
             # column-mapping tables key partitionValues (and stats) by
@@ -1397,7 +1448,11 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
                 "concurrent modification during convert?"
             )
         if rel in dv_positions_orig:
-            dv_positions[target_rel] = dv_positions_orig[rel]
+            # positions sidecars live in LITERAL path space (what the
+            # scan's decoded _metadata.file_path yields); the entry's
+            # coverage list gets the manifest-form name separately
+            dv_positions["/".join(lit_segs + [flat])] = dv_positions_orig[rel]
+            dv_covered.append(target_rel)
         st = json.loads(add["stats"]) if add.get("stats") else None
         if st:
             # DV'd files keep their PHYSICAL stats: min/max stay
@@ -1465,7 +1520,7 @@ def convert_from_delta_log(spark: SparkSession, path: str) -> int:
         pos_rel = f"{DELETES_DIR}/pos-v0-{uuid.uuid4().hex[:8]}"
         _write_positions_parquet(spark, root, pos_rel, dv_positions)
         deletes.append(
-            {"id": 0, "positions_dir": pos_rel, "files": sorted(dv_positions)}
+            {"id": 0, "positions_dir": pos_rel, "files": sorted(dv_covered)}
         )
     manifest = {
         "version": 0,

@@ -808,16 +808,22 @@ def _read_files(
             *[f"{root}/{_unq(f)}" for f in fl]
         )
         if with_positions:
-            # _metadata.file_path is a URI (space -> %20 etc.) — and so
-            # are the manifest's relative paths (stats keys are recorded
-            # from task-commit URIs; convert builds its hive segments
-            # with quote()), so the two sides match byte-for-byte with
-            # NO decoding. Pinned by
+            # position bookkeeping lives in LITERAL path space:
+            # _metadata.file_path is a URI (space -> %20 etc.), so
+            # percent-decode it here. url_decode is form-decoding
+            # ('+' -> space), which exact URI decoding must not do —
+            # literal '+' is pre-escaped. Position sidecars store the
+            # same literal names. Pinned by
             # test_positional_delete_on_special_char_partition.
+            decoded = F.url_decode(
+                F.replace(
+                    F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+                )
+            )
             part = part.withColumns(
                 {
                     _POS_FILE_COL: F.regexp_extract(
-                        F.col("_metadata.file_path"), f".*/({DATA_DIR}/.*)$", 1
+                        decoded, f".*/({DATA_DIR}/.*)$", 1
                     ),
                     _POS_IDX_COL: F.col("_metadata.row_index"),
                 }
@@ -1781,19 +1787,26 @@ def delete_positions_from_snapshot(
     of 0-based row indexes; every named file must be live at
     ``version``. Returns ``{"version", "files_covered",
     "n_positions"}``; an empty mapping is a no-op."""
+    from urllib.parse import unquote as _unq
+
     version = _resolve_version(spark, path, version)
     parent = _load_manifest(spark, path, version)
-    positions = {f: sorted(set(p)) for f, p in positions.items() if p}
+    # callers may name files in manifest (URI-encoded) or literal form;
+    # normalize to LITERAL (the sidecar's space) and keep the
+    # manifest-form names for the entry's coverage list
+    positions = {_unq(f): sorted(set(p)) for f, p in positions.items() if p}
     if not positions:
         return {"version": version, "files_covered": 0, "n_positions": 0}
-    live = set(_manifest_files(spark, path, parent)[0])
-    missing = sorted(set(positions) - live)
+    live_by_lit = {
+        _unq(m): m for m in _manifest_files(spark, path, parent)[0]
+    }
+    missing = sorted(set(positions) - set(live_by_lit))
     if missing:
         raise SnapshotVersionError(
             f"positional delete names files not live at v{version}: "
             f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
         )
-    touched = sorted(positions)
+    touched = sorted(live_by_lit[f] for f in positions)
     n_pos = sum(len(p) for p in positions.values())
     root = path.rstrip("/")
 

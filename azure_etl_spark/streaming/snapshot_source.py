@@ -178,12 +178,17 @@ def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
     delete key paths made absolute for the executor-side read.
     ``rel_file`` is a LITERAL FS name (this source walks directories)
     while entry file lists keep the manifest's URI-encoded form —
-    match through unquote, and hand positional entries the ENCODED
-    name their sidecar stores."""
+    match through unquote (decoded coverage sets are cached on the
+    entry dict so planning stays O(files), not O(files^2)). Position
+    sidecars store literal names, so positional entries get
+    ``rel_file`` as-is."""
     out = []
     for e in m.get("deletes", []):
-        enc_by_lit = {unquote(x): x for x in e.get("files", [])}
-        if rel_file not in enc_by_lit:
+        lit_files = e.get("_lit_files")
+        if lit_files is None:
+            lit_files = {unquote(x) for x in e.get("files", [])}
+            e["_lit_files"] = lit_files
+        if rel_file not in lit_files:
             continue
         if "keys_dir" in e:
             out.append(
@@ -193,7 +198,7 @@ def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
         elif "positions_dir" in e:
             out.append(
                 {"positions_path": os.path.join(table, e["positions_dir"]),
-                 "rel_file": enc_by_lit[rel_file]}
+                 "rel_file": rel_file}
             )
         else:
             out.append({"predicate": [list(p) for p in e["predicate"]]})

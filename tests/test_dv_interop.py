@@ -537,3 +537,124 @@ def test_dv_export_partitioned_table(spark, tmp_path):
     got = sorted((r["id"], r["bucket"]) for r in read_snapshot(spark, dst).collect())
     assert got == expected
     assert not any(10 <= i <= 20 for i, _b in got)
+
+
+def test_dv_mirror_on_special_char_partitions(spark, tmp_path):
+    """DV export + incremental mirror resume on a table partitioned by
+    values with spaces and '+': bookkeeping keys are LITERAL paths on
+    both the in-run and the resume (log-replay) sides, so a second MOR
+    delete re-adds with the UNION bitmap and a remove carrying the
+    superseded descriptor — and the masked replay equals the table."""
+    from azure_etl_spark.sources.delta_export import _decode_deletion_vector
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "North America" if i < 10 else "EMEA+APAC", i * 10) for i in range(20)],
+        "id long, region string, val long",
+    ).coalesce(1).sortWithinPartitions("id")
+    write_snapshot(df, path, partition_by=["region"])
+    export_delta_log(spark, path)  # arm
+    delete_from_snapshot(spark, path, [("id", "between", (2, 4))], mode="merge_on_read")
+    # resume path: entries change again -> recovery decodes prior DVs;
+    # same covered file, so the new commit SUPERSEDES its DV
+    delete_from_snapshot(spark, path, [("id", "=", 7)], mode="merge_on_read")
+
+    state = replay_delta_log(spark, path)
+    root = path.rstrip("/")
+    got = set()
+    for rel, add in state["live"].items():
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+
+        tbl = pq.read_table(f"{root}/{unquote(rel)}")
+        masked = set()
+        if add.get("deletionVector"):
+            masked = set(_decode_deletion_vector(spark, path, add["deletionVector"]))
+        for pos, i in enumerate(tbl["id"].to_pylist()):
+            if pos not in masked:
+                got.add(i)
+    want = set(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == want == set(range(20)) - {2, 3, 4, 7}
+    # the second MOR commit superseded a DV: its remove carries it
+    logs = sorted(
+        f for f in os.listdir(os.path.join(path, DELTA_LOG_DIR)) if f.endswith(".json")
+    )
+    acts = [
+        json.loads(ln)
+        for ln in open(os.path.join(path, DELTA_LOG_DIR, logs[-1])).read().splitlines()
+        if ln.strip()
+    ]
+    rms = [a["remove"] for a in acts if "remove" in a]
+    assert rms and all(r.get("deletionVector") for r in rms)
+
+
+def test_protocol_cache_resumes_exact(spark, tmp_path):
+    """The sidecar caches the protocol the log ACTUALLY declares: a log
+    armed without change-data (writer 2) gets the writer-4 upgrade
+    action when CDF-enabled commits extend it, exactly once."""
+    from azure_etl_spark.sources.snapshot import write_snapshot as _ws
+
+    path = str(tmp_path / "tbl")
+    _ws(
+        spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("val")), path
+    )
+    export_delta_log(spark, path, change_data=False)
+    logs_dir = os.path.join(path, DELTA_LOG_DIR)
+
+    def _protos(name):
+        return [
+            json.loads(ln)["protocol"]
+            for ln in open(os.path.join(logs_dir, name)).read().splitlines()
+            if ln.strip() and "protocol" in json.loads(ln)
+        ]
+
+    names = sorted(f for f in os.listdir(logs_dir) if f.endswith(".json"))
+    assert _protos(names[0]) == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    # the commit hook extends with change_data=True (its default):
+    # the cached writer-2 protocol forces the writer-4 upgrade action
+    _ws(
+        spark.range(5, 8).select(F.col("id"), (F.col("id") * 2).alias("val")),
+        path,
+        mode="append",
+    )
+    names = sorted(f for f in os.listdir(logs_dir) if f.endswith(".json"))
+    assert _protos(names[1]) == [{"minReaderVersion": 1, "minWriterVersion": 4}]
+    # ...and exactly once: the next commit emits no protocol action
+    _ws(
+        spark.range(8, 9).select(F.col("id"), (F.col("id") * 2).alias("val")),
+        path,
+        mode="append",
+    )
+    names = sorted(f for f in os.listdir(logs_dir) if f.endswith(".json"))
+    assert _protos(names[2]) == []
+
+
+def test_zero_match_mor_entry_keeps_reader1_protocol(spark, tmp_path):
+    """A merge-on-read entry whose stats-scoped predicate matches NO
+    actual rows produces no deletion vectors — the log must NOT
+    upgrade to reader 3, or plain readers would be locked out of a
+    table containing no DVs."""
+    from azure_etl_spark.sources.snapshot import delete_from_snapshot
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.range(10).select(F.col("id"), (F.col("id") * 10).alias("val")),
+        path,
+    )
+    export_delta_log(spark, path)
+    # val stats cover [0,90] so the file is a candidate, but no row
+    # has val=55 (values are multiples of 10)
+    delete_from_snapshot(spark, path, [("val", "=", 55)], mode="merge_on_read")
+    logs_dir = os.path.join(path, DELTA_LOG_DIR)
+    names = sorted(f for f in os.listdir(logs_dir) if f.endswith(".json"))
+    acts = [
+        json.loads(ln)
+        for ln in open(os.path.join(logs_dir, names[-1])).read().splitlines()
+        if ln.strip()
+    ]
+    assert not any("protocol" in a for a in acts)
+    assert not any("add" in a or "remove" in a for a in acts)
+    state = replay_delta_log(spark, path)
+    assert state["protocol"]["minReaderVersion"] == 1
+    assert read_snapshot(spark, path).count() == 10
