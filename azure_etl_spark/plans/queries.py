@@ -74,19 +74,22 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
-# The driver's CORRECTNESS hash-check subset is FROZEN at the original
-# 50 queries (every CORRECTNESS_r0N.json since has exactly these keys);
-# queries added later are verified by the local oracle-parity replay
-# (tests/test_oracle_parity.py, same rows+schema+hash contract) but
-# never appear in the driver artifact. Docs must therefore say "driver
-# query/row" ONLY for names in this set — tests/test_docs.py pins the
-# set against the latest CORRECTNESS artifact and mechanically audits
-# every "driver query/row" claim in README/SURVEY/SCALE/PLANS against
-# it (VERDICT r8 #4).
+# The driver's CORRECTNESS hash-check subset is 50 queries; the driver
+# rotates a few names between rounds (r9 swapped in cdc/mor/restore, r10
+# swapped those out for the DV-roundtrip and SQL-similarity flagships).
+# Queries outside the current subset are verified by the local
+# oracle-parity replay (tests/test_oracle_parity.py, same
+# rows+schema+hash contract) but don't appear in the latest driver
+# artifact. Docs must therefore say "driver query/row" ONLY for names in
+# this set — tests/test_docs.py pins the set against the latest
+# CORRECTNESS artifact and mechanically audits every "driver query/row"
+# claim in README/SURVEY/SCALE/PLANS against it (VERDICT r8 #4).
+# Pinned to CORRECTNESS_r10.json (VERDICT r10 #1).
 DRIVER_SUBSET: frozenset[str] = frozenset({
-    "argmax_price_order", "asof_purchase_last_error", "cdc_incremental_agg",
+    "argmax_price_order", "asof_purchase_last_error",
     "cosine_topk", "cube_lineitem", "date_parts_orders", "dedup_distinct",
     "dedup_first_per_key", "distinct_agg_parts", "doc_exact_dedup",
+    "dv_export_roundtrip_gold",
     "events_hourly_rollup", "filter_isin", "flagship_gold_minmax",
     "from_json_struct", "jdbc_roundtrip_gold", "join_anti_customers",
     "join_revenue_per_nation", "join_semi_customers", "json_extract_events",
@@ -95,8 +98,8 @@ DRIVER_SUBSET: frozenset[str] = frozenset({
     "rollup_orders", "serving_cast_all_id", "sessionize_events",
     "set_except_parts", "set_intersect_customers", "snapshot_convert_gold",
     "snapshot_delete_skipping", "snapshot_merge_upsert",
-    "snapshot_mor_delete", "snapshot_restore_gold",
     "snapshot_time_travel_gold", "delta_log_export_gold",
+    "sql_cosine_topk", "sql_minhash_near_dup",
     "string_funcs_docs", "text_lang_id", "text_quality_score",
     "text_token_stats", "topk_orders", "tpch_q1ish", "tpch_q3ish",
     "tpch_q5ish", "union_snapshots", "window_lag_delta",
