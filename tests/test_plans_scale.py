@@ -349,7 +349,27 @@ def test_positional_delete_read_is_broadcast_anti_join(spark, tmp_path):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan
     # the anti join's build side is the sidecar: broadcast, no
-    # fact-side Exchange anywhere in the read
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, plan
+    # fact-side Exchange anywhere in the read (ADVICE r10: asserted
+    # separately — the old or-form passed vacuously whenever
+    # BroadcastNestedLoop was absent)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert df.count() == 98
+
+
+def test_exact_text_dedup_collapses_duplicates_map_side(spark, sf_dir):
+    """VERDICT r10 #2: exact_text_dedup must not put a mega-duplicated
+    document's every full-text copy on one task. The skew-safe plan is
+    min_by(struct, id) grouped by the content hash: a partial (map-side)
+    aggregate BEFORE the single Exchange — each map task forwards at
+    most one candidate row per distinct hash — and no Window node
+    (the round-10 row_number plan shuffled full duplicate rows to one
+    window task)."""
+    from azure_etl_spark.operators.dedup import exact_text_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(exact_text_dedup(docs))
+    assert "partial_min_by" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
