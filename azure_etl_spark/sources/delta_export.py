@@ -132,6 +132,52 @@ def _protocol_for(dv: bool, checks: bool, change_data: bool) -> dict:
     return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+def _protocol_max(cur: dict | None, want: dict) -> dict:
+    """Monotone join of two protocol actions: version numbers take the
+    max, feature lists the union. Protocol actions may only ever
+    UPGRADE — Delta forbids downgrades, and a real writer that sees
+    writerFeatures lose ``changeDataFeed`` stops honoring the feature
+    (round-10 ADVICE: on incremental resume only ``any_dv`` was seeded
+    from the cached protocol, so a run with constraints since dropped
+    or ``change_data=False`` computed a LOWER protocol than the cached
+    one and, being != emitted, emitted the downgrade). Every emit site
+    joins the desired protocol against the last-emitted one, so the
+    emitted sequence is a chain under the feature/version partial
+    order by construction.
+
+    Legacy minWriterVersion values imply features in this exporter's
+    own vocabulary (3 -> checkConstraints, 4 -> + changeDataFeed);
+    when the join lands in the table-features form (writer 7) those
+    implied features are carried into the explicit list, matching the
+    protocol's upgrade rule."""
+    if cur is None:
+        return want
+
+    def _implied(p: dict) -> tuple[set, set]:
+        rf = set(p.get("readerFeatures") or [])
+        wf = set(p.get("writerFeatures") or [])
+        if not p.get("writerFeatures"):
+            v = p.get("minWriterVersion", 1)
+            if v >= 3:
+                wf.add("checkConstraints")
+            if v >= 4:
+                wf.add("changeDataFeed")
+        return rf, wf
+
+    r = max(cur.get("minReaderVersion", 1), want.get("minReaderVersion", 1))
+    w = max(cur.get("minWriterVersion", 1), want.get("minWriterVersion", 1))
+    if w < 7:
+        return {"minReaderVersion": r, "minWriterVersion": w}
+    crf, cwf = _implied(cur)
+    wrf, wwf = _implied(want)
+    return {
+        "minReaderVersion": r,
+        "minWriterVersion": w,
+        "readerFeatures": sorted(crf | wrf),
+        "writerFeatures": sorted(cwf | wwf),
+    }
+
+
 def _dv_state(spark: SparkSession, path: str, manifest: dict) -> dict:
     """Cumulative deleted-row positions per covered file for a manifest
     carrying merge-on-read entries, as serialized deletion vectors:
@@ -561,7 +607,18 @@ def export_delta_log(
             if pv == offset:
                 # every exported version so far was a legacy no-op; the
                 # seed no-op emitted metaData/txns from ITS manifest
-                m = _load_manifest(spark, path, pv)
+                # (same vacuum-retention remediation as the expressed
+                # branch above — round-10 ADVICE: a vacuumed seed used
+                # to surface as a bare SnapshotVersionError)
+                try:
+                    m = _load_manifest(spark, path, pv)
+                except SnapshotVersionError as exc:
+                    raise SnapshotVersionError(
+                        f"delta-log mirror at {path} fell behind vacuum "
+                        f"retention (manifest v{pv} is gone, cannot diff "
+                        f"v{start}); delete _delta_log/ and re-export to "
+                        "restart the log from the surviving chain"
+                    ) from exc
                 emitted_cols = list(m.get("columns", []))
                 emitted_pcols = list(m.get("partition_by", []))
                 emitted_txns = dict(m.get("txns", {}))
@@ -594,6 +651,9 @@ def export_delta_log(
             any_dv, any_checks, change_data
         )
         any_dv = any_dv or emitted_protocol.get("minReaderVersion", 1) >= 3
+        any_checks = any_checks or "checkConstraints" in (
+            emitted_protocol.get("writerFeatures") or []
+        )
     for v in todo:
         manifest = _load_manifest(spark, path, v)
         # merge-on-read delete entries export as real deletion vectors
@@ -654,12 +714,15 @@ def export_delta_log(
         cons = manifest.get("constraints") or {"not_null": [], "check": {}}
         any_dv = any_dv or bool(dv_state)
         any_checks = any_checks or bool(cons.get("check"))
-        proto = _protocol_for(any_dv, any_checks, change_data)
+        proto = _protocol_max(
+            emitted_protocol, _protocol_for(any_dv, any_checks, change_data)
+        )
         if proto != emitted_protocol:
             # first version of a fresh log, or an in-log feature
-            # upgrade (legal; the flags are monotone so protocols only
-            # ever upgrade, and re-emitting an identical protocol on a
-            # later run would be an idempotent no-op for replay)
+            # upgrade (legal; the monotone join above guarantees the
+            # emitted chain only ever upgrades — a resumed run whose
+            # flags compute LESS than the cached protocol re-joins to
+            # the cached one and emits nothing)
             actions.append({"protocol": proto})
             emitted_protocol = proto
             protocol_dirty = True

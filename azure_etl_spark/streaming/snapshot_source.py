@@ -173,21 +173,28 @@ def _partition_constants(m: dict, rel_file: str) -> list[tuple[str, object]]:
     return out
 
 
-def _file_delete_entries(table: str, m: dict, rel_file: str) -> list[dict]:
+def _file_delete_entries(
+    table: str, m: dict, rel_file: str, cov_cache: dict[int, set] | None = None
+) -> list[dict]:
     """Merge-on-read delete entries covering one file, with equality-
     delete key paths made absolute for the executor-side read.
     ``rel_file`` is a LITERAL FS name (this source walks directories)
     while entry file lists keep the manifest's URI-encoded form —
-    match through unquote (decoded coverage sets are cached on the
-    entry dict so planning stays O(files), not O(files^2)). Position
-    sidecars store literal names, so positional entries get
-    ``rel_file`` as-is."""
+    match through unquote. ``cov_cache`` (id(entry) -> decoded coverage
+    set) keeps planning O(files), not O(files^2); it lives OUTSIDE the
+    manifest — a per-planning-pass dict owned by the caller — so entry
+    dicts stay pristine for json serialization and equality comparison
+    (round-10 ADVICE: the old version stashed the set on the entry
+    itself). Position sidecars store literal names, so positional
+    entries get ``rel_file`` as-is."""
     out = []
+    if cov_cache is None:
+        cov_cache = {}
     for e in m.get("deletes", []):
-        lit_files = e.get("_lit_files")
+        lit_files = cov_cache.get(id(e))
         if lit_files is None:
             lit_files = {unquote(x) for x in e.get("files", [])}
-            e["_lit_files"] = lit_files
+            cov_cache[id(e)] = lit_files
         if rel_file not in lit_files:
             continue
         if "keys_dir" in e:
@@ -412,12 +419,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if ev < sv or (ev == sv and epos is None and spos is None):
             return []
         added: list[tuple[str, list, list]] = []
+        cov_cache: dict[int, set] = {}  # transient, this planning pass only
 
         def emit(m, files, lo, hi):
             for f in files[lo:hi]:
                 added.append(
                     (f, _partition_constants(m, f),
-                     _file_delete_entries(self.table, m, f))
+                     _file_delete_entries(self.table, m, f, cov_cache))
                 )
 
         if sv < 0:

@@ -1262,3 +1262,54 @@ def test_dv_swap_retains_old_tombstone_in_checkpoint(spark, tmp_path):
     live_dvs = [a["deletionVector"] for a in seed["live"].values()
                 if a.get("deletionVector")]
     assert len(live_dvs) == 1
+
+
+def test_resume_never_downgrades_protocol(spark, tmp_path):
+    """ADVICE r10: an incremental resume seeded only any_dv from the
+    cached protocol, so a run with ``change_data=False`` (or after
+    constraints were dropped) computed a LOWER protocol than the cached
+    writer-4 one and emitted the downgrade — which Delta forbids. The
+    monotone join must emit NOTHING when the desired protocol is below
+    the cached one."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    write_snapshot(_orders(spark, n=20, start=100), path, mode="append")
+    # arm + export v0 only, with CDF on (writer 4 cached in the sidecar)
+    assert export_delta_log(spark, path, upto_version=0, change_data=True) == [0]
+    p0 = next(
+        a["protocol"] for a in _actions(path, _log_files(path)[0]) if "protocol" in a
+    )
+    assert p0["minWriterVersion"] == 4
+    # resume the remaining version with change_data=False: the desired
+    # protocol (writer 2) is BELOW the cached writer 4 — no action
+    assert export_delta_log(spark, path, change_data=False) == [1]
+    a1 = _actions(path, _log_files(path)[1])
+    assert not any("protocol" in a for a in a1), a1
+
+
+def test_resume_keeps_features_superset_on_dv_log(spark, tmp_path):
+    """Features-form variant of the downgrade guard: once the log is at
+    reader 3 / writer 7 with changeDataFeed listed, a later resume with
+    change_data=False must never emit a protocol whose writerFeatures
+    lose changeDataFeed; across the whole log every emitted protocol is
+    a superset of its predecessor."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark), path, mode="overwrite")
+    delete_from_snapshot(spark, path, [("grp", "=", 1)], mode="merge_on_read")
+    write_snapshot(_orders(spark, n=10, start=200), path, mode="append")
+    assert export_delta_log(spark, path, upto_version=1, change_data=True) == [0, 1]
+    assert export_delta_log(spark, path, change_data=False) == [2]
+    protos = [
+        a["protocol"]
+        for name in _log_files(path)
+        for a in _actions(path, name)
+        if "protocol" in a
+    ]
+    assert protos[-1]["minWriterVersion"] == 7
+    assert "changeDataFeed" in protos[-1]["writerFeatures"]
+    for prev, cur in zip(protos, protos[1:]):
+        assert cur["minReaderVersion"] >= prev["minReaderVersion"]
+        assert cur["minWriterVersion"] >= prev["minWriterVersion"]
+        assert set(prev.get("writerFeatures", [])) <= set(
+            cur.get("writerFeatures", [])
+        ) or cur["minWriterVersion"] < 7

@@ -214,3 +214,31 @@ def test_positional_delete_on_special_char_partition(spark, tmp_path):
     delete_positions_from_snapshot(spark, path, {na_file: [0], plus_file: [0]})
     got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
     assert got == [1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_file_delete_entries_leave_manifest_pristine():
+    """ADVICE r10: planning used to cache the decoded coverage set ON
+    the manifest's delete-entry dict (``e["_lit_files"] = set``), which
+    broke any later json.dumps of the manifest (sets aren't JSON) and
+    dict-equality of entries. The cache now lives in a caller-owned
+    per-planning-pass dict; the entry must come back byte-identical
+    under json re-serialization, while repeated calls still hit the
+    cache."""
+    import json
+
+    from azure_etl_spark.streaming.snapshot_source import _file_delete_entries
+
+    m = {
+        "deletes": [
+            {"files": ["part%20a.parquet"], "predicate": [["x", "=", 1]]},
+            {"files": ["other.parquet"], "positions_dir": "deletes/p0"},
+        ]
+    }
+    before = json.dumps(m, sort_keys=True)
+    cache: dict[int, set] = {}
+    hit = _file_delete_entries("/tbl", m, "part a.parquet", cache)
+    assert hit and hit[0]["predicate"] == [["x", "=", 1]]
+    pos = _file_delete_entries("/tbl", m, "other.parquet", cache)
+    assert pos and pos[0]["positions_path"].endswith("deletes/p0")
+    assert json.dumps(m, sort_keys=True) == before
+    assert len(cache) == 2  # both entries' coverage decoded exactly once
