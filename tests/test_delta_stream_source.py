@@ -1,0 +1,314 @@
+"""Streaming source over a FOREIGN Delta log (round 11, VERDICT r10
+#5): ``spark.readStream.format("delta_log_table")`` tails a real
+``_delta_log/`` — initial snapshot load through deletion vectors
+(arrow-masked executor-side), per-commit appends, OPTIMIZE invisible,
+COW/DV change commits loud unless ignorechanges, startingversion,
+maxfilespertrigger pacing, classic-checkpoint seeds, column-mapping
+refusal — the same contract surface as the snapshot-table source's
+tests (tests/test_snapshot.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_etl_spark.sources.delta_export import (
+    export_delta_log,
+    write_delta_checkpoint,
+)
+from azure_etl_spark.sources.snapshot import (
+    compact_snapshot,
+    delete_from_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
+from azure_etl_spark.streaming import delta_source
+
+DELTA_LOG_DIR = "_delta_log"
+
+
+def _keyed(spark, lo, hi, tag):
+    """Rows with id in [lo, hi) in a SINGLE file (pacing tests count
+    per-file batches)."""
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2).alias("val")
+        )
+        .coalesce(1)
+    )
+
+
+def _adopt_foreign(src: str, dst: str) -> str:
+    """Copy data files + _delta_log (NOT _manifest): the result is a
+    tree only the Delta protocol describes — a foreign table."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        if entry == "_manifest":
+            continue
+        s = os.path.join(src, entry)
+        d = os.path.join(dst, entry)
+        if os.path.isdir(s):
+            shutil.copytree(s, d)
+        else:
+            shutil.copy2(s, d)
+    return dst
+
+
+def _drain(spark, table, out_dir, ckpt, **opts):
+    reader = spark.readStream.format("delta_log_table").option("path", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def test_foreign_delta_tail_appends_and_changes(spark, tmp_path):
+    """Initial load = replayed live set; each later commit is one
+    micro-batch; OPTIMIZE (dataChange=false) emits nothing; a COW
+    delete fails the tail loudly. The same _delta_log is extended by
+    the armed mirror between drains — the stream follows a log it does
+    not own."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 100, "a"), src)
+    write_snapshot(_keyed(spark, 100, 150, "b"), src, mode="append")
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    out = _drain(spark, foreign, out_dir, ckpt)
+    assert out.count() == 150
+    assert set(out.columns) == {"id", "tag", "val"}
+
+    # tail: extend the SOURCE table (mirror extends its log), re-adopt
+    # the new commit's log entry + data into the foreign tree
+    write_snapshot(_keyed(spark, 150, 170, "c"), src, mode="append")
+    shutil.rmtree(foreign)
+    _adopt_foreign(src, foreign)
+    out = _drain(spark, foreign, out_dir, ckpt)
+    assert out.count() == 170
+    assert out.filter("tag = 'c'").count() == 20
+
+    # OPTIMIZE exports as dataChange=false: invisible to the tail
+    compact_snapshot(spark, src, target_file_bytes=1 << 30)
+    shutil.rmtree(foreign)
+    _adopt_foreign(src, foreign)
+    assert _drain(spark, foreign, out_dir, ckpt).count() == 170
+
+    # a COW delete (remove actions) breaks the append-only tail loudly
+    delete_from_snapshot(spark, src, [("id", "between", (0, 10))])
+    shutil.rmtree(foreign)
+    _adopt_foreign(src, foreign)
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException, match="removes files"
+    ):
+        _drain(spark, foreign, out_dir, ckpt)
+
+
+def test_foreign_delta_initial_load_applies_dvs(spark, tmp_path):
+    """The initial snapshot load masks each live file's deletion vector
+    (decoded executor-side via the pure-Python roaring codec) — the
+    stream's first batch equals a real Delta reader's view at tip."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 60, "a").coalesce(1), src)
+    write_snapshot(_keyed(spark, 100, 140, "b").coalesce(1), src, mode="append")
+    delete_from_snapshot(spark, src, [("id", "<", 20)], mode="merge_on_read")
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    out = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = sorted(r["id"] for r in out.collect())
+    want = sorted(r["id"] for r in read_snapshot(spark, src).collect())
+    assert got == want and len(got) == 80
+
+
+def test_foreign_delta_dv_commit_in_tail(spark, tmp_path):
+    """A DV-carrying commit (file re-added under a deletion vector)
+    breaks the append-only tail: loud by default, skipped with
+    ignorechanges=true (already-delivered rows stay delivered — the
+    ignoreDeletes caveat)."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 50, "a").coalesce(1), src)
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert _drain(spark, foreign, out_dir, ckpt).count() == 50
+
+    delete_from_snapshot(spark, src, [("id", "<", 10)], mode="merge_on_read")
+    shutil.rmtree(foreign)
+    _adopt_foreign(src, foreign)
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException, match="deletion vectors"
+    ):
+        _drain(spark, foreign, out_dir, ckpt)
+
+    # fresh checkpoint with ignorechanges: the DV commit emits nothing
+    out2 = _drain(
+        spark, foreign, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+        ignorechanges="true", startingversion="1",
+    )
+    assert out2.count() == 0 if out2.schema.fields else True
+
+
+def test_foreign_delta_partitioned_values_typed(spark, tmp_path):
+    """Partition columns come back from add.partitionValues (strings in
+    the log) as typed columns matching the schema."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"),
+        (F.col("id") * 2).alias("val"),
+    )
+    write_snapshot(df, src, partition_by=["bucket"])
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    out = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # the exported schemaString decides the type (snapshot stats may
+    # narrow the hive partition constant); values must be exact either way
+    assert dict(out.dtypes)["bucket"] in ("int", "bigint")
+    got = {(r["id"], int(r["bucket"]), r["val"]) for r in out.collect()}
+    assert got == {(i, i % 3, i * 2) for i in range(40)}
+
+
+def test_foreign_delta_max_files_per_trigger(spark, tmp_path):
+    """maxfilespertrigger paces a multi-file backlog into bounded
+    batches via sub-commit offsets with no duplicate delivery. (NOT
+    availableNow: Spark's Python micro-batch stream falls back to
+    single-batch execution there, bypassing admission control — same
+    trade the snapshot source documents.)"""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 90, "a").repartition(3), src)
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    sizes: list[int] = []
+
+    q = (
+        spark.readStream.format("delta_log_table")
+        .option("path", foreign)
+        .option("maxfilespertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    assert sum(sizes) == 90  # initial load: one uncapped batch, once
+
+    # a 2-file commit and two 1-file commits land while the query runs:
+    # the 4-file backlog drains one file per batch, nothing re-delivered
+    sizes.clear()
+    write_snapshot(_keyed(spark, 100, 140, "b").repartition(2), src, mode="append")
+    write_snapshot(_keyed(spark, 200, 220, "c"), src, mode="append")
+    write_snapshot(_keyed(spark, 300, 320, "d"), src, mode="append")
+    for entry in os.listdir(foreign):
+        p = os.path.join(foreign, entry)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    _adopt_foreign(src, foreign)
+    q.processAllAvailable()
+    q.stop()
+    assert sum(sizes) == 80
+    assert [s for s in sizes if s] == [20, 20, 20, 20]
+
+
+def test_foreign_delta_starting_version(spark, tmp_path):
+    """startingversion=N skips the initial snapshot and tails from
+    commit N; 'latest' delivers only commits after the query starts."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 30, "a"), src)            # v0
+    write_snapshot(_keyed(spark, 100, 120, "b"), src, mode="append")  # v1
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    out = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        startingversion="1",
+    )
+    assert sorted(r["id"] for r in out.collect()) == list(range(100, 120))
+
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    _drain(spark, foreign, out2, ckpt2, startingversion="latest")
+    assert not os.path.exists(out2) or spark.read.parquet(out2).count() == 0
+    write_snapshot(_keyed(spark, 200, 210, "c"), src, mode="append")  # v2
+    shutil.rmtree(foreign)
+    _adopt_foreign(src, foreign)
+    out = _drain(spark, foreign, out2, ckpt2, startingversion="latest")
+    assert sorted(r["id"] for r in out.collect()) == list(range(200, 210))
+
+
+def test_foreign_delta_checkpoint_seeded_log(spark, tmp_path):
+    """A log whose early JSONs were cleaned up behind a classic
+    checkpoint still serves the initial load (checkpoint seeds the
+    replay) and tails the post-checkpoint commits."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 40, "a"), src)            # v0
+    write_snapshot(_keyed(spark, 100, 130, "b"), src, mode="append")  # v1
+    export_delta_log(spark, src)
+    lc = write_delta_checkpoint(spark, src)
+    write_snapshot(_keyed(spark, 200, 220, "c"), src, mode="append")  # v2
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    # clean up the pre-checkpoint JSONs in the foreign tree
+    for v in range(lc["version"] + 1):
+        os.remove(os.path.join(foreign, DELTA_LOG_DIR, f"{v:020d}.json"))
+
+    out = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = sorted(r["id"] for r in out.collect())
+    assert got == sorted(list(range(40)) + list(range(100, 130))
+                         + list(range(200, 220)))
+
+
+def test_foreign_delta_refuses_column_mapping(spark, tmp_path):
+    """Column-mapped tables (physical names differ from the schema)
+    refuse loudly with the convert_from_delta_log remediation."""
+    import json
+
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 10, "a"), src)
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    # inject a column-mapping configuration into the metaData action
+    p = os.path.join(foreign, DELTA_LOG_DIR, f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(p) if ln.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"].setdefault("configuration", {})[
+                "delta.columnMapping.mode"
+            ] = "name"
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+
+    with pytest.raises(Exception, match="column mapping"):
+        (
+            spark.readStream.format("delta_log_table")
+            .option("path", foreign)
+            .load()
+        )
