@@ -738,12 +738,18 @@ _rename_map_cache: dict[str, dict | None] = {}
 
 def _load_rename_map(spark: SparkSession, root: str) -> dict | None:
     """physical->logical column translation for tables adopted from a
-    column-mapping (``name`` mode) Delta log: their parquet files carry
-    physical ``col-<uuid>`` names that must read back under the logical
-    schema. Written once by ``convert_from_delta_log``; files the
-    ENGINE writes after the convert carry logical names already (the
-    rename no-ops on them — physical uuid names never collide with
-    logical ones)."""
+    column-mapping Delta log: their parquet files carry physical
+    ``col-<uuid>`` names that must read back under the logical schema.
+    Written once by ``convert_from_delta_log``; files the ENGINE writes
+    after the convert carry logical names already (the rename no-ops on
+    them — physical uuid names never collide with logical ones).
+
+    Two on-disk forms: legacy flat ``{phys: logical}`` (round-10
+    converts, top-level ``name`` mode only) and the round-11 form
+    ``{"mode": "name"|"id", "schema": <Delta schemaString JSON>}``,
+    which preserves nested physical names and field ids so NESTED
+    mappings translate on read and export can round-trip the exact
+    mapping."""
     key = root.rstrip("/")
     if key in _rename_map_cache:
         return _rename_map_cache[key]
@@ -751,23 +757,118 @@ def _load_rename_map(spark: SparkSession, root: str) -> dict | None:
     p = _jpath(jvm, root, _RENAME_MAP_FILE)
     mapping = None
     if fs.exists(p):
-        mapping = {
-            str(k): str(v)
-            for k, v in json.loads(
-                _read_small_file(jvm, fs, p).decode("utf-8")
-            ).items()
-        }
+        mapping = json.loads(_read_small_file(jvm, fs, p).decode("utf-8"))
     _rename_map_cache[key] = mapping
     return mapping
 
 
+def _cm_physical_name(field: dict) -> str:
+    return (field.get("metadata") or {}).get(
+        "delta.columnMapping.physicalName", field["name"]
+    )
+
+
+def _cm_type_has_mapping(t) -> bool:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return any(
+                "delta.columnMapping.physicalName" in (f.get("metadata") or {})
+                or _cm_type_has_mapping(f.get("type"))
+                for f in t.get("fields", [])
+            )
+        if t.get("type") == "array":
+            return _cm_type_has_mapping(t.get("elementType"))
+        if t.get("type") == "map":
+            return _cm_type_has_mapping(t.get("keyType")) or _cm_type_has_mapping(
+                t.get("valueType")
+            )
+    return False
+
+
+def _mapping_info(raw: dict | None) -> dict | None:
+    """Normalize either sidecar form to
+    ``{"mode", "schema" | None, "top": {phys: logical}, "nested": bool}``."""
+    if raw is None:
+        return None
+    if isinstance(raw, dict) and "schema" in raw and "mode" in raw:
+        schema = raw["schema"]
+        top: dict[str, str] = {}
+        nested = False
+        for f in schema.get("fields", []):
+            phys = _cm_physical_name(f)
+            if phys != f["name"]:
+                top[phys] = f["name"]
+            if _cm_type_has_mapping(f.get("type")):
+                nested = True
+        return {"mode": raw["mode"], "schema": schema, "top": top,
+                "nested": nested}
+    return {"mode": "name", "schema": None,
+            "top": {str(k): str(v) for k, v in raw.items()}, "nested": False}
+
+
+def _cm_expr(col, t):
+    """Recursive physical->logical mapping expression for one column of
+    Delta schemaString type ``t``: struct fields are rebuilt under
+    their logical names from the physical getField lookups, arrays and
+    maps map their element/value types, scalars pass through. Null
+    structs stay null (the rebuilt struct is guarded)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(t, dict) and t.get("type") == "struct":
+        inner = F.struct(
+            *[
+                _cm_expr(col.getField(_cm_physical_name(sf)), sf.get("type")).alias(
+                    sf["name"]
+                )
+                for sf in t.get("fields", [])
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None)).otherwise(inner)
+    if isinstance(t, dict) and t.get("type") == "array":
+        et = t.get("elementType")
+        if _cm_type_has_mapping(et):
+            return F.transform(col, lambda x: _cm_expr(x, et))
+        return col
+    if isinstance(t, dict) and t.get("type") == "map":
+        vt = t.get("valueType")
+        if _cm_type_has_mapping(vt):
+            return F.map_from_arrays(
+                F.map_keys(col),
+                F.transform(F.map_values(col), lambda x: _cm_expr(x, vt)),
+            )
+        return col
+    return col
+
+
 def _rename_physical(spark: SparkSession, root: str, df: DataFrame) -> DataFrame:
-    mapping = _load_rename_map(spark, root)
-    if mapping:
-        present = {k: v for k, v in mapping.items() if k in df.columns}
+    from pyspark.sql import functions as F
+
+    info = _mapping_info(_load_rename_map(spark, root))
+    if not info:
+        return df
+    if not info["nested"]:
+        present = {k: v for k, v in info["top"].items() if k in df.columns}
         if present:
             df = df.withColumnsRenamed(present)
-    return df
+        return df
+    # nested mappings: rebuild each mapped column via expressions; a
+    # column already under its logical name (engine-written file after
+    # the convert) passes through untouched, as do extra columns
+    # (hive partition constants, scan-position metadata)
+    exprs = []
+    handled: set[str] = set()
+    for f in info["schema"].get("fields", []):
+        phys = _cm_physical_name(f)
+        if phys in df.columns:
+            exprs.append(_cm_expr(F.col(phys), f.get("type")).alias(f["name"]))
+            handled.add(phys)
+        elif f["name"] in df.columns:
+            exprs.append(F.col(f["name"]))
+            handled.add(f["name"])
+    for c in df.columns:
+        if c not in handled:
+            exprs.append(F.col(c))
+    return df.select(*exprs)
 
 
 _POS_FILE_COL = "__snap_file"
