@@ -126,8 +126,11 @@ COMMENTARY = {
     ),
     "near_dup_components": (
         "One label-propagation round (shown pre-iteration): edge join + "
-        "grouped min. The per-round localCheckpoint truncates lineage, so "
-        "round N's plan is this same shape, not N nested copies."
+        "grouped min, plus the round-11 pointer-jumping compression join "
+        "(component := label(component) — halves remaining diameter per "
+        "round). The per-round LAZY localCheckpoint truncates lineage at "
+        "zero job cost, so round N's plan is this same shape, not N "
+        "nested copies, and each round is one driver job."
     ),
     "dedup_distinct": (
         "Distinct + totally-ordered output as ONE Exchange: range-"
@@ -432,6 +435,39 @@ COMMENTARY = {
         "counter grid, not tokens); estimates probe the broadcast grid "
         "— bounded state whatever the corpus."
     ),
+    # round 11 (VERDICT r10 #8): plan evidence for the remaining SQL
+    # correlated-subquery queries and the CDF export replay.
+    "sql_exists_heavy_lineitem": (
+        "Correlated EXISTS through spark.sql: Catalyst decorrelates to "
+        "ONE LeftSemi join on o_orderkey — no Subquery node survives, "
+        "so nothing re-executes per row. The subquery side collapses "
+        "to an aggregated (orderkey, sum) frame that AQE BROADCASTS at "
+        "this SF (BroadcastHashJoin LeftSemi in the plan below; at "
+        "scale both sides shuffle on the correlation key); the only "
+        "Exchanges are the final aggregate pair + sort for the driver "
+        "compare. The date filter on the orders scan is pushed "
+        "(PushedFilters), so the semi probe reads a filtered scan, not "
+        "the full fact."
+    ),
+    "sql_multi_exists_customers": (
+        "EXISTS + NOT EXISTS on the same fact in one statement: both "
+        "decorrelate in a single plan — LeftSemi (orders hit) feeding "
+        "LeftAnti (no high-value order), each an equi-join on "
+        "c_custkey. AQE turns the dim-sized sides into broadcasts at "
+        "this SF; at scale they stay shuffle joins keyed on the "
+        "correlation column. Zero Subquery nodes; the customer scan is "
+        "read ONCE (ReadSchema pruned to the referenced columns)."
+    ),
+    "cdf_export_changes": (
+        "Delta CDF export replay (table_changes from the exported log "
+        "alone): each DML version's change rows come from scanning "
+        "ONLY the files its cdc actions name under _change_data/ — "
+        "files-pruned by construction (the log says exactly which "
+        "parquet to read; there is no table scan and no join back to "
+        "the data). The per-version frames union behind one final "
+        "Exchange for the deterministic output ordering; cost is "
+        "O(changed rows), never O(table)."
+    ),
 }
 
 # Composed pipelines in the bench headline set: not single registry
@@ -497,10 +533,13 @@ SPECIAL = {
         "shuffle join), k-means assigns without shuffling vectors and "
         "updates in one wide aggregation (its rounds nest lazily into "
         "SemDeDup's single action), absent media modalities are pruned "
-        "from the plan, exact dedup is one window shuffle, and "
-        "semantic_k follows the SemDeDup paper's sqrt rule so the "
-        "pair stage stays ~n^1.5 in docs (SCALE.md 'Corpus curation' "
-        "has the measured 10x-docs numbers)."
+        "from the plan, and semantic_k follows the SemDeDup paper's "
+        "sqrt rule so the pair stage stays ~n^1.5 in docs (SCALE.md "
+        "'Corpus curation' has the measured 10x-docs numbers). Round "
+        "11 replaces the exact-dedup window with a min_by(struct, id) "
+        "aggregate: duplicates collapse in the partial (map-side) "
+        "aggregate below the single Exchange, so a mega-duplicated "
+        "document can never land on one task (SCALE.md hot-doc probe)."
         ,
         _corpus_funnel_df,
     ),
