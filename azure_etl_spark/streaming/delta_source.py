@@ -38,14 +38,13 @@ executor-side via pyarrow, and deletion vectors decode executor-side
 with the pure-Python roaring codec (sources/roaring.py) — O(DV bytes),
 never row-level driver traffic.
 
-Honest gates (raised, never silently wrong): column-mapping tables
-(physical names differ from the schema; batch convert handles ``name``
-mode, the streaming source does not), reader features beyond
-{deletionVectors, timestampNtz, v2Checkpoint}, and logs whose early
-JSONs were cleaned up behind a MULTI-PART or V2 checkpoint (the
-classic single-file checkpoint seeds the initial load; v2/multi-part
-seeds work when the JSON chain is still complete, since the JSON walk
-is authoritative).
+Checkpoint seeds for the initial load read all three protocol forms
+with pure local IO: classic single-file, classic multi-part (parts'
+row union), and V2 manifest + ``_delta_log/_sidecars/`` parquet
+sidecars. Honest gates (raised, never silently wrong): column-mapping
+tables (physical names differ from the schema; batch convert handles
+them, the streaming source does not) and reader features beyond
+{deletionVectors, timestampNtz, v2Checkpoint}.
 """
 
 from __future__ import annotations
@@ -105,38 +104,96 @@ def _commit_actions(table: str, v: int) -> list[dict]:
     raise ValueError(f"delta commit {v} under {table} unreadable after retries")
 
 
-def _classic_checkpoint_state(table: str) -> tuple[dict, dict | None, int] | None:
-    """Seed (live adds, latest metaData, checkpoint version) from a
-    CLASSIC single-file checkpoint if ``_last_checkpoint`` names one;
-    None when there is no checkpoint or it is multi-part/V2 (callers
-    fall back to the full JSON walk, which is authoritative whenever
-    the JSON chain is complete)."""
-    lc_path = os.path.join(table, DELTA_LOG_DIR, "_last_checkpoint")
+def _checkpoint_rows(table: str) -> tuple[list[dict], int] | None:
+    """Action rows of the checkpoint ``_last_checkpoint`` names, pure
+    local IO (this source never touches the JVM): classic single-file,
+    classic multi-part (``parts`` in the pointer — rows are the parts'
+    union), or a V2-spec manifest ``N.checkpoint.<uniqueStr>.{json|
+    parquet}`` whose file actions live in ``_delta_log/_sidecars/``
+    parquet sidecars. Returns None when there is no checkpoint at all;
+    raises when the pointer names one that cannot be read."""
+    import pyarrow.parquet as pq
+
+    ldir = os.path.join(table, DELTA_LOG_DIR)
+    lc_path = os.path.join(ldir, "_last_checkpoint")
     if not os.path.exists(lc_path):
         return None
     with open(lc_path) as f:
         lc = json.load(f)
     v = int(lc["version"])
-    if lc.get("parts") or not os.path.exists(
-        os.path.join(table, DELTA_LOG_DIR, f"{v:020d}.checkpoint.parquet")
-    ):
-        return None  # multi-part or V2 manifest: JSON walk instead
-    import pyarrow.parquet as pq
+    # a V2 manifest is preferred when it coexists with a classic form
+    # at the same version (the same order sources/delta_export's batch
+    # loader uses)
+    import re as _re
 
-    t = pq.read_table(
-        os.path.join(table, DELTA_LOG_DIR, f"{v:020d}.checkpoint.parquet")
+    v2_re = _re.compile(rf"^{v:020d}\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)$")
+    v2_name = next(
+        (n for n in sorted(os.listdir(ldir)) if v2_re.match(n)), None
     )
+    if v2_name is not None:
+        m = v2_re.match(v2_name)
+        local = os.path.join(ldir, v2_name)
+        if m.group(2) == "json":
+            with open(local) as f:
+                mrows = [json.loads(ln) for ln in f if ln.strip()]
+        else:
+            mrows = pq.read_table(local).to_pylist()
+        rows: list[dict] = []
+        for row in mrows:
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                rel = unquote(sc["path"])
+                sp = rel if os.path.isabs(rel) else os.path.join(
+                    ldir, "_sidecars", rel
+                )
+                rows.extend(pq.read_table(sp).to_pylist())
+            else:
+                rows.append(row)
+        return rows, v
+    if lc.get("parts"):
+        n = int(lc["parts"])
+        paths = [
+            os.path.join(ldir, f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet")
+            for i in range(1, n + 1)
+        ]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"multi-part checkpoint at {table} v{v} is incomplete: "
+                f"missing {os.path.basename(missing[0])}"
+            )
+        rows: list[dict] = []
+        for p in paths:
+            rows.extend(pq.read_table(p).to_pylist())
+        return rows, v
+    single = os.path.join(ldir, f"{v:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return pq.read_table(single).to_pylist(), v
+    raise ValueError(
+        f"_last_checkpoint at {table} names version {v} but no checkpoint "
+        "file (classic, multi-part, or V2 manifest) exists"
+    )
+
+
+def _classic_checkpoint_state(table: str) -> tuple[dict, dict | None, int] | None:
+    """Seed (live adds, latest metaData, checkpoint version) from the
+    table's checkpoint — classic single/multi-part or V2
+    manifest+sidecars (see :func:`_checkpoint_rows`); None when the log
+    has no checkpoint (callers fall back to the full JSON walk)."""
+    seeded = _checkpoint_rows(table)
+    if seeded is None:
+        return None
+    rows, v = seeded
     live: dict[str, dict] = {}
     meta: dict | None = None
-    cols = t.column_names
-    for row in t.to_pylist():
-        add = row.get("add") if "add" in cols else None
+    for row in rows:
+        add = row.get("add")
         if add and add.get("path"):
             live[unquote(add["path"])] = add
-        md = row.get("metaData") if "metaData" in cols else None
+        md = row.get("metaData")
         if md and md.get("schemaString"):
             meta = md
-        proto = row.get("protocol") if "protocol" in cols else None
+        proto = row.get("protocol")
         if proto and proto.get("minReaderVersion"):
             _check_protocol(table, proto)
     return live, meta, v

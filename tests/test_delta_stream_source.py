@@ -312,3 +312,41 @@ def test_foreign_delta_refuses_column_mapping(spark, tmp_path):
             .option("path", foreign)
             .load()
         )
+
+
+def test_foreign_delta_v2_and_multipart_checkpoint_seed(spark, tmp_path):
+    """The streaming source's initial load seeds from ALL three
+    checkpoint forms with pure local IO: a V2 manifest + sidecars
+    (preferred by _last_checkpoint resolution order: parts -> classic
+    -> V2), and the classic multi-part set. Pre-checkpoint JSONs are
+    deleted, so the seed is the only route to the early state; a
+    DV-carrying add inside the checkpoint must still arrive masked."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 40, "a"), src)                     # v0
+    delete_from_snapshot(spark, src, [("id", "<", 5)], mode="merge_on_read")  # v1
+    export_delta_log(spark, src)
+    lc = write_delta_checkpoint(spark, src, v2=True, max_actions_per_part=2)
+    assert lc.get("parts", 0) >= 2 and lc["v2_sidecars"] >= 1
+    write_snapshot(_keyed(spark, 200, 210, "c"), src, mode="append")   # v2
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    for v in range(lc["version"] + 1):
+        os.remove(os.path.join(foreign, DELTA_LOG_DIR, f"{v:020d}.json"))
+
+    want = sorted(list(range(5, 40)) + list(range(200, 210)))
+    out = _drain(spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert sorted(r["id"] for r in out.collect()) == want
+
+    # remove the V2 artifacts: the multi-part classic path seeds the
+    # same state from a fresh stream
+    import glob as _glob
+
+    ldir = os.path.join(foreign, DELTA_LOG_DIR)
+    parts = set(_glob.glob(os.path.join(
+        ldir, "*.checkpoint.??????????.??????????.parquet")))
+    for m in _glob.glob(os.path.join(ldir, "*.checkpoint.*.parquet")):
+        if m not in parts:
+            os.remove(m)
+    shutil.rmtree(os.path.join(ldir, "_sidecars"))
+    out2 = _drain(spark, foreign, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    assert sorted(r["id"] for r in out2.collect()) == want
