@@ -2230,7 +2230,10 @@ def q_delta_stream_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # block until the drain COMPLETES — a timeout here would return
+    # False silently and hash a partially-filled memory sink on a slow
+    # box (same contract as streaming/windows.run_available_now)
+    q.awaitTermination()
     return spark.table(name)
 
 

@@ -830,12 +830,15 @@ def _cm_expr(col, t):
             return F.transform(col, lambda x: _cm_expr(x, et))
         return col
     if isinstance(t, dict) and t.get("type") == "map":
-        vt = t.get("valueType")
-        if _cm_type_has_mapping(vt):
-            return F.map_from_arrays(
-                F.map_keys(col),
-                F.transform(F.map_values(col), lambda x: _cm_expr(x, vt)),
-            )
+        kt, vt = t.get("keyType"), t.get("valueType")
+        if _cm_type_has_mapping(kt) or _cm_type_has_mapping(vt):
+            keys = F.map_keys(col)
+            vals = F.map_values(col)
+            if _cm_type_has_mapping(kt):
+                keys = F.transform(keys, lambda x: _cm_expr(x, kt))
+            if _cm_type_has_mapping(vt):
+                vals = F.transform(vals, lambda x: _cm_expr(x, vt))
+            return F.map_from_arrays(keys, vals)
         return col
     return col
 

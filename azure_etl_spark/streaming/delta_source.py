@@ -250,6 +250,22 @@ def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
     remove the same unrelated file in one commit."""
     seeded = _classic_checkpoint_state(table)
     versions = _log_versions(table)
+    if seeded is not None and seeded[2] > upto:
+        # exactly-once replay: a checkpoint written AFTER the offset
+        # being reconstructed must not seed it — a restart replaying
+        # the recorded initial-load offset {"version": V} would
+        # otherwise deliver a LATER version's live set as V, double-
+        # delivering files in the next batch (round-11 self-review).
+        # Fall back to the authoritative JSON walk; if the early JSONs
+        # are already cleaned up, refuse rather than lie.
+        seeded = None
+        if not versions or versions[0] != 0:
+            raise ValueError(
+                f"foreign delta log at {table}: cannot reconstruct "
+                f"version {upto} — the checkpoint is newer and the JSON "
+                "chain no longer starts at 0; restart the stream from a "
+                "fresh checkpoint"
+            )
     if seeded is not None:
         live, meta, cp_v = seeded
         live = dict(live)
@@ -258,7 +274,7 @@ def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
         live, meta = {}, None
         if not versions or versions[0] != 0:
             raise ValueError(
-                f"foreign delta log at {table} has no readable classic "
+                f"foreign delta log at {table} has no readable "
                 f"checkpoint and its JSON chain does not start at 0 "
                 f"(earliest: {versions[0] if versions else 'none'}) — "
                 "cannot reconstruct the initial state"
@@ -447,7 +463,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             vs = _log_versions(self.table)
             off = {"version": vs[-1] if vs else -1}
         else:
-            off = {"version": int(self.starting_version) - 1}
+            n = int(self.starting_version)
+            # startingversion=0 must WALK the commits from version 0
+            # (Delta's startingVersion semantics), not collide with the
+            # version:-1 initial-snapshot sentinel (round-11
+            # self-review); the flag rides the offset so a restart
+            # replays identically
+            off = {"version": n - 1} if n >= 1 else {"version": -1, "walk": True}
         if self._last_end is None:
             self._last_end = off
         return off
@@ -465,7 +487,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         sv, spos, sinit = st["version"], st.get("pos"), st.get("init", False)
         units: list[tuple[int, bool]] = []
         if sv < 0:
-            units.append((latest, True))
+            if st.get("walk"):
+                units.extend((v, False) for v in range(0, latest + 1))
+            else:
+                units.append((latest, True))
         else:
             if spos is not None:
                 units.append((sv, sinit))
@@ -516,8 +541,15 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 )
 
         if sv < 0:
-            unit = self._unit(ev, True)
-            emit(unit, 0, epos if epos is not None else len(unit))
+            if start.get("walk"):
+                # startingversion=0: deliver every commit as a tail unit
+                for v in range(0, ev + 1):
+                    unit = self._unit(v, False)
+                    hi = epos if (v == ev and epos is not None) else len(unit)
+                    emit(unit, 0, hi)
+            else:
+                unit = self._unit(ev, True)
+                emit(unit, 0, epos if epos is not None else len(unit))
         else:
             if spos is not None:
                 unit = self._unit(sv, sinit)

@@ -332,7 +332,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             vs = _versions(self.table)
             off = {"version": vs[-1] if vs else -1}
         else:
-            off = {"version": int(self.starting_version) - 1}
+            n = int(self.starting_version)
+            # startingversion=0 walks the commits from version 0 — it
+            # must not collide with the version:-1 initial-snapshot
+            # sentinel (round-11 self-review); the flag rides the
+            # offset so restarts replay identically
+            off = {"version": n - 1} if n >= 1 else {"version": -1, "walk": True}
         if self._last_end is None:
             self._last_end = off
         return off
@@ -365,7 +370,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # units still (partially) unconsumed, in order
         units: list[tuple[int, bool]] = []
         if sv < 0:
-            units.append((latest, True))
+            if st.get("walk"):
+                units.extend((v, False) for v in range(0, latest + 1))
+            else:
+                units.append((latest, True))
         else:
             if spos is not None:
                 units.append((sv, sinit))
@@ -419,23 +427,27 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if ev < sv or (ev == sv and epos is None and spos is None):
             return []
         added: list[tuple[str, list, list]] = []
-        cov_cache: dict[int, set] = {}  # transient, this planning pass only
 
         def emit(m, files, lo, hi):
+            # one coverage cache PER MANIFEST: keyed by id(entry), which
+            # is only stable while the owning manifest dict is alive —
+            # a pass-wide cache could alias a freed entry's address to a
+            # later version's new entry (round-11 self-review)
+            cov_cache: dict[int, set] = {}
             for f in files[lo:hi]:
                 added.append(
                     (f, _partition_constants(m, f),
                      _file_delete_entries(self.table, m, f, cov_cache))
                 )
 
-        if sv < 0:
+        if sv < 0 and not start.get("walk"):
             # initial snapshot load of the end offset's version,
             # possibly rate-limit-sliced
             m = _manifest(self.table, ev)
             files = _manifest_files(self.table, m)
             emit(m, files, 0, epos if epos is not None else len(files))
         else:
-            if spos is not None:
+            if spos is not None and sv >= 0:
                 # finish (or continue) the partially-consumed unit; the
                 # append-only checks for this commit ran when its first
                 # slice was planned
@@ -451,10 +463,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 hi = epos if (ev == sv and epos is not None) else len(files)
                 emit(m, files, spos, hi)
             if ev > sv:
-                prev_m = _manifest(self.table, sv)
-                prev = set(_manifest_files(self.table, prev_m))
-                prev_ids = {e["id"] for e in prev_m.get("deletes", [])}
-                for v in range(sv + 1, ev + 1):
+                if sv < 0:  # startingversion=0 walk: no predecessor
+                    prev, prev_ids = set(), set()
+                else:
+                    prev_m = _manifest(self.table, sv)
+                    prev = set(_manifest_files(self.table, prev_m))
+                    prev_ids = {e["id"] for e in prev_m.get("deletes", [])}
+                for v in range(max(sv + 1, 0), ev + 1):
                     m = _manifest(self.table, v)
                     cur = set(_manifest_files(self.table, m))
                     cur_ids = {e["id"] for e in m.get("deletes", [])}

@@ -894,3 +894,17 @@ def test_pq_index_refit_rotates_generation_and_cuts_qerr(spark, tmp_path):
     g0 = read_snapshot(spark, f"{path}/generation", version=0).collect()[0]
     assert g0["gen"] == 0 and g0["m"] == 4 and g0["dim"] == 16
     assert read_snapshot(spark, f"{path}/gen=0/codes").count() == 90
+
+
+def test_exact_text_dedup_null_ids_match_window_semantics(spark):
+    """Round-11 self-review: min_by skips NULL ordering keys, so the
+    ordering key is (id IS NOT NULL, id) — a NULL id wins its hash
+    group exactly as the old window plan's ASC NULLS FIRST did, and an
+    all-NULL-id group keeps a REAL row instead of fabricating an
+    all-NULL survivor."""
+    from azure_etl_spark.operators.dedup import exact_text_dedup
+
+    rows = [(None, "same text"), (5, "same text"), (None, "other"), (7, "unique")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["text"]) for r in exact_text_dedup(d).collect()}
+    assert got == {(None, "same text"), (None, "other"), (7, "unique")}

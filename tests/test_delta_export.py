@@ -1567,3 +1567,27 @@ def test_export_column_mapped_table_roundtrip(spark, tmp_path):
     got = sorted(tuple(r) for r in read_snapshot(spark, dst).collect())
     want = sorted(tuple(r) for r in read_snapshot(spark, path).collect())
     assert got == want and len(got) == 90
+
+
+def test_cm_export_caches_convert_dirs_in_sidecar(spark, tmp_path):
+    """Round-11 self-review: the column-mapping purity check's convert
+    data dirs are immutable, so they cache in the export sidecar — the
+    per-commit mirror hook stays O(new versions) instead of re-walking
+    every manifest. The cache must survive the end-of-run protocol
+    store and keep later incremental exports correct."""
+    path = _mapped_delta_fixture(spark, tmp_path, name="cmcache")
+    assert convert_from_delta_log(spark, path) == 0
+    export_delta_log(spark, path)
+    with open(os.path.join(path, DELTA_LOG_DIR, ".snapshot_offset")) as f:
+        meta = json.load(f)
+    assert meta.get("cm_dirs"), meta
+    assert all(d.startswith("data/") for d in meta["cm_dirs"])
+
+    # a MOR delete mirrors through the hook (cached dirs path) and the
+    # protocol store must PRESERVE the cache
+    delete_from_snapshot(spark, path, [("k", "<", 5)], mode="merge_on_read")
+    assert len(_log_files(path)) == 2
+    with open(os.path.join(path, DELTA_LOG_DIR, ".snapshot_offset")) as f:
+        meta2 = json.load(f)
+    assert meta2.get("cm_dirs") == meta["cm_dirs"]
+    assert meta2["protocol"]["minWriterVersion"] == 7  # DV upgrade landed

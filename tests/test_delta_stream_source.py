@@ -350,3 +350,61 @@ def test_foreign_delta_v2_and_multipart_checkpoint_seed(spark, tmp_path):
     shutil.rmtree(os.path.join(ldir, "_sidecars"))
     out2 = _drain(spark, foreign, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
     assert sorted(r["id"] for r in out2.collect()) == want
+
+
+def test_foreign_delta_starting_version_zero_walks_commits(spark, tmp_path):
+    """startingversion=0 must walk the commits from version 0 (Delta's
+    startingVersion semantics), not collide with the version:-1
+    initial-snapshot sentinel: with ignorechanges=true a COW rewrite's
+    files are re-delivered on top of the original delivery — different
+    from the live-set-only initial load."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 30, "a"), src)                    # v0
+    delete_from_snapshot(spark, src, [("id", "<", 10)])               # v1 COW
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    out = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        startingversion="0", ignorechanges="true",
+    )
+    got = sorted(r["id"] for r in out.collect())
+    # v0 delivers 0..29; v1's rewrite file re-delivers the survivors
+    assert got == sorted(list(range(30)) + list(range(10, 30)))
+
+    # the plain initial load (no startingversion) sees only the live set
+    out2 = _drain(spark, foreign, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    assert sorted(r["id"] for r in out2.collect()) == list(range(10, 30))
+
+
+def test_replay_state_ignores_newer_checkpoint(spark, tmp_path):
+    """Exactly-once guard (round-11 self-review): reconstructing the
+    initial-load state at version V must NOT seed from a checkpoint
+    written at a LATER version — a restart replaying the recorded
+    offset would otherwise deliver a newer live set as V. With the JSON
+    chain intact the walk is authoritative; with it cleaned up the
+    reconstruction refuses loudly."""
+    from azure_etl_spark.streaming.delta_source import _replay_state
+
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 20, "a"), src)                    # v0
+    write_snapshot(_keyed(spark, 100, 110, "b"), src, mode="append")  # v1
+    write_snapshot(_keyed(spark, 200, 205, "c"), src, mode="append")  # v2
+    export_delta_log(spark, src)
+    lc = write_delta_checkpoint(spark, src)
+    assert lc["version"] == 2
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    live_v1, _ = _replay_state(foreign, 1)
+    # v2's file must NOT be in the v1 state even though the checkpoint
+    # (which contains it) is present
+    assert len(live_v1) == 2
+
+    # cleaned-up chain: v1 is no longer reconstructible — loud refusal
+    os.remove(os.path.join(foreign, DELTA_LOG_DIR, f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="checkpoint is newer"):
+        _replay_state(foreign, 1)
+    # ...while the tip (>= checkpoint version) still seeds fine
+    live_tip, _ = _replay_state(foreign, 2)
+    assert len(live_tip) == 3

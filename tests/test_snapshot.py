@@ -1892,3 +1892,33 @@ def test_wap_overwrite_stage_publishes_as_replace(spark, tmp_path):
     publish_staged_commit(spark, path, sid)
     assert read_snapshot(spark, path).count() == 4
     assert read_snapshot(spark, path, version=0).count() == 10
+
+
+def test_snapshot_stream_starting_version_zero_walks_commits(spark, tmp_path):
+    """startingversion=0 walks commits from version 0 instead of
+    colliding with the initial-snapshot sentinel (round-11
+    self-review): with ignorechanges=true a COW rewrite re-delivers its
+    files on top of v0's delivery — distinguishable from the live-set
+    initial load."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 30, "a"), path)        # v0
+    delete_from_snapshot(spark, path, [("id", "<", 10)])   # v1 COW
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .option("startingversion", "0")
+        .option("ignorechanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == sorted(list(range(30)) + list(range(10, 30)))
