@@ -240,6 +240,7 @@ def kmeans_fit(
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assign = None
+    prev_collected = None  # eager mode: exact-fixpoint early exit
     for _ in range(max_iter):
         carr = centroids.agg(
             F.collect_list(F.struct("cid", "centroid")).alias("__cs")
@@ -264,6 +265,21 @@ def kmeans_fit(
             "cid", F.array(*[F.col(f"__m{d}") for d in range(dim)]).alias("centroid")
         )
         centroids = _round_ckpt(new_c)
+        if eager_rounds:
+            # exact-fixpoint early exit (round 11): the round's
+            # checkpoint already materialized the k centroid rows, so
+            # the compare is a k-row collect off cached blocks. Bit-
+            # identical centroids make every remaining round a no-op
+            # (same assignments, same means), so results are UNCHANGED
+            # — this only skips provably-idle iterations. Lazy mode
+            # cannot early-exit without forcing per-round jobs, which
+            # is the very thing it exists to avoid.
+            cur_collected = sorted(
+                (r["cid"], tuple(r["centroid"])) for r in centroids.collect()
+            )
+            if cur_collected == prev_collected:
+                break
+            prev_collected = cur_collected
     return (
         assign.select("id", "cid").withColumnRenamed("id", id_col),
         centroids,

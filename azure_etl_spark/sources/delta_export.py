@@ -1026,15 +1026,25 @@ def export_delta_log(
         )
     if written:
         # Delta-writer convention: checkpoint periodically so readers
-        # open the table in O(live files), not O(commits)
+        # open the table in O(live files), not O(commits). The
+        # auto-checkpoint is size-capped: tables whose state exceeds
+        # _CHECKPOINT_PART_ACTIONS rows write the classic MULTI-PART
+        # form so real readers open the parts in parallel (small tables
+        # keep the single file — rows below the cap never split)
         lc = _read_last_checkpoint(spark, path)
         tip = written[-1] - offset
         if tip - (int(lc["version"]) if lc else -1) >= _CHECKPOINT_EVERY:
-            write_delta_checkpoint(spark, path)
+            write_delta_checkpoint(
+                spark, path, max_actions_per_part=_CHECKPOINT_PART_ACTIONS
+            )
     return written
 
 
 _CHECKPOINT_EVERY = 16
+# one classic checkpoint part holds at most this many actions; Delta's
+# own writers split around the same order of magnitude so a 100-TB
+# log's checkpoint is written and read in parallel parts
+_CHECKPOINT_PART_ACTIONS = 50_000
 
 # Delta's default delta.deletedFileRetentionDuration: remove tombstones
 # younger than this must survive checkpointing (PROTOCOL.md, VACUUM)

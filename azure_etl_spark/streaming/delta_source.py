@@ -41,10 +41,13 @@ never row-level driver traffic.
 Checkpoint seeds for the initial load read all three protocol forms
 with pure local IO: classic single-file, classic multi-part (parts'
 row union), and V2 manifest + ``_delta_log/_sidecars/`` parquet
-sidecars. Honest gates (raised, never silently wrong): column-mapping
-tables (physical names differ from the schema; batch convert handles
-them, the streaming source does not) and reader features beyond
-{deletionVectors, timestampNtz, v2Checkpoint}.
+sidecars. ``name``-mode FLAT column mappings stream directly (the
+common real-Databricks shape): data columns resolve by physical
+parquet name at the arrow boundary and partitionValues translate to
+logical columns at typing time. Honest gates (raised, never silently
+wrong): ``id``-mode and NESTED mappings (the batch convert verifies
+and handles both) and reader features beyond {deletionVectors,
+timestampNtz, v2Checkpoint}.
 """
 
 from __future__ import annotations
@@ -228,17 +231,40 @@ def _as_dict(v) -> dict:
     return out
 
 
-def _check_metadata(table: str, meta: dict) -> None:
+def _column_mapping(table: str, meta: dict) -> dict[str, str]:
+    """physical -> logical TOP-LEVEL name map for a column-mapped table
+    (round 11): ``name``-mode FLAT mappings stream directly — data
+    columns and partitionValues translate at the arrow/typing boundary.
+    ``id`` mode and nested mappings stay honest refusals (the batch
+    convert handles both; id resolution needs the footer verification
+    only the convert performs)."""
     conf = _as_dict(meta.get("configuration"))
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("none", ""):
+    if mode in ("none", ""):
+        return {}
+    if mode != "name":
         raise ValueError(
             f"foreign delta table at {table} uses column mapping mode "
-            f"{mode!r} (physical names differ from the schema); the "
-            "streaming source does not translate mappings — convert the "
-            "table (sources/delta_export.convert_from_delta_log handles "
-            "'name' mode) and tail the snapshot source instead"
+            f"{mode!r}; the streaming source translates 'name' mode only "
+            "— convert the table (sources/delta_export."
+            "convert_from_delta_log verifies and handles 'id' mode) and "
+            "tail the snapshot source instead"
         )
+    schema = json.loads(meta.get("schemaString") or '{"fields": []}')
+    out: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        if phys != f["name"]:
+            out[phys] = f["name"]
+        if "delta.columnMapping.physicalName" in json.dumps(f.get("type")):
+            raise ValueError(
+                f"foreign delta table at {table} carries NESTED column-"
+                "mapping physical names; the streaming source translates "
+                "flat mappings only — convert the table and tail the "
+                "snapshot source instead"
+            )
+    return out
 
 
 def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
@@ -297,15 +323,20 @@ def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
 
 
 def _typed_part_values(
-    pvals: dict | None, spark_fields: dict[str, str]
+    pvals: dict | None,
+    spark_fields: dict[str, str],
+    phys2log: dict[str, str] | None = None,
 ) -> list[tuple[str, object]]:
     """Delta add.partitionValues are strings (null = JSON null);
     convert to typed constants per the table schema so the arrow cast
-    in read() is exact. Unsupported partition types refuse loudly."""
+    in read() is exact. Column-mapped tables key partitionValues
+    PHYSICALLY — ``phys2log`` translates to the logical column first.
+    Unsupported partition types refuse loudly."""
     import datetime
 
     out: list[tuple[str, object]] = []
     for col, raw in _as_dict(pvals).items():
+        col = (phys2log or {}).get(col, col)
         typ = spark_fields.get(col)
         if raw is None:
             out.append((col, None))
@@ -319,6 +350,11 @@ def _typed_part_values(
             out.append((col, raw == "true"))
         elif typ == "date":
             out.append((col, datetime.date.fromisoformat(raw)))
+        elif typ in ("timestamp", "timestamp_ntz"):
+            # Delta serializes timestamp partition values as
+            # 'yyyy-MM-dd HH:mm:ss[.S...]' (no zone); fromisoformat
+            # accepts the space separator
+            out.append((col, datetime.datetime.fromisoformat(raw)))
         else:
             raise ValueError(
                 f"unsupported Delta partition column type {typ!r} for "
@@ -395,6 +431,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._fields = {f.name: f.dataType.simpleString() for f in schema.fields}
         self._last_end = None
         self._unit_cache: dict[tuple[int, bool], list] = {}
+        # flat name-mode column mapping (physical parquet names ->
+        # logical schema names), fixed for the table's lifetime
+        # (physical names are immutable); {} for unmapped tables.
+        # Computed once here so executors get it with the pickled
+        # reader, and read() can resolve physical columns.
+        vs = _log_versions(self.table)
+        _live, meta = _replay_state(self.table, vs[-1] if vs else -1)
+        self._phys2log = _column_mapping(self.table, meta) if meta else {}
 
     # -- units ---------------------------------------------------------
     def _unit(self, v: int, init: bool) -> list[tuple[str, list, dict | None]]:
@@ -409,7 +453,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if init:
             live, meta = _replay_state(self.table, v)
             if meta is not None:
-                _check_metadata(self.table, meta)
+                _column_mapping(self.table, meta)  # raises on id/nested
             unit = []
             for rel, a in sorted(live.items()):
                 # checkpoint-seeded adds may carry an all-null DV struct
@@ -418,7 +462,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     dv = None
                 unit.append(
                     (rel,
-                     _typed_part_values(a.get("partitionValues"), self._fields),
+                     _typed_part_values(a.get("partitionValues"),
+                                        self._fields, self._phys2log),
                      dv)
                 )
         else:
@@ -427,7 +472,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             dv_adds = 0
             for a in _commit_actions(self.table, v):
                 if "metaData" in a:
-                    _check_metadata(self.table, a["metaData"])
+                    _column_mapping(self.table, a["metaData"])  # id/nested gate
                 elif "remove" in a and a["remove"].get("dataChange", True):
                     removes_dc += 1
                 elif "add" in a and a["add"].get("dataChange", False):
@@ -446,7 +491,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 )
             unit = [
                 (unquote(a["path"]),
-                 _typed_part_values(a.get("partitionValues"), self._fields),
+                 _typed_part_values(a.get("partitionValues"),
+                                    self._fields, self._phys2log),
                  None)
                 for a in sorted(adds, key=lambda a: a["path"])
             ]
@@ -579,9 +625,15 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         consts = dict(partition.part_values)
         arrays = []
+        log2phys = {x: p for p, x in self._phys2log.items()}
         for field in target:
-            if field.name in tbl.column_names:
-                arrays.append(tbl.column(field.name).cast(field.type))
+            src_name = (
+                field.name
+                if field.name in tbl.column_names
+                else log2phys.get(field.name)
+            )
+            if src_name in tbl.column_names:
+                arrays.append(tbl.column(src_name).cast(field.type))
             elif field.name in consts:
                 val = consts[field.name]
                 if val is None:
@@ -616,7 +668,7 @@ class DeltaLogTableSource(DataSource):
         _live, meta = _replay_state(table, vs[-1] if vs else -1)
         if meta is None or not meta.get("schemaString"):
             raise ValueError(f"delta log at {table} carries no metaData")
-        _check_metadata(table, meta)
+        _column_mapping(table, meta)  # raises on id mode / nested names
         return StructType.fromJson(json.loads(meta["schemaString"]))
 
     def streamReader(self, schema):

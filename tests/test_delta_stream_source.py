@@ -285,31 +285,86 @@ def test_foreign_delta_checkpoint_seeded_log(spark, tmp_path):
                          + list(range(200, 220)))
 
 
-def test_foreign_delta_refuses_column_mapping(spark, tmp_path):
-    """Column-mapped tables (physical names differ from the schema)
-    refuse loudly with the convert_from_delta_log remediation."""
+def test_foreign_delta_streams_name_mapped_table(spark, tmp_path):
+    """Round 11: a name-mode FLAT column-mapped foreign table (the
+    common real-Databricks shape) STREAMS — the schema comes back
+    logical, data columns resolve by physical parquet name at the
+    arrow boundary, and physically-keyed partitionValues translate to
+    typed logical columns. 'id' mode still refuses with the convert
+    remediation."""
     import json
 
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     delta_source.register(spark)
-    src = str(tmp_path / "src")
-    write_snapshot(_keyed(spark, 0, 10, "a"), src)
-    export_delta_log(spark, src)
-    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
-    # inject a column-mapping configuration into the metaData action
-    p = os.path.join(foreign, DELTA_LOG_DIR, f"{0:020d}.json")
+    path = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+    files = []
+    for i, (lo, grp) in enumerate([(0, "east"), (100, "west")]):
+        pdf = pd.DataFrame({
+            "col-k9aa": range(lo, lo + 50),
+            "col-a7bb": [v * 10 for v in range(lo, lo + 50)],
+        })
+        fname = f"part-{i:05d}-feedf00d.snappy.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(path, fname))
+        files.append((fname, grp))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "grp", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-g5cc"}},
+            {"name": "amount", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-a7bb"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "11111111-2222-3333-4444-666666666666",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["grp"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1700000000000,
+        }},
+    ]
+    for fname, grp in files:
+        actions.append({"add": {
+            "path": fname,
+            "partitionValues": {"col-g5cc": grp},  # PHYSICAL key
+            "size": os.path.getsize(os.path.join(path, fname)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }})
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+
+    out = _drain(spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert set(out.columns) == {"k", "grp", "amount"}
+    got = {(r["k"], r["grp"], r["amount"]) for r in out.collect()}
+    assert (0, "east", 0) in got and (149, "west", 1490) in got
+    assert len(got) == 100
+
+    # 'id' mode refuses with the convert remediation
+    p = os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json")
     lines = [json.loads(ln) for ln in open(p) if ln.strip()]
     for a in lines:
         if "metaData" in a:
-            a["metaData"].setdefault("configuration", {})[
-                "delta.columnMapping.mode"
-            ] = "name"
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     with open(p, "w") as f:
         f.write("\n".join(json.dumps(a) for a in lines) + "\n")
-
-    with pytest.raises(Exception, match="column mapping"):
+    with pytest.raises(Exception, match="'name' mode only"):
         (
             spark.readStream.format("delta_log_table")
-            .option("path", foreign)
+            .option("path", path)
             .load()
         )
 
