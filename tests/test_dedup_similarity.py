@@ -908,3 +908,19 @@ def test_exact_text_dedup_null_ids_match_window_semantics(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r["doc_id"], r["text"]) for r in exact_text_dedup(d).collect()}
     assert got == {(None, "same text"), (None, "other"), (7, "unique")}
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 64-node path graph is the compression worst case: plain
+    min-propagation needs ~63 rounds; pointer jumping settles well
+    inside the 25-round cap (O(log d)), with exact min-reachable
+    labels."""
+    from azure_etl_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs, max_iter=25)
+    rows = {(r["id"], r["component"]) for r in comp.collect()}
+    assert rows == {(i, 0) for i in range(n)}
