@@ -24,7 +24,9 @@ Delta's own streaming source —
   delivered — the ignoreDeletes caveat);
 - ``startingversion`` (int | ``latest``) skips the initial snapshot
   load, exactly like the snapshot-table source;
-- ``maxfilespertrigger`` paces multi-file commits/backlogs through the
+- ``maxfilespertrigger`` / ``maxbytespertrigger`` (files and/or a soft
+  byte cap, at least one file per batch) pace multi-file
+  commits/backlogs through the
   same sub-commit offset form ``{"version": V, "pos": K, "init": B}``
   the snapshot source uses (first planned batch uncapped — the Python
   source API plans latestOffset before the reader learns checkpoint
@@ -426,6 +428,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         )
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
         self.starting_version = options.get("startingversion")
         self.schema = schema
         self._fields = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -464,7 +468,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     (rel,
                      _typed_part_values(a.get("partitionValues"),
                                         self._fields, self._phys2log),
-                     dv)
+                     dv,
+                     int(a.get("size") or 0))
                 )
         else:
             adds: list[dict] = []
@@ -493,7 +498,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 (unquote(a["path"]),
                  _typed_part_values(a.get("partitionValues"),
                                     self._fields, self._phys2log),
-                 None)
+                 None,
+                 int(a.get("size") or 0))
                 for a in sorted(adds, key=lambda a: a["path"])
             ]
         if len(self._unit_cache) > 8:
@@ -525,7 +531,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if not vs:
             return {"version": -1}
         latest = vs[-1]
-        if self.max_files is None or self._last_end is None:
+        if (self.max_files is None and self.max_bytes is None) or (
+            self._last_end is None
+        ):
             off = {"version": latest}
             self._last_end = off
             return off
@@ -541,20 +549,26 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             if spos is not None:
                 units.append((sv, sinit))
             units.extend((v, False) for v in range(sv + 1, latest + 1))
-        budget = self.max_files
+        # admission control: files and/or bytes, whichever exhausts
+        # first (bytes is a SOFT max — at least one file always admits,
+        # Delta's maxBytesPerTrigger contract)
+        budget_files = self.max_files if self.max_files is not None else float("inf")
+        budget_bytes = self.max_bytes if self.max_bytes is not None else float("inf")
         end = st
         for i, (v, init) in enumerate(units):
-            n = len(self._unit(v, init))
-            lo = spos if (i == 0 and spos is not None) else 0
-            take = min(n - lo, budget)
-            pos = lo + take
-            budget -= take
+            unit = self._unit(v, init)
+            n = len(unit)
+            pos = spos if (i == 0 and spos is not None) else 0
+            while pos < n and budget_files > 0 and budget_bytes > 0:
+                budget_files -= 1
+                budget_bytes -= unit[pos][3]
+                pos += 1
             end = (
                 {"version": v}
                 if pos >= n
                 else {"version": v, "pos": pos, "init": init}
             )
-            if budget <= 0:
+            if budget_files <= 0 or budget_bytes <= 0:
                 break
         self._last_end = end
         return end
@@ -581,7 +595,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         out: list[_DeltaFilePartition] = []
 
         def emit(unit, lo, hi):
-            for rel, pvals, dv in unit[lo:hi]:
+            for rel, pvals, dv, _size in unit[lo:hi]:
                 out.append(
                     _DeltaFilePartition(os.path.join(self.table, rel), pvals, dv)
                 )

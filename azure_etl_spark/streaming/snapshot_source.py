@@ -26,8 +26,10 @@ without delta-spark:
 - ``startingversion`` (Delta's ``startingVersion``) skips the initial
   snapshot load: an integer tails from that commit on; ``latest``
   delivers only commits that land after the query starts;
-- ``maxfilespertrigger`` (admission control, Delta's
-  ``maxFilesPerTrigger``) caps how many files each micro-batch admits:
+- ``maxfilespertrigger`` / ``maxbytespertrigger`` (admission control,
+  Delta's ``maxFilesPerTrigger``/``maxBytesPerTrigger`` — the byte cap
+  is a soft max, at least one file per batch, sizes from one
+  driver-side stat per candidate) cap what each micro-batch admits:
   offsets gain a sub-commit position (``{"version": V, "pos": K,
   "init": B}``) so a multi-file commit or a backlog of commits drains
   as bounded batches instead of one cluster-crushing batch. Caveat: the
@@ -302,6 +304,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
         self.starting_version = options.get("startingversion")  # int | "latest" | None
         self.columns = [f.name for f in schema.fields]
         self.schema = schema
@@ -342,21 +346,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
             self._last_end = off
         return off
 
-    def _unit_len(self, v: int, init: bool, prev_files: set | None) -> int:
+    def _unit_file_list(
+        self, v: int, init: bool, prev_files: set | None
+    ) -> list[str]:
         m = _manifest(self.table, v)
         cur = _manifest_files(self.table, m)
         if init:
-            return len(cur)
+            return cur
         if m.get("operation") == "compact":
-            return 0
-        return len(set(cur) - (prev_files or set()))
+            return []
+        return sorted(set(cur) - (prev_files or set()))
 
     def latestOffset(self):
         vs = _versions(self.table)
         if not vs:
             return {"version": -1}
         latest = vs[-1]
-        if self.max_files is None or self._last_end is None:
+        if (self.max_files is None and self.max_bytes is None) or (
+            self._last_end is None
+        ):
             # no cap — or a reader whose position only the checkpoint
             # knows (fresh start or restart, depending on whether Spark
             # called initialOffset yet): plan to the tip. One uncapped
@@ -378,7 +386,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if spos is not None:
                 units.append((sv, sinit))
             units.extend((v, False) for v in range(sv + 1, latest + 1))
-        budget = self.max_files
+        # admission control: files and/or bytes, whichever exhausts
+        # first (bytes is a SOFT max — at least one file always admits,
+        # matching Delta's maxBytesPerTrigger); file sizes come from
+        # one driver-side stat per candidate file, only when a byte
+        # budget is set
+        budget_files = self.max_files if self.max_files is not None else float("inf")
+        budget_bytes = self.max_bytes if self.max_bytes is not None else float("inf")
         end = st
         prev_files: set | None = None
         for i, (v, init) in enumerate(units):
@@ -386,17 +400,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 prev_files = set(
                     _manifest_files(self.table, _manifest(self.table, v - 1))
                 )
-            n = self._unit_len(v, init, prev_files)
-            lo = spos if (i == 0 and spos is not None) else 0
-            take = min(n - lo, budget)
-            pos = lo + take
-            budget -= take
+            files = self._unit_file_list(v, init, prev_files)
+            n = len(files)
+            pos = spos if (i == 0 and spos is not None) else 0
+            while pos < n and budget_files > 0 and budget_bytes > 0:
+                budget_files -= 1
+                if self.max_bytes is not None:
+                    try:
+                        budget_bytes -= os.path.getsize(
+                            os.path.join(self.table, files[pos])
+                        )
+                    except OSError:
+                        pass  # racing writer; admit and let read() retry
+                pos += 1
             end = (
                 {"version": v}
                 if pos >= n
                 else {"version": v, "pos": pos, "init": init}
             )
-            if budget <= 0:
+            if budget_files <= 0 or budget_bytes <= 0:
                 break
             prev_files = set(
                 _manifest_files(self.table, _manifest(self.table, v))

@@ -463,3 +463,41 @@ def test_replay_state_ignores_newer_checkpoint(spark, tmp_path):
     # ...while the tip (>= checkpoint version) still seeds fine
     live_tip, _ = _replay_state(foreign, 2)
     assert len(live_tip) == 3
+
+
+def test_foreign_delta_max_bytes_per_trigger(spark, tmp_path):
+    """maxbytespertrigger paces by file SIZE (soft max, at least one
+    file per batch): with a cap below one file's size, each batch
+    admits exactly one file — same totals, no duplicates."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 30, "a"), src)
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    sizes: list[int] = []
+
+    q = (
+        spark.readStream.format("delta_log_table")
+        .option("path", foreign)
+        .option("maxbytespertrigger", "1")  # below any parquet file
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    assert sum(sizes) == 30  # first batch uncapped (API trade)
+
+    sizes.clear()
+    write_snapshot(_keyed(spark, 100, 120, "b"), src, mode="append")
+    write_snapshot(_keyed(spark, 200, 210, "c"), src, mode="append")
+    for entry in os.listdir(foreign):
+        p = os.path.join(foreign, entry)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    _adopt_foreign(src, foreign)
+    q.processAllAvailable()
+    q.stop()
+    assert sum(sizes) == 30
+    # 1-byte budget admits exactly one file per paced batch
+    assert [s for s in sizes if s] == [20, 10]

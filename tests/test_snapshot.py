@@ -1922,3 +1922,34 @@ def test_snapshot_stream_starting_version_zero_walks_commits(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
     assert got == sorted(list(range(30)) + list(range(10, 30)))
+
+
+def test_snapshot_stream_max_bytes_per_trigger(spark, tmp_path):
+    """maxbytespertrigger on the snapshot source: byte-budget admission
+    (soft max, one stat per candidate file) drains a backlog one file
+    per batch under a tiny cap, nothing re-delivered."""
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 30, "a"), path)
+    sizes = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .option("maxbytespertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    assert sum(sizes) == 30  # first planned batch uncapped
+    sizes.clear()
+    write_snapshot(_keyed(spark, 100, 120, "b"), path, mode="append")
+    write_snapshot(_keyed(spark, 200, 210, "c"), path, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    assert sum(sizes) == 30
+    assert [s for s in sizes if s] == [20, 10]
