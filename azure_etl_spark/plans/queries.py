@@ -1949,6 +1949,102 @@ def q_cdf_export_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cm_convert_gold",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderpriority AS prio,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey < 1500 AND NOT (o_orderkey BETWEEN 200 AND 399)
+    """,
+    description="Round 11 (VERDICT r10 #3): column-mapping convert, "
+    "oracle-backed end-to-end. A hand-built name-mode Delta table "
+    "(physical col-<tag> parquet names + schemaString physicalName/id "
+    "metadata, reader 2 / writer 5) converts in place "
+    "(convert_from_delta_log: O(metadata) renames, translation "
+    "sidecar), a merge-on-read DELETE then runs against the LOGICAL "
+    "schema, and the read returns logical columns — the oracle "
+    "recomputes the surviving rows relationally, so a wrong physical-"
+    "to-logical translation anywhere (data, partition values, delete "
+    "predicate) is a hash mismatch.",
+)
+def q_cm_convert_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import convert_from_delta_log
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        read_snapshot,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cm_gold_")
+    path = os.path.join(tmp, "tbl")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    # data file under PHYSICAL column names (what a name-mapped Delta
+    # writer stores on disk)
+    stage = os.path.join(tmp, "stage")
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1500)
+        .select(
+            F.col("o_orderkey").alias("col-k1"),
+            F.col("o_orderpriority").alias("col-p2"),
+            F.col("o_totalprice").cast("double").alias("col-t3"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    fname = "part-00000-cmgold.snappy.parquet"
+    shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                os.path.join(path, fname))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k1"}},
+            {"name": "prio", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-p2"}},
+            {"name": "price", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-t3"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmgold00-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": fname,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, fname)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a, sort_keys=True) for a in actions))
+    convert_from_delta_log(spark, path)
+    # DML against the LOGICAL schema on the adopted physical files
+    delete_from_snapshot(
+        spark, path, [("k", "between", (200, 399))], mode="merge_on_read"
+    )
+    return read_snapshot(spark, path).select("k", "prio", "price")
+
+
+@query(
     "snapshot_mor_delete",
     oracle="""
     WITH remaining AS (
