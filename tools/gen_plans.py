@@ -125,12 +125,14 @@ COMMENTARY = {
         "of the corpus."
     ),
     "near_dup_components": (
-        "One label-propagation round (shown pre-iteration): edge join + "
+        "Cluster-resolution output (the registry query sorts the final "
+        "labels): the per-round LAZY localCheckpoint truncates lineage, "
+        "so the executed plan reads the LAST round's materialized frame "
+        "as a Scan ExistingRDD — round N's in-flight shape (edge join + "
         "grouped min, plus the round-11 pointer-jumping compression join "
-        "(component := label(component) — halves remaining diameter per "
-        "round). The per-round LAZY localCheckpoint truncates lineage at "
-        "zero job cost, so round N's plan is this same shape, not N "
-        "nested copies, and each round is one driver job."
+        "component := label(component), which halves remaining diameter "
+        "per round) never compounds into N nested copies, and each round "
+        "is one driver job."
     ),
     "dedup_distinct": (
         "Distinct + totally-ordered output as ONE Exchange: range-"
