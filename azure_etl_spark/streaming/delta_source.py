@@ -81,6 +81,20 @@ def _log_versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def _tip_version(table: str) -> int | None:
+    """Latest version the log describes: the newest commit JSON, or —
+    for a checkpoint-only log (cleanup removed every JSON) — the
+    version ``_last_checkpoint`` names."""
+    vs = _log_versions(table)
+    if vs:
+        return vs[-1]
+    lc_path = os.path.join(table, DELTA_LOG_DIR, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as f:
+            return int(json.load(f)["version"])
+    return None
+
+
 def _commit_actions(table: str, v: int) -> list[dict]:
     """Parse one commit's JSON actions. Real Delta writers publish
     commits by atomic rename and this engine's exporter by O_EXCL
@@ -148,9 +162,12 @@ def _checkpoint_rows(table: str) -> tuple[list[dict], int] | None:
             sc = row.get("sidecar")
             if sc and sc.get("path"):
                 rel = unquote(sc["path"])
-                sp = rel if os.path.isabs(rel) else os.path.join(
-                    ldir, "_sidecars", rel
-                )
+                # absolute = URI form too ('s3://…', 'file:/…'), same
+                # test as the batch loader's _v2_checkpoint_rows
+                if "://" in rel or rel.startswith("/"):
+                    sp = rel
+                else:
+                    sp = os.path.join(ldir, "_sidecars", rel)
                 rows.extend(pq.read_table(sp).to_pylist())
             else:
                 rows.append(row)
@@ -163,10 +180,11 @@ def _checkpoint_rows(table: str) -> tuple[list[dict], int] | None:
         ]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
-            raise ValueError(
-                f"multi-part checkpoint at {table} v{v} is incomplete: "
-                f"missing {os.path.basename(missing[0])}"
-            )
+            # stale pointer / incomplete set: fall back to the JSON walk
+            # (authoritative whenever the chain is complete); if the
+            # walk is impossible, _replay_state raises its own
+            # chain-does-not-start-at-0 error
+            return None
         rows: list[dict] = []
         for p in paths:
             rows.extend(pq.read_table(p).to_pylist())
@@ -174,10 +192,7 @@ def _checkpoint_rows(table: str) -> tuple[list[dict], int] | None:
     single = os.path.join(ldir, f"{v:020d}.checkpoint.parquet")
     if os.path.exists(single):
         return pq.read_table(single).to_pylist(), v
-    raise ValueError(
-        f"_last_checkpoint at {table} names version {v} but no checkpoint "
-        "file (classic, multi-part, or V2 manifest) exists"
-    )
+    return None  # pointer names a checkpoint that is gone: JSON walk
 
 
 def _classic_checkpoint_state(table: str) -> tuple[dict, dict | None, int] | None:
@@ -278,7 +293,11 @@ def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
     remove the same unrelated file in one commit."""
     seeded = _classic_checkpoint_state(table)
     versions = _log_versions(table)
-    if seeded is not None and seeded[2] > upto:
+    # upto == -1 with NO commit JSONs is the tip sentinel of a
+    # checkpoint-only log (cleanup removed every JSON): the checkpoint
+    # IS the tip state, not a too-new seed
+    tip_sentinel = upto == -1 and not versions
+    if seeded is not None and seeded[2] > upto and not tip_sentinel:
         # exactly-once replay: a checkpoint written AFTER the offset
         # being reconstructed must not seed it — a restart replaying
         # the recorded initial-load offset {"version": V} would
@@ -324,6 +343,36 @@ def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
     return live, meta
 
 
+def _latest_metadata(table: str) -> dict | None:
+    """The log's LATEST metaData action without reconstructing any live
+    state: scan commit JSONs backwards from the tip (metaData is almost
+    always in version 0 or the most recent schema change, so this is
+    O(1) commits in practice and never builds a file map), falling back
+    to the checkpoint rows for checkpoint-only logs. Used for schema
+    and column-mapping discovery — tail-only streams on truncated
+    chains must not require full-state reconstruction (round-11
+    self-review)."""
+    for v in reversed(_log_versions(table)):
+        md = None
+        try:
+            for a in _commit_actions(table, v):
+                if "metaData" in a:
+                    md = a["metaData"]
+        except ValueError:
+            continue
+        if md is not None:
+            return md
+    seeded = _checkpoint_rows(table)
+    if seeded is not None:
+        md = None
+        for row in seeded[0]:
+            m = row.get("metaData")
+            if m and m.get("schemaString"):
+                md = m
+        return md
+    return None
+
+
 def _typed_part_values(
     pvals: dict | None,
     spark_fields: dict[str, str],
@@ -352,11 +401,23 @@ def _typed_part_values(
             out.append((col, raw == "true"))
         elif typ == "date":
             out.append((col, datetime.date.fromisoformat(raw)))
-        elif typ in ("timestamp", "timestamp_ntz"):
+        elif typ == "timestamp_ntz":
             # Delta serializes timestamp partition values as
             # 'yyyy-MM-dd HH:mm:ss[.S...]' (no zone); fromisoformat
             # accepts the space separator
             out.append((col, datetime.datetime.fromisoformat(raw)))
+        elif typ == "timestamp":
+            # with-timezone TIMESTAMP partition values are rendered in
+            # the WRITER's session timezone, which the log does not
+            # record — stamping the naive wall clock as UTC would shift
+            # values for any non-UTC writer. Refuse rather than be
+            # silently hours off (timestamp_ntz is unambiguous).
+            raise ValueError(
+                f"partition column {col!r} is a with-timezone TIMESTAMP; "
+                "its string form is writer-session-zone-ambiguous — use "
+                "the batch convert (which reads values from data), or a "
+                "timestamp_ntz/date partition column"
+            )
         else:
             raise ValueError(
                 f"unsupported Delta partition column type {typ!r} for "
@@ -430,6 +491,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         mbt = options.get("maxbytespertrigger")
         self.max_bytes = int(mbt) if mbt is not None else None
+        for name, val in (("maxfilespertrigger", self.max_files),
+                          ("maxbytespertrigger", self.max_bytes)):
+            if val is not None and val <= 0:
+                # a zero/negative budget would admit nothing and stall
+                # the stream forever — refuse at option parse time
+                raise ValueError(f"{name} must be positive, got {val}")
         self.starting_version = options.get("startingversion")
         self.schema = schema
         self._fields = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -439,9 +506,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         # logical schema names), fixed for the table's lifetime
         # (physical names are immutable); {} for unmapped tables.
         # Computed once here so executors get it with the pickled
-        # reader, and read() can resolve physical columns.
-        vs = _log_versions(self.table)
-        _live, meta = _replay_state(self.table, vs[-1] if vs else -1)
+        # reader, and read() can resolve physical columns. Backwards
+        # metaData scan, NOT a full replay: tail-only streams on
+        # truncated chains must construct fine.
+        meta = _latest_metadata(self.table)
         self._phys2log = _column_mapping(self.table, meta) if meta else {}
 
     # -- units ---------------------------------------------------------
@@ -512,8 +580,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if self.starting_version is None:
             off = {"version": -1}
         elif str(self.starting_version).lower() == "latest":
-            vs = _log_versions(self.table)
-            off = {"version": vs[-1] if vs else -1}
+            tip = _tip_version(self.table)
+            off = {"version": tip if tip is not None else -1}
         else:
             n = int(self.starting_version)
             # startingversion=0 must WALK the commits from version 0
@@ -527,10 +595,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         return off
 
     def latestOffset(self):
-        vs = _log_versions(self.table)
-        if not vs:
+        latest = _tip_version(self.table)
+        if latest is None:
             return {"version": -1}
-        latest = vs[-1]
         if (self.max_files is None and self.max_bytes is None) or (
             self._last_end is None
         ):
@@ -676,12 +743,11 @@ class DeltaLogTableSource(DataSource):
         from pyspark.sql.types import StructType
 
         table = self.options["path"]
-        vs = _log_versions(table)
-        if not vs and _classic_checkpoint_state(table) is None:
-            raise ValueError(f"no delta log commits under {table}")
-        _live, meta = _replay_state(table, vs[-1] if vs else -1)
+        meta = _latest_metadata(table)
         if meta is None or not meta.get("schemaString"):
-            raise ValueError(f"delta log at {table} carries no metaData")
+            raise ValueError(
+                f"delta log at {table} carries no readable metaData"
+            )
         _column_mapping(table, meta)  # raises on id mode / nested names
         return StructType.fromJson(json.loads(meta["schemaString"]))
 

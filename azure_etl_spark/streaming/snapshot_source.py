@@ -306,6 +306,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         mbt = options.get("maxbytespertrigger")
         self.max_bytes = int(mbt) if mbt is not None else None
+        for name, val in (("maxfilespertrigger", self.max_files),
+                          ("maxbytespertrigger", self.max_bytes)):
+            if val is not None and val <= 0:
+                # a zero/negative budget would admit nothing and stall
+                # the stream forever (availableNow would terminate
+                # "successfully" with data undelivered) — refuse at
+                # option parse time, as Delta does
+                raise ValueError(f"{name} must be positive, got {val}")
         self.starting_version = options.get("startingversion")  # int | "latest" | None
         self.columns = [f.name for f in schema.fields]
         self.schema = schema
@@ -478,8 +486,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if sinit:
                     files = cur
                 else:
-                    prevf = set(
-                        _manifest_files(self.table, _manifest(self.table, sv - 1))
+                    # v0 (startingversion=0 walk) has no predecessor
+                    prevf = (
+                        set()
+                        if sv == 0
+                        else set(
+                            _manifest_files(
+                                self.table, _manifest(self.table, sv - 1)
+                            )
+                        )
                     )
                     files = sorted(set(cur) - prevf)
                 hi = epos if (ev == sv and epos is not None) else len(files)

@@ -501,3 +501,60 @@ def test_foreign_delta_max_bytes_per_trigger(spark, tmp_path):
     assert sum(sizes) == 30
     # 1-byte budget admits exactly one file per paced batch
     assert [s for s in sizes if s] == [20, 10]
+
+
+def test_foreign_delta_checkpoint_only_log_streams(spark, tmp_path):
+    """Round-11 self-review: a checkpoint-only log (cleanup removed
+    every commit JSON — Delta log retention produces this on idle
+    tables) must still stream its tip state; and a STALE
+    _last_checkpoint whose file is gone falls back to the authoritative
+    JSON walk instead of failing."""
+    import glob as _glob
+
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 25, "a"), src)
+    write_snapshot(_keyed(spark, 100, 110, "b"), src, mode="append")
+    export_delta_log(spark, src)
+    write_delta_checkpoint(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    for name in os.listdir(os.path.join(foreign, DELTA_LOG_DIR)):
+        if name.endswith(".json") and name[0].isdigit():
+            os.remove(os.path.join(foreign, DELTA_LOG_DIR, name))
+
+    out = _drain(spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        list(range(25)) + list(range(100, 110))
+    )
+
+    # stale pointer: checkpoint file deleted, complete JSON chain intact
+    foreign2 = _adopt_foreign(src, str(tmp_path / "foreign2"))
+    for cp in _glob.glob(os.path.join(foreign2, DELTA_LOG_DIR, "*.checkpoint*")):
+        os.remove(cp)
+    # _last_checkpoint still points at the removed file
+    out2 = _drain(spark, foreign2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    assert out2.count() == 35
+
+
+def test_foreign_delta_pacing_option_validation(spark, tmp_path):
+    """Zero/negative pacing budgets would stall the stream forever
+    (availableNow would 'succeed' with data undelivered) — both sources
+    refuse at option parse time."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 5, "a"), src)
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+    for opt in ("maxfilespertrigger", "maxbytespertrigger"):
+        with pytest.raises(Exception, match="must be positive"):
+            (
+                spark.readStream.format("delta_log_table")
+                .option("path", foreign)
+                .option(opt, "0")
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / f"ck_{opt}"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )

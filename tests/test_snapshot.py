@@ -1953,3 +1953,37 @@ def test_snapshot_stream_max_bytes_per_trigger(spark, tmp_path):
     q.stop()
     assert sum(sizes) == 30
     assert [s for s in sizes if s] == [20, 10]
+
+
+def test_snapshot_stream_walk_with_pacing_resumes_v0(spark, tmp_path):
+    """Round-11 self-review: startingversion=0 + maxfilespertrigger on
+    a multi-file v0 commit — resuming the partially-consumed version-0
+    unit must not try to load manifest v-1. Driven at the reader level
+    (initialOffset/latestOffset/partitions) because Spark's uncapped
+    first planned batch can otherwise swallow the whole unit and skip
+    the resume path."""
+    from azure_etl_spark.streaming.snapshot_source import (
+        SnapshotStreamReader,
+        SnapshotTableSource,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 40, "a").repartition(3), path)  # 3 files
+    schema = SnapshotTableSource(options={"path": path}).schema()
+    reader = SnapshotStreamReader(
+        {"path": path, "startingversion": "0", "maxfilespertrigger": "1"},
+        schema,
+    )
+    start = reader.initialOffset()
+    assert start == {"version": -1, "walk": True}
+    seen: list[str] = []
+    for _ in range(5):
+        end = reader.latestOffset()
+        if reader._off_key(end) <= reader._off_key(start):
+            break
+        parts = reader.partitions(start, end)  # v0 partial resume here
+        assert len(parts) == 1  # one file per paced batch
+        seen.extend(p.abs_path for p in parts)
+        start = end
+    assert len(seen) == 3 and len(set(seen)) == 3  # all files, no dups
+    assert start == {"version": 0}  # unit fully consumed
