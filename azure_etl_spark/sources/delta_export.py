@@ -1463,6 +1463,66 @@ def maybe_mirror_delta_log(spark: SparkSession, path: str) -> None:
         )
 
 
+def vacuum_deletion_vectors(
+    spark: SparkSession,
+    path: str,
+    retention_ms: int | None = None,
+    min_age_s: float = 60.0,
+) -> list[str]:
+    """Reclaim orphaned ``deletion_vector_*.bin`` files — the DV half
+    of Delta's VACUUM (round 11). A DV file becomes dead when a
+    compaction/COW rewrite supersedes its add (the remove tombstone
+    carries the old descriptor); snapshot-side
+    :func:`~azure_etl_spark.sources.snapshot.vacuum_snapshots` never
+    touches table-root ``.bin`` files, and without a real Delta writer
+    attached nothing else would.
+
+    Keeps every DV referenced by a LIVE add and every DV whose remove
+    tombstone is younger than ``retention_ms`` (default: Delta's 7-day
+    ``delta.deletedFileRetentionDuration`` — the same horizon
+    checkpoints use to retain the tombstones themselves, so a real
+    reader time-traveling inside the window still finds the bytes).
+    ``min_age_s`` additionally protects a racing exporter that has
+    written its ``.bin`` but not yet committed the log entry (the same
+    FS-clock age guard the snapshot vacuum uses). Returns the deleted
+    relative file names."""
+    from .roaring import dv_relative_path
+    from .snapshot import _fs_now_ms
+
+    if retention_ms is None:
+        retention_ms = _TOMBSTONE_RETENTION_MS
+    state = replay_delta_log(spark, path)
+    referenced: set[str] = set()
+    for a in state["live"].values():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            referenced.add(unquote(dv_relative_path(dv["pathOrInlineDv"])))
+    import time as _time
+
+    horizon_ms = int(_time.time() * 1000) - retention_ms
+    for r in state["tombstones"].values():
+        dv = r.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            dts = r.get("deletionTimestamp")
+            if dts is None or int(dts) >= horizon_ms:
+                referenced.add(unquote(dv_relative_path(dv["pathOrInlineDv"])))
+    fs, jvm = _fs(spark, path)
+    root = _jpath(jvm, path)
+    now_ms = _fs_now_ms(spark, path, fs, jvm) if min_age_s > 0 else 0.0
+    removed: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (name.startswith("deletion_vector_") and name.endswith(".bin")):
+            continue
+        if name in referenced:
+            continue
+        if min_age_s > 0 and (now_ms - st.getModificationTime()) < min_age_s * 1000:
+            continue  # possibly an in-flight exporter's fresh bytes
+        fs.delete(st.getPath(), False)
+        removed.append(name)
+    return removed
+
+
 def replay_delta_log(spark: SparkSession, path: str) -> dict:
     """Parse ``<path>/_delta_log/`` and replay its actions in version
     order — the reader half of the protocol, used by the round-trip

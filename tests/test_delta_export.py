@@ -1591,3 +1591,32 @@ def test_cm_export_caches_convert_dirs_in_sidecar(spark, tmp_path):
         meta2 = json.load(f)
     assert meta2.get("cm_dirs") == meta["cm_dirs"]
     assert meta2["protocol"]["minWriterVersion"] == 7  # DV upgrade landed
+
+
+def test_vacuum_deletion_vectors(spark, tmp_path):
+    """Round 11: the DV half of VACUUM. A compaction supersedes a DV'd
+    add (tombstone carries the old descriptor); within the retention
+    window the .bin stays (time travel still needs the bytes), past it
+    the orphan is reclaimed — while a LIVE DV is never touched
+    regardless of age."""
+    from azure_etl_spark.sources.delta_export import vacuum_deletion_vectors
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark).coalesce(1), path, mode="overwrite")
+    export_delta_log(spark, path)
+    delete_from_snapshot(spark, path, [("grp", "=", 1)], mode="merge_on_read")
+    bins = [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1
+    # LIVE DV: never reclaimed, even with zero retention/age
+    assert vacuum_deletion_vectors(spark, path, retention_ms=0, min_age_s=0) == []
+
+    compact_snapshot(spark, path)  # materializes; the DV add is superseded
+    # inside the retention window the tombstoned DV survives
+    assert vacuum_deletion_vectors(spark, path, min_age_s=0) == []
+    assert bins[0] in os.listdir(path)
+    # past retention the orphan goes; the table still reads correctly
+    removed = vacuum_deletion_vectors(spark, path, retention_ms=0, min_age_s=0)
+    assert removed == bins
+    assert bins[0] not in os.listdir(path)
+    got = sorted(tuple(r) for r in read_snapshot(spark, path).collect())
+    assert len(got) == 48  # 60 rows minus grp=1's 12
