@@ -84,7 +84,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # this set — tests/test_docs.py pins the set against the latest
 # CORRECTNESS artifact and mechanically audits every "driver query/row"
 # claim in README/SURVEY/SCALE/PLANS against it (VERDICT r8 #4).
-# Pinned to CORRECTNESS_r10.json (VERDICT r10 #1).
+# Pinned to CORRECTNESS_r11.json (VERDICT r11 #1).
 DRIVER_SUBSET: frozenset[str] = frozenset({
     "argmax_price_order", "asof_purchase_last_error",
     "cosine_topk", "cube_lineitem", "date_parts_orders", "dedup_distinct",
@@ -98,8 +98,8 @@ DRIVER_SUBSET: frozenset[str] = frozenset({
     "rollup_orders", "serving_cast_all_id", "sessionize_events",
     "set_except_parts", "set_intersect_customers", "snapshot_convert_gold",
     "snapshot_delete_skipping", "snapshot_merge_upsert",
-    "snapshot_time_travel_gold", "delta_log_export_gold",
-    "sql_cosine_topk", "sql_minhash_near_dup",
+    "snapshot_time_travel_gold",
+    "sql_cosine_topk", "sql_lsh_topk", "sql_minhash_near_dup",
     "string_funcs_docs", "text_lang_id", "text_quality_score",
     "text_token_stats", "topk_orders", "tpch_q1ish", "tpch_q3ish",
     "tpch_q5ish", "union_snapshots", "window_lag_delta",
