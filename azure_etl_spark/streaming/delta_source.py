@@ -43,13 +43,18 @@ never row-level driver traffic.
 Checkpoint seeds for the initial load read all three protocol forms
 with pure local IO: classic single-file, classic multi-part (parts'
 row union), and V2 manifest + ``_delta_log/_sidecars/`` parquet
-sidecars. ``name``-mode FLAT column mappings stream directly (the
-common real-Databricks shape): data columns resolve by physical
-parquet name at the arrow boundary and partitionValues translate to
-logical columns at typing time. Honest gates (raised, never silently
-wrong): ``id``-mode and NESTED mappings (the batch convert verifies
-and handles both) and reader features beyond {deletionVectors,
-timestampNtz, v2Checkpoint}.
+sidecars. Column-mapped tables stream in BOTH modes, flat or nested
+(round 12, VERDICT r11 #3): data columns resolve by physical parquet
+name at the arrow boundary (nested structs/arrays/maps rebuilt under
+logical names executor-side — the arrow twin of the batch path's
+``sources/snapshot._cm_expr``), partitionValues translate to logical
+columns at typing time, and ``id`` mode verifies each file's
+``PARQUET:field_id``s against the declared mapping before resolving —
+the same per-file rule the batch convert enforces. A mid-stream rename
+or mapping-mode flip raises for a restart (additive evolution is
+tolerated). Honest gates (raised, never silently wrong): reader
+features beyond {deletionVectors, timestampNtz, v2Checkpoint,
+columnMapping}.
 """
 
 from __future__ import annotations
@@ -65,7 +70,16 @@ from pyspark.sql.datasource import (
 )
 
 DELTA_LOG_DIR = "_delta_log"
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "timestampNtz", "v2Checkpoint"}
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "timestampNtz",
+    "v2Checkpoint",
+    # round 12 (ADVICE r11): the exporter's own cm+DV logs declare
+    # columnMapping via the table-features form (reader 3) — the same
+    # `convertible` set batch convert_from_delta_log accepts; the
+    # mapping itself is translated (name+id modes, nested) at read()
+    "columnMapping",
+}
 
 
 def _log_versions(table: str) -> list[int]:
@@ -248,40 +262,213 @@ def _as_dict(v) -> dict:
     return out
 
 
-def _column_mapping(table: str, meta: dict) -> dict[str, str]:
-    """physical -> logical TOP-LEVEL name map for a column-mapped table
-    (round 11): ``name``-mode FLAT mappings stream directly — data
-    columns and partitionValues translate at the arrow/typing boundary.
-    ``id`` mode and nested mappings stay honest refusals (the batch
-    convert handles both; id resolution needs the footer verification
-    only the convert performs)."""
+def _cm_phys(field: dict) -> str:
+    """A Delta schemaString field's parquet column name (mirrors
+    sources/snapshot._cm_physical_name; kept local so the Python data
+    source worker stays plain-Python)."""
+    return (field.get("metadata") or {}).get(
+        "delta.columnMapping.physicalName", field["name"]
+    )
+
+
+def _cm_type_nested(t) -> bool:
+    """True when type JSON ``t`` carries mapped names BELOW the top
+    level (struct fields anywhere under ``t``)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return any(
+                "delta.columnMapping.physicalName" in (f.get("metadata") or {})
+                or _cm_type_nested(f.get("type"))
+                for f in t.get("fields", [])
+            )
+        if t.get("type") == "array":
+            return _cm_type_nested(t.get("elementType"))
+        if t.get("type") == "map":
+            return _cm_type_nested(t.get("keyType")) or _cm_type_nested(
+                t.get("valueType")
+            )
+    return False
+
+
+def _column_mapping(table: str, meta: dict) -> dict:
+    """Column-mapping info for a mapped table, or ``{}`` when unmapped:
+    ``{"mode", "top" (physical->logical top-level names), "fields"
+    (the schemaString's field list, which carries physicalName/id
+    metadata at every level), "ids" (declared field id -> physical
+    name, recursive — the id-mode resolution gate), "nested"}``.
+
+    Round 12 (VERDICT r11 #3): ``name`` AND ``id`` modes stream, flat
+    or NESTED — data columns resolve by physical parquet name at the
+    arrow boundary (nested structs/arrays/maps rebuilt under logical
+    names executor-side, the arrow twin of sources/snapshot._cm_expr),
+    partitionValues translate via the top-level map, and id mode
+    additionally verifies each file's ``PARQUET:field_id``s against
+    the declared mapping before resolving by name — exactly the rule
+    batch convert_from_delta_log's _verify_field_ids enforces."""
     conf = _as_dict(meta.get("configuration"))
     mode = conf.get("delta.columnMapping.mode", "none")
     if mode in ("none", ""):
         return {}
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise ValueError(
-            f"foreign delta table at {table} uses column mapping mode "
-            f"{mode!r}; the streaming source translates 'name' mode only "
-            "— convert the table (sources/delta_export."
-            "convert_from_delta_log verifies and handles 'id' mode) and "
-            "tail the snapshot source instead"
+            f"foreign delta table at {table} declares unknown column "
+            f"mapping mode {mode!r}; this source supports 'name' and 'id'"
         )
     schema = json.loads(meta.get("schemaString") or '{"fields": []}')
-    out: dict[str, str] = {}
-    for f in schema.get("fields", []):
-        md = f.get("metadata") or {}
-        phys = md.get("delta.columnMapping.physicalName", f["name"])
+    fields = schema.get("fields", [])
+    top: dict[str, str] = {}
+    nested = False
+    ids: dict[int, str] = {}
+
+    def _collect_ids(fs: list) -> None:
+        for f in fs:
+            fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if fid is not None:
+                ids[int(fid)] = _cm_phys(f)
+            _walk_type(f.get("type"))
+
+    def _walk_type(t) -> None:
+        if not isinstance(t, dict):
+            return
+        if t.get("type") == "struct":
+            _collect_ids(t.get("fields", []))
+        elif t.get("type") == "array":
+            _walk_type(t.get("elementType"))
+        elif t.get("type") == "map":
+            _walk_type(t.get("keyType"))
+            _walk_type(t.get("valueType"))
+
+    for f in fields:
+        phys = _cm_phys(f)
         if phys != f["name"]:
-            out[phys] = f["name"]
-        if "delta.columnMapping.physicalName" in json.dumps(f.get("type")):
-            raise ValueError(
-                f"foreign delta table at {table} carries NESTED column-"
-                "mapping physical names; the streaming source translates "
-                "flat mappings only — convert the table and tail the "
-                "snapshot source instead"
+            top[phys] = f["name"]
+        if _cm_type_nested(f.get("type")):
+            nested = True
+    _collect_ids(fields)
+    return {"mode": mode, "top": top, "fields": fields, "ids": ids,
+            "nested": nested}
+
+
+def _mapping_pairs(info: dict) -> set:
+    """Canonical {(logical path, physical name)} set of a mapping — the
+    mid-stream change detector's currency: physical names are immutable
+    per column, so a pair LEAVING the set means a rename / mode flip,
+    which a fixed-schema stream cannot represent."""
+    if not info:
+        return set()
+    pairs: set = set()
+
+    def _walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            path = prefix + f["name"]
+            pairs.add((path, _cm_phys(f)))
+            t = f.get("type")
+            while isinstance(t, dict) and t.get("type") in ("array", "map"):
+                t = t.get("elementType") if t.get("type") == "array" else t.get(
+                    "valueType"
+                )
+            if isinstance(t, dict) and t.get("type") == "struct":
+                _walk(t.get("fields", []), path + ".")
+
+    _walk(info.get("fields", []), "")
+    return pairs
+
+
+def _verify_arrow_field_ids(table: str, rel: str, fields, declared: dict) -> None:
+    """id-mode per-file gate (executor-side, footer metadata only):
+    every parquet field carrying a ``PARQUET:field_id`` that the
+    mapping declares must sit under the declared physical name — then
+    name-based resolution IS id-based resolution (the same rule as
+    sources/delta_export._verify_field_ids, re-stated on the arrow
+    schema the streaming read already holds)."""
+    import pyarrow as pa
+
+    for fld in fields:
+        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if raw is not None:
+            fid = int(raw)
+            if fid in declared and fld.name != declared[fid]:
+                raise ValueError(
+                    f"foreign delta table at {table} uses column mapping "
+                    f"mode 'id' and file {rel} stores field id {fid} under "
+                    f"parquet column {fld.name!r} != declared physicalName "
+                    f"{declared[fid]!r}; name-based resolution would "
+                    "mis-read it — rewrite the file (or table) to stream"
+                )
+        stack = [fld.type]
+        while stack:
+            t = stack.pop()
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                stack.append(t.value_type)
+            elif pa.types.is_map(t):
+                stack.extend([t.key_type, t.item_type])
+            elif pa.types.is_struct(t):
+                _verify_arrow_field_ids(table, rel, list(t), declared)
+
+
+def _logicalize_arrow(arr, dtype, target):
+    """Rebuild one arrow column read under PHYSICAL nested names into
+    the logical ``target`` type — the arrow twin of
+    sources/snapshot._cm_expr: struct children are looked up by each
+    delta field's physicalName and re-assembled under logical names
+    (validity preserved via the mask), lists/maps recurse on their
+    element/entry children, leaves cast. ``dtype`` is the delta
+    schemaString type JSON that carries the physicalName metadata."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(dtype, dict) and dtype.get("type") == "struct" and pa.types.is_struct(
+        target
+    ):
+        by_logical = {f["name"]: f for f in dtype.get("fields", [])}
+        src_names = {f.name for f in arr.type} if pa.types.is_struct(arr.type) else set()
+        children = []
+        for tf in target:
+            df = by_logical.get(tf.name)
+            phys = _cm_phys(df) if df else None
+            if df is None or phys not in src_names:
+                # schema-evolved: the file predates this (sub)column
+                children.append(pa.nulls(len(arr), type=tf.type))
+            else:
+                children.append(
+                    _logicalize_arrow(arr.field(phys), df.get("type"), tf.type)
+                )
+        return pa.StructArray.from_arrays(
+            children, fields=list(target), mask=arr.is_null()
+        )
+    if isinstance(dtype, dict) and dtype.get("type") == "array" and (
+        pa.types.is_list(target) or pa.types.is_large_list(target)
+    ):
+        values = _logicalize_arrow(
+            arr.values, dtype.get("elementType"), target.value_type
+        )
+        return pa.ListArray.from_arrays(
+            arr.offsets, values, type=target, mask=arr.is_null()
+        )
+    if isinstance(dtype, dict) and dtype.get("type") == "map" and pa.types.is_map(
+        target
+    ):
+        keys = _logicalize_arrow(arr.keys, dtype.get("keyType"), target.key_type)
+        items = _logicalize_arrow(arr.items, dtype.get("valueType"), target.item_type)
+        rebuilt = pa.MapArray.from_arrays(arr.offsets, keys, items)
+        if arr.null_count:
+            # MapArray.from_arrays has no mask in pyarrow 16: reattach
+            # the original validity+offsets buffers (arr is freshly
+            # read/filtered, offset 0; materialize if ever sliced)
+            if arr.offset != 0:
+                import numpy as np
+
+                arr = arr.take(pa.array(np.arange(len(arr), dtype="int64")))
+            target_arr = pa.MapArray.from_buffers(
+                pa.map_(keys.type, items.type),
+                len(arr),
+                [arr.buffers()[0], arr.buffers()[1]],
+                children=[rebuilt.values],
             )
-    return out
+            return target_arr
+        return rebuilt
+    return arr.cast(target)
 
 
 def _replay_state(table: str, upto: int) -> tuple[dict, dict | None]:
@@ -463,6 +650,93 @@ def _decode_dv_local(table: str, dv: dict) -> list[int]:
     return positions
 
 
+def _commit_ts_ms(table: str, v: int) -> int:
+    """One commit's timestamp in epoch ms: the commitInfo.timestamp
+    when present (what real writers stamp), else the commit file's
+    mtime, else — for a checkpoint-only log — the ``_last_checkpoint``
+    mtime. Deterministic per (table, version): file mtimes are stable,
+    so offset replay reconstructs identical rows."""
+    ldir = os.path.join(table, DELTA_LOG_DIR)
+    p = os.path.join(ldir, f"{v:020d}.json")
+    if os.path.exists(p):
+        for a in _commit_actions(table, v):
+            ci = a.get("commitInfo")
+            if ci and ci.get("timestamp") is not None:
+                return int(ci["timestamp"])
+        return int(os.path.getmtime(p) * 1000)
+    lc = os.path.join(ldir, "_last_checkpoint")
+    return int(os.path.getmtime(lc) * 1000) if os.path.exists(lc) else 0
+
+
+def _parse_ts_ms(raw: str, what: str) -> int:
+    """Parse a user timestamp option ('yyyy-MM-dd[ HH:mm:ss[.f]]', ISO
+    8601, or epoch seconds/millis) to epoch ms. Naive timestamps read
+    as UTC — the only zone a log's commit timestamps are stated in."""
+    import datetime
+
+    s = str(raw).strip()
+    if s.replace(".", "", 1).isdigit():
+        f = float(s)
+        # epoch seconds vs millis: values past year 2603 in seconds are
+        # interpreted as milliseconds
+        return int(f if f > 2e10 else f * 1000)
+    try:
+        dt = datetime.datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"{what}: cannot parse timestamp {raw!r} — use ISO 8601 "
+            "('2026-01-31 12:00:00'), a date, or epoch seconds"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _resolve_starting_timestamp(
+    table: str, versions: list[int], ts_ms: int
+) -> dict:
+    """Delta's startingTimestamp semantics as an initial offset: all
+    commits stamped AT OR AFTER the timestamp replay (the earliest such
+    version starts the walk); a timestamp before the chain's start
+    walks from the first version; one past the tip tails only FUTURE
+    commits. Raises when the JSON chain cannot prove the boundary
+    (commit timestamps are non-decreasing in any sane log; a cleaned-up
+    chain that no longer covers the timestamp refuses rather than
+    guesses)."""
+    if not versions:
+        raise ValueError(
+            f"startingtimestamp on {table}: the log has no commit JSONs "
+            "to resolve a timestamp against"
+        )
+    first = versions[0]
+    # binary search over non-decreasing commit timestamps
+    lo, hi = 0, len(versions)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _commit_ts_ms(table, versions[mid]) < ts_ms:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo == len(versions):
+        # after the tip: tail future commits only
+        return {"version": versions[-1]}
+    start_v = versions[lo]
+    if start_v == first and first != 0 and _commit_ts_ms(table, first) >= ts_ms:
+        # the chain's surviving start is already past the timestamp —
+        # earlier commits are gone, so the request is unanswerable
+        raise ValueError(
+            f"startingtimestamp on {table}: the log's JSON chain starts "
+            f"at version {first} (older commits cleaned up); cannot "
+            "replay changes from the requested timestamp"
+        )
+    # walk from start_v: same offset form startingversion uses
+    return (
+        {"version": -1, "walk": True}
+        if start_v == 0
+        else {"version": start_v - 1}
+    )
+
+
 class _DeltaFilePartition(InputPartition):
     def __init__(
         self,
@@ -487,6 +761,20 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # readchangefeed=true (round 12, VERDICT r11 #4): emit CHANGE
+        # rows instead of snapshot rows — Delta's streaming CDF.
+        # Commits with cdc actions read their _change_data parquet
+        # (which carries _change_type in-data); commits without derive
+        # insert/delete rows from their dataChange file actions under
+        # each action's own DV mask, exactly as the protocol specifies
+        # and bit-identical to the batch reader
+        # (sources/delta_export.table_changes). The initial snapshot
+        # (no startingversion) serves the current live set as inserts
+        # at the tip version. Every row carries _change_type,
+        # _commit_version, _commit_timestamp.
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
         mbt = options.get("maxbytespertrigger")
@@ -498,34 +786,115 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 # the stream forever — refuse at option parse time
                 raise ValueError(f"{name} must be positive, got {val}")
         self.starting_version = options.get("startingversion")
+        self.starting_timestamp = options.get("startingtimestamp")
+        if self.starting_version is not None and self.starting_timestamp is not None:
+            # Delta's own rule: the two options are mutually exclusive
+            raise ValueError(
+                "specify either startingversion or startingtimestamp, not both"
+            )
+        if self.starting_timestamp is not None:
+            # parse eagerly so a malformed option fails at query start,
+            # not at the first trigger
+            self._starting_ts_ms = _parse_ts_ms(
+                self.starting_timestamp, "startingtimestamp"
+            )
         self.schema = schema
         self._fields = {f.name: f.dataType.simpleString() for f in schema.fields}
         self._last_end = None
         self._unit_cache: dict[tuple[int, bool], list] = {}
-        # flat name-mode column mapping (physical parquet names ->
-        # logical schema names), fixed for the table's lifetime
-        # (physical names are immutable); {} for unmapped tables.
-        # Computed once here so executors get it with the pickled
-        # reader, and read() can resolve physical columns. Backwards
-        # metaData scan, NOT a full replay: tail-only streams on
-        # truncated chains must construct fine.
+        # column mapping (name OR id mode, flat or nested), fixed for
+        # the table's lifetime (physical names are immutable); {} for
+        # unmapped tables. Computed once here so executors get it with
+        # the pickled reader, and read() can resolve physical columns.
+        # Backwards metaData scan, NOT a full replay: tail-only streams
+        # on truncated chains must construct fine.
         meta = _latest_metadata(self.table)
-        self._phys2log = _column_mapping(self.table, meta) if meta else {}
+        self._cm = _column_mapping(self.table, meta) if meta else {}
+        self._phys2log = dict(self._cm.get("top") or {})
+        self._cm_fields = (
+            {f["name"]: f for f in self._cm["fields"]} if self._cm else {}
+        )
+
+    def _gate_mapping(self, meta: dict) -> None:
+        """A commit's metaData must agree with the mapping the reader
+        resolved at start: ADDITIVE evolution (new columns under new
+        physical names) is tolerated — the fixed stream schema just
+        never selects them — but a rename or mode flip changes which
+        physical column a logical name resolves to, which a running
+        stream cannot represent. Raise for a restart, never mis-read."""
+        info = _column_mapping(self.table, meta)
+        if not info and not self._cm:
+            return
+        if not info or not self._cm or info["mode"] != self._cm["mode"]:
+            raise ValueError(
+                f"foreign delta table at {self.table} changed its column "
+                "mapping mode mid-stream; restart the stream from a fresh "
+                "checkpoint with the new schema"
+            )
+
+        hist = _mapping_pairs(info)
+        cur = _mapping_pairs(self._cm)
+        if not hist <= cur:
+            raise ValueError(
+                f"foreign delta table at {self.table} renamed mapped "
+                f"columns mid-stream ({sorted(hist - cur)[:3]} not in the "
+                "current mapping); restart the stream from a fresh "
+                "checkpoint with the new schema"
+            )
+
+    def _commit_ts(self, v: int):
+        """Commit timestamp as a tz-aware datetime (see
+        :func:`_commit_ts_ms`)."""
+        import datetime
+
+        return datetime.datetime.fromtimestamp(
+            _commit_ts_ms(self.table, v) / 1000, datetime.timezone.utc
+        )
+
+    def _hive_part_values(self, rel: str) -> dict:
+        """Recover hive ``col=val`` partition segments from a path (the
+        fallback for remove actions, which the protocol lets omit
+        partitionValues). Nulls use Hive's default token."""
+        vals: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                if k in self._fields or self._phys2log.get(k) in self._fields:
+                    vals[k] = (
+                        None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+                    )
+        return vals
 
     # -- units ---------------------------------------------------------
     def _unit(self, v: int, init: bool) -> list[tuple[str, list, dict | None]]:
-        """The (rel_path, typed partition values, dv descriptor) list a
-        version contributes: the replayed live set for the initial
-        snapshot load, else the commit's data-changing plain adds
-        (append-only tail; change commits raise or skip per
-        ignorechanges — decided here so pacing and planning agree)."""
+        """The (rel_path, typed partition values + per-row consts, dv
+        descriptor, size) list a version contributes: the replayed live
+        set for the initial snapshot load, else the commit's
+        data-changing plain adds (append-only tail; change commits
+        raise or skip per ignorechanges — decided here so pacing and
+        planning agree). In CDF mode (``readchangefeed``) tail units
+        are instead the commit's CHANGE files: cdc actions when
+        present (the _change_data parquet carries _change_type
+        in-data), else protocol-derived inserts/deletes from the
+        dataChange file actions under their own DV masks; the initial
+        load serves the live set as inserts. _commit_version and
+        _commit_timestamp ride as per-unit constants."""
         key = (v, init)
         if key in self._unit_cache:
             return self._unit_cache[key]
+
+        def _cdf_consts(ct: str | None) -> list[tuple[str, object]]:
+            if not self.read_change_feed:
+                return []
+            out = [("_commit_version", v), ("_commit_timestamp", self._commit_ts(v))]
+            if ct is not None:
+                out.append(("_change_type", ct))
+            return out
+
         if init:
             live, meta = _replay_state(self.table, v)
             if meta is not None:
-                _column_mapping(self.table, meta)  # raises on id/nested
+                self._gate_mapping(meta)
             unit = []
             for rel, a in sorted(live.items()):
                 # checkpoint-seeded adds may carry an all-null DV struct
@@ -535,17 +904,65 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 unit.append(
                     (rel,
                      _typed_part_values(a.get("partitionValues"),
-                                        self._fields, self._phys2log),
+                                        self._fields, self._phys2log)
+                     + _cdf_consts("insert"),
                      dv,
                      int(a.get("size") or 0))
                 )
+        elif self.read_change_feed:
+            acts = _commit_actions(self.table, v)
+            for a in acts:
+                if "metaData" in a:
+                    self._gate_mapping(a["metaData"])
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            unit = []
+            if cdc:
+                # materialized change files: _change_type rides in-data
+                for a in sorted(cdc, key=lambda a: a["path"]):
+                    unit.append(
+                        (unquote(a["path"]),
+                         _typed_part_values(a.get("partitionValues"),
+                                            self._fields, self._phys2log)
+                         + _cdf_consts(None),
+                         None,
+                         int(a.get("size") or 0))
+                    )
+            else:
+                # protocol-derived: removes -> deletes, adds -> inserts,
+                # each under its action's own DV mask (a DV swap derives
+                # as full-file churn of the visible rows on both sides)
+                for action_key, ct in (("remove", "delete"), ("add", "insert")):
+                    acts_k = sorted(
+                        (a[action_key] for a in acts
+                         if action_key in a
+                         and a[action_key].get(
+                             "dataChange", action_key == "remove"
+                         )),
+                        key=lambda a: a["path"],
+                    )
+                    for a in acts_k:
+                        rel = unquote(a["path"])
+                        pv = a.get("partitionValues")
+                        if not _as_dict(pv):
+                            pv = self._hive_part_values(rel)
+                        dv = a.get("deletionVector")
+                        if dv and not dv.get("storageType"):
+                            dv = None
+                        unit.append(
+                            (rel,
+                             _typed_part_values(pv, self._fields,
+                                                self._phys2log)
+                             + _cdf_consts(ct),
+                             dv,
+                             int(a.get("size") or 0))
+                        )
         else:
             adds: list[dict] = []
             removes_dc = 0
             dv_adds = 0
             for a in _commit_actions(self.table, v):
                 if "metaData" in a:
-                    _column_mapping(self.table, a["metaData"])  # id/nested gate
+                    self._gate_mapping(a["metaData"])
                 elif "remove" in a and a["remove"].get("dataChange", True):
                     removes_dc += 1
                 elif "add" in a and a["add"].get("dataChange", False):
@@ -558,9 +975,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     f"delta stream source: commit v{v} at {self.table} "
                     f"{'attaches deletion vectors' if dv_adds else 'removes files'}"
                     "; an append-only tail cannot represent deletes — "
-                    "restart from a fresh checkpoint, or set "
+                    "restart from a fresh checkpoint, set "
                     "ignorechanges=true to emit rewrite files / skip "
-                    "DV-only commits (Delta's ignoreChanges caveats)"
+                    "DV-only commits (Delta's ignoreChanges caveats), or "
+                    "tail changes with readchangefeed=true"
                 )
             unit = [
                 (unquote(a["path"]),
@@ -577,7 +995,11 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
     # -- offsets (same algebra as the snapshot source) -----------------
     def initialOffset(self):
-        if self.starting_version is None:
+        if self.starting_timestamp is not None:
+            off = _resolve_starting_timestamp(
+                self.table, _log_versions(self.table), self._starting_ts_ms
+            )
+        elif self.starting_version is None:
             off = {"version": -1}
         elif str(self.starting_version).lower() == "latest":
             tip = _tip_version(self.table)
@@ -597,11 +1019,20 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         latest = _tip_version(self.table)
         if latest is None:
-            return {"version": -1}
+            # a transiently-unlistable log (object-store listing
+            # hiccup, table mid-replace) must never send the stream
+            # BACKWARDS to the initial-snapshot sentinel — that would
+            # re-deliver the whole table on the next tick (round-12
+            # fix). Report no new data instead.
+            return self._last_end if self._last_end is not None else {"version": -1}
         if (self.max_files is None and self.max_bytes is None) or (
             self._last_end is None
         ):
             off = {"version": latest}
+            if self._last_end is not None and self._off_key(off) < self._off_key(
+                self._last_end
+            ):
+                return self._last_end  # tip transiently behind: hold position
             self._last_end = off
             return off
         st = self._last_end
@@ -696,6 +1127,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.abs_path)
+        if self._cm and self._cm["mode"] == "id":
+            # id-mode resolution gate, per file: declared field ids
+            # must sit under the declared physical names, after which
+            # name-based resolution IS id-based resolution
+            _verify_arrow_field_ids(
+                self.table, partition.abs_path, list(tbl.schema), self._cm["ids"]
+            )
         if partition.dv:
             # the DV masks ORIGINAL physical row indexes; it applies to
             # the freshly-read table before anything else drops rows
@@ -706,15 +1144,21 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         consts = dict(partition.part_values)
         arrays = []
-        log2phys = {x: p for p, x in self._phys2log.items()}
+        names = set(tbl.column_names)
         for field in target:
-            src_name = (
-                field.name
-                if field.name in tbl.column_names
-                else log2phys.get(field.name)
-            )
-            if src_name in tbl.column_names:
-                arrays.append(tbl.column(src_name).cast(field.type))
+            df_field = self._cm_fields.get(field.name)
+            # under a mapping the PHYSICAL name wins (a file may store
+            # an unrelated column under another field's logical name)
+            if df_field is not None and _cm_phys(df_field) in names:
+                col = tbl.column(_cm_phys(df_field))
+                if _cm_type_nested(df_field.get("type")):
+                    arrays.append(
+                        _logicalize_arrow(col, df_field.get("type"), field.type)
+                    )
+                else:
+                    arrays.append(col.cast(field.type))
+            elif df_field is None and field.name in names:
+                arrays.append(tbl.column(field.name).cast(field.type))
             elif field.name in consts:
                 val = consts[field.name]
                 if val is None:
@@ -748,8 +1192,17 @@ class DeltaLogTableSource(DataSource):
             raise ValueError(
                 f"delta log at {table} carries no readable metaData"
             )
-        _column_mapping(table, meta)  # raises on id mode / nested names
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        _column_mapping(table, meta)  # raises on unknown mapping modes
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, TimestampType
+
+            st = (
+                st.add("_change_type", StringType())
+                .add("_commit_version", LongType())
+                .add("_commit_timestamp", TimestampType())
+            )
+        return st
 
     def streamReader(self, schema):
         return DeltaLogStreamReader(self.options, schema)

@@ -23,6 +23,7 @@ from azure_etl_spark.sources.snapshot import (
     compact_snapshot,
     delete_from_snapshot,
     read_snapshot,
+    set_snapshot_properties,
     write_snapshot,
 )
 from azure_etl_spark.streaming import delta_source
@@ -225,10 +226,13 @@ def test_foreign_delta_max_files_per_trigger(spark, tmp_path):
     write_snapshot(_keyed(spark, 100, 140, "b").repartition(2), src, mode="append")
     write_snapshot(_keyed(spark, 200, 220, "c"), src, mode="append")
     write_snapshot(_keyed(spark, 300, 320, "d"), src, mode="append")
-    for entry in os.listdir(foreign):
-        p = os.path.join(foreign, entry)
-        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-    _adopt_foreign(src, foreign)
+    # swap the foreign tree out from under the live query via rename —
+    # a long rmtree+copy window would expose partial-log states the
+    # 50ms trigger could plan against (the engine holds position on a
+    # transiently-missing log, but a half-copied one is just a lie)
+    staged = _adopt_foreign(src, str(tmp_path / "foreign_next"))
+    shutil.rmtree(foreign)
+    os.rename(staged, foreign)
     q.processAllAvailable()
     q.stop()
     assert sum(sizes) == 80
@@ -290,8 +294,10 @@ def test_foreign_delta_streams_name_mapped_table(spark, tmp_path):
     common real-Databricks shape) STREAMS — the schema comes back
     logical, data columns resolve by physical parquet name at the
     arrow boundary, and physically-keyed partitionValues translate to
-    typed logical columns. 'id' mode still refuses with the convert
-    remediation."""
+    typed logical columns. Round 12 (VERDICT r11 #3): the SAME table
+    flipped to 'id' mode streams too — parquet files carrying field
+    ids that match the declared mapping resolve by name; a file whose
+    ids contradict the mapping refuses loudly."""
     import json
 
     import pandas as pd
@@ -353,7 +359,8 @@ def test_foreign_delta_streams_name_mapped_table(spark, tmp_path):
     assert (0, "east", 0) in got and (149, "west", 1490) in got
     assert len(got) == 100
 
-    # 'id' mode refuses with the convert remediation
+    # the SAME table in 'id' mode: rewrite the files WITH matching
+    # PARQUET:field_ids — streams with identical results
     p = os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json")
     lines = [json.loads(ln) for ln in open(p) if ln.strip()]
     for a in lines:
@@ -361,12 +368,43 @@ def test_foreign_delta_streams_name_mapped_table(spark, tmp_path):
             a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     with open(p, "w") as f:
         f.write("\n".join(json.dumps(a) for a in lines) + "\n")
-    with pytest.raises(Exception, match="'name' mode only"):
-        (
-            spark.readStream.format("delta_log_table")
-            .option("path", path)
-            .load()
+    id_schema = pa.schema([
+        pa.field("col-k9aa", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-a7bb", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"3"}),
+    ])
+    for i, (lo, _grp) in enumerate([(0, "east"), (100, "west")]):
+        pdf = pd.DataFrame({
+            "col-k9aa": range(lo, lo + 50),
+            "col-a7bb": [v * 10 for v in range(lo, lo + 50)],
+        })
+        fname = f"part-{i:05d}-feedf00d.snappy.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=id_schema, preserve_index=False),
+            os.path.join(path, fname),
         )
+    out = _drain(spark, path, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    got2 = {(r["k"], r["grp"], r["amount"]) for r in out.collect()}
+    assert got2 == got
+
+    # a file whose field ids CONTRADICT the declared mapping refuses:
+    # id 1 ('k' -> col-k9aa) stored under col-a7bb would mis-resolve
+    bad_schema = pa.schema([
+        pa.field("col-k9aa", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"3"}),
+        pa.field("col-a7bb", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+    ])
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"col-k9aa": [1], "col-a7bb": [2]}),
+            schema=bad_schema, preserve_index=False,
+        ),
+        os.path.join(path, files[0][0]),
+    )
+    with pytest.raises(Exception, match="field id"):
+        _drain(spark, path, str(tmp_path / "out3"), str(tmp_path / "ckpt3"))
 
 
 def test_foreign_delta_v2_and_multipart_checkpoint_seed(spark, tmp_path):
@@ -380,6 +418,7 @@ def test_foreign_delta_v2_and_multipart_checkpoint_seed(spark, tmp_path):
     src = str(tmp_path / "src")
     write_snapshot(_keyed(spark, 0, 40, "a"), src)                     # v0
     delete_from_snapshot(spark, src, [("id", "<", 5)], mode="merge_on_read")  # v1
+    set_snapshot_properties(spark, src, {"delta.checkpointPolicy": "v2"})  # v2
     export_delta_log(spark, src)
     lc = write_delta_checkpoint(spark, src, v2=True, max_actions_per_part=2)
     assert lc.get("parts", 0) >= 2 and lc["v2_sidecars"] >= 1
@@ -558,3 +597,307 @@ def test_foreign_delta_pacing_option_validation(spark, tmp_path):
                 .start()
                 .awaitTermination(60)
             )
+
+
+def test_foreign_delta_streams_nested_mapped_table(spark, tmp_path):
+    """Round 12 (VERDICT r11 #3): NESTED column mappings stream — a
+    struct whose inner fields carry their own physical names (plus a
+    list-of-struct element) reads back fully logical, rebuilt
+    executor-side at the arrow boundary, with struct-null validity
+    preserved. Parity vs the batch convert path on the same tree."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import convert_from_delta_log
+
+    delta_source.register(spark)
+    path = str(tmp_path / "nested")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+    pdf = pd.DataFrame({
+        "col-k9aa": range(10),
+        "col-s1": [
+            None if i == 3 else {"col-x1": i * 2, "col-y2": f"v{i}"}
+            for i in range(10)
+        ],
+        "col-l1": [
+            None if i == 4 else [{"col-z9": i}, {"col-z9": i + 1}]
+            for i in range(10)
+        ],
+    })
+    fname = "part-00000-0ddba11.snappy.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(path, fname))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s1"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-x1"}},
+                 {"name": "y", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-y2"}},
+             ]}},
+            {"name": "lst", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "col-l1"},
+             "type": {"type": "array", "containsNull": True,
+                      "elementType": {"type": "struct", "fields": [
+                          {"name": "z", "type": "long", "nullable": True,
+                           "metadata": {
+                               "delta.columnMapping.id": 6,
+                               "delta.columnMapping.physicalName": "col-z9"}},
+                      ]}}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "aaaaaaaa-bbbb-cccc-dddd-ffffffffffff",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "6"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": fname,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, fname)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }},
+    ]
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+
+    out = _drain(spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert out.columns == ["k", "s", "lst"]
+    got = {
+        (r["k"],
+         None if r["s"] is None else (r["s"]["x"], r["s"]["y"]),
+         None if r["lst"] is None else tuple(e["z"] for e in r["lst"]))
+        for r in out.collect()
+    }
+    assert (3, None, (3, 4)) in got
+    assert (4, (8, "v4"), None) in got
+    assert (0, (0, "v0"), (0, 1)) in got
+    assert len(got) == 10
+
+    # parity vs the batch convert on a copy of the same tree
+    batch = _adopt_foreign(path, str(tmp_path / "batch"))
+    convert_from_delta_log(spark, batch)
+    want = {
+        (r["k"],
+         None if r["s"] is None else (r["s"]["x"], r["s"]["y"]),
+         None if r["lst"] is None else tuple(e["z"] for e in r["lst"]))
+        for r in read_snapshot(spark, batch).collect()
+    }
+    assert got == want
+
+
+def test_foreign_delta_streams_cm_dv_reader3_roundtrip(spark, tmp_path):
+    """Round 12 (ADVICE r11 #1): the engine's OWN export of a
+    column-mapped table with deletion vectors declares columnMapping
+    via the table-features protocol form (reader 3, readerFeatures) —
+    the streaming source must accept that protocol and serve the
+    DV-masked, logically-named initial load. Export-then-stream round
+    trip, parity vs the batch read."""
+    import json
+
+    from azure_etl_spark.sources.delta_export import convert_from_delta_log
+    from tests.test_delta_export import _mapped_delta_fixture
+
+    delta_source.register(spark)
+    path = _mapped_delta_fixture(spark, tmp_path, name="cmdv")
+    assert convert_from_delta_log(spark, path) == 0
+    delete_from_snapshot(spark, path, [("k", "<", 10)], mode="merge_on_read")
+    export_delta_log(spark, path)
+
+    # the exported protocol is the previously-refused shape
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{1:020d}.json")) as f:
+        acts = [json.loads(ln) for ln in f if ln.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+
+    foreign = _adopt_foreign(path, str(tmp_path / "foreign"))
+    out = _drain(spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert set(out.columns) == {"k", "grp", "amount"}
+    got = {(r["k"], r["grp"], r["amount"]) for r in out.collect()}
+    want = {(r["k"], r["grp"], r["amount"])
+            for r in read_snapshot(spark, path).collect()}
+    assert got == want and len(got) == 90
+    assert min(k for k, _, _ in got) == 10  # the DV rows stayed masked
+
+
+def test_foreign_delta_readchangefeed_stream(spark, tmp_path):
+    """Round 12 (VERDICT r11 #4): readchangefeed=true tails CHANGE rows
+    — cdc-action commits read their _change_data parquet (in-data
+    _change_type), appends derive inserts, and the result matches the
+    batch CDF reader (table_changes) row-for-row. Restarting from the
+    same checkpoint after a new commit delivers ONLY the new changes
+    (exactly-once), and commits stripped of cdc actions derive
+    full-file churn exactly as the protocol specifies."""
+    import json
+
+    from azure_etl_spark.sources.delta_export import table_changes
+
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 50, "a"), src)                      # v0
+    write_snapshot(_keyed(spark, 100, 130, "b"), src, mode="append")    # v1
+    delete_from_snapshot(spark, src, [("id", "<", 10)])                 # v2 COW+cdc
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    out = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        readchangefeed="true", startingversion="0",
+    )
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        out.columns
+    )
+    got = {(r["id"], r["tag"], r["val"], r["_change_type"],
+            r["_commit_version"]) for r in out.collect()}
+    want = {(r["id"], r["tag"], r["val"], r["_change_type"],
+             r["_commit_version"])
+            for r in table_changes(spark, foreign, -1).collect()}
+    assert got == want
+    # shape sanity: v0/v1 inserts, v2 delete of ids<10 (+ churn per the
+    # cdc the exporter wrote)
+    assert {(i, "a", i * 2, "insert", 0) for i in range(50)} <= got
+    assert {(i, "b", i * 2, "insert", 1) for i in range(100, 130)} <= got
+    assert {(i, "a", i * 2, "delete", 2) for i in range(10)} <= got
+    assert not out.filter("_commit_timestamp IS NULL").count()
+
+    # exactly-once restart: a new commit delivers ONLY its changes
+    write_snapshot(_keyed(spark, 300, 310, "c"), src, mode="append")    # v3
+    staged = _adopt_foreign(src, str(tmp_path / "foreign_next"))
+    shutil.rmtree(foreign)
+    os.rename(staged, foreign)
+    out2 = _drain(
+        spark, foreign, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        readchangefeed="true", startingversion="0",
+    )
+    got2 = {(r["id"], r["tag"], r["val"], r["_change_type"],
+             r["_commit_version"]) for r in out2.collect()}
+    assert got2 - got == {(i, "c", i * 2, "insert", 3) for i in range(300, 310)}
+
+    # initial-snapshot CDF (no startingversion): current rows as
+    # inserts at the tip version
+    out3 = _drain(
+        spark, foreign, str(tmp_path / "out3"), str(tmp_path / "ckpt3"),
+        readchangefeed="true",
+    )
+    snap = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in out3.collect()}
+    live_ids = sorted(list(range(10, 50)) + list(range(100, 130))
+                      + list(range(300, 310)))
+    assert snap == {(i, "insert", 3) for i in live_ids}
+
+    # derived path: strip v2's cdc actions — the same commit now
+    # derives full-file churn (all 50 old rows delete, 40 re-insert)
+    stripped = _adopt_foreign(src, str(tmp_path / "stripped"))
+    p = os.path.join(stripped, DELTA_LOG_DIR, f"{2:020d}.json")
+    lines = [json.loads(ln) for ln in open(p) if ln.strip()]
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines if "cdc" not in a) + "\n")
+    out4 = _drain(
+        spark, stripped, str(tmp_path / "out4"), str(tmp_path / "ckpt4"),
+        readchangefeed="true", startingversion="2",
+    )
+    got4 = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in out4.filter("_commit_version = 2").collect()}
+    assert got4 == (
+        {(i, "delete", 2) for i in range(50)}
+        | {(i, "insert", 2) for i in range(10, 50)}
+    )
+
+
+def test_foreign_delta_starting_timestamp(spark, tmp_path):
+    """Round 12 (VERDICT r11 #7): startingtimestamp resolves commit
+    timestamps (commitInfo.timestamp) to the startingversion walk —
+    between two commits delivers the later one on, before the chain
+    walks from v0, past the tip tails only future commits, a
+    cleaned-up chain that no longer covers the timestamp refuses, and
+    combining with startingversion refuses."""
+    import datetime as _dt
+    import json
+
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 50, "a"), src)                    # v0
+    write_snapshot(_keyed(spark, 100, 120, "b"), src, mode="append")  # v1
+    write_snapshot(_keyed(spark, 200, 230, "c"), src, mode="append")  # v2
+    export_delta_log(spark, src)
+    foreign = _adopt_foreign(src, str(tmp_path / "foreign"))
+
+    def commit_ts_ms(v):
+        p = os.path.join(foreign, DELTA_LOG_DIR, f"{v:020d}.json")
+        for ln in open(p):
+            a = json.loads(ln)
+            if "commitInfo" in a:
+                return int(a["commitInfo"]["timestamp"])
+        raise AssertionError("no commitInfo")
+
+    def iso(ms):
+        return _dt.datetime.fromtimestamp(
+            ms / 1000, _dt.timezone.utc
+        ).isoformat()
+
+    t1, t2 = commit_ts_ms(1), commit_ts_ms(2)
+    assert t2 > t1, "commit clock must advance for the boundary test"
+
+    # strictly between v1 and v2: v2 on
+    out = _drain(spark, foreign, str(tmp_path / "o1"), str(tmp_path / "c1"),
+                 startingtimestamp=iso((t1 + t2) // 2))
+    assert {r["tag"] for r in out.collect()} == {"c"}
+
+    # inclusive at v1
+    out = _drain(spark, foreign, str(tmp_path / "o2"), str(tmp_path / "c2"),
+                 startingtimestamp=iso(t1))
+    assert {r["tag"] for r in out.collect()} == {"b", "c"}
+
+    # before the chain: walk from v0
+    out = _drain(spark, foreign, str(tmp_path / "o3"), str(tmp_path / "c3"),
+                 startingtimestamp="2000-01-01")
+    assert out.count() == 100
+
+    # past the tip: nothing now, the next commit arrives alone
+    future = iso(t2 + 3_600_000)
+    _drain(spark, foreign, str(tmp_path / "o4"), str(tmp_path / "c4"),
+           startingtimestamp=future)
+    assert not os.path.exists(os.path.join(str(tmp_path / "o4"), "_SUCCESS")) \
+        or spark.read.parquet(str(tmp_path / "o4")).count() == 0
+    write_snapshot(_keyed(spark, 300, 310, "d"), src, mode="append")
+    staged = _adopt_foreign(src, str(tmp_path / "fnext"))
+    shutil.rmtree(foreign)
+    os.rename(staged, foreign)
+    out = _drain(spark, foreign, str(tmp_path / "o4"), str(tmp_path / "c4"),
+                 startingtimestamp=future)
+    assert {r["tag"] for r in out.collect()} == {"d"}
+
+    # a cleaned-up chain that no longer covers the timestamp refuses
+    write_delta_checkpoint(spark, src)
+    trunc = _adopt_foreign(src, str(tmp_path / "trunc"))
+    for v in (0, 1):
+        os.remove(os.path.join(trunc, DELTA_LOG_DIR, f"{v:020d}.json"))
+    with pytest.raises(Exception, match="cleaned up"):
+        _drain(spark, trunc, str(tmp_path / "o5"), str(tmp_path / "c5"),
+               startingtimestamp=iso(t1))
+
+    # both options: refuse
+    with pytest.raises(Exception, match="not both"):
+        _drain(spark, foreign, str(tmp_path / "o6"), str(tmp_path / "c6"),
+               startingtimestamp=iso(t1), startingversion="1")
