@@ -1212,6 +1212,11 @@ def write_snapshot(
                 if parent is not None and "constraints" in parent
                 else {}
             ),
+            **(
+                {"properties": parent["properties"]}
+                if parent is not None and "properties" in parent
+                else {}
+            ),
         }
         _maybe_checkpoint_stats(spark, path, manifest)
         if _try_commit_manifest(spark, path, version, manifest):
@@ -1675,6 +1680,11 @@ def _commit_cow(
                 if "constraints" in parent
                 else {}
             ),
+            **(
+                {"properties": parent["properties"]}
+                if "properties" in parent
+                else {}
+            ),
         }
         _maybe_checkpoint_stats(spark, path, manifest)
         if _try_commit_manifest(spark, path, version, manifest):
@@ -1740,6 +1750,11 @@ def _commit_metadata(
             **(
                 {"constraints": base["constraints"]}
                 if "constraints" in base
+                else {}
+            ),
+            **(
+                {"properties": base["properties"]}
+                if "properties" in base
                 else {}
             ),
         }
@@ -2174,6 +2189,62 @@ def drop_snapshot_constraints(
     )
 
 
+def set_snapshot_properties(
+    spark: SparkSession, path: str, properties: dict[str, str]
+) -> int:
+    """SET TBLPROPERTIES (round 12, VERDICT r11 #6): a metadata-only
+    commit merging free-form table properties into the manifest. They
+    ride every subsequent commit (like constraints), and
+    :func:`~azure_etl_spark.sources.delta_export.export_delta_log`
+    emits them into the Delta metaData configuration — so
+    engine-recognised keys (``delta.checkpointPolicy=v2``) and
+    user/team annotations survive the interop boundary both ways.
+    Returns the new version."""
+    parent = _load_manifest(spark, path, _resolve_version(spark, path, None))
+    props = {
+        **parent.get("properties", {}),
+        **{str(k): str(v) for k, v in (properties or {}).items()},
+    }
+
+    def mutate(manifest: dict, v: int) -> None:
+        manifest["properties"] = props
+
+    return _commit_metadata(
+        spark, path, parent, mutate, "set_properties", on_log_advance="rebase"
+    )
+
+
+def unset_snapshot_properties(
+    spark: SparkSession, path: str, keys: list[str]
+) -> int:
+    """UNSET TBLPROPERTIES: metadata-only commit removing the named
+    properties; unknown keys are ignored (Delta's IF EXISTS shape)."""
+    parent = _load_manifest(spark, path, _resolve_version(spark, path, None))
+    drop = set(keys or [])
+    props = {
+        k: v for k, v in parent.get("properties", {}).items() if k not in drop
+    }
+
+    def mutate(manifest: dict, v: int) -> None:
+        if props:
+            manifest["properties"] = props
+        elif "properties" in manifest:
+            del manifest["properties"]
+
+    return _commit_metadata(
+        spark, path, parent, mutate, "unset_properties", on_log_advance="rebase"
+    )
+
+
+def snapshot_table_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """SHOW TBLPROPERTIES: the table's free-form properties at
+    ``version`` (default: latest)."""
+    parent = _load_manifest(spark, path, _resolve_version(spark, path, version))
+    return dict(parent.get("properties", {}))
+
+
 def restore_snapshot(spark: SparkSession, path: str, to_version: int) -> dict:
     """RESTORE TABLE TO VERSION N (Delta parity): commit a NEW version
     whose manifest reproduces version N's data references, stats, and
@@ -2197,6 +2268,10 @@ def restore_snapshot(spark: SparkSession, path: str, to_version: int) -> dict:
             manifest["constraints"] = cur["constraints"]
         elif "constraints" in manifest:
             del manifest["constraints"]
+        if "properties" in cur:
+            manifest["properties"] = cur["properties"]
+        elif "properties" in manifest:
+            del manifest["properties"]
 
     new_version = _commit_metadata(
         spark, path, target, mutate, "restore", on_log_advance="ignore"
@@ -2696,6 +2771,11 @@ def publish_staged_commit(
             **(
                 {"constraints": parent["constraints"]}
                 if parent is not None and "constraints" in parent
+                else {}
+            ),
+            **(
+                {"properties": parent["properties"]}
+                if parent is not None and "properties" in parent
                 else {}
             ),
         }

@@ -11,6 +11,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from azure_etl_spark.sources.delta_export import (
@@ -24,6 +26,7 @@ from azure_etl_spark.sources.snapshot import (
     delete_from_snapshot,
     read_snapshot,
     resolve_scan,
+    set_snapshot_properties,
     vacuum_snapshots,
     write_snapshot,
 )
@@ -1453,13 +1456,28 @@ def test_v2_and_multipart_checkpoint_write(spark, tmp_path):
     delete_from_snapshot(spark, path, [("grp", "=", 1)], mode="merge_on_read")
     export_delta_log(spark, path)
 
-    lc = write_delta_checkpoint(spark, path, v2=True, max_actions_per_part=3)
-    assert lc["version"] == 2
+    # round 12 (ADVICE r11 #3): a protocol without the v2Checkpoint
+    # feature refuses the V2 form with the remediation…
+    with pytest.raises(Exception, match="v2Checkpoint"):
+        write_delta_checkpoint(spark, path, v2=True, max_actions_per_part=3)
+    # …which is: declare delta.checkpointPolicy=v2 and export a commit
+    set_snapshot_properties(spark, path, {"delta.checkpointPolicy": "v2"})
+    export_delta_log(spark, path)
+    a3 = _actions(path, _log_files(path)[-1])
+    p3 = next(a["protocol"] for a in a3 if "protocol" in a)
+    assert "v2Checkpoint" in p3["readerFeatures"]
+    assert "v2Checkpoint" in p3["writerFeatures"]
+    md3 = next(a["metaData"] for a in a3 if "metaData" in a)
+    assert md3["configuration"]["delta.checkpointPolicy"] == "v2"
+
+    # v2=None (the default) now auto-selects the V2 form from the policy
+    lc = write_delta_checkpoint(spark, path, max_actions_per_part=3)
+    assert lc["version"] == 3
     assert lc.get("parts", 0) >= 2  # protocol+metaData+adds+removes > 3 rows
     ldir = os.path.join(path, DELTA_LOG_DIR)
     parts = _glob.glob(os.path.join(ldir, "*.checkpoint.??????????.??????????.parquet"))
     assert len(parts) == lc["parts"]
-    assert not os.path.exists(os.path.join(ldir, f"{2:020d}.checkpoint.parquet"))
+    assert not os.path.exists(os.path.join(ldir, f"{3:020d}.checkpoint.parquet"))
     manifests = _glob.glob(os.path.join(ldir, "*.checkpoint.*.parquet"))
     v2_manifest = [m for m in manifests if m not in parts]
     assert len(v2_manifest) == 1 and lc["v2_manifest"] in v2_manifest[0]
@@ -1467,11 +1485,11 @@ def test_v2_and_multipart_checkpoint_write(spark, tmp_path):
     assert len(sidecars) == lc["v2_sidecars"] >= 1
     with open(os.path.join(ldir, "_last_checkpoint")) as f:
         lcj = json.load(f)
-    assert lcj["version"] == 2 and lcj["parts"] == lc["parts"]
+    assert lcj["version"] == 3 and lcj["parts"] == lc["parts"]
 
     # the engine's reader prefers the V2 manifest; state must carry the
     # live DVs
-    st_v2 = _load_checkpoint_state(spark, path, 2)
+    st_v2 = _load_checkpoint_state(spark, path, 3)
     dv_adds = [a for a in st_v2["live"].values() if a.get("deletionVector")
                and a["deletionVector"].get("storageType")]
     assert dv_adds, "DV structs must survive into the V2 sidecars"
@@ -1480,7 +1498,7 @@ def test_v2_and_multipart_checkpoint_write(spark, tmp_path):
     # identical state (paths, DV descriptors, tombstone keys)
     os.remove(v2_manifest[0])
     shutil.rmtree(os.path.join(ldir, "_sidecars"))
-    st_classic = _load_checkpoint_state(spark, path, 2)
+    st_classic = _load_checkpoint_state(spark, path, 3)
     assert set(st_classic["live"]) == set(st_v2["live"])
     for rel in st_v2["live"]:
         assert st_v2["live"][rel].get("deletionVector") == st_classic["live"][
@@ -1491,7 +1509,7 @@ def test_v2_and_multipart_checkpoint_write(spark, tmp_path):
     # and a full reader pass: drop pre-checkpoint JSONs, append once
     # more, convert — identical rows to the source table
     for name in _log_files(path):
-        if int(name.split(".")[0]) <= 2:
+        if int(name.split(".")[0]) <= 3:
             os.remove(os.path.join(ldir, name))
     write_snapshot(_orders(spark, n=5, start=400).coalesce(1), path, mode="append")
     dst = str(tmp_path / "dst")
@@ -1620,3 +1638,185 @@ def test_vacuum_deletion_vectors(spark, tmp_path):
     assert bins[0] not in os.listdir(path)
     got = sorted(tuple(r) for r in read_snapshot(spark, path).collect())
     assert len(got) == 48  # 60 rows minus grp=1's 12
+
+
+def test_cm_export_translates_nested_stats_keys(spark, tmp_path):
+    """Round 12 (ADVICE r11 #2): exporting a NESTED column-mapped table
+    translates struct min/max stats keys to physical names at EVERY
+    level — a half-translated entry (physical outer, logical inner) can
+    never match a real reader's physical schema and silently loses data
+    skipping. Also: entries the mapping schema cannot resolve are
+    dropped, never emitted half-logical."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nst")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+    pdf = pd.DataFrame({
+        "col-k9aa": range(10),
+        "col-s1": [{"col-x1": i * 2, "col-y2": f"v{i}"} for i in range(10)],
+    })
+    fname = "part-00000-feedface.snappy.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(path, fname))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s1"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-x1"}},
+                 {"name": "y", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-y2"}},
+             ]}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "aaaaaaaa-bbbb-cccc-dddd-abcdefabcdef",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": fname,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, fname)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 10,
+                "minValues": {"col-k9aa": 0,
+                              "col-s1": {"col-x1": 0, "col-y2": "v0"}},
+                "maxValues": {"col-k9aa": 9,
+                              "col-s1": {"col-x1": 18, "col-y2": "v9"}},
+            }),
+        }},
+    ]
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+
+    assert convert_from_delta_log(spark, path) == 0
+    written = export_delta_log(spark, path)
+    assert written == [0]
+    adds = [a["add"] for a in _actions(path, _log_files(path)[0]) if "add" in a]
+    assert len(adds) == 1
+    st = json.loads(adds[0]["stats"])
+    assert st["minValues"]["col-k9aa"] == 0
+    # the nested entry is FULLY physical: outer AND inner keys
+    assert st["minValues"]["col-s1"] == {"col-x1": 0, "col-y2": "v0"}
+    assert st["maxValues"]["col-s1"] == {"col-x1": 18, "col-y2": "v9"}
+    assert "s" not in st["minValues"]
+    assert "x" not in st["minValues"]["col-s1"]
+    assert "y" not in st["maxValues"]["col-s1"]
+
+
+def test_vacuum_checkpoint_sidecars(spark, tmp_path):
+    """Round 12 (VERDICT r11 #6): superseded V2 manifests and their
+    unreferenced _sidecars/ parquet reclaim past retention; everything
+    the SURVIVING manifests reference is guarded — the current
+    checkpoint must still load after the vacuum. Classic checkpoint
+    files (single and multi-part) are never touched."""
+    import glob as _glob
+
+    from azure_etl_spark.sources.delta_export import (
+        _load_checkpoint_state,
+        vacuum_checkpoint_sidecars,
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark).coalesce(1), path)
+    set_snapshot_properties(spark, path, {"delta.checkpointPolicy": "v2"})
+    export_delta_log(spark, path)
+    lc1 = write_delta_checkpoint(spark, path, max_actions_per_part=2)
+    assert lc1.get("v2_manifest")
+    write_snapshot(_orders(spark, n=10, start=500).coalesce(1), path,
+                   mode="append")
+    lc2 = write_delta_checkpoint(spark, path, max_actions_per_part=2)
+    assert lc2["version"] > lc1["version"] and lc2.get("v2_manifest")
+    ldir = os.path.join(path, DELTA_LOG_DIR)
+    sidecars_before = set(os.listdir(os.path.join(ldir, "_sidecars")))
+
+    # inside retention: nothing reclaims
+    assert vacuum_checkpoint_sidecars(spark, path) == []
+
+    removed = vacuum_checkpoint_sidecars(spark, path, retention_ms=0,
+                                         min_age_s=0)
+    assert lc1["v2_manifest"] in removed
+    assert lc2["v2_manifest"] not in removed
+    assert any(r.startswith("_sidecars/") for r in removed)
+    # the current checkpoint still loads, and every sidecar it
+    # references survived
+    st = _load_checkpoint_state(spark, path, lc2["version"])
+    assert len(st["live"]) == 2
+    sidecars_after = set(os.listdir(os.path.join(ldir, "_sidecars")))
+    assert sidecars_after < sidecars_before and sidecars_after
+    # classic forms untouched (both versions' parts still present)
+    for v in (lc1["version"], lc2["version"]):
+        assert _glob.glob(os.path.join(
+            ldir, f"{v:020d}.checkpoint.??????????.??????????.parquet"
+        )) or os.path.exists(os.path.join(ldir, f"{v:020d}.checkpoint.parquet"))
+    # idempotent: a second pass finds nothing new to delete
+    assert vacuum_checkpoint_sidecars(spark, path, retention_ms=0,
+                                      min_age_s=0) == []
+
+
+def test_table_properties_roundtrip_export_convert(spark, tmp_path):
+    """Round 12 (VERDICT r11 #6): SET/UNSET TBLPROPERTIES are
+    metadata-only commits that ride every later manifest, export into
+    the Delta metaData configuration, and round-trip through a convert
+    — engine-derived keys (constraints / CDF / columnMapping) stay
+    owned by their own mechanisms and never round-trip as opaque
+    properties."""
+    from azure_etl_spark.sources.snapshot import (
+        snapshot_table_properties,
+        unset_snapshot_properties,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark).coalesce(1), path)
+    set_snapshot_properties(spark, path, {
+        "team.owner": "data-eng",
+        "delta.checkpointPolicy": "v2",
+        "tmp.key": "x",
+    })
+    unset_snapshot_properties(spark, path, ["tmp.key", "never.existed"])
+    # properties ride later data commits
+    write_snapshot(_orders(spark, n=5, start=900).coalesce(1), path,
+                   mode="append")
+    assert snapshot_table_properties(spark, path) == {
+        "team.owner": "data-eng", "delta.checkpointPolicy": "v2",
+    }
+
+    export_delta_log(spark, path)
+    acts = [a for name in _log_files(path) for a in _actions(path, name)]
+    # the LATEST metaData (re-emitted at the set_properties commit)
+    md = [a["metaData"] for a in acts if "metaData" in a][-1]
+    assert md["configuration"]["team.owner"] == "data-eng"
+    assert md["configuration"]["delta.checkpointPolicy"] == "v2"
+    assert "tmp.key" not in md["configuration"]
+    proto = [a["protocol"] for a in acts if "protocol" in a][-1]
+    assert "v2Checkpoint" in proto.get("readerFeatures", [])
+
+    # adopt as foreign, convert: the properties survive the migration
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    shutil.copytree(os.path.join(path, "data"), os.path.join(dst, "data"))
+    shutil.copytree(os.path.join(path, DELTA_LOG_DIR),
+                    os.path.join(dst, DELTA_LOG_DIR))
+    convert_from_delta_log(spark, dst)
+    assert snapshot_table_properties(spark, dst) == {
+        "team.owner": "data-eng", "delta.checkpointPolicy": "v2",
+    }
