@@ -14,6 +14,57 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COMMENTARY = {
+    "sql_lsh_topk": (
+        "Hyperplane-LSH approximate top-k from PURE SQL (round 11; "
+        "bench-protected round 12). The per-table bucket signature is "
+        "a string of codegen-inlined eng_dot sign tests over LITERAL "
+        "hyperplanes — no UDF, no per-row Python — so the signature "
+        "computation rides WholeStageCodegen on both sides. Candidates "
+        "meet on an equi-join on (table, signature): the shuffle keys "
+        "are the bucket strings, so pair work is O(bucket collisions), "
+        "never all-pairs; eng_cosine re-ranks only the joined "
+        "candidates. Same plan family as lsh_bucketed_topk, "
+        "bit-identical output (tests/test_sql_udfs.py)."
+    ),
+    "cm_convert_gold": (
+        "Column-mapping convert end-to-end (round 11). The foreign "
+        "name-mapped table adopts by O(metadata) renames — zero data "
+        "IO at any size — and the read below resolves PHYSICAL parquet "
+        "names (col-…) to the logical schema via projection "
+        "expressions, which Catalyst pushes into the scan: column "
+        "pruning still reaches the footers, min/max skipping uses the "
+        "translated stats, and the MOR delete applies as a broadcast "
+        "anti-join on _metadata row positions (no fact-side Exchange). "
+        "At 100 TB the convert cost stays O(files) metadata; the read "
+        "pays only the projection rename."
+    ),
+    "delta_stream_foreign_gold": (
+        "Foreign-Delta STREAMING tail (round 11). The plan below is "
+        "the memory-sink read-back (a micro-batch source has no static "
+        "plan to explain); the scale features live in the source "
+        "itself: offsets are log versions, planning parses ONLY the "
+        "commit JSONs between two offsets (O(commit) driver work, "
+        "never O(table)), each input partition is exactly one parquet "
+        "file read executor-side via pyarrow, and deletion vectors "
+        "decode executor-side from the roaring bytes (O(DV bytes)). "
+        "Backlog pacing (maxfiles/maxbytespertrigger) slices units by "
+        "position, so a 10k-commit backlog drains in bounded batches "
+        "with flat per-batch planning cost "
+        "(tools/scale_probe_delta_stream.py)."
+    ),
+    "delta_stream_cdf_gold": (
+        "Foreign-Delta streaming CHANGE FEED (round 12). Same source "
+        "economics as delta_stream_foreign_gold — O(commit) planning, "
+        "one file per executor-side partition — with change semantics "
+        "decided per commit at PLAN time from the actions alone: cdc "
+        "commits read their _change_data parquet (_change_type "
+        "in-data), derived commits emit their dataChange files under "
+        "each action's own DV mask, and _commit_version/_commit_"
+        "timestamp ride as per-batch constants (never a shuffle). The "
+        "oracle recomputes the full feed relationally; batch "
+        "table_changes parity is pinned in "
+        "tests/test_delta_stream_source.py."
+    ),
     "dv_export_roundtrip_gold": (
         "Deletion-vector export round trip (round 10). The read is "
         "EXCLUSIVELY from the exported Delta log: per DV'd file, the "
