@@ -932,12 +932,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 # each under its action's own DV mask (a DV swap derives
                 # as full-file churn of the visible rows on both sides)
                 for action_key, ct in (("remove", "delete"), ("add", "insert")):
+                    # dataChange default matches the batch reader
+                    # (table_changes: absent reads as false), so the
+                    # advertised batch-vs-stream parity holds on ANY
+                    # log, not just spec-conforming ones
                     acts_k = sorted(
                         (a[action_key] for a in acts
                          if action_key in a
-                         and a[action_key].get(
-                             "dataChange", action_key == "remove"
-                         )),
+                         and a[action_key].get("dataChange")),
                         key=lambda a: a["path"],
                     )
                     for a in acts_k:

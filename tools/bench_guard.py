@@ -88,6 +88,12 @@ REFERENCE: dict[str, float] = {
     "corpus_funnel": 13.257,
     "join_skewed_salted": 1.049,
     "sql_scalar_subquery_small_lot": 0.471,
+    # round 12 (BENCH_LOCAL_r12.json): the SQL LSH twin joined the
+    # headline set (VERDICT r11 #5). Min over 6 runs at load index
+    # 1.39x (no quiet window this round — noisy neighbors; the raw
+    # minimum is an UPPER bound on the quiet value, so the guard's
+    # normalized compare stays conservative)
+    "sql_lsh_topk": 0.824,
 }
 
 # BENCH_LOCAL_r06_sf1.json "queries" (10x-replicated sf1 fixture
