@@ -154,6 +154,11 @@ SF1_REFERENCE: dict[str, float] = {
     "corpus_funnel": 35.252,
     "join_skewed_salted": 1.843,
     "sql_scalar_subquery_small_lot": 0.779,
+    # round 12 (BENCH_LOCAL_r12_sf1.json, load index 1.44x — see the
+    # sf0.1 table's round-12 note): ~1.8x its sf0.1 time at 10x data —
+    # the signature build is linear, the bucket join is bounded by
+    # collisions
+    "sql_lsh_topk": 1.499,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
