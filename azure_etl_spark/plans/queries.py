@@ -2429,6 +2429,92 @@ def q_delta_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_stream_cdf_gold",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           'insert' AS _change_type, CAST(0 AS INT) AS _commit_version
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE),
+           'insert', CAST(1 AS INT)
+    FROM orders WHERE o_orderkey BETWEEN 2000 AND 2999
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE),
+           'delete', CAST(2 AS INT)
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE),
+           'insert', CAST(2 AS INT)
+    FROM orders WHERE o_orderkey < 2000
+      AND NOT (o_orderkey BETWEEN 500 AND 999)
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE),
+           'delete', CAST(3 AS INT)
+    FROM orders WHERE o_orderkey BETWEEN 2100 AND 2199
+    """,
+    description="Round 12: STREAM the snapshot table's change feed — "
+    "readchangefeed=true on the snapshot_table source is the streaming "
+    "twin of snapshot_changes: startingversion=0 walks every commit "
+    "emitting file-granularity inserts/deletes, INCLUDING the "
+    "merge-on-read predicate delete at v3, whose rows come from the "
+    "ENTRY DIFF (no file changed — the pyarrow match path). The v0 "
+    "append is a single file, so the v2 COW delete's churn is exactly "
+    "that file's rows; the oracle recomputes the full feed "
+    "relationally. A wrong entry diff, a missed churn row, or a "
+    "double-delivered commit is a hash mismatch.",
+)
+def q_snapshot_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        write_snapshot,
+    )
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_cdf_stream_")
+    src = os.path.join(tmp, "src")
+    write_snapshot(orders.filter(F.col("o_orderkey") < 2000).coalesce(1), src)
+    write_snapshot(
+        orders.filter(F.col("o_orderkey").between(2000, 2999)).coalesce(1),
+        src,
+        mode="append",
+    )
+    delete_from_snapshot(spark, src, [("o_orderkey", "between", (500, 999))])
+    delete_from_snapshot(
+        spark, src, [("o_orderkey", "between", (2100, 2199))],
+        mode="merge_on_read",
+    )
+    name = f"scdf_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", src)
+        .option("readchangefeed", "true")
+        .option("startingversion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "o_orderkey", "o_orderpriority", "price",
+        "_change_type", "_commit_version",
+    )
+
+
 # ---------------------------------------------------------------- window frames
 
 @query(

@@ -224,10 +224,28 @@ class _SnapshotFilePartition(InputPartition):
         abs_path: str,
         part_values: list[tuple[str, object]],
         deletes: list[dict] | None = None,
+        match_entry: dict | None = None,
     ):
         self.abs_path = abs_path
         self.part_values = part_values
         self.deletes = deletes or []
+        # CDF entry-diff partitions: after `deletes` establishes the
+        # visible base, keep ONLY rows this entry covers (the streaming
+        # twin of sources/snapshot._match_delete_entry)
+        self.match_entry = match_entry
+
+
+def _entry_exec_form(table: str, entry: dict, rel_file: str) -> dict:
+    """ONE manifest delete entry -> the executor-side form
+    (_file_delete_entries' per-entry conversion, without the coverage
+    filter — the caller already knows the entry covers ``rel_file``)."""
+    if "keys_dir" in entry:
+        return {"keys_path": os.path.join(table, entry["keys_dir"]),
+                "key_cols": list(entry["key_cols"])}
+    if "positions_dir" in entry:
+        return {"positions_path": os.path.join(table, entry["positions_dir"]),
+                "rel_file": rel_file}
+    return {"predicate": [list(p) for p in entry["predicate"]]}
 
 
 def _apply_position_mask_arrow(tbl, entries: list[dict]):
@@ -267,25 +285,68 @@ def _apply_delete_arrow(tbl, entry: dict):
     import pyarrow.parquet as pq
 
     if "predicate" in entry:
-        cond = None
-        for col, op, val in entry["predicate"]:
-            f = pc.field(col)
-            typ = tbl.schema.field(col).type
-            if op == "between":
-                lo, hi = (_arrow_scalar(v, typ) for v in val)
-                part = (f >= lo) & (f <= hi)
-            else:
-                v = _arrow_scalar(val, typ)
-                part = {
-                    "=": f == v, "<": f < v, "<=": f <= v,
-                    ">": f > v, ">=": f >= v,
-                }[op]
-            cond = part if cond is None else cond & part
+        cond = _predicate_cond(tbl, entry["predicate"])
         # drop matching rows; a null comparison is not a match (keep)
         return tbl.filter(~cond | cond.is_null())
     keys = pq.read_table(entry["keys_path"], columns=entry["key_cols"])
     keys = keys.group_by(entry["key_cols"]).aggregate([])  # distinct
     return tbl.join(keys, keys=entry["key_cols"], join_type="left anti")
+
+
+def _predicate_cond(tbl, preds):
+    """Structured predicate tuples -> one pyarrow compute expression
+    (shared by the apply and match paths)."""
+    import pyarrow.compute as pc
+
+    cond = None
+    for col, op, val in preds:
+        f = pc.field(col)
+        typ = tbl.schema.field(col).type
+        if op == "between":
+            lo, hi = (_arrow_scalar(v, typ) for v in val)
+            part = (f >= lo) & (f <= hi)
+        else:
+            v = _arrow_scalar(val, typ)
+            part = {
+                "=": f == v, "<": f < v, "<=": f <= v,
+                ">": f > v, ">=": f >= v,
+            }[op]
+        cond = part if cond is None else cond & part
+    return cond
+
+
+_CDF_POS_COL = "__cdf_orig_pos"
+
+
+def _match_delete_arrow(tbl, entry: dict):
+    """Rows one merge-on-read delete entry COVERS — the inverse of
+    :func:`_apply_delete_arrow` and the executor-side mirror of
+    sources/snapshot._match_delete_entry: predicate entries filter TO
+    matching rows (nulls are non-matches, SQL WHERE semantics),
+    equality entries LEFT SEMI join the key file, positional entries
+    keep rows whose ORIGINAL physical index (carried in
+    ``_CDF_POS_COL``, attached before any row-dropping mask) is in the
+    entry's position set for this file."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if "predicate" in entry:
+        cond = _predicate_cond(tbl, entry["predicate"])
+        return tbl.filter(cond & cond.is_valid())
+    if "positions_path" in entry:
+        positions = pq.read_table(
+            entry["positions_path"],
+            filters=[("file", "=", entry["rel_file"])],
+            columns=["pos"],
+        )["pos"]
+        return tbl.filter(
+            pc.is_in(tbl[_CDF_POS_COL],
+                     value_set=positions.combine_chunks().cast(pa.int64()))
+        )
+    keys = pq.read_table(entry["keys_path"], columns=entry["key_cols"])
+    keys = keys.group_by(entry["key_cols"]).aggregate([])
+    return tbl.join(keys, keys=entry["key_cols"], join_type="left semi")
 
 
 def _arrow_scalar(val, typ):
@@ -327,9 +388,142 @@ class SnapshotStreamReader(DataSourceStreamReader):
             self._starting_ts_ms = _parse_ts_ms(
                 self.starting_timestamp, "startingtimestamp"
             )
+        # readchangefeed=true (round 12): emit CHANGE rows instead of
+        # snapshot rows — the streaming twin of
+        # sources/snapshot.snapshot_changes, at the same file
+        # granularity: added files -> inserts, removed files -> deletes
+        # (each side read under ITS manifest's merge-on-read entries),
+        # merge-on-read entry diffs on carried files -> the rows
+        # entering/leaving (computed per entry exactly as the batch
+        # reader does); compaction is invisible. The initial snapshot
+        # (no startingversion) serves the live rows as inserts at tip.
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        self._cdf_cache: dict[tuple[int, bool], list] = {}
         self.columns = [f.name for f in schema.fields]
         self.schema = schema
         self._last_end = None  # last end offset this instance planned
+
+    def _cdf_unit(self, v: int, init: bool) -> list[dict]:
+        """CDF partition specs one version contributes, in a
+        deterministic order (offsets slice this list by position):
+        the live set as inserts for the initial load; else inserts
+        (new files), deletes (removed files, read under the PREVIOUS
+        manifest), then merge-on-read entry diffs on carried files —
+        per (prev-coverage, cur-coverage) group and per entry in
+        order, mirroring sources/snapshot._mor_entry_changes
+        row-for-row. Compaction contributes nothing."""
+        import datetime
+
+        key = (v, init)
+        if key in self._cdf_cache:
+            return self._cdf_cache[key]
+        m = _manifest(self.table, v)
+        ts = datetime.datetime.fromtimestamp(
+            float(m.get("committed_at_unix") or 0), datetime.timezone.utc
+        )
+
+        def consts(ct: str) -> list[tuple[str, object]]:
+            return [("_change_type", ct), ("_commit_version", v),
+                    ("_commit_timestamp", ts)]
+
+        specs: list[dict] = []
+        if init:
+            cov: dict[int, set] = {}
+            for f in _manifest_files(self.table, m):
+                specs.append({
+                    "file": f,
+                    "pv": _partition_constants(m, f) + consts("insert"),
+                    "deletes": _file_delete_entries(self.table, m, f, cov),
+                    "match": None,
+                })
+        elif m.get("operation") != "compact":
+            if v == 0:
+                prev_m, prev_files = None, set()
+            else:
+                prev_m = _manifest(self.table, v - 1)
+                prev_files = set(_manifest_files(self.table, prev_m))
+            cur_files = set(_manifest_files(self.table, m))
+            cov_cur: dict[int, set] = {}
+            cov_prev: dict[int, set] = {}
+            for f in sorted(cur_files - prev_files):
+                specs.append({
+                    "file": f,
+                    "pv": _partition_constants(m, f) + consts("insert"),
+                    "deletes": _file_delete_entries(self.table, m, f, cov_cur),
+                    "match": None,
+                })
+            for f in sorted(prev_files - cur_files):
+                specs.append({
+                    "file": f,
+                    "pv": _partition_constants(prev_m, f) + consts("delete"),
+                    "deletes": _file_delete_entries(
+                        self.table, prev_m, f, cov_prev
+                    ),
+                    "match": None,
+                })
+            prev_entries = {e["id"]: e
+                            for e in (prev_m or {}).get("deletes", [])}
+            cur_entries = {e["id"]: e for e in m.get("deletes", [])}
+            prev_cov = {i: {unquote(x) for x in e.get("files", [])}
+                        for i, e in prev_entries.items()}
+            cur_cov = {i: {unquote(x) for x in e.get("files", [])}
+                       for i, e in cur_entries.items()}
+            groups: dict[tuple, list[str]] = {}
+            for f in sorted(prev_files & cur_files):
+                p = tuple(sorted(i for i, fl in prev_cov.items() if f in fl))
+                c = tuple(sorted(i for i, fl in cur_cov.items() if f in fl))
+                if p != c:
+                    groups.setdefault((p, c), []).append(f)
+            for (p, c), files in sorted(groups.items()):
+                added = [i for i in c if i not in p]
+                removed = [i for i in p if i not in c]
+                for f in files:
+                    if added:
+                        # rows visible at prev that each NEW entry
+                        # covers, entries applied cumulatively in order
+                        base = [_entry_exec_form(self.table,
+                                                 prev_entries[i], f)
+                                for i in p]
+                        for j, i in enumerate(added):
+                            specs.append({
+                                "file": f,
+                                "pv": _partition_constants(m, f)
+                                + consts("delete"),
+                                "deletes": base + [
+                                    _entry_exec_form(self.table,
+                                                     cur_entries[x], f)
+                                    for x in added[:j]
+                                ],
+                                "match": _entry_exec_form(
+                                    self.table, cur_entries[i], f
+                                ),
+                            })
+                    if removed:
+                        # rows visible at cur that each VANISHED entry
+                        # had hidden (restore un-delete)
+                        base = [_entry_exec_form(self.table,
+                                                 cur_entries[i], f)
+                                for i in c]
+                        for j, i in enumerate(removed):
+                            specs.append({
+                                "file": f,
+                                "pv": _partition_constants(m, f)
+                                + consts("insert"),
+                                "deletes": base + [
+                                    _entry_exec_form(self.table,
+                                                     prev_entries[x], f)
+                                    for x in removed[:j]
+                                ],
+                                "match": _entry_exec_form(
+                                    self.table, prev_entries[i], f
+                                ),
+                            })
+        if len(self._cdf_cache) > 8:
+            self._cdf_cache.clear()
+        self._cdf_cache[key] = specs
+        return specs
 
     # -- offsets ------------------------------------------------------
     # An offset is either the legacy complete form {"version": V}
@@ -468,11 +662,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         end = st
         prev_files: set | None = None
         for i, (v, init) in enumerate(units):
-            if not init and prev_files is None and v > 0:
-                prev_files = set(
-                    _manifest_files(self.table, _manifest(self.table, v - 1))
-                )
-            files = self._unit_file_list(v, init, prev_files)
+            if self.read_change_feed:
+                files = [s["file"] for s in self._cdf_unit(v, init)]
+            else:
+                if not init and prev_files is None and v > 0:
+                    prev_files = set(
+                        _manifest_files(self.table, _manifest(self.table, v - 1))
+                    )
+                files = self._unit_file_list(v, init, prev_files)
             n = len(files)
             pos = spos if (i == 0 and spos is not None) else 0
             while pos < n and budget_files > 0 and budget_bytes > 0:
@@ -515,7 +712,41 @@ class SnapshotStreamReader(DataSourceStreamReader):
             self._last_end = end
 
     # -- planning (driver-side) --------------------------------------
+    def _cdf_partitions(self, start, end):
+        """CDF planning: the same offset algebra as the snapshot path,
+        over _cdf_unit spec lists (no append-only checks — changes ARE
+        the product)."""
+        sv, spos = start["version"], start.get("pos")
+        sinit = start.get("init", False)
+        ev, epos = end["version"], end.get("pos")
+        if ev < sv or (ev == sv and epos is None and spos is None):
+            return []
+        out: list[_SnapshotFilePartition] = []
+
+        def emit(specs, lo, hi):
+            for s in specs[lo:hi]:
+                out.append(_SnapshotFilePartition(
+                    os.path.join(self.table, s["file"]),
+                    s["pv"], s["deletes"], s["match"],
+                ))
+
+        if sv < 0 and not start.get("walk"):
+            specs = self._cdf_unit(ev, True)
+            emit(specs, 0, epos if epos is not None else len(specs))
+            return out
+        if spos is not None and sv >= 0:
+            specs = self._cdf_unit(sv, sinit)
+            hi = epos if (ev == sv and epos is not None) else len(specs)
+            emit(specs, spos, hi)
+        for v in range(max(sv + 1, 0), ev + 1):
+            specs = self._cdf_unit(v, False)
+            hi = epos if (v == ev and epos is not None) else len(specs)
+            emit(specs, 0, hi)
+        return out
+
     def partitions(self, start, end):
+        if self.read_change_feed:
+            return self._cdf_partitions(start, end)
         sv, spos, sinit = start["version"], start.get("pos"), start.get("init", False)
         ev, epos = end["version"], end.get("pos")
         if ev < sv or (ev == sv and epos is None and spos is None):
@@ -612,6 +843,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.abs_path)
+        match = getattr(partition, "match_entry", None)
+        if match is not None and "positions_path" in match:
+            # a positional MATCH addresses ORIGINAL physical indexes;
+            # carry them through the row-dropping applies below
+            tbl = tbl.append_column(
+                _CDF_POS_COL, pa.array(range(tbl.num_rows), type=pa.int64())
+            )
         # ALL positional entries must mask against the ORIGINAL physical
         # row indexes — applying them one at a time would let the first
         # filter shift the indexes the second one addresses — so their
@@ -624,6 +862,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if "positions_path" in entry:
                 continue
             tbl = _apply_delete_arrow(tbl, entry)
+        if match is not None:
+            tbl = _match_delete_arrow(tbl, match)
+            if _CDF_POS_COL in tbl.column_names:
+                tbl = tbl.drop_columns([_CDF_POS_COL])
         n = tbl.num_rows
         consts = dict(partition.part_values)
         arrays = []
@@ -674,7 +916,23 @@ class SnapshotTableSource(DataSource):
                 ordered.append(pa.field(c, pa.scalar(part_cols[c]).type))
             else:  # evolved column absent from this particular file
                 ordered.append(pa.field(c, pa.string()))
-        return from_arrow_schema(pa.schema(ordered))
+        st = from_arrow_schema(pa.schema(ordered))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import (
+                IntegerType,
+                StringType,
+                TimestampType,
+            )
+
+            # _commit_version is INT to match the batch feed
+            # (snapshot_changes casts to int) so batch-vs-stream
+            # parity is column-exact
+            st = (
+                st.add("_change_type", StringType())
+                .add("_commit_version", IntegerType())
+                .add("_commit_timestamp", TimestampType())
+            )
+        return st
 
     def streamReader(self, schema):
         return SnapshotStreamReader(self.options, schema)

@@ -2062,3 +2062,107 @@ def test_stream_source_starting_timestamp(spark, tmp_path):
     with _pytest.raises(Exception, match="not both"):
         drain(str(tmp_path / "o5"), str(tmp_path / "c5"),
               startingtimestamp=iso(t1), startingversion="1")
+
+
+def test_stream_source_readchangefeed(spark, tmp_path):
+    """Round 12: readchangefeed=true on the snapshot streaming source —
+    the streaming twin of snapshot_changes. Appends derive inserts, a
+    COW delete derives the touched file's delete+insert churn, and
+    merge-on-read commits (predicate, positional, equality) emit the
+    ROWS entering/leaving via the entry diff — row-for-row equal to the
+    batch feed. Compaction is invisible; the initial snapshot (no
+    startingversion) serves the live rows as inserts at tip; restarts
+    deliver only new commits (exactly-once)."""
+    from azure_etl_spark.sources.snapshot import (
+        delete_keys_from_snapshot,
+        delete_positions_from_snapshot,
+        snapshot_changes,
+    )
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 100, "a"), path)                    # v0
+    write_snapshot(_keyed(spark, 100, 200, "b"), path, mode="append")   # v1
+    delete_from_snapshot(spark, path, [("id", "between", (0, 9))])      # v2 COW
+    delete_from_snapshot(
+        spark, path, [("id", "between", (110, 119))], mode="merge_on_read"
+    )                                                                   # v3 MOR pred
+    files = sorted(
+        f for f in _manifest_files_on_disk(path) if f.endswith(".parquet")
+    )
+    delete_positions_from_snapshot(spark, path, {files[0]: [0, 1, 2]})  # v4 MOR pos
+    delete_keys_from_snapshot(
+        spark, path, spark.createDataFrame([(150,), (151,)], "id long"), ["id"]
+    )                                                                   # v5 MOR eq
+    compact_snapshot(spark, path, target_file_bytes=1 << 30)            # v6 OPTIMIZE
+
+    def drain(out, ck, **opts):
+        reader = spark.readStream.format("snapshot_table").option("path", path)
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # full walk from v0 vs the batch feed over the same range
+    out = drain(str(tmp_path / "o1"), str(tmp_path / "c1"),
+                readchangefeed="true", startingversion="0")
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        out.columns
+    )
+    got = {(r["id"], r["tag"], r["val"], r["_change_type"],
+            r["_commit_version"]) for r in out.collect()}
+    # batch feed covers (from_version, to] — prepend v0's adds manually
+    base = read_snapshot(spark, path, version=0).select("id", "tag", "val")
+    want = {(r["id"], r["tag"], r["val"], "insert", 0) for r in base.collect()}
+    want |= {
+        (r["id"], r["tag"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in snapshot_changes(spark, path, 0).select(
+            "id", "tag", "val", "_change_type", "_commit_version"
+        ).collect()
+    }
+    assert got == want
+    # spot shape: the MOR predicate delete emitted exactly its rows
+    assert {(i, "b", i * 10, "delete", 3) for i in range(110, 120)} <= got
+    # positional delete: 3 rows left at v4 (ids 10,11,12 — the first
+    # file's first visible... positions address ORIGINAL indexes 0-2)
+    assert len([g for g in got if g[3] == "delete" and g[4] == 4]) == 3
+    # equality delete rows
+    assert {(150, "b", 1500, "delete", 5), (151, "b", 1510, "delete", 5)} <= got
+    # compaction contributed nothing
+    assert not [g for g in got if g[4] == 6]
+
+    # exactly-once restart: only the new commit arrives
+    write_snapshot(_keyed(spark, 300, 310, "c"), path, mode="append")   # v7
+    out2 = drain(str(tmp_path / "o1"), str(tmp_path / "c1"),
+                 readchangefeed="true", startingversion="0")
+    got2 = {(r["id"], r["tag"], r["val"], r["_change_type"],
+             r["_commit_version"]) for r in out2.collect()}
+    assert got2 - got == {(i, "c", i * 10, "insert", 7)
+                          for i in range(300, 310)}
+
+    # initial-snapshot CDF: live rows as inserts at tip
+    out3 = drain(str(tmp_path / "o3"), str(tmp_path / "c3"),
+                 readchangefeed="true")
+    snap = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in out3.collect()}
+    live = {r["id"] for r in read_snapshot(spark, path).collect()}
+    assert snap == {(i, "insert", 7) for i in live}
+
+
+def _manifest_files_on_disk(path):
+    from azure_etl_spark.streaming.snapshot_source import (
+        _manifest,
+        _manifest_files,
+        _versions,
+    )
+
+    return _manifest_files(path, _manifest(path, _versions(path)[-1]))
