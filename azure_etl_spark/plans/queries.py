@@ -2430,6 +2430,73 @@ def q_delta_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_log_read_gold",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           'v1' AS snap
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'tip'
+    FROM orders WHERE o_orderkey < 3000
+      AND NOT (o_orderkey BETWEEN 500 AND 999)
+    """,
+    description="Round 12: READ-ONLY batch reader over a foreign Delta "
+    "log (read_delta_log_table) — versionAsOf time travel and "
+    "deletion-vector masking without delta jars and WITHOUT adopting "
+    "the tree (convert renames files; a user who only queries someone "
+    "else's table should not mutate it). The table is built, exported, "
+    "and adopted as a foreign tree; the query unions the version=1 "
+    "read (pre-delete) with the tip read (DV-masked) under a snap tag. "
+    "A wrong replay bound, a mis-decoded bitmap bit, or a mutated tree "
+    "is a hash mismatch; the oracle recomputes both snapshots "
+    "relationally.",
+)
+def q_delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import (
+        export_delta_log,
+        read_delta_log_table,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_ro_read_")
+    src = os.path.join(tmp, "src")
+    write_snapshot(orders.filter(F.col("o_orderkey") < 2000).coalesce(1), src)
+    write_snapshot(
+        orders.filter(F.col("o_orderkey").between(2000, 2999)).coalesce(1),
+        src,
+        mode="append",
+    )
+    delete_from_snapshot(
+        spark, src, [("o_orderkey", "between", (500, 999))],
+        mode="merge_on_read",
+    )
+    export_delta_log(spark, src)
+    foreign = os.path.join(tmp, "foreign")
+    os.makedirs(foreign)
+    for entry in os.listdir(src):
+        if entry == "_manifest":
+            continue
+        s = os.path.join(src, entry)
+        d = os.path.join(foreign, entry)
+        shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy2(s, d)
+    v1 = read_delta_log_table(spark, foreign, version=1).withColumn(
+        "snap", F.lit("v1")
+    )
+    tip = read_delta_log_table(spark, foreign).withColumn("snap", F.lit("tip"))
+    return v1.unionByName(tip)
+
+
+@query(
     "snapshot_stream_cdf_gold",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -1740,20 +1740,38 @@ def vacuum_checkpoint_sidecars(
     return removed
 
 
-def replay_delta_log(spark: SparkSession, path: str) -> dict:
+def replay_delta_log(
+    spark: SparkSession, path: str, upto_version: int | None = None
+) -> dict:
     """Parse ``<path>/_delta_log/`` and replay its actions in version
     order — the reader half of the protocol, used by the round-trip
-    tests, :func:`write_delta_checkpoint` and
-    :func:`convert_from_delta_log`. If a ``_last_checkpoint`` exists
-    the state seeds from the checkpoint parquet and only LATER JSON
-    commits replay — the same O(live files) open a real Delta reader
-    does. Returns ``{"live": {rel_path: add_action}, "tombstones":
+    tests, :func:`write_delta_checkpoint`,
+    :func:`convert_from_delta_log` and :func:`read_delta_log_table`.
+    If a ``_last_checkpoint`` exists the state seeds from the
+    checkpoint parquet and only LATER JSON commits replay — the same
+    O(live files) open a real Delta reader does. ``upto_version``
+    (round 12) bounds the replay for TIME TRAVEL: the checkpoint seed
+    is used only when it is not newer than the bound; otherwise the
+    JSON chain must still start at 0 (raises when cleanup has removed
+    it — a version that old is no longer reconstructible, Delta's own
+    answer). Returns ``{"live": {rel_path: add_action}, "tombstones":
     {(rel_path, dv_uid): remove_action}, "schema_string", "partition_columns",
     "metaData", "txns", "versions", "protocol"}`` (paths URL-decoded;
     ``versions`` spans checkpoint + JSON)."""
     fs, jvm = _fs(spark, path)
     json_versions = _exported_versions(spark, path)
     lc = _read_last_checkpoint(spark, path)
+    if upto_version is not None:
+        json_versions = [v for v in json_versions if v <= upto_version]
+        if lc is not None and int(lc["version"]) > upto_version:
+            lc = None
+        if lc is None and (not json_versions or json_versions[0] != 0):
+            raise SnapshotVersionError(
+                f"cannot reconstruct version {upto_version} at {path}: no "
+                "checkpoint at or before it and the JSON chain does not "
+                f"start at 0 (earliest: "
+                f"{json_versions[0] if json_versions else 'none'})"
+            )
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     meta: dict | None = None
@@ -1821,6 +1839,184 @@ def replay_delta_log(spark: SparkSession, path: str) -> dict:
         "versions": sorted(versions),
         "protocol": protocol,
     }
+
+
+def _commit_ts_ms_jvm(spark: SparkSession, path: str, v: int) -> int:
+    """One commit's timestamp in epoch ms through the JVM FS (the batch
+    twin of streaming/delta_source._commit_ts_ms): commitInfo.timestamp
+    when present, else the commit file's modification time."""
+    fs, jvm = _fs(spark, path)
+    jp = _jpath(jvm, path, DELTA_LOG_DIR, _log_name(v))
+    raw = _read_small_file(jvm, fs, jp).decode("utf-8")
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        a = json.loads(line)
+        ci = a.get("commitInfo")
+        if ci and ci.get("timestamp") is not None:
+            return int(ci["timestamp"])
+    return int(fs.getFileStatus(jp).getModificationTime())
+
+
+def read_delta_log_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """READ-ONLY batch reader over a (foreign) Delta table — time
+    travel without delta jars and WITHOUT adopting (round 12;
+    :func:`convert_from_delta_log` RENAMES files into the snapshot
+    layout, which a user who only wants to query someone else's table
+    should not need). ``version`` / ``timestamp_ms`` select the
+    snapshot (``timestamp_ms`` is Delta's timestampAsOf: the LATEST
+    version committed at or before it); default is the tip.
+
+    Scale shape: ONE JVM parquet scan over the live files (explicit
+    physical schema, so schema-evolved old files null-fill), plus two
+    broadcast-sized joins — per-file partitionValues from the log
+    (attached via the scan's ``_metadata.file_path``) and deletion-
+    vector masks (each DV decodes driver-side — compressed metadata by
+    construction — and anti-joins on ``_metadata.row_index``). Never a
+    per-file driver loop over data, never a fact-side shuffle.
+    Column-mapped tables (name/id mode, flat or NESTED) read back
+    fully logical; id mode verifies every live file's
+    ``PARQUET:field_id``s first, exactly like the convert."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .snapshot import _cm_expr, _cm_physical_name, _cm_type_has_mapping
+
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("specify either version or timestamp_ms, not both")
+    if timestamp_ms is not None:
+        vs = _exported_versions(spark, path)
+        older = [v for v in vs if _commit_ts_ms_jvm(spark, path, v) <= timestamp_ms]
+        if not older:
+            raise SnapshotVersionError(
+                f"no commit at or before timestamp {timestamp_ms} at {path} "
+                f"(earliest available: version {vs[0] if vs else 'none'})"
+            )
+        version = older[-1]
+    state = replay_delta_log(spark, path, upto_version=version)
+    if not state["schema_string"]:
+        raise SnapshotVersionError(f"no metaData in the log at {path}")
+    schema_json = json.loads(state["schema_string"])
+    conf = (state["metaData"] or {}).get("configuration") or {}
+    cm_mode = conf.get("delta.columnMapping.mode", "none")
+    mapped = cm_mode in ("name", "id")
+    if cm_mode not in ("none", "", "name", "id"):
+        raise SnapshotVersionError(
+            f"unknown column mapping mode {cm_mode!r} at {path}"
+        )
+    if cm_mode == "id":
+        _verify_field_ids(spark, path, state["schema_string"], state["live"])
+    pcols = state["partition_columns"]
+    log2phys = (
+        {f["name"]: _cm_physical_name(f) for f in schema_json["fields"]}
+        if mapped
+        else {}
+    )
+
+    def _phys_type(t):
+        if not isinstance(t, dict):
+            return t
+        if t.get("type") == "struct":
+            return {"type": "struct", "fields": [
+                {**f, "name": _cm_physical_name(f) if mapped else f["name"],
+                 "type": _phys_type(f.get("type"))}
+                for f in t.get("fields", [])
+            ]}
+        if t.get("type") == "array":
+            return {**t, "elementType": _phys_type(t.get("elementType"))}
+        if t.get("type") == "map":
+            return {**t, "keyType": _phys_type(t.get("keyType")),
+                    "valueType": _phys_type(t.get("valueType"))}
+        return t
+
+    data_fields = [f for f in schema_json["fields"] if f["name"] not in pcols]
+    read_schema = T.StructType.fromJson(_phys_type(
+        {"type": "struct", "fields": data_fields}
+    ))
+    logical = T.StructType.fromJson(schema_json)
+
+    root = path.rstrip("/")
+    lit_root = re.sub(r"^[a-z0-9+.-]+://?", "/", root).replace("//", "/")
+    if not lit_root.startswith("/"):
+        lit_root = os.path.abspath(lit_root)
+    live = state["live"]
+    if not live:
+        return spark.createDataFrame([], logical)
+    paths = [f"{root}/{rel}" for rel in sorted(live)]
+    df = spark.read.schema(read_schema).parquet(*paths)
+    # file identity: decoded _metadata.file_path normalized to the
+    # literal absolute path (the engine-wide path convention — URIs
+    # percent-encode, literal '+' pre-escapes so url_decode is exact)
+    file_key = F.url_decode(
+        F.replace(F.regexp_replace(
+            F.col("_metadata.file_path"), r"^[a-z0-9+.-]+://?", "/"
+        ), F.lit("+"), F.lit("%2B"))
+    )
+    file_key = F.regexp_replace(file_key, "^//", "/")
+    df = df.withColumn("__dlt_file", file_key).withColumn(
+        "__dlt_pos", F.col("_metadata.row_index")
+    )
+    # per-file partition values (strings in the log; physical keys
+    # under a mapping) -> typed logical columns via a broadcast dim
+    if pcols:
+        ptypes = {f.name: f.dataType for f in logical.fields}
+        for c in pcols:
+            if isinstance(ptypes.get(c), T.TimestampType):
+                raise SnapshotVersionError(
+                    f"partition column {c!r} is a with-timezone TIMESTAMP; "
+                    "its log string form is writer-session-zone-ambiguous "
+                    "— use convert_from_delta_log (reads values from data)"
+                )
+        rows = []
+        for rel, a in live.items():
+            pv = a.get("partitionValues") or {}
+            if mapped:
+                phys2log_top = {v: k for k, v in log2phys.items()}
+                pv = {phys2log_top.get(k, k): x for k, x in pv.items()}
+            rows.append(tuple([os.path.join(lit_root, rel)]
+                              + [pv.get(c) for c in pcols]))
+        dim_schema = T.StructType(
+            [T.StructField("__dlt_file", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+        )
+        dim = spark.createDataFrame(rows, dim_schema)
+        df = df.join(F.broadcast(dim), "__dlt_file")
+        for c in pcols:
+            df = df.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c])).drop(
+                f"__pv_{c}"
+            )
+    # deletion vectors: decode driver-side (metadata-sized), one
+    # broadcast LEFT ANTI over (file, original row index)
+    dv_rows = []
+    for rel, a in live.items():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType"):
+            for p in _decode_deletion_vector(spark, path, dv):
+                dv_rows.append((os.path.join(lit_root, rel), int(p)))
+    if dv_rows:
+        dvdf = spark.createDataFrame(dv_rows, "__dlt_file string, __dlt_pos long")
+        df = df.join(F.broadcast(dvdf), ["__dlt_file", "__dlt_pos"], "left_anti")
+    df = df.drop("__dlt_file", "__dlt_pos")
+    # logical projection in schema order: nested mapped structs rebuild
+    # under logical names, flat renames alias, partition columns pass
+    out_cols = []
+    for f in schema_json["fields"]:
+        name = f["name"]
+        if name in pcols:
+            out_cols.append(F.col(name))
+        elif mapped:
+            col = F.col("`" + log2phys[name].replace("`", "``") + "`")
+            if _cm_type_has_mapping(f.get("type")):
+                col = _cm_expr(col, f.get("type"))
+            out_cols.append(col.alias(name))
+        else:
+            out_cols.append(F.col(name))
+    return df.select(*out_cols)
 
 
 def _column_mapping_from_schema(schema_string: str) -> tuple[dict[str, str], bool]:

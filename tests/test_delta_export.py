@@ -1820,3 +1820,155 @@ def test_table_properties_roundtrip_export_convert(spark, tmp_path):
     assert snapshot_table_properties(spark, dst) == {
         "team.owner": "data-eng", "delta.checkpointPolicy": "v2",
     }
+
+
+def test_read_delta_log_table_time_travel(spark, tmp_path):
+    """Round 12: READ-ONLY batch reader over a foreign Delta log —
+    time travel without delta jars and without adopting (no renames,
+    the tree is untouched). Partition values come from the log's
+    add actions, deletion vectors mask via one broadcast anti-join,
+    version= and timestamp_ms= select snapshots exactly as Delta's
+    versionAsOf/timestampAsOf."""
+    import time as _time
+
+    from azure_etl_spark.sources.delta_export import read_delta_log_table
+
+    src = str(tmp_path / "src")
+    df0 = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 10).alias("amount"),
+    )
+    write_snapshot(df0, src, partition_by=["grp"])                    # v0
+    _time.sleep(0.05)
+    write_snapshot(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("grp"),
+            (F.col("id") * 10).alias("amount"),
+        ),
+        src, mode="append", partition_by=["grp"],
+    )                                                                 # v1
+    delete_from_snapshot(spark, src, [("k", "<", 10)],
+                         mode="merge_on_read")                        # v2 -> DVs
+    export_delta_log(spark, src)
+
+    dst = str(tmp_path / "foreign")
+    os.makedirs(dst)
+    for entry in os.listdir(src):
+        if entry == "_manifest":
+            continue
+        s = os.path.join(src, entry)
+        d = os.path.join(dst, entry)
+        shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy2(s, d)
+    before = sorted(
+        os.path.join(r, f) for r, _d, fs in os.walk(dst) for f in fs
+    )
+
+    def rows(df):
+        return sorted((r["k"], r["grp"], r["amount"]) for r in df.collect())
+
+    # tip: DV-masked, partition values typed from the log
+    got = read_delta_log_table(spark, dst)
+    assert dict(got.dtypes)["grp"] in ("int", "bigint")
+    assert rows(got) == rows(read_snapshot(spark, src))
+    assert len(rows(got)) == 70  # 80 written - 10 DV-deleted
+
+    # versionAsOf
+    assert rows(read_delta_log_table(spark, dst, version=0)) == rows(
+        read_snapshot(spark, src, version=0)
+    )
+    assert rows(read_delta_log_table(spark, dst, version=1)) == rows(
+        read_snapshot(spark, src, version=1)
+    )
+
+    # timestampAsOf: latest commit at or before the stamp
+    ts1 = json.loads(open(os.path.join(
+        dst, DELTA_LOG_DIR, f"{1:020d}.json")).readline())["commitInfo"][
+        "timestamp"]
+    got_ts = read_delta_log_table(spark, dst, timestamp_ms=ts1)
+    assert rows(got_ts) == rows(read_snapshot(spark, src, version=1))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no commit at or before"):
+        read_delta_log_table(spark, dst, timestamp_ms=1)
+    with _pytest.raises(Exception, match="not both"):
+        read_delta_log_table(spark, dst, version=1, timestamp_ms=ts1)
+
+    # READ-ONLY: the tree is byte-identical afterwards
+    after = sorted(
+        os.path.join(r, f) for r, _d, fs in os.walk(dst) for f in fs
+    )
+    assert after == before
+
+
+def test_read_delta_log_table_column_mapped(spark, tmp_path):
+    """The read-only reader translates column mappings WITHOUT the
+    convert: flat name-mode (physical data columns + physically-keyed
+    partitionValues) and NESTED mappings read back fully logical."""
+    from azure_etl_spark.sources.delta_export import read_delta_log_table
+
+    path = _mapped_delta_fixture(spark, tmp_path, name="romap")
+    got = read_delta_log_table(spark, path)
+    assert got.columns == ["k", "grp", "amount"]
+    vals = {(r["k"], r["grp"], r["amount"]) for r in got.collect()}
+    assert (0, "east", 0) in vals and (149, "west", 1490) in vals
+    assert len(vals) == 100
+
+    # nested: reuse the convert test's fixture shape via a direct log
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nd = str(tmp_path / "ronested")
+    os.makedirs(os.path.join(nd, DELTA_LOG_DIR))
+    pdf = pd.DataFrame({
+        "col-k9aa": range(8),
+        "col-s1": [None if i == 2 else {"col-x1": i * 2, "col-y2": f"v{i}"}
+                   for i in range(8)],
+    })
+    fname = "part-00000-0ddba11.snappy.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(nd, fname))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s1"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-x1"}},
+                 {"name": "y", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-y2"}},
+             ]}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "aaaaaaaa-bbbb-cccc-dddd-0123456789ab",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {
+            "path": fname, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(nd, fname)),
+            "modificationTime": 1700000000000, "dataChange": True,
+        }},
+    ]
+    with open(os.path.join(nd, DELTA_LOG_DIR, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions))
+    out = read_delta_log_table(spark, nd)
+    assert out.columns == ["k", "s"]
+    got2 = {
+        (r["k"], None if r["s"] is None else (r["s"]["x"], r["s"]["y"]))
+        for r in out.collect()
+    }
+    assert (2, None) in got2 and (3, (6, "v3")) in got2 and len(got2) == 8
