@@ -65,6 +65,33 @@ COMMENTARY = {
         "table_changes parity is pinned in "
         "tests/test_delta_stream_source.py."
     ),
+    "snapshot_stream_cdf_gold": (
+        "Snapshot streaming CHANGE FEED (round 12) — the streaming twin "
+        "of snapshot_changes. The plan below is the memory-sink "
+        "read-back (micro-batch sources have no static plan); the "
+        "scale features live in the source: planning diffs exactly two "
+        "manifests per commit (O(changed files) driver work), each "
+        "partition is one parquet file read executor-side under ITS "
+        "manifest's merge-on-read entries, and MOR commits emit the "
+        "rows entering/leaving via the per-entry diff — the pyarrow "
+        "match path, positional matches addressed by ORIGINAL physical "
+        "index carried through the masks. Batch-vs-stream parity is "
+        "pinned row-for-row across COW + predicate/positional/equality "
+        "MOR in tests/test_snapshot.py."
+    ),
+    "delta_log_read_gold": (
+        "READ-ONLY batch reader over a foreign Delta log (round 12): "
+        "versionAsOf/timestampAsOf without delta jars and WITHOUT "
+        "adopting the tree. ONE parquet scan over the live files "
+        "(explicit physical schema — look for the single FileScan with "
+        "both snapshots' file lists under the union), per-file "
+        "partitionValues via a BROADCAST dim on _metadata.file_path, "
+        "deletion vectors decoded driver-side (compressed metadata) "
+        "and masked by a BroadcastHashJoin LeftAnti on "
+        "_metadata.row_index — never a per-file driver loop, never a "
+        "fact-side Exchange. At 100 TB the reader pays O(live files) "
+        "metadata + the scan itself."
+    ),
     "dv_export_roundtrip_gold": (
         "Deletion-vector export round trip (round 10). The read is "
         "EXCLUSIVELY from the exported Delta log: per DV'd file, the "
