@@ -2166,3 +2166,48 @@ def _manifest_files_on_disk(path):
     )
 
     return _manifest_files(path, _manifest(path, _versions(path)[-1]))
+
+
+def test_stream_source_readchangefeed_pacing(spark, tmp_path):
+    """CDF units ride the same sub-commit pacing algebra as snapshot
+    units: a multi-file change backlog arriving while the query runs
+    drains under maxfilespertrigger in bounded batches with no
+    duplicate or lost change rows. (The FIRST planned batch is
+    uncapped — the documented Python-source trade — so pacing is
+    asserted on commits that land after the query starts.)"""
+    from azure_etl_spark.sources.snapshot import snapshot_changes
+    from azure_etl_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    path = str(tmp_path / "tbl")
+    write_snapshot(_keyed(spark, 0, 90, "a").repartition(3), path)     # v0: 3 files
+
+    sizes: list[int] = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .option("readchangefeed", "true")
+        .option("startingversion", "0")
+        .option("maxfilespertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    assert sum(sizes) == 90  # v0 inserts (first planned batch uncapped)
+
+    sizes.clear()
+    write_snapshot(_keyed(spark, 100, 160, "b").repartition(2), path,
+                   mode="append")                                      # v1: 2 files
+    delete_from_snapshot(spark, path, [("id", "<", 30)])               # v2: COW churn
+    q.processAllAvailable()
+    q.stop()
+    # exactly the batch feed over (0, 2], once, in bounded batches
+    want = snapshot_changes(spark, path, 0).count()
+    assert sum(sizes) == want
+    per_file_max = 30  # largest single file's row count in this fixture
+    nonzero = [s for s in sizes if s]
+    assert nonzero and max(nonzero) <= per_file_max
+    assert len(nonzero) >= 4  # the backlog really drained file-by-file
