@@ -163,6 +163,18 @@ class CurationPipeline:
     # chunk_words (no overlap) when unset
     chunk_words: int | None = None
     chunk_stride: int | None = None
+    # per-stage survivor counts are part of run()'s observable contract
+    # ("observed", the default): each multi-consumer stage persists and
+    # counts — ~8 driver-synchronized barriers, the funnel's wall-time
+    # floor (SCALE.md round 12). "off" (round 13, VERDICT r12 #6) FUSES
+    # the funnel: no persists, no count jobs, stage_counts stays empty,
+    # run() returns one lazy plan whose terminal action executes the
+    # whole funnel as a single DAG (Catalyst reuses exchanges for
+    # multi-consumer subtrees or recomputes map-side work — both
+    # cheaper than a barrier when nobody reads the counts). Callers
+    # that need the sqrt-rule SemDeDup k under "off" should pin
+    # ``semantic_k``; otherwise one survivor count still runs for it.
+    counts: str = "observed"
     stage_counts: dict = field(default_factory=dict)
 
     def _advance(self, name: str, df: DataFrame, prev: DataFrame | None) -> DataFrame:
@@ -174,7 +186,10 @@ class CurationPipeline:
         per later stage; measured 60 s -> 13 s on the 500-doc fixture,
         and at 100 TB the difference is the job being runnable at all.
         Peak cache is two adjacent survivor sets (MEMORY_AND_DISK, so
-        an executor that can't hold a stage spills instead of dying)."""
+        an executor that can't hold a stage spills instead of dying).
+        In ``counts="off"`` mode this is a pass-through: stages fuse."""
+        if self.counts == "off":
+            return df
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -212,26 +227,38 @@ class CurationPipeline:
         # observed values are exact row counts, identical to the
         # per-stage count() they replace, and the gate frames had no
         # other consumer than the next stage)
-        from pyspark.sql import Observation
+        if self.counts not in ("observed", "off"):
+            raise ValueError(
+                f"counts must be 'observed' or 'off', got {self.counts!r}"
+            )
+        if self.counts == "off":
+            gated = docs.filter(
+                F.col("lang").isin(list(self.target_langs))
+            ).filter(quality_score("text") >= self.min_quality)
+            kept = self._advance("exact_dedup", exact_text_dedup(gated), None)
+        else:
+            from pyspark.sql import Observation
 
-        obs_input, obs_lang, obs_q = Observation(), Observation(), Observation()
-        gated = (
-            docs.observe(obs_input, F.count(F.lit(1)).alias("n"))
-            .filter(F.col("lang").isin(list(self.target_langs)))
-            .observe(obs_lang, F.count(F.lit(1)).alias("n"))
-            .filter(quality_score("text") >= self.min_quality)
-            .observe(obs_q, F.count(F.lit(1)).alias("n"))
-        )
-        kept = self._advance("exact_dedup", exact_text_dedup(gated), None)
-        counts = {
-            "input": int(obs_input.get["n"]),
-            "lang_gate": int(obs_lang.get["n"]),
-            "quality_gate": int(obs_q.get["n"]),
-            "exact_dedup": self.stage_counts.pop("exact_dedup"),
-        }
-        counts.update(self.stage_counts)  # funnel order preserved
-        self.stage_counts.clear()
-        self.stage_counts.update(counts)
+            obs_input, obs_lang, obs_q = (
+                Observation(), Observation(), Observation(),
+            )
+            gated = (
+                docs.observe(obs_input, F.count(F.lit(1)).alias("n"))
+                .filter(F.col("lang").isin(list(self.target_langs)))
+                .observe(obs_lang, F.count(F.lit(1)).alias("n"))
+                .filter(quality_score("text") >= self.min_quality)
+                .observe(obs_q, F.count(F.lit(1)).alias("n"))
+            )
+            kept = self._advance("exact_dedup", exact_text_dedup(gated), None)
+            counts = {
+                "input": int(obs_input.get["n"]),
+                "lang_gate": int(obs_lang.get["n"]),
+                "quality_gate": int(obs_q.get["n"]),
+                "exact_dedup": self.stage_counts.pop("exact_dedup"),
+            }
+            counts.update(self.stage_counts)  # funnel order preserved
+            self.stage_counts.clear()
+            self.stage_counts.update(counts)
 
         pairs = minhash_near_dup_pairs(kept, threshold=self.near_dup_threshold)
         kept = self._advance(
@@ -266,7 +293,13 @@ class CurationPipeline:
             # partitionings, and free (no extra job)
             k_sem = self.semantic_k
             if k_sem is None:
-                prev_count = list(self.stage_counts.values())[-1]
+                # "off" mode has no recorded counts: the sqrt rule needs
+                # ONE survivor count (pin semantic_k to avoid it)
+                prev_count = (
+                    kept.count()
+                    if self.counts == "off"
+                    else list(self.stage_counts.values())[-1]
+                )
                 k_sem = max(8, math.ceil(math.sqrt(max(prev_count, 1))))
             dropped = semantic_dedup(
                 surviving,
@@ -281,22 +314,26 @@ class CurationPipeline:
         obs_decon = None
         decon_prev = None
         if eval_docs is not None:
-            from pyspark.sql import Observation
-
             flagged = contamination_overlap(
                 kept, eval_docs, n=self.contamination_ngram
             )
             contaminated = flagged.filter(F.col("contaminated")).select("doc_id")
-            # the decontaminated set has exactly ONE consumer (pack), so
-            # its count rides as an Observation on the pack job instead
-            # of a separate materialization (round 10 — one less
-            # driver-synchronized barrier; value identical)
-            obs_decon = Observation()
-            decon_prev = kept
-            kept = kept.join(contaminated, "doc_id", "left_anti").observe(
-                obs_decon, F.count(F.lit(1)).alias("n")
-            )
-            self.stage_counts["decontaminated"] = -1  # placeholder, keeps order
+            if self.counts == "off":
+                kept = kept.join(contaminated, "doc_id", "left_anti")
+            else:
+                from pyspark.sql import Observation
+
+                # the decontaminated set has exactly ONE consumer
+                # (pack), so its count rides as an Observation on the
+                # pack job instead of a separate materialization
+                # (round 10 — one less driver-synchronized barrier;
+                # value identical)
+                obs_decon = Observation()
+                decon_prev = kept
+                kept = kept.join(contaminated, "doc_id", "left_anti").observe(
+                    obs_decon, F.count(F.lit(1)).alias("n")
+                )
+                self.stage_counts["decontaminated"] = -1  # placeholder, keeps order
 
         if self.chunk_words:
             from azure_etl_spark.operators.curation import chunk_sliding_windows

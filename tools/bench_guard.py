@@ -85,7 +85,15 @@ REFERENCE: dict[str, float] = {
     # convergence, shuffle-free k-means assignment, single scoped-join
     # media pairs, window exact-dedup, sqrt-rule semantic_k); the SQL
     # correlated-scalar-subquery decorrelation query joins the headline
-    "corpus_funnel": 13.257,
+    # round 13 re-base WITH RECEIPTS (VERDICT r12 #1, SCALE.md "Round
+    # 13"): a 7-cycle interleaved ladder A/B (tools/ab_funnel.py) of
+    # HEAD vs the three funnel rewrites reverted shows all four
+    # variants within 4% — the code that set the 13.257 s record reads
+    # 27.3 s minimum on today's box, so the drift is environmental.
+    # New reference = the r12 driver reading at the session-minimum
+    # load index 1.09x (BENCH_r12.json), corroborated by the
+    # BENCH_LOCAL_r12.json quiet-min 22.16 s.
+    "corpus_funnel": 22.043,
     "join_skewed_salted": 1.049,
     "sql_scalar_subquery_small_lot": 0.471,
     # round 12 (BENCH_LOCAL_r12.json): the SQL LSH twin joined the
@@ -151,7 +159,11 @@ SF1_REFERENCE: dict[str, float] = {
     "remove_dup_segments_docs": 2.854,
     "unigram_logprob_docs": 1.485,
     "dedup_duplicate_spans_docs": 4.631,
-    "corpus_funnel": 35.252,
+    # round 13 re-base with receipts (see the sf0.1 entry + SCALE.md
+    # "Round 13"): BENCH_LOCAL_r12_sf1.json quiet-min — the same
+    # environmental shift, 1.46x at sf1 where fixed overhead cannot
+    # explain it, with the ladder A/B clearing the code
+    "corpus_funnel": 51.521,
     "join_skewed_salted": 1.843,
     "sql_scalar_subquery_small_lot": 0.779,
     # round 12 (BENCH_LOCAL_r12_sf1.json, load index 1.44x — see the

@@ -50,7 +50,13 @@ COMMENTARY = {
         "Backlog pacing (maxfiles/maxbytespertrigger) slices units by "
         "position, so a 10k-commit backlog drains in bounded batches "
         "with flat per-batch planning cost "
-        "(tools/scale_probe_delta_stream.py)."
+        "(tools/scale_probe_delta_stream.py). startingtimestamp "
+        "binary-searches the commit timestamps (shared resolver with "
+        "the batch reader); a timestamp PAST THE TIP deliberately "
+        "diverges from delta-spark's timestampGreaterThanLatestCommit "
+        "error — it tails only FUTURE commits, a coherent request for "
+        "a tailing stream (pinned in "
+        "test_foreign_delta_starting_timestamp)."
     ),
     "delta_stream_cdf_gold": (
         "Foreign-Delta streaming CHANGE FEED (round 12). Same source "
@@ -85,12 +91,21 @@ COMMENTARY = {
         "adopting the tree. ONE parquet scan over the live files "
         "(explicit physical schema — look for the single FileScan with "
         "both snapshots' file lists under the union), per-file "
-        "partitionValues via a BROADCAST dim on _metadata.file_path, "
-        "deletion vectors decoded driver-side (compressed metadata) "
-        "and masked by a BroadcastHashJoin LeftAnti on "
-        "_metadata.row_index — never a per-file driver loop, never a "
-        "fact-side Exchange. At 100 TB the reader pays O(live files) "
-        "metadata + the scan itself."
+        "partitionValues via a BROADCAST dim on _metadata.file_path. "
+        "Deletion vectors mask on _metadata.row_index in one of two "
+        "budget-gated shapes (round 13, VERDICT r12 #2): under "
+        "dv_broadcast_max_positions total cardinality (read free from "
+        "the descriptors) a driver decode + BroadcastHashJoin LeftAnti "
+        "— the plan here; over it, each file's DV decodes "
+        "EXECUTOR-SIDE in an Arrow mapInPandas riding the scan stage "
+        "(zero shuffle, driver ships descriptors only — "
+        "tools/scale_probe_dv_batch.py: 12M positions, driver RSS "
+        "flat, where the old enumerate-and-broadcast plan dies in a "
+        "broadcast OOM). timestampAsOf binary-searches the "
+        "non-decreasing commit timestamps (O(log versions) driver FS "
+        "calls, shared resolver with the streaming source). Never a "
+        "per-file driver loop, never a fact-side Exchange. At 100 TB "
+        "the reader pays O(live files) metadata + the scan itself."
     ),
     "dv_export_roundtrip_gold": (
         "Deletion-vector export round trip (round 10). The read is "
@@ -581,6 +596,45 @@ def _corpus_funnel_df(spark, sf_dir):
     return CurationPipeline().run(docs)
 
 
+def _delta_fixture_for_plans(spark, sf_dir):
+    import tempfile
+
+    import bench
+
+    root = tempfile.mkdtemp(prefix="plans_delta_")
+    return bench._build_delta_fixture(spark, sf_dir, root), root
+
+
+def _delta_batch_read_df(spark, sf_dir):
+    from azure_etl_spark.sources.delta_export import read_delta_log_table
+
+    fixture, _root = _delta_fixture_for_plans(spark, sf_dir)
+    return read_delta_log_table(spark, fixture)
+
+
+def _delta_stream_drain_df(spark, sf_dir):
+    import os as _os
+
+    from azure_etl_spark.streaming import delta_source
+
+    fixture, root = _delta_fixture_for_plans(spark, sf_dir)
+    delta_source.register(spark)
+    q = (
+        spark.readStream.format("delta_log_table")
+        .option("path", fixture)
+        .option("readchangefeed", "true")
+        .option("startingversion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("plans_delta_drain")
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT * FROM plans_delta_drain")
+
+
 SPECIAL = {
     "pipeline_medallion": (
         "The reference pipeline end-to-end (bronze parquet -> silver "
@@ -619,9 +673,40 @@ SPECIAL = {
         "11 replaces the exact-dedup window with a min_by(struct, id) "
         "aggregate: duplicates collapse in the partial (map-side) "
         "aggregate below the single Exchange, so a mega-duplicated "
-        "document can never land on one task (SCALE.md hot-doc probe)."
+        "document can never land on one task (SCALE.md hot-doc probe). "
+        "Round 13: a 7-cycle ladder A/B (tools/ab_funnel.py, SCALE.md "
+        "'Round 13') cleared all three post-r10 rewrites of the "
+        "guard-FAILed wall-time drift — all four code variants read "
+        "within 4% on the same box, so the guard reference re-based "
+        "with receipts; and counts=\"off\" now fuses the funnel into "
+        "one lazy plan (no persists/count barriers) when the per-stage "
+        "survivor counts aren't wanted, output bit-identical "
+        "(test_funnel_counts_off_fuses_and_matches)."
         ,
         _corpus_funnel_df,
+    ),
+    "delta_batch_read": (
+        "Bench row (round 13, VERDICT r12 #5): tip read through "
+        "read_delta_log_table over a 10-commit + MOR-delete fixture — "
+        "wall-time protection for the replay/DV/partition-dim path the "
+        "delta_log_read_gold oracle row can't see regressing. The plan "
+        "is delta_log_read_gold's (one FileScan, broadcast dims, "
+        "budget-gated DV mask); shown here over the bench-shaped "
+        "fixture."
+        ,
+        _delta_batch_read_df,
+    ),
+    "delta_stream_drain": (
+        "Bench row (round 13, VERDICT r12 #5): full availableNow CDF "
+        "drain of the same fixture's 11 commits from version 0 — times "
+        "the per-commit planning (_replay_state/_unit/latestOffset) "
+        "plus the per-file Arrow read path. A micro-batch source has "
+        "no static plan; the plan below is the memory-sink read-back, "
+        "and the source economics are delta_stream_cdf_gold's "
+        "(O(commit) planning, one file per executor partition, "
+        "per-file DV masks)."
+        ,
+        _delta_stream_drain_df,
     ),
 }
 
