@@ -2497,6 +2497,169 @@ def q_delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_log_read_dv_exec_gold",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, mask_path
+    FROM orders
+    CROSS JOIN (VALUES ('executor'), ('broadcast')) AS m(mask_path)
+    WHERE o_orderkey < 3000 AND NOT (o_orderkey BETWEEN 500 AND 999)
+    """,
+    description="Round 13 (VERDICT r12 #2): the batch Delta reader's "
+    "TWO deletion-vector mask shapes are bit-equal — the same "
+    "DV-carrying foreign table reads once with "
+    "dv_broadcast_max_positions=0 (forcing the EXECUTOR-SIDE "
+    "mapInPandas per-file decode, the heavy-delete scale path) and "
+    "once under the default budget (driver decode + broadcast LEFT "
+    "ANTI), tagged by mask_path. A single row mis-masked by either "
+    "shape is a hash mismatch; the oracle recomputes the surviving "
+    "set relationally, twice.",
+)
+def q_delta_log_read_dv_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import (
+        export_delta_log,
+        read_delta_log_table,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_dv_exec_")
+    src = os.path.join(tmp, "src")
+    write_snapshot(orders.filter(F.col("o_orderkey") < 2000).coalesce(1), src)
+    write_snapshot(
+        orders.filter(F.col("o_orderkey").between(2000, 2999)).coalesce(1),
+        src,
+        mode="append",
+    )
+    delete_from_snapshot(
+        spark, src, [("o_orderkey", "between", (500, 999))],
+        mode="merge_on_read",
+    )
+    export_delta_log(spark, src)
+    foreign = os.path.join(tmp, "foreign")
+    os.makedirs(foreign)
+    for entry in os.listdir(src):
+        if entry == "_manifest":
+            continue
+        s = os.path.join(src, entry)
+        d = os.path.join(foreign, entry)
+        shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy2(s, d)
+    ex = read_delta_log_table(
+        spark, foreign, dv_broadcast_max_positions=0
+    ).withColumn("mask_path", F.lit("executor"))
+    bc = read_delta_log_table(spark, foreign).withColumn(
+        "mask_path", F.lit("broadcast")
+    )
+    return ex.unionByName(bc)
+
+
+@query(
+    "delta_cdf_cm_gold",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'delete',
+           CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey BETWEEN 100 AND 199
+    """,
+    description="Round 13 (VERDICT r12 #3): batch CDF over a "
+    "COLUMN-MAPPED foreign Delta log (table_changes under name mode). "
+    "The hand-built log stores data columns under physical names "
+    "(col-ok / col-pr) with a cdc commit whose _change_data parquet "
+    "carries _change_type in-data next to the physical columns — the "
+    "mapping walk must translate the data columns and leave "
+    "_change_type alone. The oracle recomputes the feed relationally "
+    "from orders; a physical name leaking into the output, a dropped "
+    "delete, or a mis-translated value is a hash mismatch. The "
+    "streaming readchangefeed leg is pinned bit-identical to this "
+    "reader in tests/test_delta_stream_source.py.",
+)
+def q_delta_cdf_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import table_changes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("col-ok"),
+        F.col("o_totalprice").cast("double").alias("col-pr"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_cdf_cm_")
+    path = os.path.join(tmp, "tbl")
+    os.makedirs(os.path.join(path, "_delta_log"))
+
+    def _one_parquet(df, rel):
+        stage = os.path.join(tmp, "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(part, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        return os.path.getsize(dst)
+
+    f0 = "part-00000-cmcdf.snappy.parquet"
+    sz0 = _one_parquet(orders.filter(F.col("`col-ok`") < 1000), f0)
+    cdc_rel = "_change_data/cdc-00000-cmcdf.snappy.parquet"
+    szc = _one_parquet(
+        orders.filter(F.col("`col-ok`").between(100, 199)).withColumn(
+            "_change_type", F.lit("delete")
+        ),
+        cdc_rel,
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-ok"}},
+            {"name": "price", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-pr"}},
+        ],
+    }
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "11111111-2222-3333-4444-cdfcdfcdfcdf",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": f0, "partitionValues": {}, "size": sz0,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000000000}},
+    ]
+    v1 = [
+        {"cdc": {"path": cdc_rel, "partitionValues": {}, "size": szc,
+                 "dataChange": False}},
+        {"commitInfo": {"timestamp": 1700000001000}},
+    ]
+    for v, acts in ((0, v0), (1, v1)):
+        with open(os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(a, sort_keys=True) for a in acts) + "\n")
+    return table_changes(spark, path, -1).select(
+        "k", "price", "_change_type", "_commit_version"
+    )
+
+
+@query(
     "snapshot_stream_cdf_gold",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
