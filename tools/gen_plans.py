@@ -107,6 +107,32 @@ COMMENTARY = {
         "per-file driver loop, never a fact-side Exchange. At 100 TB "
         "the reader pays O(live files) metadata + the scan itself."
     ),
+    "delta_log_read_dv_exec_gold": (
+        "Both deletion-vector mask shapes of the batch foreign-Delta "
+        "reader over the SAME table (round 13): the executor leg "
+        "forces dv_broadcast_max_positions=0 — look for MapInPandas "
+        "directly above the FileScan, NO Exchange between them (the "
+        "mask rides the scan stage; each file's DV decodes where its "
+        "rows are read) — while the broadcast leg shows the "
+        "BroadcastHashJoin LeftAnti on (file, row_index) with no "
+        "MapInPandas. The union hash-compares both against the oracle "
+        "twice, so the two shapes are pinned bit-equal. The heavy-"
+        "delete scaling evidence is tools/scale_probe_dv_batch.py "
+        "(12M positions: executor path flat driver RSS, broadcast "
+        "path OOMs)."
+    ),
+    "delta_cdf_cm_gold": (
+        "Batch CDF over a COLUMN-MAPPED foreign Delta log (round 13): "
+        "table_changes reads the cdc _change_data parquet under "
+        "PHYSICAL column names (col-ok/col-pr) and projects them "
+        "logical — the scan's ReadSchema shows physical names, the "
+        "output logical — while the in-data _change_type column "
+        "passes through the mapping walk untouched (it is not a "
+        "table column). Per-version change files read directly (no "
+        "fact-side Exchange; partition values would attach as "
+        "broadcast-free literals). The streaming readchangefeed twin "
+        "is pinned bit-identical in tests/test_delta_stream_source.py."
+    ),
     "dv_export_roundtrip_gold": (
         "Deletion-vector export round trip (round 10). The read is "
         "EXCLUSIVELY from the exported Delta log: per DV'd file, the "
