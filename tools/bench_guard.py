@@ -92,8 +92,16 @@ REFERENCE: dict[str, float] = {
     # 27.3 s minimum on today's box, so the drift is environmental.
     # New reference = the r12 driver reading at the session-minimum
     # load index 1.09x (BENCH_r12.json), corroborated by the
-    # BENCH_LOCAL_r12.json quiet-min 22.16 s.
-    "corpus_funnel": 22.043,
+    # BENCH_LOCAL_r12.json quiet-min 22.16 s — then TIGHTENED to the
+    # round-13 six-run minimum (BENCH_LOCAL_r13.json, kernels
+    # 1.25-1.75x quiet): the best reading the current code has
+    # actually produced, an upper bound on its quiet value.
+    "corpus_funnel": 19.153,
+    # round 13: the Delta reader family's bench rows
+    # (BENCH_LOCAL_r13.json six-run minimums; fixture = 10 append
+    # commits + 1 MOR-delete over sf0.1 orders, built untimed)
+    "delta_batch_read": 0.562,
+    "delta_stream_drain": 5.369,
     "join_skewed_salted": 1.049,
     "sql_scalar_subquery_small_lot": 0.471,
     # round 12 (BENCH_LOCAL_r12.json): the SQL LSH twin joined the
