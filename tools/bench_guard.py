@@ -168,10 +168,15 @@ SF1_REFERENCE: dict[str, float] = {
     "unigram_logprob_docs": 1.485,
     "dedup_duplicate_spans_docs": 4.631,
     # round 13 re-base with receipts (see the sf0.1 entry + SCALE.md
-    # "Round 13"): BENCH_LOCAL_r12_sf1.json quiet-min — the same
-    # environmental shift, 1.46x at sf1 where fixed overhead cannot
-    # explain it, with the ladder A/B clearing the code
-    "corpus_funnel": 51.521,
+    # "Round 13"): BENCH_LOCAL_r12_sf1.json quiet-min 51.521, then
+    # TIGHTENED to the round-13 three-run minimum at near-quiet
+    # kernels 0.098-0.129 (BENCH_LOCAL_r13_sf1.json)
+    "corpus_funnel": 41.441,
+    # round 13: Delta reader family at the 10x fixture — planning is
+    # commit-count-shaped, the scan data-shaped, so both sit close to
+    # their sf0.1 values (BENCH_LOCAL_r13_sf1.json minimums)
+    "delta_batch_read": 0.726,
+    "delta_stream_drain": 5.606,
     "join_skewed_salted": 1.843,
     "sql_scalar_subquery_small_lot": 0.779,
     # round 12 (BENCH_LOCAL_r12_sf1.json, load index 1.44x — see the
