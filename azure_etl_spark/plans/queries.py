@@ -2562,6 +2562,60 @@ def q_delta_log_read_dv_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_log_read_pruned_gold",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey BETWEEN 2100 AND 2899
+      AND NOT (o_orderkey BETWEEN 2300 AND 2399)
+    """,
+    description="Round 13: predicate file-skipping on the READ-ONLY "
+    "foreign-Delta reader (read_delta_log_table(where=...)). The "
+    "table exports as three disjoint key-range files plus a "
+    "merge-on-read delete (deletion vectors); the where= range "
+    "provably excludes the first and last file from the adds' stats "
+    "min/max before the scan, and the same predicate re-applies as "
+    "an exact row filter after the DV mask. A file wrongly skipped "
+    "(missing rows) or wrongly kept without the residual filter "
+    "(extra rows) is a hash mismatch; the oracle recomputes the "
+    "window relationally. The inputFiles()-level skipping assert "
+    "lives in tests/test_delta_export.py.",
+)
+def q_delta_log_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from azure_etl_spark.sources.delta_export import (
+        export_delta_log,
+        read_delta_log_table,
+    )
+    from azure_etl_spark.sources.snapshot import (
+        delete_from_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_ro_pruned_")
+    src = os.path.join(tmp, "src")
+    for lo in (0, 2000, 4000):
+        write_snapshot(
+            orders.filter(F.col("o_orderkey").between(lo, lo + 1999)).coalesce(1),
+            src,
+            mode="append" if lo else "overwrite",
+        )
+    delete_from_snapshot(
+        spark, src, [("o_orderkey", "between", (2300, 2399))],
+        mode="merge_on_read",
+    )
+    export_delta_log(spark, src)
+    return read_delta_log_table(
+        spark, src, where=[("o_orderkey", "between", (2100, 2899))]
+    )
+
+
+@query(
     "delta_cdf_cm_gold",
     oracle="""
     SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,

@@ -640,16 +640,22 @@ def _decode_dv_local(table: str, dv: dict) -> list[int]:
 
 
 def _commit_ts_ms(table: str, v: int) -> int:
-    """One commit's timestamp in epoch ms: the commitInfo.timestamp
-    when present (what real writers stamp), else the commit file's
-    mtime, else — for a checkpoint-only log — the ``_last_checkpoint``
-    mtime. Deterministic per (table, version): file mtimes are stable,
-    so offset replay reconstructs identical rows."""
+    """One commit's timestamp in epoch ms:
+    ``commitInfo.inCommitTimestamp`` when present (the
+    inCommitTimestamp writer feature — the spec requires readers to
+    prefer it, and it is monotonic by construction), else
+    ``commitInfo.timestamp`` (what plain writers stamp), else the
+    commit file's mtime, else — for a checkpoint-only log — the
+    ``_last_checkpoint`` mtime. Deterministic per (table, version):
+    file mtimes are stable, so offset replay reconstructs identical
+    rows."""
     ldir = os.path.join(table, DELTA_LOG_DIR)
     p = os.path.join(ldir, f"{v:020d}.json")
     if os.path.exists(p):
         for a in _commit_actions(table, v):
             ci = a.get("commitInfo")
+            if ci and ci.get("inCommitTimestamp") is not None:
+                return int(ci["inCommitTimestamp"])
             if ci and ci.get("timestamp") is not None:
                 return int(ci["timestamp"])
         return int(os.path.getmtime(p) * 1000)

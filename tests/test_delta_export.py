@@ -2155,3 +2155,101 @@ def test_table_changes_bounded_plan_scans(spark, tmp_path):
     # a file whose rows were rewritten re-emits from ONE scan: the v5
     # cdc covers the delete; spot-check counts are occurrence-shaped
     assert len([r for r in rows if r[2] == 5]) > 0
+
+
+def test_read_delta_log_table_where_prunes_files(spark, tmp_path):
+    """Round 13: ``where=`` skips files before the scan — partition
+    conjuncts exactly against add.partitionValues, range conjuncts
+    conservatively against add.stats min/max — then re-applies as an
+    exact row filter. Composes with deletion-vector masking."""
+    from azure_etl_spark.sources.delta_export import read_delta_log_table
+
+    src = str(tmp_path / "src")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 150, "east").otherwise("west").alias("grp"),
+        (F.col("id") * 10).alias("amount"),
+    )
+    # three disjoint key-range files per partition (stats ranges)
+    for lo in (0, 100, 200):
+        write_snapshot(
+            df.filter(F.col("k").between(lo, lo + 99)).coalesce(1),
+            src, mode="append" if lo else "overwrite",
+            partition_by=["grp"],
+        )
+    delete_from_snapshot(spark, src, [("k", "between", (120, 129))],
+                         mode="merge_on_read")
+    export_delta_log(spark, src)
+
+    full = read_delta_log_table(spark, src)
+    n_files_full = len(full.inputFiles())
+    assert n_files_full >= 4  # 2 partitions x key-range files
+
+    # partition pruning: only east files scanned
+    east = read_delta_log_table(spark, src, where=[("grp", "=", "east")])
+    assert len(east.inputFiles()) < n_files_full
+    assert east.count() == 150 - 10  # DV mask composes
+    assert {r["grp"] for r in east.select("grp").distinct().collect()} == {"east"}
+
+    # stats pruning: k >= 220 provably excludes the low-range files
+    hi = read_delta_log_table(spark, src, where=[("k", ">=", 220)])
+    assert len(hi.inputFiles()) < n_files_full
+    assert sorted(r["k"] for r in hi.collect()) == list(range(220, 300))
+
+    # combined + between + exact residual filter
+    both = read_delta_log_table(
+        spark, src, where=[("grp", "=", "west"), ("k", "between", (150, 159))]
+    )
+    assert len(both.inputFiles()) <= 2
+    assert sorted(r["k"] for r in both.collect()) == list(range(150, 160))
+
+
+def test_commit_timestamps_prefer_in_commit_timestamp(spark, tmp_path):
+    """Round 13: when commitInfo carries ``inCommitTimestamp`` (the
+    monotonic inCommitTimestamp writer feature) BOTH readers must
+    prefer it over the wall-clock ``timestamp`` field for time
+    travel, per the spec."""
+    import json as _json
+
+    from azure_etl_spark.sources.delta_export import (
+        _commit_ts_ms_jvm,
+        read_delta_log_table,
+    )
+    from azure_etl_spark.streaming.delta_source import _commit_ts_ms
+
+    src = str(tmp_path / "src")
+    write_snapshot(_orders(spark, 20), src)                     # v0
+    write_snapshot(_orders(spark, 10, start=100), src, mode="append")  # v1
+    export_delta_log(spark, src)
+
+    # stamp divergent ICTs: wall timestamps say v0@2000/v1@3000, ICTs
+    # say v0@5000/v1@7000 — resolution must follow the ICTs
+    for v, ict in ((0, 5000), (1, 7000)):
+        p = os.path.join(src, DELTA_LOG_DIR, f"{v:020d}.json")
+        lines = [_json.loads(ln) for ln in open(p) if ln.strip()]
+        stamped = False
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = (v + 2) * 1000
+                a["commitInfo"]["inCommitTimestamp"] = ict
+                stamped = True
+        if not stamped:
+            lines.append({"commitInfo": {"timestamp": (v + 2) * 1000,
+                                         "inCommitTimestamp": ict}})
+        with open(p, "w") as f:
+            f.write("\n".join(_json.dumps(a) for a in lines) + "\n")
+        # the out-of-band rewrite invalidates Hadoop's local-FS .crc
+        # sidecar; a real foreign writer leaves none — drop it
+        crc = os.path.join(os.path.dirname(p),
+                           f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    assert _commit_ts_ms_jvm(spark, src, 0) == 5000
+    assert _commit_ts_ms(src, 1) == 7000
+    # timestampAsOf 6000: between the ICTs -> v0 (30 rows would mean
+    # the wall timestamps won)
+    got = read_delta_log_table(spark, src, timestamp_ms=6000)
+    assert got.count() == 20
+    got2 = read_delta_log_table(spark, src, timestamp_ms=7000)
+    assert got2.count() == 30
