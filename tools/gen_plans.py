@@ -103,9 +103,24 @@ COMMENTARY = {
         "flat, where the old enumerate-and-broadcast plan dies in a "
         "broadcast OOM). timestampAsOf binary-searches the "
         "non-decreasing commit timestamps (O(log versions) driver FS "
-        "calls, shared resolver with the streaming source). Never a "
-        "per-file driver loop, never a fact-side Exchange. At 100 TB "
-        "the reader pays O(live files) metadata + the scan itself."
+        "calls, shared resolver with the streaming source; "
+        "commitInfo.inCommitTimestamp preferred when present). Never "
+        "a per-file driver loop, never a fact-side Exchange. At "
+        "100 TB the reader pays O(qualifying files) metadata + the "
+        "scan itself; long-log replay reads commit JSONs with local "
+        "IO resolved once (~0.5 ms/commit at 8000 commits, "
+        "tools/scale_probe_delta_planning.py)."
+    ),
+    "delta_log_read_pruned_gold": (
+        "Predicate file-skipping on the read-only foreign-Delta "
+        "reader (round 13): the scan below lists ONLY the files whose "
+        "add.partitionValues / stats min-max may match the where= "
+        "range — compare its file list against the three exported "
+        "key-range files — and the same predicate re-applies as an "
+        "exact row filter above the DV mask. Skipping is decided "
+        "driver-side from metadata the log already carries: O(files) "
+        "dict work, zero IO. The inputFiles()-level asserts live in "
+        "tests/test_delta_export.py."
     ),
     "delta_log_read_dv_exec_gold": (
         "Both deletion-vector mask shapes of the batch foreign-Delta "
