@@ -2149,8 +2149,6 @@ def read_delta_log_table(
         raise SnapshotVersionError(
             f"unknown column mapping mode {cm_mode!r} at {path}"
         )
-    if cm_mode == "id":
-        _verify_field_ids(spark, path, state["schema_string"], state["live"])
     pcols = state["partition_columns"]
     log2phys = (
         {f["name"]: _cm_physical_name(f) for f in schema_json["fields"]}
@@ -2193,6 +2191,10 @@ def read_delta_log_table(
         )
     if not live:
         return spark.createDataFrame([], logical)
+    if cm_mode == "id":
+        # after pruning: only the files the scan will actually read
+        # pay the footer verification
+        _verify_field_ids(spark, path, state["schema_string"], live)
     paths = [f"{root}/{rel}" for rel in sorted(live)]
     df = spark.read.schema(read_schema).parquet(*paths)
     # file identity: decoded _metadata.file_path normalized to the
