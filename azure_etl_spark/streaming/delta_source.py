@@ -1218,6 +1218,21 @@ class DeltaLogTableSource(DataSource):
             )
         return st
 
+    def reader(self, schema):
+        # a Python-data-source BATCH read would pull every row through
+        # Arrow workers; the JVM-scan batch reader is strictly better
+        # (one FileScan + broadcast dims, budget-gated DV masks,
+        # where= file skipping) — redirect loudly instead of shipping
+        # the slow path
+        raise NotImplementedError(
+            "batch reads of a foreign Delta log go through "
+            "azure_etl_spark.sources.delta_export.read_delta_log_table"
+            " (JVM parquet scan, versionAsOf/timestampAsOf, where= "
+            "file skipping) or convert_from_delta_log to adopt the "
+            "table; this format is the STREAMING tail "
+            "(spark.readStream)"
+        )
+
     def streamReader(self, schema):
         return DeltaLogStreamReader(self.options, schema)
 

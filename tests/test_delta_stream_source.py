@@ -1204,3 +1204,15 @@ def test_gate_mapping_tolerates_additive_column_add(spark, tmp_path):
                        match="renamed mapped"):
         _drain(spark, path, str(tmp_path / "out_r"), str(tmp_path / "ckpt_r"),
                startingversion="0")
+
+
+def test_batch_read_of_stream_format_redirects(spark, tmp_path):
+    """spark.read (batch) on the streaming format raises with the
+    remediation (read_delta_log_table / convert) instead of shipping a
+    slow Python-data-source batch path."""
+    delta_source.register(spark)
+    src = str(tmp_path / "src")
+    write_snapshot(_keyed(spark, 0, 10, "a"), src)
+    export_delta_log(spark, src)
+    with pytest.raises(Exception, match="read_delta_log_table"):
+        spark.read.format("delta_log_table").option("path", src).load().count()
