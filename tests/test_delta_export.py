@@ -2253,3 +2253,46 @@ def test_commit_timestamps_prefer_in_commit_timestamp(spark, tmp_path):
     assert got.count() == 20
     got2 = read_delta_log_table(spark, src, timestamp_ms=7000)
     assert got2.count() == 30
+
+
+def test_prune_live_delta_files_dates_and_nulls():
+    """The pruning helper is a pure function — date partition values
+    compare as ISO strings (ISO order == chronological), predicate
+    dates normalize the same way, null partition values never satisfy
+    a comparison, and incomparable values keep the file
+    (conservative)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from azure_etl_spark.sources.delta_export import _prune_live_delta_files
+
+    ptypes = {"d": T.DateType(), "k": T.LongType()}
+    live = {
+        "a.parquet": {"partitionValues": {"d": "2024-01-10"},
+                      "stats": '{"minValues":{"k":0},"maxValues":{"k":99}}'},
+        "b.parquet": {"partitionValues": {"d": "2024-02-10"},
+                      "stats": '{"minValues":{"k":100},"maxValues":{"k":199}}'},
+        "c.parquet": {"partitionValues": {"d": None}, "stats": None},
+    }
+    # date partition predicate: only b qualifies; c (null) never does
+    out = _prune_live_delta_files(
+        live, [("d", ">=", dt.date(2024, 2, 1))], ["d"], ptypes, False, {}
+    )
+    assert set(out) == {"b.parquet"}
+    # between on the date
+    out = _prune_live_delta_files(
+        live, [("d", "between", (dt.date(2024, 1, 1), dt.date(2024, 1, 31)))],
+        ["d"], ptypes, False, {},
+    )
+    assert set(out) == {"a.parquet"}
+    # stats conjunct: k >= 150 drops a; c has no stats -> kept
+    out = _prune_live_delta_files(
+        live, [("k", ">=", 150)], ["d"], ptypes, False, {}
+    )
+    assert set(out) == {"b.parquet", "c.parquet"}
+    # equality on a missing/unknown-typed column value: conservative keep
+    out = _prune_live_delta_files(
+        live, [("k", "between", (0, 500))], ["d"], ptypes, False, {}
+    )
+    assert set(out) == set(live)
