@@ -749,26 +749,35 @@ def loghist_quantiles(
     The whole computation is over the <= 63-row sketch: one window
     cumulative sum, a broadcast join against the quantile list, one
     min per ratio. Nothing data-sized moves.
+
+    The total ``N`` rides the SAME window frame as the cumulative sum
+    (unbounded-both-sides) instead of a separate ``agg`` — round 13:
+    consuming ``sketch`` twice re-executed its whole upstream subtree
+    (an uncached sketch straight off :func:`loghist_table` re-scanned
+    and re-aggregated the full input for the one-row total; see
+    spark_optimization_guide §2.4 — remove recomputed passes). Both
+    window expressions share one sort of the <= 63 sketch rows, the
+    values are identical, and an empty sketch still yields an empty
+    result exactly as the old inner join did.
     """
     from pyspark.sql import Window
 
     spark = sketch.sparkSession
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = sketch.select(
         "b",
-        F.sum("cnt")
-        .over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
     )
-    n = sketch.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
     qs = spark.createDataFrame(
         [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
     )
     picked = (
-        qs.crossJoin(F.broadcast(n))
-        .join(
-            F.broadcast(cum),
-            F.col("cum") * F.col("q_den") >= F.col("n") * F.col("q_num"),
-        )
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * F.col("q_den") >= F.col("n") * F.col("q_num"))
         .groupBy("q_num", "q_den")
         .agg(F.min("b").alias("b"))
     )
@@ -832,31 +841,41 @@ def loghist_grouped_quantiles(
     at zero) as :func:`loghist_quantiles`.
     The cumulative window partitions BY KEY over <= 63 rows per key —
     sketch-sized, never the single-task global window the plan lint
-    bans.
+    bans. The per-key total ``N`` rides the same per-key window frame
+    (unbounded-both-sides) instead of a separate ``groupBy`` + join —
+    round 13, same reasoning as :func:`loghist_quantiles`: the second
+    consumption of ``sketch`` re-executed its whole upstream subtree
+    (a full input re-scan when the sketch is uncached) AND paid a join;
+    one Window node now computes both, values identical (every key in
+    ``cum`` had a matching ``n`` row, so the old inner join never
+    dropped rows).
     """
     from pyspark.sql import Window
 
     spark = sketch.sparkSession
+    base = (
+        Window.partitionBy(key).orderBy("b")
+    )
     cum = sketch.select(
         key,
         "b",
         F.sum("cnt")
-        .over(
-            Window.partitionBy(key)
-            .orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        .over(base.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
-    )
-    n = sketch.groupBy(key).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+        F.sum("cnt")
+        .over(
+            base.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
     )
     qs = spark.createDataFrame(
         [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
     )
     picked = (
         cum.crossJoin(F.broadcast(qs))
-        .join(n, key)
         .filter(F.col("cum") * F.col("q_den") >= F.col("n") * F.col("q_num"))
         .groupBy(key, "q_num", "q_den")
         .agg(F.min("b").alias("b"))
