@@ -196,18 +196,33 @@ def bloom_pruned_join(
 
 
 def cms_table(
-    df: DataFrame, col: str | Column, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    col: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Count-min sketch of ``col``'s value frequencies as a
     ``(r, b, cnt)`` counter-table: ``depth`` salted hash rows x
     ``width`` buckets, built by one explode + one aggregate whose
     output is bounded at depth*width rows (absent row == counter 0).
 
+    ``weight`` (round 13) builds the same counters from PRE-AGGREGATED
+    ``(value, count)`` rows: each row contributes ``weight`` instead of
+    1, so ``cms_table(counts, v, weight=counts.n) ==
+    cms_table(stream, v)`` exactly when ``counts`` is the stream's
+    value-frequency table. A caller that already aggregates the stream
+    (for an exact top-k, say) can then feed the sketch from the
+    vocabulary-sized counts — sharing one pass + one Exchange with the
+    other consumer instead of re-scanning the raw stream
+    (spark_optimization_guide §2.3/§2.4).
+
     Mergeable: :func:`cms_merge` sums shard tables pointwise, and
     ``cms(A ∪ B) == merge(cms(A), cms(B))`` exactly — build per
     shard/day/partition, merge cheap, estimate anywhere.
     """
     c = F.col(col) if isinstance(col, str) else col
+    extra = [weight.cast("bigint").alias("__w")] if weight is not None else []
     rb = df.select(
         F.explode(
             F.array(
@@ -219,10 +234,12 @@ def cms_table(
                     for r in range(depth)
                 ]
             )
-        ).alias("rb")
+        ).alias("rb"),
+        *extra,
     )
+    agg = F.sum("__w") if weight is not None else F.count("*")
     return rb.groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b")).agg(
-        F.count("*").alias("cnt")
+        agg.alias("cnt")
     )
 
 

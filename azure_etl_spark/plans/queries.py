@@ -9958,13 +9958,17 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(normalized_text("text"), " ")).alias("word")
     )
-    sketch = cms_table(words, "word", depth=3, width=256)
-    top = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), "word")
-        .limit(12)
+    # ONE corpus pass (round 13): the exact word-count aggregate feeds
+    # BOTH consumers — the top-12 and, via cms_table(weight=), the
+    # sketch counters (sum of per-word counts per bucket == count of
+    # raw occurrences per bucket, exactly). The two consumers share the
+    # count aggregate's Exchange (ReusedExchange in the plan), so the
+    # explode+scan happens once where the old shape paid it twice.
+    cnt = words.groupBy("word").agg(F.count("*").alias("n_exact"))
+    sketch = cms_table(
+        cnt, "word", depth=3, width=256, weight=F.col("n_exact")
     )
+    top = cnt.orderBy(F.col("n_exact").desc(), "word").limit(12)
     est = cms_estimate(sketch, top.select("word"), "word", depth=3, width=256)
     return top.join(est, "word").select("word", "n_exact", "est").orderBy("word")
 

@@ -133,6 +133,29 @@ def test_cms_merge_equals_whole_build(spark):
     assert {(r["r"], r["b"], r["cnt"]) for r in merged.collect()} == whole
 
 
+def test_cms_table_weighted_equals_stream_build(spark):
+    """cms_table(weight=) over a (value, count) frequency table builds
+    the SAME counters as the raw-stream build — the round-13 contract
+    that lets a caller with an exact count aggregate feed the sketch
+    from it instead of re-scanning the stream (one pass, shared
+    Exchange). Pointwise equality, not just estimates."""
+    df = spark.createDataFrame(
+        [(f"w{i % 17}",) for i in range(400)], "w string"
+    )
+    counts = df.groupBy("w").agg(F.count("*").alias("n"))
+    stream_build = {
+        (r["r"], r["b"], r["cnt"])
+        for r in cms_table(df, "w", depth=3, width=32).collect()
+    }
+    weighted_build = {
+        (r["r"], r["b"], r["cnt"])
+        for r in cms_table(
+            counts, "w", depth=3, width=32, weight=F.col("n")
+        ).collect()
+    }
+    assert weighted_build == stream_build
+
+
 def test_cms_table_bounded_rows(spark):
     """The counter-table never exceeds depth*width rows no matter the
     input size — the sketch's whole memory contract."""
