@@ -76,15 +76,35 @@ def _present_routes(media: DataFrame) -> tuple:
 
 
 def perceptual_hash_mixed(
-    media: DataFrame, id_col: str = "doc_id", out_col: str = "__ph"
+    media: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "__ph",
+    routes: tuple | None = None,
 ) -> DataFrame:
     """(id_col, media_type, out_col) for a mixed-modality media table:
     each media_type routes to its perceptual hash (image dhash, audio
     Haitsma-Kalker fingerprint, video pooled-frame dhash). Unknown
     media types are ignored rather than failing (they simply never
-    hash or pair); absent ones are pruned from the plan entirely."""
+    hash or pair); absent ones are pruned from the plan entirely.
+
+    ``routes`` (round 13) declares the modalities present, skipping the
+    ``_present_routes`` probe job — the declared-schema analogue for
+    modality routing. The probe is one cheap-LOOKING distinct, but when
+    ``media`` sits behind an opaque producer (a ``mapInPandas`` decoder
+    / synthesizer), column pruning cannot reach inside it, so the probe
+    EXECUTES the producer end-to-end once and the hash pass executes it
+    again (spark_optimization_guide §4.1: opaque operations defeat
+    pruning). A caller that knows its modalities pays one pass instead
+    of two. A declared route absent from the data costs only its
+    (empty) plan branch; media of an UNDECLARED type is ignored —
+    exactly as an unknown type is — so declare every type you want
+    paired."""
     out: DataFrame | None = None
-    for mtype in _present_routes(media):
+    for mtype in routes if routes is not None else _present_routes(media):
+        if mtype not in _MEDIA_ROUTES:
+            raise ValueError(
+                f"unknown media route {mtype!r}; known: {_MEDIA_ROUTES}"
+            )
         part = media.filter(F.col("media_type") == mtype).select(id_col, "media")
         hashed = _media_hasher(mtype)(part, "media", out_col).select(
             id_col, F.lit(mtype).alias("media_type"), out_col
@@ -93,7 +113,9 @@ def perceptual_hash_mixed(
     return out
 
 
-def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def media_near_dup_pairs(
+    media: DataFrame, id_col: str = "doc_id", routes: tuple | None = None
+) -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs across a mixed-modality
     media table (doc_id, media, media_type): each modality runs its own
     perceptual hash (absent modalities pruned from the plan), then ONE
@@ -103,7 +125,9 @@ def media_near_dup_pairs(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (same pairs, one self-join instead of three)."""
     from azure_etl_spark.operators.imagehash import hash64_near_dup_pairs
 
-    hashed = perceptual_hash_mixed(media, id_col=id_col, out_col="__ph")
+    hashed = perceptual_hash_mixed(
+        media, id_col=id_col, out_col="__ph", routes=routes
+    )
     return hash64_near_dup_pairs(
         hashed, id_col, "__ph", scope_cols=("media_type",)
     ).select("id_a", "id_b", "hamming")
@@ -175,6 +199,13 @@ class CurationPipeline:
     # that need the sqrt-rule SemDeDup k under "off" should pin
     # ``semantic_k``; otherwise one survivor count still runs for it.
     counts: str = "observed"
+    # declared media modalities (round 13): when set, the media stage
+    # routes by declaration instead of probing the media frame with a
+    # distinct — which EXECUTES an opaque media producer (mapInPandas
+    # decode/synth) once for the probe and again for the hashes. Same
+    # output whenever the declaration covers the types present (an
+    # undeclared type is ignored exactly as an unknown one would be).
+    media_routes: tuple | None = None
     stage_counts: dict = field(default_factory=dict)
 
     def _advance(self, name: str, df: DataFrame, prev: DataFrame | None) -> DataFrame:
@@ -273,7 +304,8 @@ class CurationPipeline:
 
         if media is not None:
             pairs_m = media_near_dup_pairs(
-                media.join(kept.select("doc_id"), "doc_id")
+                media.join(kept.select("doc_id"), "doc_id"),
+                routes=self.media_routes,
             )
             # curation-grade keep policy: within a media near-dup
             # cluster keep the member whose TEXT scores best (ties ->

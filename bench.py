@@ -75,7 +75,12 @@ def _run_corpus_funnel(spark, sf_dir: str) -> None:
     media = attach_synth_pnm(
         docs.filter(F.col("doc_id") % 5 < 2).select("doc_id")
     ).withColumn("media_type", F.lit("image/pnm"))
-    CurationPipeline().run(
+    # media_routes declares the (single) modality this fixture attaches
+    # — the media stage then skips the distinct-probe job that would
+    # otherwise EXECUTE the attach_synth_pnm mapInPandas end-to-end a
+    # second time just to list types (round 13; output identical, the
+    # hash/pair/resolve work is unchanged)
+    CurationPipeline(media_routes=("image/pnm",)).run(
         docs, eval_docs=eval_docs, embeddings=emb, media=media
     )
 

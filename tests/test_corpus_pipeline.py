@@ -159,6 +159,45 @@ def test_funnel_multimodal_media_dedup_stage(spark, sf_dir):
     assert removed >= 20  # ~3 of every 4 media-grouped survivors drop
 
 
+def test_media_routes_declared_matches_probed(spark):
+    """Round 13: declaring media_routes skips the _present_routes probe
+    job (which executes an opaque media producer end-to-end once just
+    to list types) and must produce IDENTICAL pairs — both for a full
+    declaration and for a declaration that includes an absent modality
+    (whose plan branch is simply empty). Unknown route names raise."""
+    import pandas as pd
+    import pytest
+
+    from azure_etl_spark.operators.codecs import encode_pnm
+    from azure_etl_spark.operators.imagehash import synth_image_array
+    from azure_etl_spark.plans.corpus_pipeline import media_near_dup_pairs
+
+    rows = [
+        (d, bytearray(encode_pnm(synth_image_array(d))), "image/pnm")
+        for d in range(16)
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media", "media_type"]),
+        "doc_id long, media binary, media_type string",
+    )
+    probed = {tuple(r) for r in media_near_dup_pairs(media).collect()}
+    declared = {
+        tuple(r)
+        for r in media_near_dup_pairs(media, routes=("image/pnm",)).collect()
+    }
+    over_declared = {
+        tuple(r)
+        for r in media_near_dup_pairs(
+            media, routes=("image/pnm", "audio/wav")
+        ).collect()
+    }
+    assert declared == probed
+    assert over_declared == probed
+    assert len(probed) > 0  # synth groups of 4 plant real near-dups
+    with pytest.raises(ValueError, match="unknown media route"):
+        media_near_dup_pairs(media, routes=("image/jpeg",)).collect()
+
+
 def test_media_keep_best_chain_keeps_exactly_one_best(spark):
     """Chain fixture (VERDICT r6 #2): dhash chain a~b (ham 2), b~c
     (ham 2), a!~c (ham 4). Keep-min-id would drop BOTH b and c (each
