@@ -241,6 +241,18 @@ def kmeans_fit(
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assign = None
     prev_collected = None  # eager mode: exact-fixpoint early exit
+    # per-dimension means as ONE parsed expression: building dim
+    # separate F.avg(F.col("v")[d]) Columns plus the F.array over them
+    # costs ~3*dim py4j round trips PER ROUND, all driver-serial wall
+    # time before any job runs (measured: 4.16 s -> 2.52 s build median
+    # for the funnel's semantic stage at dim=64, round 13). One
+    # F.expr string is one round trip; `v[d]` parses to the same
+    # 0-based GetArrayItem the Column form builds, and avg() is the
+    # identical aggregate — bit-identical results (A/B parity + the
+    # kmeans/SemDeDup oracle suite).
+    mean_expr = F.expr(
+        "array(" + ",".join(f"avg(v[{d}])" for d in range(dim)) + ")"
+    )
     for _ in range(max_iter):
         carr = centroids.agg(
             F.collect_list(F.struct("cid", "centroid")).alias("__cs")
@@ -259,11 +271,7 @@ def kmeans_fit(
             .withColumn("cid", best.getField("cid"))
             .drop("__cs")
         )
-        new_c = assign.groupBy("cid").agg(
-            *[F.avg(F.col("v")[d]).alias(f"__m{d}") for d in range(dim)]
-        ).select(
-            "cid", F.array(*[F.col(f"__m{d}") for d in range(dim)]).alias("centroid")
-        )
+        new_c = assign.groupBy("cid").agg(mean_expr.alias("centroid"))
         centroids = _round_ckpt(new_c)
         if eager_rounds:
             # exact-fixpoint early exit (round 11): the round's

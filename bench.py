@@ -189,12 +189,20 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
         kernel_sec.append(round(_calib_kernel_sec(spark), 3))
-        df = spec.fn(spark, sf_dir)
         # min of three timed runs: per-run noise on this sandbox is
         # +/-30% per query (measured round 4), so one-off GC pauses /
-        # page-cache misses otherwise smear seconds over the total
+        # page-cache misses otherwise smear seconds over the total.
+        # The DataFrame is REBUILT per run (round 13): a query whose
+        # plan shares a multi-consumer subtree through a lazy
+        # localCheckpoint (cms_word_freq_docs) would otherwise hand
+        # runs 2-3 the blocks run 1 checkpointed — every timed run must
+        # compute from the parquet inputs. Rebuilding costs only
+        # plan-construction time OUTSIDE the timed region and changes
+        # nothing for checkpoint-free queries (same plan, recomputed
+        # either way).
         best = float("inf")
         for _ in range(3):
+            df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -261,6 +269,20 @@ def main() -> None:
             _run_delta_batch_read(spark, fixture)
             best = min(best, time.perf_counter() - t0)
         timings["delta_batch_read"] = round(best, 3)
+        # Round-13 measurement fix (guide §1, documented in
+        # OPTIMIZATION_r13.md): the drain row used to time the FIRST
+        # streaming execution in the JVM — cold micro-batch machinery,
+        # streaming-noop-sink init and Python-source codepaths — unlike
+        # every other row, which is warmed (sf0.001 warmup or
+        # min-of-3). Measured cold 7.1 s vs 2.1 s warm for the SAME
+        # replay. One warm drain on a THROWAWAY checkpoint first; the
+        # timed drain still starts from a fresh checkpoint and replays
+        # the full 11-commit backlog from the fixture's parquet+log
+        # (nothing is result-cached: a fresh checkpoint forces complete
+        # re-planning and re-reading).
+        _run_delta_stream_drain(
+            spark, fixture, os.path.join(droot, "ckpt_warm")
+        )
         kernel_sec.append(round(_calib_kernel_sec(spark), 3))
         t0 = time.perf_counter()
         _run_delta_stream_drain(spark, fixture, os.path.join(droot, "ckpt"))
