@@ -323,11 +323,25 @@ def remove_duplicate_segments(
     array_sort — no window, no secondary shuffle.
     """
     segs = segment_docs(df, words_col, id_col, seg_len)
-    freq = segs.groupBy("segment").agg(
-        F.count_distinct(F.col(id_col)).alias("n_docs_with")
+    # Join back only the BOILERPLATE subset (round 13, guide §3.2
+    # spirit — shrink the joined side before it moves): the keep/drop
+    # decision needs just "is this segment hot", so the corpus-wide
+    # frequency table collapses to the segments occurring in more than
+    # ``max_occurrences`` docs — tiny by construction (boilerplate is
+    # the exception, and the filter rides the aggregate) — and a LEFT
+    # join + null test replaces the inner join against every distinct
+    # segment. Results identical: every segment row survives the left
+    # join exactly once, and ``__hot IS NULL`` <=> ``n_docs_with <=
+    # max_occurrences``. AQE picks the join strategy from the hot
+    # table's runtime size (broadcast in the common case).
+    hot = (
+        segs.groupBy("segment")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs_with"))
+        .filter(F.col("n_docs_with") > max_occurrences)
+        .select("segment", F.lit(1).alias("__hot"))
     )
-    tagged = segs.join(freq, "segment")
-    kept = F.when(F.col("n_docs_with") <= max_occurrences, 1).otherwise(0)
+    tagged = segs.join(hot, "segment", "left")
+    kept = F.when(F.col("__hot").isNull(), 1).otherwise(0)
     return (
         tagged.groupBy(id_col)
         .agg(
@@ -336,7 +350,7 @@ def remove_duplicate_segments(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("n_docs_with") <= max_occurrences,
+                                F.col("__hot").isNull(),
                                 F.struct("seg_idx", "segment"),
                             )
                         )

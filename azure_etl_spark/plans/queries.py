@@ -7749,21 +7749,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
     )
     # The vocabulary is consumed by BOTH the broadcast-join build side
-    # and the corpus total. Broadcast build sides plan as separate
-    # futures that AQE's stage cache does NOT dedupe (measured round
-    # 13: the explode+aggregate corpus pass executed once per
-    # consumer), so the vocabulary-sized aggregate is shared through a
-    # LAZY localCheckpoint: the corpus explodes twice (token stream +
-    # vocab build — the floor for this join) and ``tot`` reads the
-    # checkpointed vocab blocks instead of re-exploding the corpus a
-    # third time. Interleaved A/B sf0.1: min 0.803 -> 0.601 s, output
-    # identical (oracle parity green; bench.py rebuilds the DataFrame
-    # per timed run so the checkpoint never spans runs).
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    # and the corpus total; exchange reuse dedupes the explode+count
+    # aggregate across the two consumers at runtime (verified round 13
+    # with completed-task accounting: 73 executed tasks, two
+    # corpus-sized stages — token stream + vocab build, the floor for
+    # this join — identical with and without an explicit
+    # localCheckpoint, so the checkpoint an earlier round-13 commit
+    # interposed was removed as pure overhead; its claimed third
+    # corpus pass counted SKIPPED stages).
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").alias("t"))
     return (
         words.join(vocab, "w")
@@ -9976,21 +9970,15 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus pass (round 13): the exact word-count aggregate feeds
     # BOTH consumers — the top-12 and, via cms_table(weight=), the
     # sketch counters (sum of per-word counts per bucket == count of
-    # raw occurrences per bucket, exactly). The consumers do NOT share
-    # the aggregate's Exchange on their own: each broadcast-join build
-    # side plans as a separate future and AQE's stage cache does not
-    # dedupe across them (measured: four 32-task corpus stages per
-    # run). The vocabulary-sized aggregate is therefore shared through
-    # a LAZY localCheckpoint — corpus pass runs once, every consumer
-    # reads the checkpointed blocks (stage receipt: 4 corpus stages ->
-    # 1, min 0.517 -> 0.175 s; output identical). bench.py rebuilds
-    # the DataFrame per timed run, so each run still computes from the
-    # parquet inputs.
-    cnt = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("n_exact"))
-        .localCheckpoint(eager=False)
-    )
+    # raw occurrences per bucket, exactly). Exchange reuse dedupes the
+    # aggregate across its consumers at runtime (verified round 13
+    # with completed-task accounting: 38 executed tasks, one
+    # corpus-sized stage, identical with and without an explicit
+    # localCheckpoint — an earlier round-13 claim that broadcast
+    # futures re-ran the pass 4x counted SKIPPED stages and was
+    # corrected; the interposed checkpoint was removed as pure
+    # overhead).
+    cnt = words.groupBy("word").agg(F.count("*").alias("n_exact"))
     sketch = cms_table(
         cnt, "word", depth=3, width=256, weight=F.col("n_exact")
     )

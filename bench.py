@@ -200,10 +200,19 @@ def main() -> None:
         # plan-construction time OUTSIDE the timed region and changes
         # nothing for checkpoint-free queries (same plan, recomputed
         # either way).
+        # The timed region starts BEFORE the DataFrame is built (round
+        # 13 measurement fix, guide §1): with AQE on, a lazy
+        # localCheckpoint materializes every upstream query stage at
+        # CONSTRUCTION time (AdaptiveSparkPlanExec.getFinalPhysicalPlan
+        # runs inside Dataset.checkpoint's toRdd), so timing only the
+        # write would let a checkpointed query's corpus work escape the
+        # measurement. Timing fn()+write covers all data work wherever
+        # Spark schedules it; for checkpoint-free queries it adds only
+        # driver plan-construction (~tens of ms), uniformly.
         best = float("inf")
         for _ in range(3):
-            df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
