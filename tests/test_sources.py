@@ -440,3 +440,27 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_load_table_memoizes_plan_descriptor_per_session(spark, sf_dir):
+    """round 13: load_table returns the SAME immutable DataFrame object
+    for repeated (session, dir, table) calls — construction-time
+    memoization only (no persist/cache of data), so downstream plans
+    and results are identical while the ~0.1 s spark.read.parquet
+    schema resolution is paid once per session."""
+    from azure_etl_spark.sources.files import _TABLE_CACHE, load_table
+
+    a = load_table(spark, sf_dir, "orders")
+    b = load_table(spark, sf_dir, "orders")
+    assert a is b
+    # no data caching: the plan carries no InMemoryRelation
+    assert "InMemoryRelation" not in a._jdf.queryExecution().executedPlan().toString()
+    # distinct tables get distinct entries; the cache is keyed by app id
+    c = load_table(spark, sf_dir, "nation")
+    assert c is not a
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in _TABLE_CACHE)
+    # a (fake) stale-session entry is pruned on the next insert
+    _TABLE_CACHE[("dead-app", "x", "y")] = a
+    load_table(spark, sf_dir, "region")
+    assert ("dead-app", "x", "y") not in _TABLE_CACHE
