@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Bench regression guard: compare a bench.py output line against the
 clean-run reference matching its scale factor — sf0.1 lines against
-the round-4 reference (BENCH_LOCAL_r04.json), sf>=1 lines against the
-round-6 sf1 reference (BENCH_LOCAL_r06_sf1.json, 10x fixture built by
-tools/make_sf1.py). The sf1 basis exists because sf0.1's sub-second
+the round-13 re-based reference (BENCH_LOCAL_r13.json, new timing
+boundary), sf>=1 lines against the round-13 sf1 reference
+(BENCH_LOCAL_r13_sf1.json, 10x fixture built by tools/make_sf1.py). The sf1 basis exists because sf0.1's sub-second
 queries sit at the sandbox's ±30% noise floor (r3's uniform +21% drift
 was load, not plans — see BASELINE.md); at sf1 the headline queries
 run for seconds and real regressions separate from noise.
@@ -26,99 +26,63 @@ import json
 import os
 import sys
 
-# BENCH_LOCAL_r04.json "queries" (sf0.1, local[32], min-of-3, quiet sandbox)
+# sf0.1 references (local[32], min-of-3 per run, quiet sandbox)
 REFERENCE: dict[str, float] = {
-    "flagship_gold_minmax": 0.458,
-    "dedup_distinct": 1.377,
-    "topk_orders": 0.096,
-    "join_revenue_per_nation": 0.369,
-    "window_minmax_partition": 0.538,
-    "events_hourly_rollup": 0.169,
-    "tpch_q1ish": 1.277,
-    "text_token_stats": 0.168,
-    "cosine_topk": 0.093,
-    "tpch_q3ish": 0.739,
-    "tpch_q6ish": 0.154,
-    "tpch_q9ish": 0.395,
-    "hll_sketch_rollup_users": 0.268,
-    "training_corpus_filter": 0.495,
-    "contamination_ngram_overlap": 0.781,
-    "pack_sequences_budget": 0.266,
-    "word_entropy_docs": 0.158,
-    "remove_dup_segments_docs": 0.909,
-    "unigram_logprob_docs": 0.604,
-    "cohort_weekly_retention": 0.321,
-    "pipeline_medallion": 3.033,
-    # added round 5 (BENCH_LOCAL_r05.json clean-run value)
-    "dedup_duplicate_spans_docs": 1.152,
-    # added round 7 (BENCH_LOCAL_r07.json clean-run values): the
-    # multimodal near-dup trio joined the headline set per VERDICT r6
-    # #3 so the perceptual-hash + pigeonhole-join path has regression
-    # protection
-    "image_dhash_near_dup": 0.390,
-    "audio_fp_near_dup": 0.371,
-    "video_fp_near_dup": 0.369,
-    # added late round 7 (BENCH_LOCAL_r07.json final clean-run values):
-    # the mergeable-sketch family joined the headline set so the
-    # sketch-build + bounded-aggregate path has regression protection
-    "kmv_distinct_words_docs": 0.525,
-    "cms_word_freq_docs": 0.551,
-    "loghist_bucket_orders": 0.851,
-    # round 8 (BENCH_LOCAL_r08.json clean-run values): the KLL rank
-    # sketch joined the headline set; minhash_near_dup re-based — the
-    # r4 reference timed the DEGENERATE signature (one hash function,
-    # see SCALE.md round 8), the correct Carter-Wegman signature costs
-    # 1.4x that and this is the honest floor
-    "kll_quantiles_orders": 0.898,
-    "kll_bucket_orders": 1.219,
-    "minhash_near_dup": 1.114,
-    # round 9 (BENCH_LOCAL_r09.json, measured on a genuinely quiet box
-    # — calibration kernel 0.073s, BELOW the 0.085 quiet reference, so
-    # these are raw quiet values; an earlier load-NORMALIZED estimate
-    # over-corrected because the funnel's cost is per-stage fixed
-    # overhead, which contention doesn't scale linearly): the
-    # end-to-end LLM curation funnel (VERDICT r8 #2) and the
-    # deliberately-skewed salted join (VERDICT r8 #7)
-    # round 10 re-base (BENCH_LOCAL_r10.json, quiet box — kernel
-    # 0.078s): corpus_funnel DOWN 30.3 -> 13.3 s after the driver-
-    # overhead cuts (VERDICT r9 #2: observed gate counts, flag-scan CC
-    # convergence, shuffle-free k-means assignment, single scoped-join
-    # media pairs, window exact-dedup, sqrt-rule semantic_k); the SQL
-    # correlated-scalar-subquery decorrelation query joins the headline
-    # round 13 re-base WITH RECEIPTS (VERDICT r12 #1, SCALE.md "Round
-    # 13"): a 7-cycle interleaved ladder A/B (tools/ab_funnel.py) of
-    # HEAD vs the three funnel rewrites reverted shows all four
-    # variants within 4% — the code that set the 13.257 s record reads
-    # 27.3 s minimum on today's box, so the drift is environmental.
-    # New reference = the r12 driver reading at the session-minimum
-    # load index 1.09x (BENCH_r12.json), corroborated by the
-    # BENCH_LOCAL_r12.json quiet-min 22.16 s — then TIGHTENED to the
-    # round-13 six-run minimum (BENCH_LOCAL_r13.json, kernels
-    # 1.25-1.75x quiet): the best reading the current code has
-    # actually produced, an upper bound on its quiet value.
-    "corpus_funnel": 19.153,
-    # round 13: the Delta reader family's bench rows (fixture = 10
-    # append commits + 1 MOR-delete over sf0.1 orders, built untimed).
-    # delta_batch_read is stable (0.56-0.85 across 7 runs) and takes
-    # the BENCH_LOCAL_r13 minimum. delta_stream_drain is dominated by
-    # the streaming engine's per-micro-batch scheduling + checkpoint
-    # fsyncs (11 sequential batches), which jitter 5.4-23.8 s across
-    # the same 7 runs UNCORRELATED with the CPU kernel — a min-based
-    # reference would flag spuriously, so it takes a mid-spread
-    # reference instead; the cost that could actually regress (per-
-    # commit planning in _replay_state/_unit) is guarded
-    # deterministically by tools/scale_probe_delta_stream.py's flat
-    # 0.4 ms/batch pacing record.
-    "delta_batch_read": 0.562,
-    "delta_stream_drain": 12.0,
-    "join_skewed_salted": 1.049,
-    "sql_scalar_subquery_small_lot": 0.471,
-    # round 12 (BENCH_LOCAL_r12.json): the SQL LSH twin joined the
-    # headline set (VERDICT r11 #5). Min over 6 runs at load index
-    # 1.39x (no quiet window this round — noisy neighbors; the raw
-    # minimum is an UPPER bound on the quiet value, so the guard's
-    # normalized compare stays conservative)
-    "sql_lsh_topk": 0.824,
+    # ROUND-13 WHOLESALE RE-BASE (BENCH_LOCAL_r13.json, 4 runs at
+    # kernels 0.087-0.107 = 1.02-1.26x quiet): bench.py's timed
+    # region now starts BEFORE DataFrame construction (the write-
+    # only boundary let checkpointed queries' corpus work and every
+    # query's plan-construction escape the timer — OPTIMIZATION_
+    # r13.md §9), so every reference re-bases to the new-boundary
+    # minimums; the pre-fix per-round references and their
+    # provenance notes live in git history (this file @ c461677)
+    # and BENCH_LOCAL_r13.json's queries_old_boundary_7runs.
+    # Largest deltas vs the old table, all boundary accounting, not
+    # plan changes: the media trio ~3x (their perceptual-hash
+    # checkpoints materialize at construction), minhash +0.6s
+    # (construction now counted, after its expr-build fix),
+    # corpus_funnel DOWN 19.15 -> 14.02 (minhash expr build +
+    # load_table memoization), delta_stream_drain 12.0 -> 2.6
+    # MID-SPREAD of the warm series 2.1-3.2 (the round-13 warm-
+    # drain measurement fix removed the 5.4-23.8 cold-machinery
+    # jitter the old mid-spread reference existed for).
+    "audio_fp_near_dup": 1.15,
+    "cms_word_freq_docs": 0.624,
+    "cohort_weekly_retention": 0.313,
+    "contamination_ngram_overlap": 0.73,
+    "corpus_funnel": 14.024,
+    "cosine_topk": 0.325,
+    "dedup_distinct": 1.364,
+    "dedup_duplicate_spans_docs": 1.263,
+    "delta_batch_read": 0.556,
+    "delta_stream_drain": 2.6,
+    "events_hourly_rollup": 0.141,
+    "flagship_gold_minmax": 0.509,
+    "hll_sketch_rollup_users": 0.283,
+    "image_dhash_near_dup": 1.296,
+    "join_revenue_per_nation": 0.395,
+    "join_skewed_salted": 1.137,
+    "kll_bucket_orders": 1.297,
+    "kll_quantiles_orders": 1.091,
+    "kmv_distinct_words_docs": 0.443,
+    "loghist_bucket_orders": 0.722,
+    "minhash_near_dup": 1.692,
+    "pack_sequences_budget": 0.359,
+    "pipeline_medallion": 2.796,
+    "remove_dup_segments_docs": 0.97,
+    "sql_lsh_topk": 1.752,
+    "sql_scalar_subquery_small_lot": 0.489,
+    "text_token_stats": 0.251,
+    "topk_orders": 0.092,
+    "tpch_q1ish": 1.235,
+    "tpch_q3ish": 0.706,
+    "tpch_q6ish": 0.207,
+    "tpch_q9ish": 0.42,
+    "training_corpus_filter": 0.594,
+    "unigram_logprob_docs": 0.696,
+    "video_fp_near_dup": 1.172,
+    "window_minmax_partition": 0.441,
+    "word_entropy_docs": 0.248,
 }
 
 # BENCH_LOCAL_r06_sf1.json "queries" (10x-replicated sf1 fixture
@@ -127,75 +91,53 @@ REFERENCE: dict[str, float] = {
 # at the sandbox's ±30% noise floor, sf1's seconds-scale runs don't —
 # guard runs against an sf>=1 bench line compare here instead.
 SF1_REFERENCE: dict[str, float] = {
-    "flagship_gold_minmax": 0.502,
-    "dedup_distinct": 1.416,
-    "topk_orders": 0.096,
-    "join_revenue_per_nation": 0.389,
-    "window_minmax_partition": 1.326,
-    "events_hourly_rollup": 0.195,
-    "tpch_q1ish": 1.308,
-    "text_token_stats": 0.326,
-    "cosine_topk": 0.146,
-    "tpch_q3ish": 0.573,
-    "tpch_q6ish": 0.144,
-    "tpch_q9ish": 0.38,
-    "hll_sketch_rollup_users": 0.394,
-    "training_corpus_filter": 0.692,
-    "contamination_ngram_overlap": 2.354,
-    "pack_sequences_budget": 0.446,
-    "word_entropy_docs": 0.885,
-    "cohort_weekly_retention": 0.362,
-    "pipeline_medallion": 4.787,
-    # added round 7 (BENCH_LOCAL_r07_sf1.json clean-run values)
-    "image_dhash_near_dup": 1.079,
-    "audio_fp_near_dup": 0.925,
-    "video_fp_near_dup": 0.638,
-    # added late round 7 (BENCH_LOCAL_r07_sf1.json final clean-run
-    # values) — ~flat vs their sf0.1 numbers at 10x data: the sketch
-    # aggregates are bounded by sketch size, not input size
-    "kmv_distinct_words_docs": 0.726,
-    "cms_word_freq_docs": 1.049,
-    "loghist_bucket_orders": 0.869,
-    # round 8 (BENCH_LOCAL_r08_sf1.json clean-run values): KLL joins
-    # (~flat 0.90 -> 1.10 s at 10x data — level-histogram bounded);
-    # minhash_near_dup re-based for the same degenerate-signature
-    # reason as the sf0.1 table above
-    "kll_quantiles_orders": 1.097,
-    "kll_bucket_orders": 1.608,
-    "minhash_near_dup": 1.243,
-    # round 10 re-base (BENCH_LOCAL_r10_sf1.json, quiet box — kernel
-    # 0.083s): the sf1 FIXTURE CONTENT changed this round (VERDICT r9
-    # #7 — documents replicate with DISTINCT per-replica word-tagged
-    # text, embeddings cyclically shifted), so every doc-text query
-    # re-based to the new corpus: the tagged words are 2-3 chars
-    # longer, which is the +30-45% on the per-char-heavy entries
-    # (remove_dup_segments / unigram_logprob / dedup_duplicate_spans),
-    # and corpus_funnel now processes 50k DISTINCT docs instead of
-    # collapsing to 5k at exact-dedup — 13.3 s @ sf0.1 -> 35.3 s here,
-    # 2.7x time for 10x docs (SCALE.md 'Corpus curation')
-    "remove_dup_segments_docs": 2.854,
-    "unigram_logprob_docs": 1.485,
-    "dedup_duplicate_spans_docs": 4.631,
-    # round 13 re-base with receipts (see the sf0.1 entry + SCALE.md
-    # "Round 13"): BENCH_LOCAL_r12_sf1.json quiet-min 51.521, then
-    # TIGHTENED to the round-13 three-run minimum at near-quiet
-    # kernels 0.098-0.129 (BENCH_LOCAL_r13_sf1.json)
+    # ROUND-13 WHOLESALE RE-BASE (BENCH_LOCAL_r13_sf1.json, 3 runs
+    # at kernels 0.085-0.091 = 1.0-1.07x quiet) — same boundary-fix
+    # rationale as the sf0.1 table above; pre-fix references in git
+    # history (this file @ c461677). corpus_funnel KEEPS the prior
+    # 41.441 reference (the timed call is unchanged by the boundary
+    # fix; a 4-repeat warmed funnel-only session read 40.88 min, so
+    # the reference is confirmed, not regressed — the full-bench
+    # runs read 44.9-62.7 because the funnel lands late in an aged
+    # JVM). delta_stream_drain = 2.2 mid-spread of the warm series
+    # 1.845-2.424 (cold-machinery jitter gone, see sf0.1 note).
+    "audio_fp_near_dup": 1.997,
+    "cms_word_freq_docs": 0.597,
+    "cohort_weekly_retention": 0.409,
+    "contamination_ngram_overlap": 3.05,
     "corpus_funnel": 41.441,
-    # round 13: Delta reader family at the 10x fixture — planning is
-    # commit-count-shaped, the scan data-shaped, so both sit close to
-    # their sf0.1 values (BENCH_LOCAL_r13_sf1.json minimums)
-    # delta_stream_drain: mid-spread reference, same scheduler-jitter
-    # reasoning as the sf0.1 table (its 3 sf1 runs read 5.6-8.2 s but
-    # the sf0.1 spread proves 3x jitter is normal for this row)
-    "delta_batch_read": 0.726,
-    "delta_stream_drain": 12.0,
-    "join_skewed_salted": 1.843,
-    "sql_scalar_subquery_small_lot": 0.779,
-    # round 12 (BENCH_LOCAL_r12_sf1.json, load index 1.44x — see the
-    # sf0.1 table's round-12 note): ~1.8x its sf0.1 time at 10x data —
-    # the signature build is linear, the bucket join is bounded by
-    # collisions
-    "sql_lsh_topk": 1.499,
+    "cosine_topk": 0.323,
+    "dedup_distinct": 1.815,
+    "dedup_duplicate_spans_docs": 4.334,
+    "delta_batch_read": 0.697,
+    "delta_stream_drain": 2.2,
+    "events_hourly_rollup": 0.24,
+    "flagship_gold_minmax": 0.706,
+    "hll_sketch_rollup_users": 0.414,
+    "image_dhash_near_dup": 2.036,
+    "join_revenue_per_nation": 0.514,
+    "join_skewed_salted": 1.929,
+    "kll_bucket_orders": 1.789,
+    "kll_quantiles_orders": 1.415,
+    "kmv_distinct_words_docs": 0.7,
+    "loghist_bucket_orders": 0.798,
+    "minhash_near_dup": 1.537,
+    "pack_sequences_budget": 0.499,
+    "pipeline_medallion": 5.248,
+    "remove_dup_segments_docs": 2.613,
+    "sql_lsh_topk": 2.196,
+    "sql_scalar_subquery_small_lot": 0.905,
+    "text_token_stats": 0.523,
+    "topk_orders": 0.119,
+    "tpch_q1ish": 1.757,
+    "tpch_q3ish": 0.626,
+    "tpch_q6ish": 0.216,
+    "tpch_q9ish": 0.502,
+    "training_corpus_filter": 0.978,
+    "unigram_logprob_docs": 1.317,
+    "video_fp_near_dup": 1.829,
+    "window_minmax_partition": 1.561,
+    "word_entropy_docs": 0.987,
 }
 
 # queries under ~250 ms are timer/GC-noise dominated at sf0.1; require
@@ -223,7 +165,7 @@ def evaluate(data: dict, factor: float = 1.5) -> dict:
     queries: dict[str, float] = data["queries"]
     sf = float(data.get("sf", 0.1))
     reference = SF1_REFERENCE if sf >= 1.0 else REFERENCE
-    ref_label = "sf1 (r06)" if sf >= 1.0 else "r04"
+    ref_label = "sf1 (r13)" if sf >= 1.0 else "r13"
 
     load = data.get("load") or {}
     load_index = 1.0
