@@ -460,7 +460,12 @@ def test_load_table_memoizes_plan_descriptor_per_session(spark, sf_dir):
     assert c is not a
     app = spark.sparkContext.applicationId
     assert all(k[0] == app for k in _TABLE_CACHE)
-    # a (fake) stale-session entry is pruned on the next insert
+    # a (fake) stale-session entry is pruned on the next insert; pop
+    # the target first so the load is a MISS even when earlier tests
+    # in the session already cached it (pruning runs on insert only)
+    import os as _os
+
     _TABLE_CACHE[("dead-app", "x", "y")] = a
+    _TABLE_CACHE.pop((app, _os.path.abspath(sf_dir), "region"), None)
     load_table(spark, sf_dir, "region")
     assert ("dead-app", "x", "y") not in _TABLE_CACHE
