@@ -330,10 +330,17 @@ def remove_duplicate_segments(
     # ``max_occurrences`` docs — tiny by construction (boilerplate is
     # the exception, and the filter rides the aggregate) — and a LEFT
     # join + null test replaces the inner join against every distinct
-    # segment. Results identical: every segment row survives the left
-    # join exactly once, and ``__hot IS NULL`` <=> ``n_docs_with <=
-    # max_occurrences``. AQE picks the join strategy from the hot
-    # table's runtime size (broadcast in the common case).
+    # segment. Results identical for non-NULL segments: every segment
+    # row survives the left join exactly once, and ``__hot IS NULL``
+    # <=> ``n_docs_with <= max_occurrences``. NULL-segment edge (a doc
+    # whose ``words_col`` is NULL yields one NULL segment row): the old
+    # inner join on 'segment' DROPPED such docs from the output; the
+    # left join keeps them with cleaned_text '' and the NULL segment
+    # counted in n_seg_kept — the deliberate behavior now (a document
+    # should not vanish because its text was NULL; pinned by
+    # test_remove_dup_segments_null_words_doc_kept). AQE picks the join
+    # strategy from the hot table's runtime size (broadcast in the
+    # common case).
     hot = (
         segs.groupBy("segment")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs_with"))

@@ -66,6 +66,15 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table, memoizing the unresolved DataFrame per
+    (session, dir, table).
+
+    ASSUMES THE TABLE IS IMMUTABLE for the session's lifetime (fixture
+    tables are): the first read's schema and file listing are pinned
+    for every later caller. If ``{sf_dir}/{name}.parquet`` is rewritten
+    in-session, call :func:`load_table_invalidate` first or later
+    consumers silently keep the stale listing (deleted files fail the
+    read; replaced files serve old data)."""
     app = spark.sparkContext.applicationId
     key = (app, os.path.abspath(sf_dir), name)
     hit = _TABLE_CACHE.get(key)
@@ -76,6 +85,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         del _TABLE_CACHE[k]
     _TABLE_CACHE[key] = df
     return df
+
+
+def load_table_invalidate(sf_dir: str | None = None, name: str | None = None) -> None:
+    """Drop memoized plan descriptors for ``sf_dir`` (all of them when
+    None) so a regenerated table is re-resolved on next load — the
+    escape hatch for callers that rewrite a fixture in-session."""
+    adir = None if sf_dir is None else os.path.abspath(sf_dir)
+    for k in [
+        k
+        for k in _TABLE_CACHE
+        if (adir is None or k[1] == adir) and (name is None or k[2] == name)
+    ]:
+        del _TABLE_CACHE[k]
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -197,9 +197,9 @@ def main() -> None:
         # localCheckpoint (cms_word_freq_docs) would otherwise hand
         # runs 2-3 the blocks run 1 checkpointed — every timed run must
         # compute from the parquet inputs. Rebuilding costs only
-        # plan-construction time OUTSIDE the timed region and changes
-        # nothing for checkpoint-free queries (same plan, recomputed
-        # either way).
+        # plan-construction time (timed, per the boundary note below)
+        # and changes nothing for checkpoint-free queries (same plan,
+        # recomputed either way).
         # The timed region starts BEFORE the DataFrame is built (round
         # 13 measurement fix, guide §1): with AQE on, a lazy
         # localCheckpoint materializes every upstream query stage at

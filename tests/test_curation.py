@@ -335,3 +335,27 @@ def test_doc_to_segments_empty_word_array_edge(spark):
     assert by_id[1] == [(0, "")]
     assert by_id[2] == [(0, "")]
     assert sorted(by_id[3]) == [(0, "a b c"), (1, "d")]
+
+
+def test_remove_dup_segments_null_words_doc_kept(spark):
+    """NULL-words edge (round-14, ADVICE r13): a doc whose words column
+    is NULL yields one NULL segment row; the round-13 left join KEEPS
+    that doc (cleaned_text '', NULL segment counted in n_seg_kept)
+    where the old inner join on 'segment' silently dropped it. Pin the
+    deliberate keep-the-doc behavior."""
+    from azure_etl_spark.operators.curation import remove_duplicate_segments
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, None)],
+        "doc_id long, words array<string>",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_segments(
+            df, F.col("words"), seg_len=3
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # the NULL-words doc does not vanish
+    assert got[2].cleaned_text == ""
+    assert (got[2].n_seg_kept, got[2].n_seg_dropped) == (1, 0)
+    assert got[1].cleaned_text == "a b c"

@@ -469,3 +469,27 @@ def test_load_table_memoizes_plan_descriptor_per_session(spark, sf_dir):
     _TABLE_CACHE.pop((app, _os.path.abspath(sf_dir), "region"), None)
     load_table(spark, sf_dir, "region")
     assert ("dead-app", "x", "y") not in _TABLE_CACHE
+
+
+def test_load_table_invalidate_drops_descriptor(spark, sf_dir):
+    """round 14 (ADVICE r13): load_table pins the first read's schema +
+    file listing for the session; load_table_invalidate is the escape
+    hatch for callers that rewrite a fixture in-session."""
+    import os as _os
+
+    from azure_etl_spark.sources.files import (
+        _TABLE_CACHE,
+        load_table,
+        load_table_invalidate,
+    )
+
+    a = load_table(spark, sf_dir, "orders")
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.abspath(sf_dir), "orders")
+    assert key in _TABLE_CACHE
+    load_table_invalidate(sf_dir, "orders")
+    assert key not in _TABLE_CACHE
+    b = load_table(spark, sf_dir, "orders")
+    assert b is not a  # re-resolved, not the stale descriptor
+    load_table_invalidate()  # no-arg clears everything
+    assert not _TABLE_CACHE
