@@ -934,24 +934,42 @@ def _kll_meta(rows: DataFrame, k: int, group_cols: tuple = ()) -> DataFrame:
     ``max(l+1 where S(l) > k)`` or 0 — instead of bits+1 wide
     conditional aggregates (that version worked but generated a
     49-case codegen blob measured at ~5 s of compile time per plan).
-    The suffix window orders <= 49 histogram rows (per group) —
-    sketch-sized, never data."""
-    from pyspark.sql import Window
-
+    Round 14: the suffix cumulative sum runs as an in-row ``aggregate``
+    fold over the level-descending histogram ARRAY inside the same
+    grouped aggregate that sums ``n`` — one aggregate instead of
+    window + re-aggregate, dropping the per-group Sort+Window (and the
+    global case's single-partition window exchange). Because levels
+    descend and the running sum only grows, the first fold step whose
+    running sum exceeds ``k`` carries the LARGEST qualifying ``l`` —
+    exactly the window version's ``max(l+1 where S(l) > k)``; no step
+    qualifying leaves the fold's 0, the old ``coalesce(.., 0)``. The
+    histogram array is <= bits+1 = 49 elements per group — sketch-
+    sized, never data."""
     lv = (F.length(F.bin(F.col("p"))) - 1).cast("int")
     hist = rows.groupBy(*group_cols, lv.alias("l")).agg(F.count("*").alias("cnt"))
-    w = (
-        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    ).orderBy(F.col("l").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    scored = hist.select(*group_cols, "l", "cnt", F.sum("cnt").over(w).alias("s"))
-    return scored.groupBy(*group_cols).agg(
+    agg = hist.groupBy(*group_cols).agg(
         F.sum("cnt").cast("bigint").alias("n"),
-        F.coalesce(
-            F.max(F.when(F.col("s") > F.lit(k), F.col("l") + 1)), F.lit(0)
-        )
-        .cast("int")
-        .alias("lvl"),
+        F.reverse(F.array_sort(F.collect_list(F.struct("l", "cnt")))).alias(
+            "__hl"
+        ),
     )
+    lvl = F.aggregate(
+        F.col("__hl"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("s"), F.lit(0).cast("int").alias("lvl")
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] + x["cnt"]).alias("s"),
+            F.when(
+                (acc["lvl"] == 0) & (acc["s"] + x["cnt"] > F.lit(k)),
+                x["l"] + 1,
+            )
+            .otherwise(acc["lvl"])
+            .cast("int")
+            .alias("lvl"),
+        ),
+    )["lvl"]
+    return agg.select(*group_cols, "n", lvl.cast("int").alias("lvl"))
 
 
 def kll_table(
@@ -1073,33 +1091,56 @@ def kll_quantiles(
     downstream consumers like :func:`kll_bucket` at the cutpoint
     count they asked for).
 
-    The cumulative ranking windows over the <= k-row sketch —
-    sketch-sized by construction, never the data (same justified
-    global-window class as loghist_quantiles)."""
-    from pyspark.sql import Window
-
-    spark = sketch.sparkSession
-    ranked = sketch.select(
-        "v",
-        "n",
-        "lvl",
-        F.row_number().over(Window.orderBy("v", "p")).alias("rank"),
+    The ranking happens INSIDE one sketch-sized aggregate (round 14):
+    the survivors collapse to a sorted in-row array
+    (``array_sort(collect_list(struct(v, p)))`` — the same (v, p)
+    order the previous row_number window imposed, so ranks and
+    therefore estimates are identical), and each requested ratio reads
+    its estimate from that array with a ``filter``-by-rank expression.
+    This removes the single-partition Window+Sort exchange, the
+    broadcast cross join against a quantile table, and the final
+    re-aggregation the round-13 shape paid — one aggregate over <= k
+    rows is the whole plan (3 fewer Exchanges on the bench row). Rows
+    with tied (v, p) get arbitrary relative ranks either way, and
+    either order yields the same estimate (equal v). An EMPTY sketch
+    still yields an empty result (the n IS NULL guard drops the
+    aggregate's one all-null global row)."""
+    agg = sketch.agg(
+        F.array_sort(F.collect_list(F.struct("v", "p"))).alias("__s"),
+        F.max("n").alias("n"),
+        F.max("lvl").alias("lvl"),
     )
-    qs = spark.createDataFrame(
-        [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
-    )
-    reached = (
-        F.col("rank") * _shl1(F.col("lvl")) * F.col("q_den")
-        >= F.col("n") * F.col("q_num")
+    # rank of element i (0-based) is i+1; reached <=>
+    # rank * 2^lvl * q_den >= n * q_num — the identical pure-BIGINT
+    # rule, evaluated per array element instead of per window row
+    ests = F.array(
+        *[
+            F.struct(
+                F.lit(int(qn)).alias("q_num"),
+                F.lit(int(qd)).alias("q_den"),
+                F.coalesce(
+                    F.try_element_at(
+                        F.filter(
+                            F.col("__s"),
+                            lambda x, i: (i + F.lit(1))
+                            * _shl1(F.col("lvl"))
+                            * F.lit(int(qd))
+                            >= F.col("n") * F.lit(int(qn)),
+                        ),
+                        F.lit(1),
+                    )["v"],
+                    F.try_element_at(F.col("__s"), F.lit(-1))["v"],
+                )
+                .cast("bigint")
+                .alias("est"),
+            )
+            for qn, qd in quantiles
+        ]
     )
     return (
-        ranked.crossJoin(F.broadcast(qs))
-        .groupBy("q_num", "q_den")
-        .agg(
-            F.coalesce(F.min(F.when(reached, F.col("v"))), F.max("v"))
-            .cast("bigint")
-            .alias("est")
-        )
+        agg.where(F.col("n").isNotNull())
+        .select(F.explode(ests).alias("__q"))
+        .select("__q.q_num", "__q.q_den", "__q.est")
     )
 
 
@@ -1144,36 +1185,43 @@ def kll_grouped_quantiles(
     ``(key, q_num, q_den, est)`` row per key x ratio — the same pure-
     BIGINT weighted-rank rule as :func:`kll_quantiles`, including the
     max-survivor clamp when no survivor reaches the weighted rank
-    (round-9 ADVICE fix: every (key, ratio) pair always gets a row),
-    with the ranking window partitioned BY KEY over <= k rows per key
-    (sketch-sized, never the single-task global window)."""
-    from pyspark.sql import Window
-
-    spark = sketch.sparkSession
-    ranked = sketch.select(
-        key,
-        "v",
-        "n",
-        "lvl",
-        F.row_number()
-        .over(Window.partitionBy(key).orderBy("v", "p"))
-        .alias("rank"),
+    (round-9 ADVICE fix: every (key, ratio) pair always gets a row).
+    Round 14: like :func:`kll_quantiles`, the per-key ranking happens
+    inside one grouped aggregate (sorted in-row survivor array +
+    filter-by-rank expressions — identical ranks, identical estimates)
+    instead of a per-key window + broadcast quantile table + second
+    aggregate; each key's array is <= k elements by construction."""
+    agg = sketch.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("v", "p"))).alias("__s"),
+        F.max("n").alias("n"),
+        F.max("lvl").alias("lvl"),
     )
-    qs = spark.createDataFrame(
-        [(int(a), int(c)) for a, c in quantiles], "q_num int, q_den int"
+    ests = F.array(
+        *[
+            F.struct(
+                F.lit(int(qn)).alias("q_num"),
+                F.lit(int(qd)).alias("q_den"),
+                F.coalesce(
+                    F.try_element_at(
+                        F.filter(
+                            F.col("__s"),
+                            lambda x, i: (i + F.lit(1))
+                            * _shl1(F.col("lvl"))
+                            * F.lit(int(qd))
+                            >= F.col("n") * F.lit(int(qn)),
+                        ),
+                        F.lit(1),
+                    )["v"],
+                    F.try_element_at(F.col("__s"), F.lit(-1))["v"],
+                )
+                .cast("bigint")
+                .alias("est"),
+            )
+            for qn, qd in quantiles
+        ]
     )
-    reached = (
-        F.col("rank") * _shl1(F.col("lvl")) * F.col("q_den")
-        >= F.col("n") * F.col("q_num")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(qs))
-        .groupBy(key, "q_num", "q_den")
-        .agg(
-            F.coalesce(F.min(F.when(reached, F.col("v"))), F.max("v"))
-            .cast("bigint")
-            .alias("est")
-        )
+    return agg.select(F.col(key), F.explode(ests).alias("__q")).select(
+        key, "__q.q_num", "__q.q_den", "__q.est"
     )
 
 

@@ -62,6 +62,7 @@ def test_synth_clips_roundtrip_wav():
         assert np.array_equal(back[:, 0], s)
 
 
+@pytest.mark.slow
 def test_planted_near_dup_recall_through_spark_path(spark):
     """Bucketed pairs over the real WAV byte path must equal the local
     brute force exactly — pigeonhole completeness at hamming <= 3."""

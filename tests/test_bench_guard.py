@@ -129,3 +129,31 @@ def test_calibration_kernel_runs_and_is_subsecond(spark):
 
     sec = bench._calib_kernel_sec(spark)
     assert 0 < sec < 5
+
+
+def test_scaling_guard_passes_healthy_and_flags_serialized():
+    """round 14 (VERDICT r13 #6): the 8c/32c parallelism check must
+    pass ratios near the r13 observations and FAIL a deliberate
+    serialization (low-core time == main time, ratio ~1.0) — proving a
+    lost-parallelism regression is detectable at all."""
+    from tools.bench_guard import SCALING_REFERENCE, evaluate_scaling
+
+    main = {"queries": {"corpus_funnel": 14.0, "pipeline_medallion": 2.8}}
+    healthy = {
+        "queries": {
+            q: main["queries"][q] * obs
+            for q, (obs, _floor) in SCALING_REFERENCE.items()
+        }
+    }
+    r = evaluate_scaling(main, healthy)
+    assert len(r["checked"]) == 2 and not r["offenders"]
+
+    serialized = {"queries": {q: v * 1.0 for q, v in main["queries"].items()}}
+    r = evaluate_scaling(main, serialized)
+    assert [o[0] for o in r["offenders"]] == sorted(
+        o[0] for o in r["offenders"]
+    ) and len(r["offenders"]) == 2
+
+    # a row missing from either line is skipped, not crashed
+    r = evaluate_scaling(main, {"queries": {"corpus_funnel": 19.0}})
+    assert len(r["checked"]) == 1 and not r["offenders"]

@@ -3,6 +3,8 @@ Jaccard; LSH recall vs brute-force cosine; simhash locality."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from azure_etl_spark.operators.dedup import (
@@ -67,6 +69,7 @@ def test_simhash_locality(spark):
     assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
 
 
+@pytest.mark.slow
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
@@ -97,6 +100,7 @@ def test_embedding_near_dup_self_pairs(spark, sf_dir):
     assert expect <= found
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_planted_recall(spark, sf_dir):
     """The registry query's oracle replays the SAME LSH buckets in SQL
     (an exact contract for the approximate pipeline); this test keeps the
@@ -494,6 +498,7 @@ def test_semantic_dedup_drops_clones(spark, sf_dir):
         assert rows[i]["cid"] == rows[i + 100000]["cid"]
 
 
+@pytest.mark.slow
 def test_contrastive_triplets_semantics(spark, sf_dir):
     """Every triplet's positive is cosine-near, its negative is below
     the negative threshold, and the draw is deterministic under
@@ -601,6 +606,7 @@ def _planted_clusters(spark, n_per=30, n_clusters=4, dim=16, append_from=1000):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_ivf_index_append_vs_refit_recall(spark, tmp_path):
     """The judge's criterion (VERDICT r7 #6): appending new vectors to
     the FROZEN index must retrieve planted neighbors as well as a full
@@ -654,6 +660,7 @@ def test_ivf_index_append_vs_refit_recall(spark, tmp_path):
     assert appended.count() == 60
 
 
+@pytest.mark.slow
 def test_ivf_index_drift_signal(spark, tmp_path):
     """Appending in-distribution data keeps drift ~1; appending vectors
     FAR from every centroid pushes the ratio up — the refit signal."""
@@ -680,6 +687,7 @@ def test_ivf_index_drift_signal(spark, tmp_path):
     assert d2["n_train"] == 60 and d2["n_appended"] == 80
 
 
+@pytest.mark.slow
 def test_ivf_index_refit_rotates_generation_and_restores_recall(spark, tmp_path):
     """VERDICT r8 #6 end-to-end: build on 2 planted clusters -> append
     2 NEW far-away clusters (drift fires, retrieval inside the new
@@ -738,6 +746,7 @@ def test_ivf_index_refit_rotates_generation_and_restores_recall(spark, tmp_path)
         assert r["vec_id"] // 30 == r["q_id"] // 30, r  # same planted cluster
 
 
+@pytest.mark.slow
 def test_ivf_index_refit_generation_swap_is_atomic_and_time_travelable(
     spark, tmp_path
 ):
@@ -806,6 +815,7 @@ def test_ivf_index_refit_generation_swap_is_atomic_and_time_travelable(
         ivf_index_refit(spark, legacy)
 
 
+@pytest.mark.slow
 def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
     """PQ half of VERDICT r7 #6: appending encodes against the FROZEN
     codebooks exactly as a direct pq_encode against them would, the
@@ -848,6 +858,7 @@ def test_pq_index_append_matches_frozen_encode_and_drift(spark, tmp_path):
     assert d2["drift_ratio"] > d1["drift_ratio"] * 2, (d1, d2)
 
 
+@pytest.mark.slow
 def test_pq_index_refit_rotates_generation_and_cuts_qerr(spark, tmp_path):
     """PQ twin of the IVF refit (round 9): after an out-of-distribution
     append inflates quantization error, refit retrains the codebooks on
@@ -924,3 +935,37 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     comp = connected_components(pairs, max_iter=25)
     rows = {(r["id"], r["component"]) for r in comp.collect()}
     assert rows == {(i, 0) for i in range(n)}
+
+
+def test_resolve_keep_by_driver_and_distributed_agree(spark):
+    """round 14: the keep_by winner selection has a budget-gated driver
+    fast path (collect cluster members' (id, score), argmax in Python).
+    Both paths must keep identical survivors — including the NULL-score
+    rules (a NULL score never wins; an all-NULL cluster drops nobody;
+    a NULL-scored member of a scored cluster drops)."""
+    from azure_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0), (2, 9.0), (3, 9.0),        # cluster {1,2,3}: 2 wins (tie->min id)
+            (10, None), (11, 3.0),               # cluster {10,11}: 11 wins, 10 drops
+            (20, None), (21, None),              # all-NULL cluster: nobody drops
+            (30, 1.0),                           # no cluster: survives
+        ],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    keep = F.col("score")
+    fast = {
+        r.doc_id
+        for r in resolve_duplicate_clusters(df, pairs, keep_by=keep).collect()
+    }
+    slow = {
+        r.doc_id
+        for r in resolve_duplicate_clusters(
+            df, pairs, keep_by=keep, driver_max_nodes=0
+        ).collect()
+    }
+    assert fast == slow == {2, 11, 20, 21, 30}

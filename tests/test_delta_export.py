@@ -414,6 +414,7 @@ def test_checkpoint_write_read_and_convert(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_mirror_auto_checkpoints_every_16_commits(spark, tmp_path):
     from azure_etl_spark.sources.delta_export import _read_last_checkpoint
 

@@ -75,6 +75,7 @@ def _drain(spark, table, out_dir, ckpt, **opts):
     return spark.read.parquet(out_dir)
 
 
+@pytest.mark.slow
 def test_foreign_delta_tail_appends_and_changes(spark, tmp_path):
     """Initial load = replayed live set; each later commit is one
     micro-batch; OPTIMIZE (dataChange=false) emits nothing; a COW
@@ -120,6 +121,7 @@ def test_foreign_delta_tail_appends_and_changes(spark, tmp_path):
         _drain(spark, foreign, out_dir, ckpt)
 
 
+@pytest.mark.slow
 def test_foreign_delta_initial_load_applies_dvs(spark, tmp_path):
     """The initial snapshot load masks each live file's deletion vector
     (decoded executor-side via the pure-Python roaring codec) — the
@@ -239,6 +241,7 @@ def test_foreign_delta_max_files_per_trigger(spark, tmp_path):
     assert [s for s in sizes if s] == [20, 20, 20, 20]
 
 
+@pytest.mark.slow
 def test_foreign_delta_starting_version(spark, tmp_path):
     """startingversion=N skips the initial snapshot and tails from
     commit N; 'latest' delivers only commits after the query starts."""
@@ -289,6 +292,7 @@ def test_foreign_delta_checkpoint_seeded_log(spark, tmp_path):
                          + list(range(200, 220)))
 
 
+@pytest.mark.slow
 def test_foreign_delta_streams_name_mapped_table(spark, tmp_path):
     """Round 11: a name-mode FLAT column-mapped foreign table (the
     common real-Databricks shape) STREAMS — the schema comes back
@@ -407,6 +411,7 @@ def test_foreign_delta_streams_name_mapped_table(spark, tmp_path):
         _drain(spark, path, str(tmp_path / "out3"), str(tmp_path / "ckpt3"))
 
 
+@pytest.mark.slow
 def test_foreign_delta_v2_and_multipart_checkpoint_seed(spark, tmp_path):
     """The streaming source's initial load seeds from ALL three
     checkpoint forms with pure local IO: a V2 manifest + sidecars
@@ -825,6 +830,7 @@ def test_foreign_delta_readchangefeed_stream(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_foreign_delta_starting_timestamp(spark, tmp_path):
     """Round 12 (VERDICT r11 #7): startingtimestamp resolves commit
     timestamps (commitInfo.timestamp) to the startingversion walk —

@@ -193,6 +193,7 @@ def test_convert_still_refuses_unknown_reader_features(spark, tmp_path):
         convert_from_delta_log(spark, path)
 
 
+@pytest.mark.slow
 def test_dv_full_round_trip(spark, tmp_path):
     """The complete migration loop with live MOR state: snapshot table
     with predicate + equality + positional deletes -> export (real DV

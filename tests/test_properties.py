@@ -5,6 +5,7 @@ low because a Spark job runs per example."""
 
 from __future__ import annotations
 
+import pytest
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -177,6 +178,7 @@ def test_repetition_signals_match_python(spark, docs):
     )
 )
 @SET
+@pytest.mark.slow
 def test_sorted_run_entropy_matches_counter(spark, words):
     """Fold-based entropy == the Counter-based definition for arbitrary
     token multisets (including empty-string tokens)."""
@@ -203,6 +205,7 @@ def test_sorted_run_entropy_matches_counter(spark, words):
     )
 )
 @SET
+@pytest.mark.slow
 def test_distinct_sorted_equals_distinct_orderby(spark, rows):
     from azure_etl_spark.operators.dedup import distinct_sorted
 
@@ -338,6 +341,7 @@ _snap_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_snapshot_dml_sequences_match_model(spark, ops, tmp_path_factory):
     """Random sequences of snapshot-log DML (append / overwrite / COW +
     merge-on-read deletes / equality deletes / update / compact /
@@ -461,6 +465,7 @@ def _ref_bpe(words: dict[str, int], n_merges: int):
     n_merges=st.integers(1, 4),
 )
 @SET
+@pytest.mark.slow
 def test_bpe_train_matches_python_reference(spark, words, n_merges):
     """Two-letter alphabet forces heavy pair-count ties and overlapping
     runs (aaaa...) — exercising exactly the tie-break and greedy
@@ -525,6 +530,7 @@ def _ref_semantic_dedup(vecs: dict[int, list[float]], k: int, iters: int, thr: f
     ),
 )
 @SET
+@pytest.mark.slow
 def test_semantic_dedup_matches_python_reference(spark, data):
     """Small integer vectors force centroid/assignment ties and exact
     cosine collisions — the determinism contract the SQL oracle relies
@@ -598,6 +604,7 @@ def test_kmv_shard_merge_invariance(spark, values, cuts, k):
     salt=st.sampled_from([None, 3]),
 )
 @SET
+@pytest.mark.slow
 def test_kmv_grouped_shard_merge_invariance(spark, values, cuts, k, salt):
     """Grouped-KMV mergeability is EXACT per key under ANY sharding,
     the salted build agrees with the unsalted one, and a reference
@@ -646,6 +653,7 @@ def test_kmv_grouped_shard_merge_invariance(spark, values, cuts, k, salt):
     cuts=st.lists(st.integers(0, 119), min_size=0, max_size=3),
 )
 @SET
+@pytest.mark.slow
 def test_loghist_grouped_shard_merge_and_quantile_bracket(spark, values, cuts):
     """Grouped log-histograms merge exactly per (key, bucket) under any
     sharding, and every per-key quantile estimate lands in the
@@ -708,6 +716,14 @@ def test_connected_components_matches_union_find(spark, edges):
         (r["id"], r["component"])
         for r in connected_components(pairs).collect()
     }
+    # round 14: the small-graph driver fast path (default) and the
+    # distributed pointer-jumping rounds (forced via driver_max_edges=0)
+    # must label identically
+    got_dist = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert got == got_dist
 
     parent: dict[int, int] = {}
 

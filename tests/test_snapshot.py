@@ -575,6 +575,7 @@ def test_maintain_agg_from_changes_equals_recompute(spark, tmp_path):
     assert state_dict(state) == full(read_snapshot(spark, path))
 
 
+@pytest.mark.slow
 def test_snapshot_table_streaming_source(spark, tmp_path):
     """Tail a snapshot table as a stream (Python Data Source): initial
     load = current version, then one micro-batch per commit; compaction
@@ -836,6 +837,7 @@ def test_mor_change_feed_emits_logical_deletes(spark, tmp_path):
     assert {r["id"] for r in ch.collect()} == {20, 21}
 
 
+@pytest.mark.slow
 def test_mor_stream_source_initial_load_and_tail(spark, tmp_path):
     """The streaming source's initial load applies merge-on-read entries
     (pyarrow-side), a MOR delete breaks the tail loudly, and
@@ -1117,6 +1119,7 @@ def test_snapshot_stream_source_max_files_per_trigger(spark, tmp_path):
     assert [s for s in sizes if s] == [20, 20, 20, 20, 20]
 
 
+@pytest.mark.slow
 def test_zorder_cluster_skips_on_both_dimensions(spark, tmp_path):
     """cluster_mode='zorder' (OPTIMIZE ZORDER BY): a 64x64 uniform grid
     written as 16 Z-ordered files skips on EITHER dimension, where the
@@ -1167,6 +1170,7 @@ def test_zorder_cluster_skips_on_both_dimensions(spark, tmp_path):
     assert len(ss) > len(rr)  # most files skipped again on the 2nd dim
 
 
+@pytest.mark.slow
 def test_concurrent_writers_all_commit(spark, tmp_path):
     """Four real threads race 3 appends each through the optimistic-
     concurrency protocol: every commit must land (distinct versions, no
@@ -1322,6 +1326,7 @@ def test_compact_where_scopes_the_rewrite(spark, tmp_path):
     assert len(_lm(spark, path, res["version"])["deletes"]) == 1
 
 
+@pytest.mark.slow
 def test_stream_source_starting_version(spark, tmp_path):
     """startingversion=N skips the initial snapshot and tails from
     commit N; 'latest' delivers only commits after the query starts."""
@@ -1479,6 +1484,7 @@ def test_repair_log_unsticks_crashed_claim(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_two_level_stats_log_checkpoints_and_prunes(spark, tmp_path):
     """A long append chain: stats never inline in the manifest, the
     sidecar-ref chain compacts into a parquet checkpoint past the
@@ -1989,6 +1995,7 @@ def test_snapshot_stream_walk_with_pacing_resumes_v0(spark, tmp_path):
     assert start == {"version": 0}  # unit fully consumed
 
 
+@pytest.mark.slow
 def test_stream_source_starting_timestamp(spark, tmp_path):
     """Round 12 (VERDICT r11 #7): startingtimestamp resolves a manifest
     committed_at_unix boundary to the startingversion walk — between
@@ -2064,6 +2071,7 @@ def test_stream_source_starting_timestamp(spark, tmp_path):
               startingtimestamp=iso(t1), startingversion="1")
 
 
+@pytest.mark.slow
 def test_stream_source_readchangefeed(spark, tmp_path):
     """Round 12: readchangefeed=true on the snapshot streaming source —
     the streaming twin of snapshot_changes. Appends derive inserts, a

@@ -22,6 +22,8 @@ from __future__ import annotations
 import random
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from azure_etl_spark.sources import snapshot as snap

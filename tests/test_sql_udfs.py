@@ -4,6 +4,7 @@ BatchEvalPython in the plan)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_etl_spark.functions.sql_udfs import register_sql_functions
@@ -297,6 +298,7 @@ def test_eng_kll_level_pow_matches_operator(spark):
     assert sql_sk == df_sk and len(df_sk) > 0
 
 
+@pytest.mark.slow
 def test_minhash_sql_functions_equal_dataframe_pipeline(spark, sf_dir):
     """Round 10 (VERDICT r9 #6): eng_minhash_sig / eng_shingles /
     eng_minhash_bands / eng_minhash_est must reproduce the DataFrame

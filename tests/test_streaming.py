@@ -912,6 +912,7 @@ def test_medallion_fold_replay_is_exactly_once(spark, sf_dir, tmp_path):
     assert got == state
 
 
+@pytest.mark.slow
 def test_incremental_media_dedup_across_batches(spark, tmp_path):
     """Streaming media ingest with cross-batch perceptual dedup
     (round 6): within-batch near-identical payloads collapse to the
@@ -979,6 +980,7 @@ def test_incremental_media_dedup_across_batches(spark, tmp_path):
     assert idx_cols == {"media_type", "__sig", "batch_id"}
 
 
+@pytest.mark.slow
 def test_media_signature_index_compaction(spark, tmp_path):
     """The media signature index compacts with the same machinery as
     the text digest index (cols override): absorbed batch dirs merge
@@ -1022,6 +1024,7 @@ def test_media_signature_index_compaction(spark, tmp_path):
     assert 99 not in ids and ids == {0, 10, 20, 30}
 
 
+@pytest.mark.slow
 def test_incremental_media_dedup_via_streaming_query(spark, tmp_path):
     """The media dedup writer under a REAL Structured Streaming query
     (file source, maxFilesPerTrigger=1 -> several micro-batches):
@@ -1071,6 +1074,7 @@ def test_incremental_media_dedup_via_streaming_query(spark, tmp_path):
     assert len(ids) == 4
 
 
+@pytest.mark.slow
 def test_media_dedup_cross_modality_collision_keeps_both(spark, tmp_path):
     """PLANTED cross-modality collision (round-7, VERDICT r6 #1): a
     WAV constructed so its audio fingerprint EQUALS a PNM's dhash —
@@ -1262,6 +1266,7 @@ def test_media_dedup_hot_bucket_cap_and_linear_path(spark, tmp_path):
     assert over_def.count() == 0
 
 
+@pytest.mark.slow
 def test_media_dedup_cross_batch_exact_stage_cap_independent(spark, tmp_path):
     """Cross-batch hardening (round 7): the exact (modality, signature)
     equi-join stage guarantees an already-indexed signature is NEVER
@@ -1416,6 +1421,7 @@ def test_streaming_cms_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_pat
     assert after == whole
 
 
+@pytest.mark.slow
 def test_streaming_heavy_hitters_guarantee_and_replay(spark, sf_dir, tmp_path):
     """Bounded-state streaming phi-heavy hitters (round 7): after the
     stream drains, the hh gold table contains EVERY value whose true
@@ -1486,6 +1492,7 @@ def test_streaming_heavy_hitters_guarantee_and_replay(spark, sf_dir, tmp_path):
     } == got
 
 
+@pytest.mark.slow
 def test_heavy_hitters_fold_crash_between_commits_recovers(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -1876,6 +1883,7 @@ _ND_UNIQ2 = (
 )
 
 
+@pytest.mark.slow
 def test_incremental_text_near_dup_across_batches(spark, tmp_path):
     """Streaming text ingest with cross-batch NEAR-dup dedup: within
     a batch, exact copies and light edits collapse to the min id;
@@ -1993,6 +2001,7 @@ def test_streaming_kll_fold_matches_whole_and_replay_safe(spark, sf_dir, tmp_pat
     assert after == whole
 
 
+@pytest.mark.slow
 def test_text_near_dup_index_compaction(spark, tmp_path):
     """The text signature index compacts with the same machinery as the
     digest/media indexes (cols override incl. the array-typed gram
@@ -2078,6 +2087,7 @@ def test_streaming_kll_grouped_fold_matches_whole_and_replay_safe(
     assert after == whole
 
 
+@pytest.mark.slow
 def test_incremental_text_near_dup_via_streaming_query(spark, tmp_path):
     """The text near-dup writer under a REAL Structured Streaming query
     (file source, maxFilesPerTrigger=1 -> several micro-batches):

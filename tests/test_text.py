@@ -5,6 +5,7 @@ stats features on a lexical task."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------
@@ -39,6 +40,7 @@ def test_hashed_ngram_features_empty_and_short_text(spark):
     assert sum(got[3]) == 1.0  # exactly one gram
 
 
+@pytest.mark.slow
 def test_hashed_ngrams_beat_stats_features_on_lexical_task(spark):
     """The judge's accuracy-vs-stats comparison: two classes with the
     SAME length/punctuation statistics but disjoint character

@@ -72,6 +72,7 @@ def test_encode_matches_reference_on_fixture(spark, sf_dir):
         assert "".join(r["uni_tokens"]) == "".join(ws)
 
 
+@pytest.mark.slow
 def test_randomized_corpora_match_reference(spark):
     """Property check: seeded random corpora (fresh vocabularies, word
     shapes the fixture never produces) still match the reference

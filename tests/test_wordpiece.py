@@ -6,6 +6,7 @@ train+encode equivalence."""
 
 from __future__ import annotations
 
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -95,6 +96,7 @@ def test_wordpiece_segmentation_lossless_unless_unk(spark, sf_dir):
     assert bad.count() == 0
 
 
+@pytest.mark.slow
 def test_randomized_corpora_match_reference(spark):
     """Train + encode on randomized word tables must equal the pure-
     Python spec exactly — merges (incl. float scores), vocab, and every

@@ -198,6 +198,43 @@ def evaluate(data: dict, factor: float = 1.5) -> dict:
     }
 
 
+# ---- parallelism-regression guard (round 14, VERDICT r13 #6) -------------
+# The r13 scaling block (BENCH_r13_c8.json vs BENCH_r13.json, 8 vs 32
+# cores) showed only corpus_funnel (1.38x) and pipeline_medallion
+# (1.20x) carry any parallel signal at sf0.1 — every other row sits at
+# the fixed driver/analysis floor, so the bench cannot detect a
+# lost-parallelism regression anywhere else. A change that SERIALIZES a
+# stage in these two rows (an accidental coalesce(1), a driver-side
+# loop swallowing a stage) pushes its low/main ratio toward 1.0 while
+# barely moving the 32-core wall time. Floors sit well under the
+# observed ratios because a ratio of two ±30%-noise numbers is itself
+# noisy; a true serialization reads ~1.0 and trips the floor.
+SCALING_REFERENCE: dict[str, tuple[float, float]] = {
+    # query: (r13 observed 8c/32c ratio, guard floor)
+    "corpus_funnel": (1.38, 1.10),
+    "pipeline_medallion": (1.20, 1.02),
+}
+
+
+def evaluate_scaling(main: dict, low: dict) -> dict:
+    """Pure scaling-guard logic over two parsed bench lines (the main
+    high-core run and a lower-core run of the same code): for each
+    SCALING_REFERENCE row present in both, ratio = low_sec / main_sec
+    must stay above its floor. Returns ``{checked, offenders}`` with
+    entries ``(name, ratio, observed_ref, floor)``."""
+    out: dict = {"checked": [], "offenders": []}
+    mq, lq = main.get("queries", {}), low.get("queries", {})
+    for name, (observed, floor) in SCALING_REFERENCE.items():
+        a, b = mq.get(name), lq.get(name)
+        if not a or not b:
+            continue
+        ratio = b / a
+        out["checked"].append((name, round(ratio, 3), observed, floor))
+        if ratio < floor:
+            out["offenders"].append((name, round(ratio, 3), floor))
+    return out
+
+
 def load_bench_payload(text: str) -> dict:
     """Extract the bench measurement object from any of the shapes the
     guard meets in practice (round-9 ADVICE fix — the driver's
@@ -235,11 +272,36 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json", help="file with bench.py's JSON line")
     ap.add_argument("--factor", type=float, default=1.5)
+    ap.add_argument(
+        "--cpus-low",
+        help="bench JSON from a LOWER-core run of the same code; enables "
+        "the parallelism-regression check (SCALING_REFERENCE rows' "
+        "low/main ratio must stay above its floor)",
+    )
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
         text = f.read().strip()
     data = load_bench_payload(text)
+
+    scaling_fail = False
+    if args.cpus_low:
+        with open(args.cpus_low) as f:
+            low = load_bench_payload(f.read().strip())
+        s = evaluate_scaling(data, low)
+        for name, ratio, observed, floor in s["checked"]:
+            print(
+                f"scaling {name}: low/main {ratio:.2f}x "
+                f"(r13 observed {observed:.2f}x, floor {floor:.2f}x)"
+            )
+        if s["offenders"]:
+            scaling_fail = True
+            print(
+                f"FAIL (scaling): {len(s['offenders'])} rows lost their "
+                "parallel speedup — a stage likely serialized:"
+            )
+            for name, ratio, floor in s["offenders"]:
+                print(f"  {name}: low/main {ratio:.2f}x < floor {floor:.2f}x")
 
     r = evaluate(data, factor=args.factor)
     if r["new"]:
@@ -271,6 +333,8 @@ def main() -> int:
                 f"  {name}: {cur:.3f}s vs ref {ref:.3f}s "
                 f"({raw:.2f}x raw, {norm:.2f}x load-normalized)"
             )
+        return 1
+    if scaling_fail:
         return 1
     print(
         f"OK: uniform drift only (load index {r['load_index']:.2f}x), 0 real flags"
