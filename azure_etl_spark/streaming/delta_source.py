@@ -734,16 +734,41 @@ def _resolve_starting_timestamp(
     )
 
 
-class _DeltaFilePartition(InputPartition):
-    def __init__(
-        self,
-        abs_path: str,
-        part_values: list[tuple[str, object]],
-        dv: dict | None,
-    ):
-        self.abs_path = abs_path
-        self.part_values = part_values
-        self.dv = dv
+class _DeltaScanPartition(InputPartition):
+    """One scan task's worth of data files: a list of
+    ``(abs_path, part_values, dv)`` read sequentially by ``read()``.
+    Files are PACKED into partitions with Spark's own scan-split
+    formula (round 14, guide §6): each file charges
+    ``max(size, open_cost)`` against a byte budget, so a many-commit
+    backlog of small files costs ~32 tasks per 128 MB of budget instead
+    of one task per file (the 1000-commit drain probe read 6.3 ms per
+    one-row file — pure per-task overhead), while real >=budget files
+    keep one task each and full parallelism."""
+
+    def __init__(self, files: list):
+        self.files = files
+
+
+_OPEN_COST_BYTES = 4 << 20  # Spark's spark.sql.files.openCostInBytes default
+
+
+def _pack_files(files: list, max_part_bytes: int) -> list:
+    """Pack (abs_path, pvals, dv, size) tuples into
+    _DeltaScanPartitions preserving order; each file charges
+    max(size, open cost)."""
+    parts: list[_DeltaScanPartition] = []
+    cur: list = []
+    acc = 0
+    for path, pvals, dv, size in files:
+        cost = max(int(size or 0), _OPEN_COST_BYTES)
+        if cur and acc + cost > max_part_bytes:
+            parts.append(_DeltaScanPartition(cur))
+            cur, acc = [], 0
+        cur.append((path, pvals, dv))
+        acc += cost
+    if cur:
+        parts.append(_DeltaScanPartition(cur))
+    return parts
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
@@ -776,6 +801,16 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         mbt = options.get("maxbytespertrigger")
         self.max_bytes = int(mbt) if mbt is not None else None
+        # scan-split packing budget (round 14, guide §6): small files
+        # pack ~32-per-128MB into one task via the open-cost charge;
+        # a >=budget file still gets its own task. Scale-adaptive by
+        # DATA size (byte-budgeted), not core count.
+        mpb = options.get("maxpartitionbytes")
+        self.max_partition_bytes = int(mpb) if mpb is not None else 128 << 20
+        if self.max_partition_bytes <= 0:
+            raise ValueError(
+                f"maxpartitionbytes must be positive, got {self.max_partition_bytes}"
+            )
         for name, val in (("maxfilespertrigger", self.max_files),
                           ("maxbytespertrigger", self.max_bytes)):
             if val is not None and val <= 0:
@@ -1104,12 +1139,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         ev, epos = end["version"], end.get("pos")
         if ev < sv or (ev == sv and epos is None and spos is None):
             return []
-        out: list[_DeltaFilePartition] = []
+        out: list = []
 
         def emit(unit, lo, hi):
-            for rel, pvals, dv, _size in unit[lo:hi]:
+            for rel, pvals, dv, size in unit[lo:hi]:
                 out.append(
-                    _DeltaFilePartition(os.path.join(self.table, rel), pvals, dv)
+                    (os.path.join(self.table, rel), pvals, dv, size)
                 )
 
         if sv < 0:
@@ -1131,32 +1166,36 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 unit = self._unit(v, False)
                 hi = epos if (v == ev and epos is not None) else len(unit)
                 emit(unit, 0, hi)
-        return out
+        return _pack_files(out, self.max_partition_bytes)
 
     # -- execution (executor-side, Arrow-vectorized) --------------------
     def read(self, partition):
+        for abs_path, part_values, dv in partition.files:
+            yield from self._read_one(abs_path, part_values, dv)
+
+    def _read_one(self, abs_path, part_values, dv):
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema)
-        tbl = pq.read_table(partition.abs_path)
+        tbl = pq.read_table(abs_path)
         if self._cm and self._cm["mode"] == "id":
             # id-mode resolution gate, per file: declared field ids
             # must sit under the declared physical names, after which
             # name-based resolution IS id-based resolution
             _verify_arrow_field_ids(
-                self.table, partition.abs_path, list(tbl.schema), self._cm["ids"]
+                self.table, abs_path, list(tbl.schema), self._cm["ids"]
             )
-        if partition.dv:
+        if dv:
             # the DV masks ORIGINAL physical row indexes; it applies to
             # the freshly-read table before anything else drops rows
-            masked = set(_decode_dv_local(self.table, partition.dv))
+            masked = set(_decode_dv_local(self.table, dv))
             if masked:
                 keep = [i not in masked for i in range(tbl.num_rows)]
                 tbl = tbl.filter(pa.array(keep))
         n = tbl.num_rows
-        consts = dict(partition.part_values)
+        consts = dict(part_values)
         arrays = []
         names = set(tbl.column_names)
         for field in target:
