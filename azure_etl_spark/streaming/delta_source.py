@@ -752,16 +752,27 @@ class _DeltaScanPartition(InputPartition):
 _OPEN_COST_BYTES = 4 << 20  # Spark's spark.sql.files.openCostInBytes default
 
 
-def _pack_files(files: list, max_part_bytes: int) -> list:
+def _pack_files(files: list, max_part_bytes: int, min_partitions: int) -> list:
     """Pack (abs_path, pvals, dv, size) tuples into
-    _DeltaScanPartitions preserving order; each file charges
-    max(size, open cost)."""
+    _DeltaScanPartitions preserving order, with Spark's exact scan-split
+    sizing: each file charges ``size + openCost`` and the split budget
+    is ``min(maxPartitionBytes, max(openCost, totalCharge /
+    minPartitionNum))`` — so a batch of files too small to fill
+    ``min_partitions`` tasks still fans out (a handful of 2–3 MB
+    commit files must not collapse into one serial task; measured as a
+    2x sf1 drain regression when the budget ignored this term), while
+    a many-thousand-tiny-file backlog still packs ~32 files per task."""
+    total = sum(int(size or 0) + _OPEN_COST_BYTES for *_x, size in files)
+    budget = min(
+        max_part_bytes,
+        max(_OPEN_COST_BYTES, total // max(1, min_partitions)),
+    )
     parts: list[_DeltaScanPartition] = []
     cur: list = []
     acc = 0
     for path, pvals, dv, size in files:
-        cost = max(int(size or 0), _OPEN_COST_BYTES)
-        if cur and acc + cost > max_part_bytes:
+        cost = int(size or 0) + _OPEN_COST_BYTES
+        if cur and acc + cost > budget:
             parts.append(_DeltaScanPartition(cur))
             cur, acc = [], 0
         cur.append((path, pvals, dv))
@@ -807,10 +818,21 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         # DATA size (byte-budgeted), not core count.
         mpb = options.get("maxpartitionbytes")
         self.max_partition_bytes = int(mpb) if mpb is not None else 128 << 20
-        if self.max_partition_bytes <= 0:
-            raise ValueError(
-                f"maxpartitionbytes must be positive, got {self.max_partition_bytes}"
-            )
+        # scan-parallelism floor (mirrors spark.sql.files.minPartitionNum
+        # semantics: the split budget shrinks so at least this many
+        # tasks exist when the data supports it). The planning side of
+        # a Python data source cannot see the cluster's parallelism, so
+        # the default is a LOCAL-sandbox value (32 = this box's
+        # defaultParallelism); production streams on bigger clusters
+        # set minpartitionnum to their core count.
+        mpn = options.get("minpartitionnum")
+        self.min_partition_num = int(mpn) if mpn is not None else 32
+        for name, val in (
+            ("maxpartitionbytes", self.max_partition_bytes),
+            ("minpartitionnum", self.min_partition_num),
+        ):
+            if val <= 0:
+                raise ValueError(f"{name} must be positive, got {val}")
         for name, val in (("maxfilespertrigger", self.max_files),
                           ("maxbytespertrigger", self.max_bytes)):
             if val is not None and val <= 0:
@@ -1166,7 +1188,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 unit = self._unit(v, False)
                 hi = epos if (v == ev and epos is not None) else len(unit)
                 emit(unit, 0, hi)
-        return _pack_files(out, self.max_partition_bytes)
+        return _pack_files(
+            out, self.max_partition_bytes, self.min_partition_num
+        )
 
     # -- execution (executor-side, Arrow-vectorized) --------------------
     def read(self, partition):

@@ -4,6 +4,8 @@ duplicates removed, contamination dropped, deterministic output."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from azure_etl_spark.plans.corpus_pipeline import CurationPipeline
@@ -61,6 +63,7 @@ def test_funnel_is_deterministic(spark, sf_dir):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+@pytest.mark.slow
 def test_funnel_chunked_variant_packs_chunks(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     p = CurationPipeline(chunk_words=16, chunk_stride=12, token_budget=64)

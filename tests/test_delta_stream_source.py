@@ -746,6 +746,7 @@ def test_foreign_delta_streams_cm_dv_reader3_roundtrip(spark, tmp_path):
     assert min(k for k, _, _ in got) == 10  # the DV rows stayed masked
 
 
+@pytest.mark.slow
 def test_foreign_delta_readchangefeed_stream(spark, tmp_path):
     """Round 12 (VERDICT r11 #4): readchangefeed=true tails CHANGE rows
     — cdc-action commits read their _change_data parquet (in-data
