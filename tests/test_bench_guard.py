@@ -138,7 +138,9 @@ def test_scaling_guard_passes_healthy_and_flags_serialized():
     lost-parallelism regression is detectable at all."""
     from tools.bench_guard import SCALING_REFERENCE, evaluate_scaling
 
-    main = {"queries": {"corpus_funnel": 14.0, "pipeline_medallion": 2.8}}
+    # main values ON-RECORD (within 1.3x of REFERENCE) so enforcement
+    # applies; an off-record main run downgrades to informational
+    main = {"queries": {"corpus_funnel": 12.0, "pipeline_medallion": 2.8}}
     healthy = {
         "queries": {
             q: main["queries"][q] * obs
@@ -150,10 +152,18 @@ def test_scaling_guard_passes_healthy_and_flags_serialized():
 
     serialized = {"queries": {q: v * 1.0 for q, v in main["queries"].items()}}
     r = evaluate_scaling(main, serialized)
-    assert [o[0] for o in r["offenders"]] == sorted(
-        o[0] for o in r["offenders"]
-    ) and len(r["offenders"]) == 2
+    # only rows with an ENFORCED floor flag (medallion is informational
+    # — its 1.20x signal sits inside cross-session noise)
+    assert [o[0] for o in r["offenders"]] == ["corpus_funnel"]
 
     # a row missing from either line is skipped, not crashed
     r = evaluate_scaling(main, {"queries": {"corpus_funnel": 19.0}})
     assert len(r["checked"]) == 1 and not r["offenders"]
+
+    # an off-record (bimodal slow-mode) main run must NOT false-flag:
+    # enforcement downgrades to a "skipped" note
+    slow_main = {"queries": {"corpus_funnel": 19.0, "pipeline_medallion": 2.8}}
+    r = evaluate_scaling(slow_main, {"queries": {"corpus_funnel": 19.0,
+                                                 "pipeline_medallion": 2.8}})
+    assert not r["offenders"]
+    assert any("skipped" in str(c[3]) for c in r["checked"])

@@ -50,12 +50,21 @@ REFERENCE: dict[str, float] = {
     "cms_word_freq_docs": 0.624,
     "cohort_weekly_retention": 0.313,
     "contamination_ngram_overlap": 0.73,
-    "corpus_funnel": 14.024,
+    # round 14 TIGHTEN (receipts in OPTIMIZATION_r14.md §1-§2): the
+    # CC/keep_by driver fast paths moved the funnel's bench-row record
+    # 14.024 -> 11.510 (three consecutive final-HEAD runs 11.51-11.67
+    # at kernels 0.088-0.104; fresh-JVM A/B fast-vs-distributed
+    # 15.3/15.4 vs 16.1/16.9 attributes the delta to the change, not
+    # the box).
+    "corpus_funnel": 11.510,
     "cosine_topk": 0.325,
     "dedup_distinct": 1.364,
     "dedup_duplicate_spans_docs": 1.263,
     "delta_batch_read": 0.556,
-    "delta_stream_drain": 2.6,
+    # round 14: drain mid-spread 2.6 -> 2.2 (final-HEAD series
+    # 1.97-2.26 after file-packed scan partitions; still mid-spread,
+    # not min — the row is scheduling-dominated, see r13 note).
+    "delta_stream_drain": 2.2,
     "events_hourly_rollup": 0.141,
     "flagship_gold_minmax": 0.509,
     "hll_sketch_rollup_users": 0.283,
@@ -105,7 +114,10 @@ SF1_REFERENCE: dict[str, float] = {
     "cms_word_freq_docs": 0.597,
     "cohort_weekly_retention": 0.409,
     "contamination_ngram_overlap": 3.05,
-    "corpus_funnel": 41.441,
+    # round 14 TIGHTEN: sf1 funnel 41.441 -> 39.791 (this round's
+    # sf1 run 1, kernel 0.097 — the CC/keep_by fast paths land at sf1
+    # too; OPTIMIZATION_r14.md Measurements).
+    "corpus_funnel": 39.791,
     "cosine_topk": 0.323,
     "dedup_distinct": 1.815,
     "dedup_duplicate_spans_docs": 4.334,
@@ -209,10 +221,16 @@ def evaluate(data: dict, factor: float = 1.5) -> dict:
 # barely moving the 32-core wall time. Floors sit well under the
 # observed ratios because a ratio of two ±30%-noise numbers is itself
 # noisy; a true serialization reads ~1.0 and trips the floor.
-SCALING_REFERENCE: dict[str, tuple[float, float]] = {
-    # query: (r13 observed 8c/32c ratio, guard floor)
+SCALING_REFERENCE: dict[str, tuple[float, float | None]] = {
+    # query: (r13 observed 8c/32c ratio, guard floor — None = reported
+    # but NOT enforced). pipeline_medallion's 1.20x signal turned out
+    # to sit INSIDE cross-session noise (a healthy final-HEAD pairing
+    # this round read 0.87x when the 8-core run landed on a quieter
+    # window), so a floor there would flag healthy runs; it stays
+    # informational until a same-session interleaved scaling protocol
+    # exists. corpus_funnel's 1.29-1.38x signal separates cleanly.
     "corpus_funnel": (1.38, 1.10),
-    "pipeline_medallion": (1.20, 1.02),
+    "pipeline_medallion": (1.20, None),
 }
 
 
@@ -220,8 +238,16 @@ def evaluate_scaling(main: dict, low: dict) -> dict:
     """Pure scaling-guard logic over two parsed bench lines (the main
     high-core run and a lower-core run of the same code): for each
     SCALING_REFERENCE row present in both, ratio = low_sec / main_sec
-    must stay above its floor. Returns ``{checked, offenders}`` with
-    entries ``(name, ratio, observed_ref, floor)``."""
+    must stay above its floor. Enforcement additionally requires the
+    MAIN run's row to be on-record (within 1.3x of its REFERENCE
+    value): the funnel is bimodal on this box (three consecutive runs
+    at 11.5-11.7 s, then 18.9 at the same kernel — round 14), and a
+    slow-mode main run makes the ratio meaningless in exactly the
+    direction that false-flags; an off-record main run is the MAIN
+    guard's business, not the scaling check's (the scaling check
+    exists for serialization that hides in normal wall time). Returns
+    ``{checked, offenders}``; checked entries are
+    ``(name, ratio, observed_ref, floor_or_note)``."""
     out: dict = {"checked": [], "offenders": []}
     mq, lq = main.get("queries", {}), low.get("queries", {})
     for name, (observed, floor) in SCALING_REFERENCE.items():
@@ -229,8 +255,15 @@ def evaluate_scaling(main: dict, low: dict) -> dict:
         if not a or not b:
             continue
         ratio = b / a
+        ref = REFERENCE.get(name)
+        on_record = ref is not None and a <= 1.3 * ref
+        if floor is not None and not on_record:
+            out["checked"].append(
+                (name, round(ratio, 3), observed, "skipped: main run off-record")
+            )
+            continue
         out["checked"].append((name, round(ratio, 3), observed, floor))
-        if ratio < floor:
+        if floor is not None and ratio < floor:
             out["offenders"].append((name, round(ratio, 3), floor))
     return out
 
@@ -290,9 +323,15 @@ def main() -> int:
             low = load_bench_payload(f.read().strip())
         s = evaluate_scaling(data, low)
         for name, ratio, observed, floor in s["checked"]:
+            if floor is None:
+                fl = "informational"
+            elif isinstance(floor, str):
+                fl = floor
+            else:
+                fl = f"floor {floor:.2f}x"
             print(
                 f"scaling {name}: low/main {ratio:.2f}x "
-                f"(r13 observed {observed:.2f}x, floor {floor:.2f}x)"
+                f"(r13 observed {observed:.2f}x, {fl})"
             )
         if s["offenders"]:
             scaling_fail = True
