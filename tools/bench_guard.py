@@ -114,10 +114,11 @@ SF1_REFERENCE: dict[str, float] = {
     "cms_word_freq_docs": 0.597,
     "cohort_weekly_retention": 0.409,
     "contamination_ngram_overlap": 3.05,
-    # round 14 TIGHTEN: sf1 funnel 41.441 -> 39.791 (this round's
-    # sf1 run 1, kernel 0.097 — the CC/keep_by fast paths land at sf1
-    # too; OPTIMIZATION_r14.md Measurements).
-    "corpus_funnel": 39.791,
+    # round 14 TIGHTEN: sf1 funnel 41.441 -> 38.527 (final-HEAD sf1
+    # run at kernel 0.077 = 0.91x quiet, BENCH_LOCAL_r14_sf1.json —
+    # the CC/keep_by fast paths land at sf1 too; an earlier run the
+    # same day read 39.791).
+    "corpus_funnel": 38.527,
     "cosine_topk": 0.323,
     "dedup_distinct": 1.815,
     "dedup_duplicate_spans_docs": 4.334,
